@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship query (TPC-H Q1 pricing summary) on sf0.001.
+``queries``  — every implemented operator from SURVEY.md §2 + the
+               LLM-pipeline extensions, as (spark, sf_dir) -> DataFrame.
+``oracle_sql`` — DuckDB-equivalent SQL per query (same column names &
+               rounding so the driver's value-hash compare is stable).
+
+The real implementations live in ``kafka_connect_ftp_spark/plans/``;
+this module only adapts the registry to the driver's interface.
 """
 
 from __future__ import annotations
@@ -16,23 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from kafka_connect_ftp_spark.plans import registry
+
+    return registry()["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kafka_connect_ftp_spark.plans import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kafka_connect_ftp_spark.plans import registry
+
+    return {name: spec.oracle for name, spec in registry().items() if spec.oracle is not None}

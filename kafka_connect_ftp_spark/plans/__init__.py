@@ -1,0 +1,55 @@
+"""Named query plans: the engine's user-facing query surface.
+
+Each query is registered as a ``QuerySpec`` with
+- ``fn(spark, sf_dir) -> DataFrame``: the Spark-first implementation, and
+- ``oracle``: an equivalent ANSI-SQL string runnable by DuckDB over the same
+  parquet tables (None for genuinely non-SQL-expressible ops — those get a
+  weaker rows-only check from the driver).
+
+Conventions that make the DuckDB hash-comparison stable:
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (2 decimals for money, 4-6 for ratios);
+- integer outputs are cast to BIGINT on both sides (DuckDB's sum(BIGINT)
+  is HUGEINT, Spark's year() is INT — both would fail schema compare);
+- LIMIT queries order by the *rounded* sort key plus a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    # import side-effect populates _REGISTRY
+    from kafka_connect_ftp_spark.plans import (  # noqa: F401
+        analytics,
+        similarity,
+        text,
+        tpch,
+    )
+
+    return dict(_REGISTRY)

@@ -1,0 +1,158 @@
+"""Embedding similarity search over the ``embeddings`` table
+(``vec_id BIGINT, embedding ARRAY<FLOAT>, label INT``).
+
+Dot products are computed JVM-side with ``zip_with`` + ``aggregate`` in
+DOUBLE precision with left-to-right accumulation, which matches the DuckDB
+oracle's ``list_dot_product`` on ``DOUBLE[]`` bit-for-bit closely enough
+that 4-decimal rounding is stable.
+
+Scale design (100 TB of vectors):
+- ``embedding_cosine_topk`` broadcasts the query vector and computes a
+  global top-k (TakeOrderedAndProject — no full sort, no driver collect).
+- ``ann_ivf_label_topk`` is the IVF pattern: a coarse partition column
+  (here the pre-assigned ``label``; in production a KMeans centroid id)
+  prunes the scan to nprobe=1 partitions. With the table written
+  partitioned-by-centroid, partition pruning makes this a sub-scan.
+- ``embedding_near_dup_pairs`` blocks pairwise comparison inside coarse
+  partitions only — the standard blocked all-pairs design; cross-partition
+  recall is recovered by multi-probe in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.session import load_tables
+
+
+def _emb(spark, sf_dir):
+    return (
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+    )
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def _cos(a: str, b: str) -> F.Column:
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           ROUND(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,
+           CAST(LEN(embedding) AS BIGINT) AS dim, CAST(label AS BIGINT) AS label
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="L2 norms + dims — the normalization step of any vector pipeline.",
+)
+def embedding_norms(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    return df.select(
+        "vec_id",
+        F.round(F.sqrt(F.expr(_DOT.format(a="v", b="v"))), 4).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("vec_id")
+
+
+_Q = "(SELECT embedding::DOUBLE[] FROM embeddings ORDER BY vec_id LIMIT 1)"
+_QID = "(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1)"
+_QLABEL = "(SELECT label FROM embeddings ORDER BY vec_id LIMIT 1)"
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], {_Q})
+                 / (SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * SQRT(list_dot_product({_Q}, {_Q}))), 4) AS cos_sim
+    FROM embeddings
+    WHERE vec_id <> {_QID}
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force cosine top-k against a broadcast query vector.",
+)
+def embedding_cosine_topk(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    q = df.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", F.round(_cos("v", "qv"), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "ann_ivf_label_topk",
+    f"""
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], {_Q})
+                 / (SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * SQRT(list_dot_product({_Q}, {_Q}))), 4) AS cos_sim
+    FROM embeddings
+    WHERE vec_id <> {_QID} AND label = {_QLABEL}
+    ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+    doc=(
+        "IVF-style ANN, nprobe=1: prune the scan to the query's coarse "
+        "partition (label stands in for the KMeans centroid id), then exact "
+        "top-k within it."
+    ),
+)
+def ann_ivf_label_topk(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    q = df.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("label").alias("q_label")
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != F.col("q_id")) & (F.col("label") == F.col("q_label")))
+        .select("vec_id", F.round(_cos("v", "qv"), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4)
+             AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs, blocked by coarse partition "
+        "(label) so the pairwise join is per-block, never global O(n²)."
+    ),
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    df = _emb(spark, sf_dir).select("vec_id", "v", "label")
+    b = df.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("label").alias("label_b")
+    )
+    cos = _cos("v", "vb")
+    return (
+        df.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")))
+        .filter(cos >= 0.3)
+        .select(F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

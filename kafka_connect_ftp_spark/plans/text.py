@@ -1,0 +1,441 @@
+"""Text-analysis and deduplication operators over the ``documents`` table —
+the LLM-training-pipeline operator set (BASELINE.json north star).
+
+All hot-path logic stays JVM-side: tokenization, shingling, minhashing, and
+simhash are built from higher-order array functions (``transform`` /
+``filter`` / ``aggregate``) + ``md5``, so whole-stage codegen applies and no
+Python UDF sits in the per-row path. md5 is used (instead of the cheaper
+xxhash64) because the DuckDB oracle must compute bit-identical hashes; a
+production deployment would swap in ``F.xxhash64`` via the HASH_FN knob.
+
+Scale notes (100 TB): every query here is a scan + explode + hash-agg with
+shuffles keyed on doc_id or shingle. The shingle-keyed joins cap shingle
+document-frequency (stop-shingle removal) so no reduce key explodes
+quadratically; minhash-LSH replaces the O(n²) pairwise scan with banded
+bucket joins, which is the standard web-scale near-dup design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.session import load_tables
+
+# tokens = non-empty chunks of a single-space split (documents are
+# lower-case word soup; both engines keep empty strings on split)
+_TOKS = "filter(split(text, ' '), x -> x <> '')"
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           CAST(LEN({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct({_DUCK_TOKS})) AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(LEN(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+                 / LEN({_DUCK_TOKS}), 4) AS distinct_ratio,
+           ROUND(CAST(list_sum(list_transform({_DUCK_TOKS}, x -> LENGTH(x))) AS DOUBLE)
+                 / LEN({_DUCK_TOKS}), 4) AS avg_token_len,
+           ROUND((CAST(LEN(list_distinct({_DUCK_TOKS})) AS DOUBLE) / LEN({_DUCK_TOKS}))
+                 * (LEAST(LEN({_DUCK_TOKS}), 64) / 64.0), 4) AS quality_score
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Token counting + quality scoring (length/diversity heuristics).",
+)
+def text_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS))
+    n_tokens = F.size("toks").cast("long")
+    n_distinct = F.size(F.array_distinct("toks")).cast("long")
+    tok_chars = F.expr("aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)")
+    ratio = n_distinct.cast("double") / n_tokens
+    return (
+        df.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_calc"),
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct_tokens"),
+            F.round(ratio, 4).alias("distinct_ratio"),
+            F.round(tok_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+            F.round(ratio * (F.least(n_tokens, F.lit(64)) / F.lit(64.0)), 4).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "una", "que", "por"],
+    "fr": ["le", "les", "et", "dans", "pour"],
+}
+
+
+def _hits_expr_spark(words):
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({_TOKS}, x -> array_contains(array({arr}), x)))"
+
+
+def _hits_expr_duck(words):
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"LEN(list_filter({_DUCK_TOKS}, x -> x IN ({arr})))"
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id,
+           CAST({_hits_expr_duck(_STOPWORDS['en'])} AS BIGINT) AS en_hits,
+           CAST({_hits_expr_duck(_STOPWORDS['de'])} AS BIGINT) AS de_hits,
+           CAST({_hits_expr_duck(_STOPWORDS['es'])} AS BIGINT) AS es_hits,
+           CAST({_hits_expr_duck(_STOPWORDS['fr'])} AS BIGINT) AS fr_hits,
+           CASE
+             WHEN {_hits_expr_duck(_STOPWORDS['en'])} = 0
+              AND {_hits_expr_duck(_STOPWORDS['de'])} = 0
+              AND {_hits_expr_duck(_STOPWORDS['es'])} = 0
+              AND {_hits_expr_duck(_STOPWORDS['fr'])} = 0 THEN 'und'
+             WHEN {_hits_expr_duck(_STOPWORDS['en'])} >= {_hits_expr_duck(_STOPWORDS['de'])}
+              AND {_hits_expr_duck(_STOPWORDS['en'])} >= {_hits_expr_duck(_STOPWORDS['es'])}
+              AND {_hits_expr_duck(_STOPWORDS['en'])} >= {_hits_expr_duck(_STOPWORDS['fr'])} THEN 'en'
+             WHEN {_hits_expr_duck(_STOPWORDS['de'])} >= {_hits_expr_duck(_STOPWORDS['es'])}
+              AND {_hits_expr_duck(_STOPWORDS['de'])} >= {_hits_expr_duck(_STOPWORDS['fr'])} THEN 'de'
+             WHEN {_hits_expr_duck(_STOPWORDS['es'])} >= {_hits_expr_duck(_STOPWORDS['fr'])} THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Stopword-list language-ID heuristic (deterministic tie-break en>de>es>fr).",
+)
+def lang_id_heuristic(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    hits = {k: F.expr(_hits_expr_spark(v)).cast("long") for k, v in _STOPWORDS.items()}
+    all_zero = (hits["en"] == 0) & (hits["de"] == 0) & (hits["es"] == 0) & (hits["fr"] == 0)
+    pred = (
+        F.when(all_zero, "und")
+        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]), "en")
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), "de")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    return df.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["es"].alias("es_hits"),
+        hits["fr"].alias("fr_hits"),
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Content fingerprinting (md5 + sha256 over UTF-8 bytes).",
+)
+def doc_fingerprint(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keeper
+    """,
+    doc=(
+        "Exact dedup: hash-groupBy on content hash, keep min doc_id. At 100 TB "
+        "this groups on a 128-bit key, never on the text itself."
+    ),
+)
+def dedup_exact(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        df.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    )
+
+
+@register(
+    "dedup_token_bag",
+    f"""
+    SELECT bag_fp, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS bag_fp
+          FROM documents)
+    GROUP BY bag_fp HAVING COUNT(*) > 1 ORDER BY bag_fp
+    """,
+    doc="Near-exact dedup on the sorted distinct-token bag (order-insensitive).",
+)
+def dedup_token_bag(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.expr(_TOKS)))).cast("binary"))
+    return (
+        df.groupBy(bag.alias("bag_fp"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("bag_fp")
+    )
+
+
+@register(
+    "explode_word_counts",
+    f"""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST({_DUCK_TOKS}) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+    doc="1→N fan-out (explode) + count: the reference's SourceRecordConverter "
+    "1→N contract (SURVEY §2.7 U2) applied to token streams.",
+)
+def explode_word_counts(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        df.select(F.explode(F.expr(_TOKS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+# ----------------------------------------------------------- minhash / LSH
+
+_N_SEEDS = 8
+_BAND_SIZE = 2  # 4 bands of 2 rows
+_SHINGLE = 8  # char-gram width
+
+
+# DuckDB's generate_series can't take lateral column args, so the oracle
+# uses a static series + WHERE (4096 > max document length at any SF here)
+_MINHASH_ORACLE = f"""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id,
+             substring(text, CAST(i AS INTEGER), {_SHINGLE}) AS sh
+      FROM documents, generate_series(1, 4096) AS t(i)
+      WHERE i <= GREATEST(LENGTH(text) - {_SHINGLE - 1}, 1)
+    ),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS h
+      FROM shingles, generate_series(0, {_N_SEEDS - 1}) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(CASE WHEN seed = {i} THEN h END) AS m{i}" for i in range(_N_SEEDS))}
+      FROM mh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, md5(m{2 * b} || ',' || m{2 * b + 1}) AS bsig FROM sig"
+          for b in range(_N_SEEDS // _BAND_SIZE)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "minhash_lsh_pairs",
+    _MINHASH_ORACLE,
+    doc=(
+        "MinHash+LSH near-dup candidates: char-8-gram shingles → 8 minhashes "
+        "→ 4 bands of 2 → bucket self-join. Linear-ish in corpus size; the "
+        "O(n²) comparison only happens inside identical-signature buckets."
+    ),
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    shingles = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)),"
+                        f" i -> substring(text, i, {_SHINGLE}))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    mh = (
+        shingles.select("doc_id", "sh", F.explode(F.expr(f"sequence(0, {_N_SEEDS - 1})")).alias("seed"))
+        .select("doc_id", "seed", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("h"))
+    )
+    sig = mh.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"m{i}") for i in range(_N_SEEDS)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"m{2 * b}"), F.lit(","), F.col(f"m{2 * b + 1}"))).alias("bsig"),
+        )
+        for b in range(_N_SEEDS // _BAND_SIZE)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+    other = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("bsig").alias("bsig_b"))
+    return (
+        bands.join(
+            other,
+            (F.col("band") == F.col("band_b")) & (F.col("bsig") == F.col("bsig_b")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MAX_SHINGLE_DF = 100  # stop-shingle cap: drop shingles present in >100 docs
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] || ' ' ||
+             tk[CAST(i AS INTEGER) + 2] AS sh
+      FROM toks, generate_series(1, 512) AS t(i)
+      WHERE LEN(tk) >= 3 AND i <= LEN(tk) - 2
+    ),
+    kept AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df_ct FROM shingles
+      ) WHERE df_ct <= {_MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Word-3-gram Jaccard similarity on shingle-sharing pairs, with "
+        "stop-shingle removal (doc-frequency cap) so no shingle key fans out "
+        "quadratically at scale."
+    ),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    df = _docs(spark, sf_dir).withColumn("tk", F.expr(_TOKS)).filter(F.size("tk") >= 3)
+    shingles = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(tk) - 2, 1)),"
+                    " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"
+                )
+            )
+        ).alias("sh"),
+    )
+    kept = (
+        shingles.withColumn("df_ct", F.count(F.lit(1)).over(W.partitionBy("sh")))
+        .filter(F.col("df_ct") <= _MAX_SHINGLE_DF)
+        .select("doc_id", "sh")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    other = kept.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        kept.join(other, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_DUCK_TOKS}) AS tk FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, k, b,
+             SUM(CASE WHEN ((STRPOS('0123456789abcdef', substring(md5(tk), CAST(k AS INTEGER), 1)) - 1)
+                            >> CAST(b AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok, generate_series(1, 8) AS ks(k), generate_series(0, 3) AS bs(b)
+      GROUP BY doc_id, k, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0
+                    THEN (1::BIGINT << CAST((8 - k) * 4 + b AS INTEGER)) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "simhash_fingerprint",
+    _SIMHASH_ORACLE,
+    doc=(
+        "32-bit SimHash per document from token md5s (frequency-weighted, "
+        "tie s=0 → bit 1). Near-dup candidates = small hamming distance."
+    ),
+)
+def simhash_fingerprint(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk")).withColumn("h8", F.substring(F.md5(F.col("tk").cast("binary")), 1, 8))
+    kb = tok.select(
+        "doc_id",
+        "h8",
+        F.explode(F.expr("sequence(1, 8)")).alias("k"),
+    ).select(
+        "doc_id",
+        "k",
+        F.explode(F.expr("sequence(0, 3)")).alias("b"),
+        (F.expr("instr('0123456789abcdef', substring(h8, k, 1))") - 1).alias("v"),
+    )
+    contrib = F.when(F.expr("(v >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    bits = kb.groupBy("doc_id", "k", "b").agg(F.sum(contrib).alias("s"))
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), (8 - k) * 4 + b)")
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") >= 0, weight).otherwise(F.lit(0))).cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )

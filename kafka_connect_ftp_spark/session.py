@@ -1,0 +1,81 @@
+"""SparkSession factory tuned for the local[32] test harness.
+
+At cluster scale the same settings apply except ``master`` and memory come
+from the deploy environment; AQE handles runtime re-planning (partition
+coalescing, skew-join splitting) so the static ``shuffle.partitions`` value
+only sets the upper bound pre-AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kafka_connect_ftp_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    UTC session timezone is pinned so timestamp semantics match the DuckDB
+    oracle (duckdb timestamps are UTC-naive).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects (PARQUET_TYPE_ILLEGAL). Footer-only check via pyarrow."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pt
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load testdata parquet tables and register them as temp views.
+
+    Returns a dict name -> DataFrame. Filters/projections on the returned
+    frames push down to the parquet scan (verify via ``.explain``).
+
+    Nanosecond-precision timestamp columns (unsupported by Spark's parquet
+    reader) are read as raw INT64 via ``legacy.parquet.nanosAsLong`` and
+    truncated to microsecond TimestampType — same instant the DuckDB oracle
+    sees (test timestamps carry no sub-microsecond component).
+    """
+    from pyspark.sql import functions as F
+
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        nano_cols = _nano_timestamp_cols(path)
+        if nano_cols:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            try:
+                df = spark.read.parquet(path)
+                for c in nano_cols:
+                    # integer div: ns epochs exceed double's 2^53 mantissa
+                    df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+            finally:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        else:
+            df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
