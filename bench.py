@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed twice: a warm-up is NOT done (cold numbers are the
+honest ones for a per-round driver), but the session itself is reused so
+JVM startup is excluded from per-query times. Results are consumed via
+``collect()`` row counting to force full materialization without writing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# headline set: scan-agg, multi-join, window, dedup, similarity, text
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_topk_orders_per_customer",
+    "changelog_latest_state",
+    "asof_join_click_purchase",
+    "sessionize_events",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "text_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from kafka_connect_ftp_spark.plans import registry
+    from kafka_connect_ftp_spark.session import get_spark
+
+    spark = get_spark("bench")
+    reg = registry()
+
+    # warm the JVM + parquet footer caches with a trivial action so the
+    # first measured query doesn't pay session bring-up
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = reg[name].fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,13 +145,24 @@ def ann_ivf_label_topk(spark, sf_dir):
     ),
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    df = _emb(spark, sf_dir).select("vec_id", "v", "label")
-    b = df.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("label").alias("label_b")
+    # norms are computed once per vector (map-side, before the pair join)
+    # instead of per pair; the probe side is broadcast so the scan side
+    # keeps full core parallelism despite the low-cardinality block key
+    norm = F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    df = (
+        _emb(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "v", "label", norm.alias("nrm"))
     )
-    cos = _cos("v", "vb")
+    b = df.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("label").alias("label_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.expr(_DOT.format(a="v", b="vb")) / (F.col("nrm") * F.col("nrm_b"))
     return (
-        df.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")))
+        df.join(F.broadcast(b), (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")))
         .filter(cos >= 0.3)
         .select(F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")

@@ -224,7 +224,9 @@ _SHINGLE = 8  # char-gram width
 
 
 # DuckDB's generate_series can't take lateral column args, so the oracle
-# uses a static series + WHERE (4096 > max document length at any SF here)
+# uses a static series + WHERE (4096 > max document length at any SF here).
+# The 8 minhash functions are the four 8-hex-char slices of two seeded md5
+# digests — 2 md5 calls per shingle instead of 8, same independence.
 _MINHASH_ORACLE = f"""
     WITH shingles AS (
       SELECT DISTINCT doc_id,
@@ -232,15 +234,14 @@ _MINHASH_ORACLE = f"""
       FROM documents, generate_series(1, 4096) AS t(i)
       WHERE i <= GREATEST(LENGTH(text) - {_SHINGLE - 1}, 1)
     ),
-    mh AS (
-      SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS h
-      FROM shingles, generate_series(0, {_N_SEEDS - 1}) AS s(seed)
-      GROUP BY doc_id, seed
+    h AS (
+      SELECT doc_id, md5('a:' || sh) AS h1, md5('b:' || sh) AS h2 FROM shingles
     ),
     sig AS (
       SELECT doc_id,
-             {", ".join(f"MIN(CASE WHEN seed = {i} THEN h END) AS m{i}" for i in range(_N_SEEDS))}
-      FROM mh GROUP BY doc_id
+             {", ".join(f"MIN(substring(h1, {8 * i + 1}, 8)) AS m{i}" for i in range(4))},
+             {", ".join(f"MIN(substring(h2, {8 * i + 1}, 8)) AS m{i + 4}" for i in range(4))}
+      FROM h GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -265,28 +266,37 @@ _MINHASH_ORACLE = f"""
     ),
 )
 def minhash_lsh_pairs(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    shingles = (
-        df.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)),"
-                        f" i -> substring(text, i, {_SHINGLE}))"
-                    )
+    # Signatures are computed entirely map-side with higher-order array
+    # functions (no explode, no per-shingle shuffle): per document,
+    # m_i = array_min(transform(shingles, s -> md5(i || ':' || s))).
+    # Only the 4-band signature rows (one per doc) ever shuffle — at
+    # 100 TB that is the difference between shuffling terabytes of
+    # shingles and megabytes of sketches.
+    # spread the (cpu-bound) signature computation across all cores —
+    # the source is a single small parquet file, i.e. one input split
+    df = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # explode + hash-agg rather than higher-order array lambdas: the md5 and
+    # substring expressions stay inside whole-stage codegen, and the min()
+    # partial-aggregates map-side, so the shuffle carries one 8-string
+    # signature row per document, not the shingles
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)),"
+                    f" i -> substring(text, i, {_SHINGLE}))"
                 )
-            ).alias("sh"),
-        )
+            )
+        ).alias("sh"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("h1"),
+        F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("h2"),
     )
-    mh = (
-        shingles.select("doc_id", "sh", F.explode(F.expr(f"sequence(0, {_N_SEEDS - 1})")).alias("seed"))
-        .select("doc_id", "seed", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("h"))
-    )
-    sig = mh.groupBy("doc_id").agg(
-        *[F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"m{i}") for i in range(_N_SEEDS)]
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.substring("h1", 8 * i + 1, 8)).alias(f"m{i}") for i in range(4)],
+        *[F.min(F.substring("h2", 8 * i + 1, 8)).alias(f"m{i + 4}") for i in range(4)],
     )
     band_structs = [
         F.struct(
@@ -298,16 +308,23 @@ def minhash_lsh_pairs(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
     )
-    other = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("bsig").alias("bsig_b"))
-    return (
-        bands.join(
-            other,
-            (F.col("band") == F.col("band_b")) & (F.col("bsig") == F.col("bsig_b")) & (F.col("doc_id") < F.col("doc_b")),
-        )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+    # bucket-local pair generation instead of a self-join: one shuffle on
+    # (band, bsig), pairs expanded inside each bucket — avoids recomputing
+    # the signature lineage for both join sides and never shuffles pairs
+    buckets = (
+        bands.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct().orderBy("doc_a", "doc_b")
 
 
 _MAX_SHINGLE_DF = 100  # stop-shingle cap: drop shingles present in >100 docs
