@@ -1,0 +1,101 @@
+"""Record converters — the reference's pluggable projection surface.
+
+X1 (FileConverter, FileConverter.scala:14-27) chooses the key style;
+X2 (SourceRecordConverter, SourceRecordConverter.scala:9-17) is a 1→N
+record mapper (README.md:61-92 shows a CSV-line splitter). Both become
+DataFrame → DataFrame transforms over RECORD_SCHEMA rows; the registry
+replaces reflective class loading with a name → callable lookup.
+
+All converters are pure column expressions (codegen'd, no Python UDFs);
+``csv_lines`` is the explode-based 1→N example (SURVEY.md §2.7 U2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Converter = Callable[[DataFrame], DataFrame]
+
+_REGISTRY: dict[str, Converter] = {}
+
+
+def register_converter(name: str):
+    def deco(fn: Converter) -> Converter:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_converter(name: str) -> Converter:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown converter {name!r}; available: {sorted(_REGISTRY)}") from None
+
+
+@register_converter("nop")
+def nop(records: DataFrame) -> DataFrame:
+    """NopSourceRecordConverter (SourceRecordConverter.scala:14-17)."""
+    return records
+
+
+@register_converter("string_key")
+def string_key(records: DataFrame) -> DataFrame:
+    """String key style: key = path, value = bytes
+    (SimpleFileConverter.scala:43-52)."""
+    return records.select(
+        "topic", F.col("key_name").alias("key"), F.col("value")
+    )
+
+
+@register_converter("struct_key")
+def struct_key(records: DataFrame) -> DataFrame:
+    """Struct key style: key = FileInfo{name, offset}
+    (SimpleFileConverter.scala:38-41,54-66)."""
+    return records.select(
+        "topic",
+        F.struct(
+            F.col("key_name").alias("name"), F.col("key_offset").alias("offset")
+        ).alias("key"),
+        F.col("value"),
+    )
+
+
+@register_converter("csv_lines")
+def csv_lines(records: DataFrame) -> DataFrame:
+    """1→N: split each body into newline-delimited records, preserving the
+    intra-file line offset in the key (the README's CSV example). Empty
+    trailing segments are dropped."""
+    lines = records.select(
+        "topic",
+        "key_name",
+        "key_offset",
+        F.posexplode(F.split(F.decode(F.col("value"), "UTF-8"), "\r?\n")).alias("pos", "line"),
+    )
+    return lines.filter(F.length("line") > 0).select(
+        "topic",
+        "key_name",
+        "key_offset",
+        F.col("pos").cast("long").alias("line_no"),
+        F.encode("line", "UTF-8").alias("value"),
+    )
+
+
+def to_kafka_frame(records: DataFrame, key_style: str = "string_key") -> DataFrame:
+    """Project records into the Kafka sink contract: (topic, key, value).
+
+    ``df.write.format("kafka")`` routes on the per-row ``topic`` column
+    natively — the engine-side equivalent of the reference's monitor2topic
+    routing (FtpSourceTask.scala:24-25,60-63). Struct keys are serialized
+    as JSON (the Connect struct schema's wire format is broker-side
+    concern; JSON keeps the example dependency-free).
+    """
+    projected = get_converter(key_style)(records)
+    key = projected["key"]
+    if dict(projected.dtypes)["key"].startswith("struct"):
+        key = F.to_json(key)
+    return projected.select("topic", key.cast("binary").alias("key"), "value")

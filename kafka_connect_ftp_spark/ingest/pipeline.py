@@ -1,0 +1,151 @@
+"""Batch poll pipeline: local-directory listing source + parquet state.
+
+``PollPipeline`` is the engine-side equivalent of FtpSourcePoller
+(FtpSourceTask.scala:19-75): each ``poll()`` lists the monitored tree,
+runs the snapshot plan against the persisted state table, emits records,
+and commits the merged state. Restartability comes from the state table
+exactly like Connect's offset store (SURVEY.md §3.3): a new PollPipeline
+over the same ``state_dir`` resumes incrementally.
+
+The listing uses Spark's ``binaryFile`` source, whose columns (path,
+modificationTime, length, content) are the reference's AbsoluteFtpFile +
+fetched body (SURVEY.md §1.4). Content is read lazily per matched file, so
+the age/glob filters prune transfers like the reference's listing-first
+design (FtpMonitor.scala:110-119).
+
+For a live FTP remote, substitute ``ftp_listing`` from sources/ftp.py —
+the snapshot plan is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.ingest.model import STATE_SCHEMA, MonitoredPath
+from kafka_connect_ftp_spark.ingest.snapshot import empty_state, snapshot
+
+
+def local_listing(spark: SparkSession, base_dir: str) -> DataFrame:
+    """List + fetch all files under ``base_dir`` as LISTING_SCHEMA rows."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(base_dir)
+    )
+    # binaryFile paths are file:-URIs; state keys are plain absolute paths
+    return df.select(
+        F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("modification_time"),
+        F.col("content"),
+    )
+
+
+class PollPipeline:
+    """Stateful poll loop over a local directory tree.
+
+    State is a parquet table under ``state_dir`` (atomic replace per poll:
+    write to a versioned subdir, then point the 'current' marker at it —
+    cheap and restart-safe on a real cluster's object store as well).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        monitors: Sequence[MonitoredPath],
+        state_dir: str,
+        *,
+        max_age_seconds: int | None = None,
+        drop_empty: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.monitors = list(monitors)
+        self.state_dir = state_dir
+        self.max_age_seconds = max_age_seconds
+        self.drop_empty = drop_empty
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- state table ------------------------------------------------------
+    @property
+    def _marker(self) -> str:
+        return os.path.join(self.state_dir, "CURRENT")
+
+    def load_state(self) -> DataFrame:
+        if os.path.exists(self._marker):
+            with open(self._marker) as fh:
+                version = fh.read().strip()
+            return self.spark.read.schema(STATE_SCHEMA).parquet(
+                os.path.join(self.state_dir, version)
+            )
+        return empty_state(self.spark)
+
+    def _commit_state(self, new_state: DataFrame) -> None:
+        version = "v0"
+        if os.path.exists(self._marker):
+            with open(self._marker) as fh:
+                version = f"v{int(fh.read().strip()[1:]) + 1}"
+        new_state.write.mode("overwrite").parquet(os.path.join(self.state_dir, version))
+        tmp = self._marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._marker)
+
+    # -- the poll ---------------------------------------------------------
+    def poll(self, listing: DataFrame | None = None, *, now: str | None = None) -> DataFrame:
+        """Run one tick; returns the records DataFrame (materialized).
+
+        ``listing`` defaults to scanning the monitors' common base dirs via
+        ``local_listing``; pass an explicit listing for custom sources.
+        """
+        if listing is None:
+            bases = {_glob_base(m.path) for m in self.monitors}
+            # a missing monitored dir lists as empty, like FTP LIST on a
+            # nonexistent path (FtpFileLister.scala:37-50 None case)
+            parts = [local_listing(self.spark, b) for b in sorted(bases) if os.path.isdir(b)]
+            if not parts:
+                from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA
+
+                parts = [self.spark.createDataFrame([], LISTING_SCHEMA)]
+            listing = parts[0]
+            for p in parts[1:]:
+                listing = listing.unionByName(p)
+            listing = listing.dropDuplicates(["path"])
+
+        records, new_state = snapshot(
+            listing,
+            self.load_state(),
+            self.monitors,
+            max_age_seconds=self.max_age_seconds,
+            now=now,
+            drop_empty=self.drop_empty,
+        )
+        # materialize records BEFORE committing state (at-least-once: a
+        # failure between the two replays the tick, like Connect's
+        # offset-after-produce ordering, SURVEY.md §2.8 T5)
+        records = records.cache()
+        records.count()
+        self._commit_state(new_state)
+        return records
+
+
+def _glob_base(path: str) -> str:
+    """Longest glob-free directory prefix of a monitored path."""
+    parts = path.split("/")
+    out = []
+    hit_glob = False
+    for part in parts:
+        if any(ch in part for ch in "*?[{"):
+            hit_glob = True
+            break
+        out.append(part)
+    base = "/".join(out)
+    if hit_glob:
+        return base or "/"
+    # glob-free path: the last segment names a file (or trailing "/")
+    if not base.endswith("/"):
+        base = os.path.dirname(base) or "/"
+    return base

@@ -1,0 +1,60 @@
+"""Converter registry tests (reference X1 key styles + X2 1→N explode)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kafka_connect_ftp_spark.ingest.converters import get_converter, to_kafka_frame
+from kafka_connect_ftp_spark.ingest.model import RECORD_SCHEMA
+
+
+@pytest.fixture
+def records(spark):
+    rows = [
+        ("tails", "/tails/t0", 5, b"abc"),
+        ("updates", "/updates/u0", 0, b"l1\nl2\r\nl3\n"),
+    ]
+    return spark.createDataFrame(rows, RECORD_SCHEMA)
+
+
+def test_string_key(records):
+    rows = {r.key: bytes(r.value) for r in get_converter("string_key")(records).collect()}
+    assert rows == {"/tails/t0": b"abc", "/updates/u0": b"l1\nl2\r\nl3\n"}
+
+
+def test_struct_key(records):
+    rows = {(r.key.name, r.key.offset) for r in get_converter("struct_key")(records).collect()}
+    assert rows == {("/tails/t0", 5), ("/updates/u0", 0)}
+
+
+def test_csv_lines_explodes_one_to_n(records):
+    rows = get_converter("csv_lines")(records).collect()
+    got = [(r.key_name, r.line_no, bytes(r.value)) for r in rows]
+    assert sorted(got) == [
+        ("/tails/t0", 0, b"abc"),
+        ("/updates/u0", 0, b"l1"),
+        ("/updates/u0", 1, b"l2"),
+        ("/updates/u0", 2, b"l3"),
+    ]
+
+
+def test_to_kafka_frame_string(records):
+    rows = get_converter("nop")(records)
+    out = to_kafka_frame(rows, "string_key").collect()
+    assert {(r.topic, bytes(r.key).decode()) for r in out} == {
+        ("tails", "/tails/t0"),
+        ("updates", "/updates/u0"),
+    }
+
+
+def test_to_kafka_frame_struct_serializes_json(records):
+    out = to_kafka_frame(records, "struct_key").collect()
+    keys = {json.loads(bytes(r.key).decode())["name"] for r in out}
+    assert keys == {"/tails/t0", "/updates/u0"}
+
+
+def test_unknown_converter():
+    with pytest.raises(KeyError):
+        get_converter("nope")

@@ -1,0 +1,90 @@
+"""End-to-end PollPipeline tests against a real directory tree mutated
+between polls — the binaryFile-source analog of the reference's embedded
+FTP server test (EndToEnd.scala:31-59), including restart/recovery from
+the persisted state table (SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka_connect_ftp_spark.ingest.model import MonitoredPath
+from kafka_connect_ftp_spark.ingest.pipeline import PollPipeline, _glob_base
+
+
+def write(base, rel, data: bytes, mtime: float):
+    p = os.path.join(base, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "wb") as fh:
+        fh.write(data)
+    os.utime(p, (mtime, mtime))
+
+
+@pytest.fixture
+def tree(tmp_path):
+    return str(tmp_path / "ftp")
+
+
+def monitors(base):
+    return [
+        MonitoredPath(f"{base}/tails/", topic="tails", tail=True),
+        MonitoredPath(f"{base}/updates/", topic="updates", tail=False),
+    ]
+
+
+T0 = 1717243200.0  # 2024-06-01 12:00:00 UTC
+
+
+def test_poll_cycle_with_restart(spark, tree, tmp_path):
+    state_dir = str(tmp_path / "state")
+    write(tree, "tails/t0", b"hello ", T0)
+    write(tree, "updates/u0", b"v1", T0)
+
+    pipe = PollPipeline(spark, monitors(tree), state_dir, drop_empty=True)
+    got0 = {
+        (r.topic, r.key_offset, bytes(r.value)) for r in pipe.poll().collect()
+    }
+    assert got0 == {("tails", 0, b"hello "), ("updates", 0, b"v1")}
+
+    # nothing changed → second poll emits nothing
+    assert pipe.poll().count() == 0
+
+    # mutate: append to the tail file, rewrite the update file
+    write(tree, "tails/t0", b"hello world", T0 + 60)
+    write(tree, "updates/u0", b"v2!", T0 + 60)
+
+    # NEW pipeline instance over the same state dir = process restart
+    pipe2 = PollPipeline(spark, monitors(tree), state_dir, drop_empty=True)
+    got1 = {
+        (r.topic, r.key_offset, bytes(r.value)) for r in pipe2.poll().collect()
+    }
+    assert got1 == {("tails", 6, b"world"), ("updates", 0, b"v2!")}
+
+
+def test_new_file_between_polls(spark, tree, tmp_path):
+    state_dir = str(tmp_path / "state")
+    write(tree, "tails/t0", b"a", T0)
+    pipe = PollPipeline(spark, monitors(tree), state_dir, drop_empty=True)
+    pipe.poll()
+    write(tree, "tails/t1", b"late arrival", T0 + 1)
+    got = {(r.key_name.split("/")[-1], bytes(r.value)) for r in pipe.poll().collect()}
+    assert got == {("t1", b"late arrival")}
+
+
+def test_topic_routing_per_directory(spark, tree, tmp_path):
+    write(tree, "tails/a", b"x", T0)
+    write(tree, "updates/b", b"y", T0)
+    write(tree, "ignored/c", b"z", T0)  # matches no monitor
+    pipe = PollPipeline(spark, monitors(tree), str(tmp_path / "state"), drop_empty=True)
+    rows = pipe.poll().collect()
+    assert {(r.topic, r.key_name.split("/")[-1]) for r in rows} == {
+        ("tails", "a"),
+        ("updates", "b"),
+    }
+
+
+def test_glob_base():
+    assert _glob_base("/a/b/") == "/a/b/"
+    assert _glob_base("/a/dir?/path/*.txt") == "/a"
+    assert _glob_base("/a/b/file.txt") == "/a/b"
