@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas`` operators,
+partitioning — is real and tested; the actual codec work (JPEG decode,
+audio resample, video frame-sample) is stubbed behind ``Codec`` because the
+media libraries are not in this container. A deployment swaps
+``FakeCodec`` for a Pillow/ffmpeg-backed implementation with the same
+interface; nothing else changes.
+
+Design for 100 TB of media:
+- bodies stay in executor-side Arrow batches end to end — no driver
+  collect, no Python row loop; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  bounds batch memory for large blobs;
+- derived features (dims, fingerprints, embeddings) are small typed
+  columns, so downstream joins/dedup never shuffle the raw bytes;
+- per-batch codec reuse (instantiate once per partition iterator, not per
+  row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("phash", T.StringType(), True),  # perceptual-hash stand-in
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+class Codec:
+    """Decode interface a real deployment implements with Pillow/ffmpeg."""
+
+    def image_dims(self, content: bytes) -> tuple[int, int]:
+        raise NotImplementedError("media codecs are not available in this build")
+
+    def sample_frames(self, content: bytes, every_n: int) -> list[bytes]:
+        raise NotImplementedError("media codecs are not available in this build")
+
+
+class FakeCodec(Codec):
+    """Deterministic stand-in: derives 'dimensions' and 'frames' from the
+    bytes themselves so tests exercise the full Arrow path end to end."""
+
+    def image_dims(self, content: bytes) -> tuple[int, int]:
+        d = hashlib.sha256(content).digest()
+        return (d[0] + 1) * 8, (d[1] + 1) * 8
+
+    def sample_frames(self, content: bytes, every_n: int) -> list[bytes]:
+        return [content[i : i + 16] for i in range(0, len(content), 16 * every_n)]
+
+
+def image_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """Per-image feature extraction (decode → dims + fingerprint)."""
+    codec = codec or FakeCodec()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [codec.image_dims(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "phash": [hashlib.md5(bytes(b)).hexdigest()[:16] for b in pdf["content"]],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, codec: Codec | None = None) -> DataFrame:
+    """1→N frame sampling for video rows (explode via mapInPandas)."""
+    codec = codec or FakeCodec()
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, fr in enumerate(codec.sample_frames(bytes(content), every_n)):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(explode_frames, FRAME_SCHEMA)
+    )
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Codec-free metadata: byte length + content digests — pure column
+    expressions, no Python in the path."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("md5"),
+        F.sha2("content", 256).alias("sha256"),
+    )

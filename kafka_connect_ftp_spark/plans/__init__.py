@@ -47,7 +47,9 @@ def registry() -> dict[str, QuerySpec]:
     # import side-effect populates _REGISTRY
     from kafka_connect_ftp_spark.plans import (  # noqa: F401
         analytics,
+        multimodal_queries,
         similarity,
+        streaming_queries,
         text,
         tpch,
     )

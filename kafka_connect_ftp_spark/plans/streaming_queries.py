@@ -1,0 +1,134 @@
+"""Structured Streaming analytics queries, oracle-checked.
+
+Each query runs a real streaming pipeline over the events table —
+readStream parquet source → event-time aggregation → memory sink — driven
+to completion with processAllAvailable(), then returns the materialized
+result. Because the batch covers the whole input, the results equal the
+batch/SQL oracle, which is exactly what makes them checkable by the
+driver's DuckDB compare while still exercising the streaming engine
+(micro-batch planner, state store, event-time windows).
+
+The parquet file stores TIMESTAMP(NANOS), which Spark's reader rejects;
+the stream declares ts as LongType under legacy.parquet.nanosAsLong and
+converts to micros — same instants the oracle sees.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_ftp_spark.plans import register
+
+_mem_counter = itertools.count()
+
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (see module doc)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the table is a single parquet FILE; the file-stream source requires a
+    # directory, so stream the parent dir filtered down to this one file
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_completion(agg, name_prefix: str):
+    name = f"{name_prefix}_{next(_mem_counter)}_{os.getpid()}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+@register(
+    "streaming_hour_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+    doc=(
+        "Tumbling 1-hour event-time window aggregation as a real streaming "
+        "query (micro-batch + state store), equal to the batch rollup once "
+        "the stream drains — the T1/T4 streaming operators of SURVEY §2.8 "
+        "generalized to event-time windows the reference lacks (§2.11)."
+    ),
+)
+def streaming_hour_rollup(spark, sf_dir):
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    name = _run_to_completion(agg, "hour_rollup")
+    return (
+        spark.table(name)
+        .select(F.col("window.start").alias("hour"), "event_type", "n", "total_value")
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "streaming_session_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_sessions
+    FROM (
+      SELECT DISTINCT user_id, session_id
+      FROM (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           <= INTERVAL 30 MINUTE
+                      THEN 0 ELSE 1 END AS is_new
+          FROM events))
+    ) GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "session_window(ts, 30 min) per user in a streaming query; the "
+        "oracle recomputes sessions via the lag-gap formulation. Gap-merge "
+        "semantics coincide because a session closes exactly when the next "
+        "event is > 30 min away."
+    ),
+)
+def streaming_session_counts(spark, sf_dir):
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = _run_to_completion(agg, "sessions")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,116 @@
+"""Streaming-layer tests: backoff contract (ExponentialBackOff.scala
+parity) and the rate-clocked foreachBatch ingest query."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from kafka_connect_ftp_spark.ingest.model import MonitoredPath
+from kafka_connect_ftp_spark.ingest.pipeline import PollPipeline
+from kafka_connect_ftp_spark.streaming import ExponentialBackOff, StreamingIngest
+from kafka_connect_ftp_spark.streaming.ingest_stream import parquet_sink
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_backoff_doubles_and_caps():
+    clock = FakeClock()
+    b = ExponentialBackOff(step_seconds=1.0, cap_seconds=5.0, clock=clock)
+    assert b.passed()  # first attempt immediate
+    b.next_failure()
+    assert b.interval_seconds == 2.0 and not b.passed()
+    clock.t = 2.0
+    assert b.passed()
+    b.next_failure()
+    assert b.interval_seconds == 4.0
+    b.next_failure()
+    assert b.interval_seconds == 5.0  # capped
+    b.next_success()
+    assert b.interval_seconds == 1.0  # reset
+
+
+def test_backoff_gates_until_window_passes():
+    clock = FakeClock()
+    b = ExponentialBackOff(step_seconds=10.0, cap_seconds=60.0, clock=clock)
+    b.next_failure()
+    assert b.remaining_seconds() == 20.0
+    clock.t = 19.9
+    assert not b.passed()
+    clock.t = 20.0
+    assert b.passed()
+
+
+def test_streaming_ingest_emits_and_picks_up_changes(spark, tmp_path):
+    base = str(tmp_path / "ftp")
+    os.makedirs(f"{base}/tails")
+    with open(f"{base}/tails/t0", "wb") as fh:
+        fh.write(b"first\n")
+
+    out = str(tmp_path / "out")
+    pipe = PollPipeline(
+        spark,
+        [MonitoredPath(f"{base}/tails/", topic="tails", tail=True)],
+        str(tmp_path / "state"),
+        drop_empty=True,
+    )
+    ingest = StreamingIngest(pipe, parquet_sink(out), refresh_seconds=1.0)
+    q = ingest.start(str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and not os.path.isdir(out):
+            time.sleep(0.5)
+        with open(f"{base}/tails/t0", "ab") as fh:
+            fh.write(b"second\n")
+        # wait for the appended suffix to arrive
+        def rows():
+            try:
+                return {bytes(r.value) for r in spark.read.parquet(out).collect()}
+            except Exception:  # noqa: BLE001 — sink dir not written yet
+                return set()
+
+        while time.time() < deadline and b"second\n" not in rows():
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = rows()
+    # transient tick failures (e.g. a file appended mid-scan) are tolerated
+    # by design — what matters is eventual delivery of both versions
+    assert b"first\n" in got and b"second\n" in got
+
+
+def test_streaming_ingest_survives_poll_failure(spark, tmp_path):
+    pipe = PollPipeline(
+        spark,
+        [MonitoredPath(str(tmp_path / "missing") + "/", topic="t")],
+        str(tmp_path / "state"),
+    )
+
+    boom = {"n": 0}
+
+    def failing_sink(records, epoch):
+        boom["n"] += 1
+        raise RuntimeError("sink down")
+
+    ingest = StreamingIngest(
+        pipe,
+        failing_sink,
+        refresh_seconds=0.5,
+        backoff=ExponentialBackOff(step_seconds=0.1, cap_seconds=1.0),
+    )
+    q = ingest.start(str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and len(ingest.errors) < 2:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    # the query kept running (several ticks), failures recorded, not raised
+    assert len(ingest.errors) >= 2
+    assert boom["n"] == len(ingest.errors)
