@@ -46,6 +46,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 def registry() -> dict[str, QuerySpec]:
     # import side-effect populates _REGISTRY
     from kafka_connect_ftp_spark.plans import (  # noqa: F401
+        advanced,
         analytics,
         multimodal_queries,
         similarity,
