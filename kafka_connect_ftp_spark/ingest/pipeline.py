@@ -61,12 +61,14 @@ class PollPipeline:
         *,
         max_age_seconds: int | None = None,
         drop_empty: bool = False,
+        max_files_per_poll: int | None = None,
     ) -> None:
         self.spark = spark
         self.monitors = list(monitors)
         self.state_dir = state_dir
         self.max_age_seconds = max_age_seconds
         self.drop_empty = drop_empty
+        self.max_files_per_poll = max_files_per_poll
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state table ------------------------------------------------------
@@ -122,6 +124,7 @@ class PollPipeline:
             max_age_seconds=self.max_age_seconds,
             now=now,
             drop_empty=self.drop_empty,
+            max_files=self.max_files_per_poll,
         )
         # materialize records BEFORE committing state (at-least-once: a
         # failure between the two replays the tick, like Connect's

@@ -78,6 +78,7 @@ def snapshot(
     max_age_seconds: int | None = None,
     now: str | None = None,
     drop_empty: bool = False,
+    max_files: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Process one poll tick. Returns ``(records, new_state)``.
 
@@ -86,6 +87,14 @@ def snapshot(
     pins the metadata clock for deterministic tests; defaults to
     ``current_timestamp()``. ``drop_empty`` suppresses empty-body records
     (the reference emits them; its tests filter them, EndToEnd.scala:89-94).
+
+    ``max_files`` is the reference's ftp.max.poll.records rate limit (L1,
+    FtpSourceTask.scala:47-52): at most N files are processed per tick, in
+    path order; the rest keep their previous state, so the next tick picks
+    them up — the same carry-over-by-not-committing semantics as the
+    reference's buffer. (In streaming deployments prefer
+    ``maxFilesPerTrigger`` on the source; this explicit form exists for
+    batch-mode parity and bounded-memory polls.)
     """
     now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
 
@@ -112,6 +121,8 @@ def snapshot(
         ~known | (F.col("p_size") != F.col("size")) | (F.col("p_timestamp") != F.col("modification_time"))
     )
     fetched = joined.filter(requires_fetch)
+    if max_files is not None:
+        fetched = fetched.orderBy("path").limit(max_files)
 
     # oversized bodies: fail loudly instead of mis-slicing (see module doc)
     guarded = fetched.withColumn(

@@ -230,3 +230,28 @@ def test_requires_at_least_one_monitor(spark):
             listing_df(spark, {}, 0, {}), empty_state(spark), [],
             now="2024-06-01 12:00:00",
         )
+
+
+def test_max_files_rate_limit_carries_over(spark):
+    # L1 parity (FtpSourceTask.scala:47-52): at most N files per tick, the
+    # rest keep their old state and surface on the next tick
+    files = {"/updates/a": S1, "/updates/b": S2, "/updates/c": S3}
+    mt = {p: 0 for p in files}
+    state = empty_state(spark)
+    r0, state = snapshot(
+        listing_df(spark, files, 0, mt), state, MONITORS,
+        now="2024-06-01 12:00:00", max_files=2,
+    )
+    assert [r.key_name for r in r0.orderBy("key_name").collect()] == ["/updates/a", "/updates/b"]
+    state = spark.createDataFrame(state.collect(), state.schema)
+    r1, state = snapshot(
+        listing_df(spark, files, 1, mt), state, MONITORS,
+        now="2024-06-01 12:00:01", max_files=2,
+    )
+    assert [r.key_name for r in r1.collect()] == ["/updates/c"]
+    state = spark.createDataFrame(state.collect(), state.schema)
+    r2, _ = snapshot(
+        listing_df(spark, files, 2, mt), state, MONITORS,
+        now="2024-06-01 12:00:02", max_files=2,
+    )
+    assert r2.count() == 0
