@@ -53,6 +53,7 @@ def registry() -> dict[str, QuerySpec]:
         streaming_queries,
         text,
         tpch,
+        tpch2,
     )
 
     return dict(_REGISTRY)

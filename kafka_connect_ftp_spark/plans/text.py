@@ -369,9 +369,16 @@ _MAX_SHINGLE_DF = 100  # stop-shingle cap: drop shingles present in >100 docs
     ),
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    from pyspark.sql import Window as W
-
-    df = _docs(spark, sf_dir).withColumn("tk", F.expr(_TOKS)).filter(F.size("tk") >= 3)
+    # One shuffle on the shingle key does everything: group shingles to
+    # per-shingle posting lists, drop stop-shingles (df cap) in the same
+    # pass, then expand pairs bucket-locally and aggregate — no windowed
+    # df-count, no self-join recomputing the shingle lineage twice.
+    df = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("tk", F.expr(_TOKS))
+        .filter(F.size("tk") >= 3)
+    )
     shingles = df.select(
         "doc_id",
         F.explode(
@@ -383,24 +390,33 @@ def ngram_jaccard_pairs(spark, sf_dir):
             )
         ).alias("sh"),
     )
-    kept = (
-        shingles.withColumn("df_ct", F.count(F.lit(1)).over(W.partitionBy("sh")))
-        .filter(F.col("df_ct") <= _MAX_SHINGLE_DF)
-        .select("doc_id", "sh")
+    postings = (
+        shingles.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= _MAX_SHINGLE_DF)
     )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    other = kept.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = (
-        kept.join(other, (F.col("sh") == F.col("sh_b")) & (F.col("doc_id") < F.col("doc_b")))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+    sizes = postings.select(F.explode("ids").alias("doc_id")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    pairs = (
+        postings.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

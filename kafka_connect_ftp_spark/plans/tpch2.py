@@ -1,0 +1,108 @@
+"""Third TPC-H wave: priority checking (Q4), promo revenue share (Q14),
+large-volume customers (Q18) — adapted to the driver testdata columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.session import load_tables
+
+
+@register(
+    "q4_order_priority_checking",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4: EXISTS correlated on a join key + date comparison — a "
+    "left-semi join with a non-equi conjunct.",
+)
+def q4_order_priority_checking(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14: conditional-aggregate ratio over a fact-dim join "
+    "(part broadcasts).",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > 150
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="TPC-H Q18: HAVING over a grouped join (large-volume orders), "
+    "top 25 by value.",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 150)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("qty_raw", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(25)
+    )
