@@ -472,3 +472,63 @@ def simhash_fingerprint(spark, sf_dir):
         .agg(F.sum(F.when(F.col("s") >= 0, weight).otherwise(F.lit(0))).cast("long").alias("simhash"))
         .orderBy("doc_id")
     )
+
+
+_ROLL_B = 131
+_ROLL_M = 2147483647  # 2^31 - 1
+
+
+@register(
+    "text_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+             (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M}
+           ) AS roll_hash
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "Polynomial (Rabin-Karp style) rolling-hash fingerprint over the "
+        "character stream: left fold acc = (acc*B + byte) mod M. Pure "
+        "column fold, identical iteration order on both engines."
+    ),
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    chars = "filter(split(text, ''), c -> c <> '')"
+    fold = (
+        f"aggregate(transform(slice({chars}, 2, size({chars}) - 1),"
+        f" c -> cast(ascii(c) as bigint)),"
+        f" cast(ascii(element_at({chars}, 1)) as bigint),"
+        f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
+    )
+    return df.select("doc_id", F.expr(fold).alias("roll_hash")).orderBy("doc_id")
+
+
+_TOKEN_RX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_regex_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_TOKEN_RX}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LEN(list_distinct(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
+             AS n_distinct_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "BPE-ish regex tokenization (letter runs / digit runs / single "
+        "punctuation) — the pre-tokenizer split of GPT-style BPE, counted "
+        "per document."
+    ),
+)
+def text_regex_token_count(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RX}', 0)")
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe_tokens"),
+    ).orderBy("doc_id")
