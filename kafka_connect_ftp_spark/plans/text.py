@@ -390,10 +390,13 @@ def ngram_jaccard_pairs(spark, sf_dir):
             )
         ).alias("sh"),
     )
+    # the posting lists fan out into three consumers (pairs, sa, sb);
+    # caching here stops the shingle explode from being recomputed 3×
     postings = (
         shingles.groupBy("sh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= _MAX_SHINGLE_DF)
+        .cache()
     )
     sizes = postings.select(F.explode("ids").alias("doc_id")).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh")
