@@ -1,0 +1,120 @@
+"""Configuration parity: the reference's ``ftp.*`` property surface
+(FtpSourceConfig.scala:35-47, example.properties) parsed into engine
+objects, so an existing connector config drops in unchanged.
+
+Supported keys (defaults mirror the reference):
+
+    ftp.address              host[:port]
+    ftp.user / ftp.password
+    ftp.refresh              ISO-8601 duration (poll interval), e.g. PT1M
+    ftp.max.backoff          ISO-8601 duration, default PT30M
+    ftp.file.maxage          ISO-8601 duration, default ~unbounded
+    ftp.keystyle             string | struct
+    ftp.max.poll.records     int, default 10000
+    ftp.monitor.tail         comma list of path:topic (append-delta mode)
+    ftp.monitor.update       comma list of path:topic (whole-body mode)
+    ftp.sourcerecordconverter  converter registry name (default "nop";
+                             the reference takes a class name — here it
+                             selects from converters.register_converter)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from kafka_connect_ftp_spark.ingest.model import MonitoredPath
+
+_ISO_RX = re.compile(
+    r"^P(?:(?P<days>\d+)D)?"
+    r"(?:T(?:(?P<hours>\d+)H)?(?:(?P<minutes>\d+)M)?(?:(?P<seconds>\d+(?:\.\d+)?)S)?)?$",
+    re.IGNORECASE,
+)
+
+
+def parse_iso_duration(text: str) -> float:
+    """ISO-8601 duration → seconds (the subset java.time.Duration.parse
+    accepts for connector configs: days/hours/minutes/seconds)."""
+    m = _ISO_RX.match(text.strip())
+    if not m or text.strip().upper() in ("P", "PT"):
+        raise ValueError(f"invalid ISO-8601 duration: {text!r}")
+    g = {k: float(v) if v else 0.0 for k, v in m.groupdict().items()}
+    return g["days"] * 86400 + g["hours"] * 3600 + g["minutes"] * 60 + g["seconds"]
+
+
+def _parse_monitors(spec: str, *, tail: bool) -> list[MonitoredPath]:
+    """"/path/:topic, /other/*.csv:t2" → MonitoredPath list
+    (FtpSourceConfig.scala:55-64 keyValuePairListOpt)."""
+    out = []
+    for pair in filter(None, (p.strip() for p in spec.split(","))):
+        path, sep, topic = pair.rpartition(":")
+        if not sep or not path or not topic:
+            raise ValueError(f"invalid monitor entry {pair!r}; want path:topic")
+        out.append(MonitoredPath(path=path, topic=topic, tail=tail))
+    return out
+
+
+@dataclass
+class FtpEngineConfig:
+    host: str = "localhost"
+    port: int | None = None
+    user: str = ""
+    password: str = ""
+    refresh_seconds: float = 60.0
+    max_backoff_seconds: float = 1800.0
+    max_age_seconds: float | None = None
+    key_style: str = "string"
+    max_poll_records: int = 10000
+    monitors: list[MonitoredPath] = field(default_factory=list)
+    converter: str = "nop"
+
+    @classmethod
+    def from_props(cls, props: dict[str, str]) -> "FtpEngineConfig":
+        address = props.get("ftp.address", "localhost")
+        host, _, port_s = address.partition(":")
+        key_style = props.get("ftp.keystyle", "string")
+        if key_style not in ("string", "struct"):
+            raise ValueError(f"ftp.keystyle must be string|struct, got {key_style!r}")
+        monitors = _parse_monitors(props.get("ftp.monitor.tail", ""), tail=True) + _parse_monitors(
+            props.get("ftp.monitor.update", ""), tail=False
+        )
+        max_age = props.get("ftp.file.maxage")
+        return cls(
+            host=host,
+            port=int(port_s) if port_s else None,
+            user=props.get("ftp.user", ""),
+            password=props.get("ftp.password", ""),
+            refresh_seconds=parse_iso_duration(props.get("ftp.refresh", "PT1M")),
+            max_backoff_seconds=parse_iso_duration(props.get("ftp.max.backoff", "PT30M")),
+            max_age_seconds=parse_iso_duration(max_age) if max_age else None,
+            key_style=key_style,
+            max_poll_records=int(props.get("ftp.max.poll.records", "10000")),
+            monitors=monitors,
+            converter=props.get("ftp.sourcerecordconverter", "nop"),
+        )
+
+    @property
+    def key_converter_name(self) -> str:
+        return "struct_key" if self.key_style == "struct" else "string_key"
+
+    def build_pipeline(self, spark, state_dir: str, *, local_root: str | None = None):
+        """Assemble a PollPipeline (local mode) from this config.
+
+        ``local_root`` remaps monitor paths under a local directory for
+        file://-based deployments; omit to use the paths as-is.
+        """
+        from kafka_connect_ftp_spark.ingest.pipeline import PollPipeline
+
+        monitors = self.monitors
+        if local_root is not None:
+            monitors = [
+                MonitoredPath(path=local_root.rstrip("/") + m.path, topic=m.topic, tail=m.tail)
+                for m in monitors
+            ]
+        return PollPipeline(
+            spark,
+            monitors,
+            state_dir,
+            max_age_seconds=int(self.max_age_seconds) if self.max_age_seconds else None,
+            max_files_per_poll=self.max_poll_records,
+        )

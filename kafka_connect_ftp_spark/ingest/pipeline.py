@@ -29,13 +29,19 @@ from kafka_connect_ftp_spark.ingest.model import STATE_SCHEMA, MonitoredPath
 from kafka_connect_ftp_spark.ingest.snapshot import empty_state, snapshot
 
 
-def local_listing(spark: SparkSession, base_dir: str) -> DataFrame:
-    """List + fetch all files under ``base_dir`` as LISTING_SCHEMA rows."""
-    df = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(base_dir)
-    )
+def local_listing(spark: SparkSession, base_dir: str, *, leaf_glob: str | None = None) -> DataFrame:
+    """List + fetch files under ``base_dir`` as LISTING_SCHEMA rows.
+
+    ``leaf_glob`` (the monitor pattern's file-name segment, e.g. ``*.csv``)
+    is pushed into the source as ``pathGlobFilter`` so non-matching files
+    are pruned at listing time and their content is never read — the
+    engine-side analog of the reference applying the name glob during LIST
+    (FtpFileLister.scala:40).
+    """
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if leaf_glob and leaf_glob != "*":
+        reader = reader.option("pathGlobFilter", leaf_glob)
+    df = reader.load(base_dir)
     # binaryFile paths are file:-URIs; state keys are plain absolute paths
     return df.select(
         F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
@@ -104,10 +110,14 @@ class PollPipeline:
         ``local_listing``; pass an explicit listing for custom sources.
         """
         if listing is None:
-            bases = {_glob_base(m.path) for m in self.monitors}
+            bases = {(_glob_base(m.path), _leaf_glob(m.pattern)) for m in self.monitors}
             # a missing monitored dir lists as empty, like FTP LIST on a
             # nonexistent path (FtpFileLister.scala:37-50 None case)
-            parts = [local_listing(self.spark, b) for b in sorted(bases) if os.path.isdir(b)]
+            parts = [
+                local_listing(self.spark, b, leaf_glob=g)
+                for b, g in sorted(bases)
+                if os.path.isdir(b)
+            ]
             if not parts:
                 from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA
 
@@ -133,6 +143,11 @@ class PollPipeline:
         records.count()
         self._commit_state(new_state)
         return records
+
+
+def _leaf_glob(pattern: str) -> str:
+    """The file-name segment of a monitor pattern (for pathGlobFilter)."""
+    return pattern.rsplit("/", 1)[-1] or "*"
 
 
 def _glob_base(path: str) -> str:

@@ -1,0 +1,62 @@
+"""Config parity tests against the reference's example.properties values
+(example.properties:1-21, FtpSourceConfig.scala:35-47)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_ftp_spark.ingest.config import FtpEngineConfig, parse_iso_duration
+
+EXAMPLE_PROPS = {
+    "ftp.address": "ftp.example.org:2121",
+    "ftp.user": "alice",
+    "ftp.password": "secret",
+    "ftp.refresh": "PT1M",
+    "ftp.file.maxage": "P14D",
+    "ftp.keystyle": "struct",
+    "ftp.monitor.tail": "/logs/:logs-topic,/metrics/*.csv:metrics",
+    "ftp.monitor.update": "/config/:config-topic",
+}
+
+
+def test_parse_iso_durations():
+    assert parse_iso_duration("PT1M") == 60.0
+    assert parse_iso_duration("P14D") == 14 * 86400.0
+    assert parse_iso_duration("PT30M") == 1800.0
+    assert parse_iso_duration("PT2H30M15S") == 9015.0
+    assert parse_iso_duration("P1DT1S") == 86401.0
+    with pytest.raises(ValueError):
+        parse_iso_duration("14 days")
+
+
+def test_from_props_full():
+    cfg = FtpEngineConfig.from_props(EXAMPLE_PROPS)
+    assert (cfg.host, cfg.port, cfg.user) == ("ftp.example.org", 2121, "alice")
+    assert cfg.refresh_seconds == 60.0
+    assert cfg.max_age_seconds == 14 * 86400.0
+    assert cfg.max_backoff_seconds == 1800.0  # default PT30M
+    assert cfg.max_poll_records == 10000  # default
+    assert cfg.key_converter_name == "struct_key"
+    mon = {(m.path, m.topic, m.tail) for m in cfg.monitors}
+    assert mon == {
+        ("/logs/", "logs-topic", True),
+        ("/metrics/*.csv", "metrics", True),
+        ("/config/", "config-topic", False),
+    }
+
+
+def test_invalid_keystyle_and_monitor():
+    with pytest.raises(ValueError):
+        FtpEngineConfig.from_props({"ftp.keystyle": "banana"})
+    with pytest.raises(ValueError):
+        FtpEngineConfig.from_props({"ftp.monitor.tail": "no-topic-here"})
+
+
+def test_build_pipeline_local_remap(spark, tmp_path):
+    cfg = FtpEngineConfig.from_props(
+        {"ftp.monitor.update": "/data/:files", "ftp.max.poll.records": "7"}
+    )
+    pipe = cfg.build_pipeline(spark, str(tmp_path / "state"), local_root=str(tmp_path))
+    assert pipe.max_files_per_poll == 7
+    assert pipe.monitors[0].path == str(tmp_path) + "/data/"
+    assert pipe.monitors[0].topic == "files"

@@ -88,3 +88,19 @@ def test_glob_base():
     assert _glob_base("/a/b/") == "/a/b/"
     assert _glob_base("/a/dir?/path/*.txt") == "/a"
     assert _glob_base("/a/b/file.txt") == "/a/b"
+
+
+def test_leaf_glob_pushdown_filters_listing(spark, tree, tmp_path):
+    # only *.csv files should be listed (pathGlobFilter pushes the name
+    # glob into the binaryFile source) — others never fetched
+    write(tree, "data/a.csv", b"a", T0)
+    write(tree, "data/b.txt", b"b", T0)
+    write(tree, "data/c.csv", b"c", T0)
+    pipe = PollPipeline(
+        spark,
+        [MonitoredPath(f"{tree}/data/*.csv", topic="csv")],
+        str(tmp_path / "state"),
+        drop_empty=True,
+    )
+    got = sorted(r.key_name.split("/")[-1] for r in pipe.poll().collect())
+    assert got == ["a.csv", "c.csv"]
