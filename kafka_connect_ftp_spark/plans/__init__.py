@@ -48,6 +48,7 @@ def registry() -> dict[str, QuerySpec]:
     from kafka_connect_ftp_spark.plans import (  # noqa: F401
         advanced,
         analytics,
+        ingest_queries,
         multimodal_queries,
         similarity,
         streaming_queries,

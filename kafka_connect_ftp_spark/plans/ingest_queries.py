@@ -1,0 +1,80 @@
+"""Oracle-checked ingest queries: the snapshot operator's update/tail
+semantics expressed over deterministic listings derived from the
+``documents`` table, so the engine's CORE dataflow (change detection +
+delta extraction, FtpMonitor.scala:70-105) sits inside the driver's
+hash-comparison gate, not only in pytest.
+
+Tick 0 lists every document as a file ``/docs/<id>`` with its text as the
+body; tick 1 appends a per-document suffix. The oracles state the expected
+records in plain SQL: tick 0 emits whole bodies at offset 0, tick 1 (tail
+mode) emits exactly the appended suffix at offset strlen(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.ingest.model import MonitoredPath
+from kafka_connect_ftp_spark.ingest.snapshot import empty_state, snapshot
+from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.session import load_tables
+
+_T0 = "2024-06-01 12:00:00"
+_T1 = "2024-06-01 12:01:00"
+_MON = [MonitoredPath("/docs/", topic="docs", tail=True)]
+
+
+def _tick_listing(spark, sf_dir, tick: int):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    body = F.col("text") if tick == 0 else F.concat(F.col("text"), F.lit(" tail:"), F.col("doc_id"))
+    return docs.select(
+        F.concat(F.lit("/docs/"), F.col("doc_id")).alias("path"),
+        F.octet_length(body).cast("long").alias("size"),
+        F.lit(_T0 if tick == 0 else _T1).cast("timestamp").alias("modification_time"),
+        body.cast("binary").alias("content"),
+    )
+
+
+@register(
+    "ingest_update_snapshot",
+    """
+    SELECT 'docs' AS topic,
+           '/docs/' || doc_id AS key_name,
+           CAST(0 AS BIGINT) AS key_offset,
+           hex(text::BLOB) AS value_hex
+    FROM documents ORDER BY key_name
+    """,
+    doc="Snapshot tick 0: every file is new → whole body at offset 0 "
+    "(FtpMonitor.scala:100-104). The binary value is projected as hex so "
+    "the comparison gate never hashes raw bytes.",
+)
+def ingest_update_snapshot(spark, sf_dir):
+    records, _ = snapshot(_tick_listing(spark, sf_dir, 0), empty_state(spark), _MON, now=_T0)
+    return records.select(
+        "topic", "key_name", "key_offset", F.hex("value").alias("value_hex")
+    ).orderBy("key_name")
+
+
+@register(
+    "ingest_tail_delta",
+    """
+    SELECT 'docs' AS topic,
+           '/docs/' || doc_id AS key_name,
+           CAST(strlen(text) AS BIGINT) AS key_offset,
+           hex((' tail:' || doc_id)::BLOB) AS value_hex
+    FROM documents ORDER BY key_name
+    """,
+    doc=(
+        "Snapshot tick 1 in tail mode: the body grew and the sha256 of the "
+        "old prefix matches the stored hash, so exactly the appended bytes "
+        "are emitted at offset = previous size (FtpMonitor.scala:76-81). "
+        "State flows tick 0 → tick 1 as an unmaterialized DataFrame — the "
+        "whole two-tick pipeline is one lazy plan."
+    ),
+)
+def ingest_tail_delta(spark, sf_dir):
+    _, state1 = snapshot(_tick_listing(spark, sf_dir, 0), empty_state(spark), _MON, now=_T0)
+    records, _ = snapshot(_tick_listing(spark, sf_dir, 1), state1, _MON, now=_T1)
+    return records.select(
+        "topic", "key_name", "key_offset", F.hex("value").alias("value_hex")
+    ).orderBy("key_name")

@@ -36,6 +36,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # binary columns arrive as bytearray (Spark) / bytes (DuckDB):
+            # normalize so pandas can hash/sort them
+            df[c] = df[c].map(lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v)
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
     return df
