@@ -49,6 +49,7 @@ def registry() -> dict[str, QuerySpec]:
         advanced,
         analytics,
         ingest_queries,
+        llm_pipeline,
         multimodal_queries,
         similarity,
         streaming_queries,

@@ -1,0 +1,164 @@
+"""Training-data pipeline operators: fixed-size chunking with overlap,
+benchmark decontamination, and rule-based quality filtering — the standard
+pre-training corpus steps (C4/Gopher-style), all as oracle-checked plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.session import load_tables
+
+_TOKS = "filter(split(text, ' '), x -> x <> '')"
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    starts AS (
+      SELECT doc_id, tk, CAST(i AS BIGINT) AS start
+      FROM toks, generate_series(1, 512) AS t(i)
+      WHERE (i - 1) % {_STRIDE} = 0 AND i <= LEN(tk)
+    )
+    SELECT doc_id, CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_no,
+           array_to_string(tk[CAST(start AS INTEGER):CAST(LEAST(start + {_CHUNK} - 1, LEN(tk)) AS INTEGER)], ' ')
+             AS chunk_text,
+           CAST(LEAST(start + {_CHUNK} - 1, LEN(tk)) - start + 1 AS BIGINT) AS n_tokens
+    FROM starts ORDER BY doc_id, chunk_no
+    """,
+    doc=(
+        f"Sliding-window chunking for training: {_CHUNK}-token chunks every "
+        f"{_STRIDE} tokens ({_CHUNK - _STRIDE}-token overlap). Map-side "
+        "explode — no shuffle at all; the chunker is a pure 1→N projection."
+    ),
+)
+def chunk_documents(spark, sf_dir):
+    df = load_tables(spark, sf_dir, "documents")["documents"].withColumn("tk", F.expr(_TOKS))
+    starts = df.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.expr(f"filter(sequence(1, size(tk)), i -> (i - 1) % {_STRIDE} = 0)")
+        ).alias("start"),
+    )
+    end = F.least(F.col("start") + _CHUNK - 1, F.size("tk"))
+    return starts.select(
+        "doc_id",
+        (((F.col("start") - 1) / _STRIDE).cast("long")).alias("chunk_no"),
+        F.array_join(F.expr(f"slice(tk, start, {_CHUNK})"), " ").alias("chunk_text"),
+        (end - F.col("start") + 1).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_no")
+
+
+_CONTAM_N = 5  # n-gram width for contamination matching
+_BENCH_DOCS = 5  # the first N doc_ids play the "benchmark" set
+
+
+@register(
+    "decontamination_flags",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_CONTAM_N - 1}], ' ') AS g
+      FROM toks, generate_series(1, 512) AS t(i)
+      WHERE i <= LEN(tk) - {_CONTAM_N - 1}
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_BENCH_DOCS}),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM grams g JOIN bench b ON g.g = b.g
+      WHERE g.doc_id >= {_BENCH_DOCS}
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_BENCH_DOCS}) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        f"Benchmark decontamination: flag corpus documents sharing any "
+        f"{_CONTAM_N}-gram with the benchmark set (stand-in: doc_id < "
+        f"{_BENCH_DOCS}). The benchmark gram set is tiny → broadcast "
+        "semi-join against it; corpus grams stream map-side."
+    ),
+)
+def decontamination_flags(spark, sf_dir):
+    df = load_tables(spark, sf_dir, "documents")["documents"].withColumn("tk", F.expr(_TOKS))
+    grams = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tk) - {_CONTAM_N - 1}, 1)),"
+                    f" i -> array_join(slice(tk, i, {_CONTAM_N}), ' '))"
+                )
+            )
+        ).alias("g"),
+    ).filter(F.size("tk") >= _CONTAM_N)
+    bench = grams.filter(F.col("doc_id") < _BENCH_DOCS).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") >= _BENCH_DOCS)
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = df.select("doc_id").filter(F.col("doc_id") >= _BENCH_DOCS)
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_filter_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk, LENGTH(text) AS n_chars FROM documents
+    )
+    SELECT doc_id,
+           LEN(tk) BETWEEN 16 AND 4096 AS len_ok,
+           (CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk))
+             BETWEEN 3 AND 10 AS word_len_ok,
+           (CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)) >= 0.2 AS diversity_ok,
+           (LEN(tk) BETWEEN 16 AND 4096)
+             AND ((CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk))
+                  BETWEEN 3 AND 10)
+             AND ((CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)) >= 0.2) AS keep
+    FROM t ORDER BY doc_id
+    """,
+    doc=(
+        "Rule-based quality gate (Gopher/C4-style): token-count bounds, "
+        "mean-word-length band, type-token diversity floor — pure map-side "
+        "flags; the keep column is the conjunctive filter decision."
+    ),
+)
+def quality_filter_flags(spark, sf_dir):
+    df = load_tables(spark, sf_dir, "documents")["documents"].withColumn("tk", F.expr(_TOKS))
+    n_tok = F.size("tk")
+    mean_wl = F.expr("aggregate(transform(tk, x -> length(x)), 0, (a, x) -> a + x)").cast(
+        "double"
+    ) / n_tok
+    diversity = F.size(F.array_distinct("tk")).cast("double") / n_tok
+    len_ok = (n_tok >= 16) & (n_tok <= 4096)
+    wl_ok = (mean_wl >= 3) & (mean_wl <= 10)
+    div_ok = diversity >= 0.2
+    return df.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        wl_ok.alias("word_len_ok"),
+        div_ok.alias("diversity_ok"),
+        (len_ok & wl_ok & div_ok).alias("keep"),
+    ).orderBy("doc_id")
