@@ -68,6 +68,7 @@ class PollPipeline:
         max_age_seconds: int | None = None,
         drop_empty: bool = False,
         max_files_per_poll: int | None = None,
+        keep_history: bool = False,
     ) -> None:
         self.spark = spark
         self.monitors = list(monitors)
@@ -75,6 +76,10 @@ class PollPipeline:
         self.max_age_seconds = max_age_seconds
         self.drop_empty = drop_empty
         self.max_files_per_poll = max_files_per_poll
+        # SCD2-style audit trail: append every state version to
+        # state_dir/history (valid-from = last_inspected; the current
+        # version lives in the versioned snapshot as usual)
+        self.keep_history = keep_history
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state table ------------------------------------------------------
@@ -142,7 +147,22 @@ class PollPipeline:
         records = records.cache()
         records.count()
         self._commit_state(new_state)
+        if self.keep_history:
+            changed = records.filter(F.length("value") > 0).select(
+                F.col("key_name").alias("path")
+            ).distinct()
+            new_state.join(changed, "path", "left_semi").write.mode("append").parquet(
+                os.path.join(self.state_dir, "history")
+            )
         return records
+
+    def state_history(self) -> DataFrame:
+        """All persisted state versions (keep_history=True): one row per
+        (path, version) — the SCD2 audit trail. valid_from = last_modified,
+        superseded when a newer last_inspected exists for the path."""
+        return self.spark.read.schema(STATE_SCHEMA).parquet(
+            os.path.join(self.state_dir, "history")
+        )
 
 
 def _leaf_glob(pattern: str) -> str:

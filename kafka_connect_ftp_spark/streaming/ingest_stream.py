@@ -35,6 +35,21 @@ def parquet_sink(out_dir: str) -> Sink:
     return write
 
 
+def idempotent_parquet_sink(out_dir: str) -> Sink:
+    """Exactly-once-per-epoch file sink: each epoch writes (overwrite) its
+    own ``epoch=N`` partition directory, so a replayed tick after a crash
+    rewrites the same partition instead of duplicating records — the
+    foreachBatch idempotence pattern that upgrades at-least-once delivery
+    (reference T5, SURVEY.md §2.8) to effectively-once for file targets.
+    Readers load ``out_dir`` with partition discovery and see each epoch
+    once."""
+
+    def write(records: DataFrame, epoch: int) -> None:
+        records.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch}")
+
+    return write
+
+
 def kafka_sink(bootstrap_servers: str, key_style: str = "string_key") -> Sink:
     """Per-row topic routing — Spark's Kafka sink honors a ``topic`` column
     (the engine-side monitor2topic, FtpSourceTask.scala:60-63). Requires

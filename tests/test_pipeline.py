@@ -104,3 +104,38 @@ def test_leaf_glob_pushdown_filters_listing(spark, tree, tmp_path):
     )
     got = sorted(r.key_name.split("/")[-1] for r in pipe.poll().collect())
     assert got == ["a.csv", "c.csv"]
+
+
+def test_state_history_scd2(spark, tree, tmp_path):
+    write(tree, "updates/u0", b"v1", T0)
+    pipe = PollPipeline(
+        spark,
+        [MonitoredPath(f"{tree}/updates/", topic="u")],
+        str(tmp_path / "state"),
+        drop_empty=True,
+        keep_history=True,
+    )
+    pipe.poll()
+    write(tree, "updates/u0", b"v2-longer", T0 + 60)
+    pipe.poll()
+    hist = sorted((r.size, r.hash) for r in pipe.state_history().collect())
+    assert len(hist) == 2 and hist[0][0] == 2 and hist[1][0] == 9
+    # hashes are distinct versions of the same path
+    assert hist[0][1] != hist[1][1]
+
+
+def test_idempotent_sink_replay_no_duplicates(spark, tree, tmp_path):
+    from kafka_connect_ftp_spark.streaming.ingest_stream import idempotent_parquet_sink
+
+    out = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(out)
+    write(tree, "updates/u0", b"data", T0)
+    pipe = PollPipeline(
+        spark, [MonitoredPath(f"{tree}/updates/", topic="u")],
+        str(tmp_path / "state"), drop_empty=True,
+    )
+    records = pipe.poll()
+    sink(records, 7)
+    sink(records, 7)  # crash-replay of the same epoch
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and bytes(got[0].value) == b"data"
