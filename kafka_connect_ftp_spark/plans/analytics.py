@@ -513,3 +513,53 @@ def asof_join_click_purchase(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - CAST(k AS INTEGER) * INTERVAL '15 minutes'
+               AS window_start,
+             event_type, value
+      FROM events, generate_series(0, 3) AS g(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    doc=(
+        "Sliding event-time windows (1 hour every 15 min) in batch: Spark's "
+        "window() expands each event into its 4 covering windows (Expand "
+        "operator); the oracle replays the same expansion with a series "
+        "join. The streaming form is the identical expression on a stream."
+    ),
+)
+def sliding_window_counts(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "normalize_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Text normalization for dedup/matching: lowercase, strip "
+    "non-alphanumerics, collapse runs of spaces — pure projection.",
+)
+def normalize_text(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return t["documents"].select("doc_id", norm.alias("norm_text")).orderBy("doc_id")
