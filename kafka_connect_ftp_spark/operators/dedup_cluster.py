@@ -1,0 +1,77 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph (e.g. minhash_lsh_pairs output), yielding one keeper per
+cluster — the step that turns candidate pairs into an actual dedup
+decision.
+
+Algorithm: iterative min-label propagation. Every doc starts labeled with
+itself; each round, a node adopts the minimum label among itself and its
+neighbors; converged when no label changes. Rounds = graph diameter
+(near-dup clusters are shallow — a handful of rounds), each round one
+join + one aggregation, all shuffles on doc_id. This is the standard
+large-scale connected-components loop (the driver only checks a scalar
+convergence flag per round; no data is collected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """``pairs``: (doc_a, doc_b) undirected edges. Returns (doc_id, cluster)
+    where cluster = min doc_id reachable."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_cluster"))
+        )
+        # localCheckpoint (eager) TRUNCATES the logical plan each round:
+        # with cache() alone the lineage still grows per iteration and
+        # Catalyst analysis time explodes exponentially (~2× per round).
+        # On a cluster with unreliable executors use checkpoint() to a
+        # reliable dir instead.
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_decision(pairs: DataFrame, corpus_ids: DataFrame) -> DataFrame:
+    """Full dedup decision: (doc_id, cluster, keep). Docs in no pair keep
+    themselves; within a cluster only the min doc_id survives."""
+    comps = connected_components(pairs)
+    out = corpus_ids.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+    )
+    return out.withColumn("keep", F.col("doc_id") == F.col("cluster"))
