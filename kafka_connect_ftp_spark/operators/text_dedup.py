@@ -1,0 +1,117 @@
+"""Reusable text-dedup operator API (the library form of the oracle-tuned
+plans in plans/text.py), parameterized for production use:
+
+- ``hash_fn="xxhash64"`` (default) keeps sketches ~4× cheaper than md5;
+  the oracle plans use md5 only because DuckDB must reproduce the bits.
+- shingle width, signature size, and band size tune the LSH
+  similarity threshold (t ≈ (1/bands)^(1/rows_per_band)).
+
+Composition for a full corpus dedup:
+
+    sig    = minhash_signatures(docs, "doc_id", "text")
+    pairs  = lsh_candidate_pairs(sig)
+    keep   = dedup_decision(pairs, docs.select("doc_id"))   # operators.dedup_cluster
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _seeded_hash(col, seed: int, hash_fn: str):
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed), col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, width: int = 8) -> DataFrame:
+    """Distinct character n-grams per document — map-side explode."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+                    f" i -> substring({text_col}, i, {width}))"
+                )
+            )
+        ).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 16,
+    shingle_width: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, m0..m{n-1}): minhash sketch per document. Partial min
+    aggregation map-side → only one sketch row per doc ever shuffles."""
+    sh = char_shingles(df, id_col, text_col, shingle_width)
+    return sh.groupBy("doc_id").agg(
+        *[F.min(_seeded_hash(F.col("sh"), i, hash_fn)).alias(f"m{i}") for i in range(n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, *, band_size: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become (doc_a, doc_b)
+    candidates (doc_a < doc_b). Pairs expand bucket-locally — no self-join."""
+    n_hashes = len([c for c in sig.columns if c.startswith("m")])
+    if n_hashes % band_size:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by band_size={band_size}")
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * band_size + i}") for i in range(band_size)]).alias("bsig"),
+        )
+        for b in range(n_hashes // band_size)
+    ]
+    exploded = sig.select("doc_id", F.explode(F.array(*bands)).alias("bs")).select(
+        "doc_id", "bs.band", "bs.bsig"
+    )
+    buckets = (
+        exploded.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def estimated_jaccard(sig: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Minhash-estimated Jaccard per candidate pair: fraction of matching
+    signature slots (the standard unbiased estimator)."""
+    m_cols = [c for c in sig.columns if c.startswith("m")]
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in m_cols])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in m_cols])
+    matches = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in m_cols)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(len(m_cols))).alias("est_jaccard"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Exact dedup over arbitrary columns: groups on a 64-bit content hash
+    (never on the raw values), keeps the min id. Returns (keeper, n_copies,
+    content_hash)."""
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper", "n_copies", "content_hash")
+    )
