@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the perf-critical plan properties
+(pushdown, pruning, broadcast joins, top-k without global sort) must
+survive refactors — a slow-but-correct plan is a regression here."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_connect_ftp_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    reg = registry()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    def explain(name):
+        return reg[name].fn(spark, SF)._jdf.queryExecution().explainString(mode)
+
+    return explain
+
+
+def shuffle_count(plan: str) -> int:
+    return len([l for l in plan.splitlines() if re.fullmatch(r"\(\d+\) Exchange", l.strip())])
+
+
+def test_q1_filter_pushed_and_columns_pruned(plans):
+    plan = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 7  # 7 of 11 lineitem columns
+
+
+def test_q3_joins_broadcast_not_sortmerge(plans):
+    plan = plans("q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_all_joins_broadcast(plans):
+    plan = plans("q5_local_supplier_volume")
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_no_global_sort(plans):
+    plan = plans("sort_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(plan) == 0
+
+
+def test_changelog_uses_window_group_limit(plans):
+    # per-key top-1 must compile to WindowGroupLimit (rank pre-filter),
+    # not a full per-partition sort of every row
+    assert "WindowGroupLimit" in plans("changelog_latest_state")
+
+
+def test_minhash_shuffles_sketches_not_shingles(plans):
+    plan = plans("minhash_lsh_pairs")
+    # the signature aggregation partials map-side: the first Exchange input
+    # must be a HashAggregate (partial), never the raw exploded shingles
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert shuffle_count(plan) <= 5
+
+
+def test_embedding_topk_zero_shuffles(plans):
+    plan = plans("embedding_cosine_topk")
+    assert shuffle_count(plan) == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontamination_bench_set_broadcast(plans):
+    assert "BroadcastHashJoin" in plans("decontamination_flags")
