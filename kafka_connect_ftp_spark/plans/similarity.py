@@ -167,3 +167,53 @@ def embedding_near_dup_pairs(spark, sf_dir):
         .select(F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible on both
+    engines because the matrix is embedded as literals in each query."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def _lsh_bucket_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}::DOUBLE[]) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(_PLANES)
+    )
+    return f"""
+    SELECT vec_id, CAST({bits} AS BIGINT) AS bucket
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@register(
+    "embedding_lsh_buckets",
+    _lsh_bucket_sql(),
+    doc=(
+        "Random-hyperplane (SimHash-for-vectors) LSH bucketing: 8 signed "
+        "projections -> 256 buckets; near-dup search then compares only "
+        "within buckets (multi-probe across hamming-adjacent buckets "
+        "recovers recall). Map-side only — the bucket id is a projection, "
+        "so at 100 TB this is a free partitioning column for the table."
+    ),
+)
+def embedding_lsh_buckets(spark, sf_dir):
+    df = _emb(spark, sf_dir)
+    bits = None
+    for p, plane in enumerate(_PLANES):
+        arr = "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
+        bit = F.when(F.expr(_DOT.format(a="v", b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return df.select("vec_id", bits.cast("long").alias("bucket")).orderBy("vec_id")
