@@ -84,6 +84,31 @@ class FtpSource:
         return meta.withColumn("content", F.lit(None).cast("binary"))
 
     # -- fetch (distributed) ----------------------------------------------
+    def incremental_fetch(self, spark: SparkSession, meta: DataFrame, state: DataFrame) -> DataFrame:
+        """Fetch content ONLY for files the state table marks as new or
+        changed (size/timestamp mismatch — the requiresFetch predicate,
+        FtpMonitor.scala:35-46); unchanged files pass through with null
+        content. The snapshot plan filters them out before touching
+        content, so bytes of unchanged files never cross the wire — the
+        reference's central transfer-saving property (SURVEY.md §4).
+        """
+        prev = state.select(
+            F.col("path").alias("s_path"),
+            F.col("size").alias("s_size"),
+            F.col("timestamp").alias("s_timestamp"),
+        )
+        tagged = meta.join(prev, meta["path"] == prev["s_path"], "left").withColumn(
+            "_needs_fetch",
+            F.col("s_path").isNull()
+            | (F.col("s_size") != F.col("size"))
+            | (F.col("s_timestamp") != F.col("modification_time")),
+        )
+        to_fetch = tagged.filter(F.col("_needs_fetch")).select("path", "size", "modification_time")
+        unchanged = tagged.filter(~F.col("_needs_fetch")).select(
+            "path", "size", "modification_time", F.lit(None).cast("binary").alias("content")
+        )
+        return self.fetch(spark, to_fetch).unionByName(unchanged)
+
     def fetch(self, spark: SparkSession, meta: DataFrame) -> DataFrame:
         """Attach content to a metadata listing: LISTING_SCHEMA out.
 
