@@ -267,10 +267,13 @@ def window_rank_family(spark, sf_dir):
 )
 def window_range_1h_sum(spark, sf_dir):
     t = load_tables(spark, sf_dir, "events")
+    # order by epoch MICROS: casting ts to long truncates to seconds and
+    # shifts the frame boundary by up to 1s relative to the oracle's
+    # native-precision interval arithmetic (caught at sf0.1)
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         t["events"]
@@ -384,4 +387,88 @@ def embedding_centroid_components(spark, sf_dir):
         e.groupBy(F.col("label").cast("int").alias("label"), (F.col("p") + 1).cast("long").alias("pos"))
         .agg(F.round(F.avg("e"), 4).alias("c"))
         .orderBy("label", "pos")
+    )
+
+
+@register(
+    "array_agg_nations",
+    """
+    SELECT r_name,
+           CAST(LEN(list_distinct(list(n_name))) AS BIGINT) AS n_nations,
+           list_sort(list(n_name))[1] AS first_nation,
+           list_contains(list(n_name), 'CHINA') AS has_china
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="Array aggregation + array functions (collect, distinct size, "
+    "element access, membership).",
+)
+def array_agg_nations(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "region", "nation")
+    arr = F.collect_list("n_name")
+    return (
+        t["region"]
+        .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.size(F.array_distinct(arr)).cast("long").alias("n_nations"),
+            F.element_at(F.array_sort(arr), 1).alias("first_nation"),
+            F.array_contains(arr, "CHINA").alias("has_china"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "date_parts_distribution",
+    """
+    SELECT CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2 ORDER BY qtr, iso_dow
+    """,
+    doc=(
+        "Quarter / ISO day-of-week distribution. Spark's dayofweek is "
+        "1=Sunday while DuckDB's is 0=Sunday — both sides use the ISO "
+        "numbering (Mon=1) to agree: Spark weekday()+1 ≡ DuckDB isodow."
+    ),
+)
+def date_parts_distribution(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("qtr", "iso_dow")
+    )
+
+
+@register(
+    "null_handling_funcs",
+    """
+    SELECT user_id,
+           COALESCE(ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 3), -1.0)
+             AS avg_purchase,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+           NULLIF(CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT), 0) AS n_errors_or_null
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="NULL semantics: aggregates skip NULLs; coalesce/nullif round-trip.",
+)
+def null_handling_funcs(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "events")
+    purchase = F.when(F.col("event_type") == "purchase", F.col("value"))
+    err = F.when(F.col("event_type") == "error", F.lit(1))
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.round(F.avg(purchase), 3), F.lit(-1.0)).alias("avg_purchase"),
+            F.count(purchase).alias("n_purchases"),
+            F.nullif(F.count(err), F.lit(0)).alias("n_errors_or_null"),
+        )
+        .orderBy("user_id")
     )

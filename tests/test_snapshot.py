@@ -255,3 +255,26 @@ def test_max_files_rate_limit_carries_over(spark):
         now="2024-06-01 12:00:02", max_files=2,
     )
     assert r2.count() == 0
+
+
+def test_overlapping_monitors_emit_per_monitor_records(spark):
+    # a file matched by two monitors produces one record per monitor with
+    # its own topic/mode (the reference processes each MonitoredPath
+    # independently, FtpMonitor.scala:166-167)
+    monitors = [
+        MonitoredPath("/data/", topic="all_files", tail=False),
+        MonitoredPath("/data/*.csv", topic="csv_only", tail=False),
+    ]
+    files = {"/data/a.csv": S1, "/data/b.txt": S2}
+    records, state = snapshot(
+        listing_df(spark, files, 0, {p: 0 for p in files}),
+        empty_state(spark), monitors, now="2024-06-01 12:00:00",
+    )
+    got = sorted((r.topic, r.key_name) for r in records.collect())
+    assert got == [
+        ("all_files", "/data/a.csv"),
+        ("all_files", "/data/b.txt"),
+        ("csv_only", "/data/a.csv"),
+    ]
+    # state holds ONE row per path regardless of monitor fan-out
+    assert sorted(r.path for r in state.collect()) == ["/data/a.csv", "/data/b.txt"]
