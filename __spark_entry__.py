@@ -12,9 +12,16 @@ this module only adapts the registry to the driver's interface.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the package importable however this module is loaded (cwd-independent)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:
