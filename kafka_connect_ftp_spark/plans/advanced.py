@@ -396,7 +396,7 @@ def embedding_centroid_components(spark, sf_dir):
     SELECT r_name,
            CAST(LEN(list_distinct(list(n_name))) AS BIGINT) AS n_nations,
            list_sort(list(n_name))[1] AS first_nation,
-           list_contains(list(n_name), 'CHINA') AS has_china
+           list_contains(list(n_name), 'NATION_3') AS has_n3
     FROM region JOIN nation ON r_regionkey = n_regionkey
     GROUP BY r_name ORDER BY r_name
     """,
@@ -413,7 +413,7 @@ def array_agg_nations(spark, sf_dir):
         .agg(
             F.size(F.array_distinct(arr)).cast("long").alias("n_nations"),
             F.element_at(F.array_sort(arr), 1).alias("first_nation"),
-            F.array_contains(arr, "CHINA").alias("has_china"),
+            F.array_contains(arr, "NATION_3").alias("has_n3"),
         )
         .orderBy("r_name")
     )

@@ -106,3 +106,97 @@ def q18_large_volume_customers(spark, sf_dir):
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(25)
     )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS yr,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10')
+        OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_9'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr
+    """,
+    doc="TPC-H Q7 adapted: bidirectional nation-pair shipping volume — a "
+    "5-way join with a disjunctive cross-dimension predicate.",
+)
+def q7_nation_volume(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    sn = t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = t["nation"].select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+        | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "funnel_signup_to_purchase",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS any_purchase_ts
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id, f.signup_ts,
+             MIN(e.ts) AS first_purchase_after_signup
+      FROM f LEFT JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.signup_ts
+      GROUP BY f.user_id, f.signup_ts
+    )
+    SELECT user_id, signup_ts, first_purchase_after_signup,
+           signup_ts IS NOT NULL AND first_purchase_after_signup IS NOT NULL AS converted
+    FROM conv ORDER BY user_id
+    """,
+    doc=(
+        "Conversion funnel: each user's first signup and first purchase at "
+        "or after it — conditional-min aggregates plus an event-time "
+        "predicate join (single shuffle on user_id)."
+    ),
+)
+def funnel_signup_to_purchase(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        f.join(purchases, (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("signup_ts")), "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_after_signup"))
+    )
+    return conv.select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_after_signup",
+        (F.col("signup_ts").isNotNull() & F.col("first_purchase_after_signup").isNotNull()).alias("converted"),
+    ).orderBy("user_id")

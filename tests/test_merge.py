@@ -1,0 +1,45 @@
+"""MERGE upsert emulation tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.merge import merge_upsert
+
+
+@pytest.fixture
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+
+
+def test_scd1_replace_and_insert(spark, target):
+    source = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    out = {r.id: (r.name, r.v) for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_custom_when_matched_accumulates(spark, target):
+    source = spark.createDataFrame(
+        [(2, "b", 5.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+
+    def add_values(matched, src):
+        s = src.select(F.col("id"), F.col("v").alias("src_v"))
+        return (
+            matched.join(s, "id")
+            .select("id", "name", (F.col("v") + F.col("src_v")).alias("v"))
+        )
+
+    out = {r.id: r.v for r in merge_upsert(target, source, ["id"], when_matched=add_values).collect()}
+    assert out == {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0}
+
+
+def test_schema_mismatch_rejected(spark, target):
+    bad = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError):
+        merge_upsert(target, bad, ["id"])
