@@ -217,3 +217,44 @@ def embedding_lsh_buckets(spark, sf_dir):
         bit = F.when(F.expr(_DOT.format(a="v", b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bits = bit if bits is None else bits + bit
     return df.select("vec_id", bits.cast("long").alias("bucket")).orderBy("vec_id")
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    None,  # iterative (KMeans training) — no SQL oracle; rows-only check
+    doc=(
+        "IVF ANN with a trained KMeans coarse quantizer (operators/ann.py): "
+        "build the index, probe the 2 nearest cells for the min-vec_id "
+        "query vector, exact top-10 within them. Iterative training has no "
+        "SQL equivalent — the driver records the weaker rows-only check; "
+        "recall properties are pinned by tests/test_ann.py."
+    ),
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.ann import build_ivf, ivf_search
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    index = build_ivf(emb, k=8, seed=42)
+    query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    return ivf_search(index, query, top_k=10, nprobe=2).select(
+        "vec_id", "cell", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+@register(
+    "dedup_cluster_decision",
+    None,  # iterative (connected components) — rows-only check
+    doc=(
+        "Full dedup decision over the minhash-LSH candidate graph: "
+        "connected components (iterative min-label propagation, "
+        "operators/dedup_cluster.py) + keeper selection. One row per "
+        "document with its cluster id and keep flag."
+    ),
+)
+def dedup_cluster_decision(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+    from kafka_connect_ftp_spark.plans import registry as _registry
+
+    pairs = _registry()["minhash_lsh_pairs"].fn(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id")
+    return dedup_decision(pairs, docs).orderBy("doc_id")
