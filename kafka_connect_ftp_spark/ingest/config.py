@@ -47,7 +47,11 @@ def _parse_monitors(spec: str, *, tail: bool) -> list[MonitoredPath]:
     (FtpSourceConfig.scala:55-64 keyValuePairListOpt)."""
     out = []
     for pair in filter(None, (p.strip() for p in spec.split(","))):
-        path, sep, topic = pair.rpartition(":")
+        # FIRST colon, like the reference's '([^:]*):(.*)' regex
+        # (FtpSourceConfig.scala keyValuePairListOpt): the path may not
+        # contain ':', the topic may — '/logs/:raw:v1' is path='/logs/',
+        # topic='raw:v1'.
+        path, sep, topic = pair.partition(":")
         if not sep or not path or not topic:
             raise ValueError(f"invalid monitor entry {pair!r}; want path:topic")
         out.append(MonitoredPath(path=path, topic=topic, tail=tail))

@@ -80,6 +80,7 @@ class PollPipeline:
         # state_dir/history (valid-from = last_inspected; the current
         # version lives in the versioned snapshot as usual)
         self.keep_history = keep_history
+        self._last_records: DataFrame | None = None
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state table ------------------------------------------------------
@@ -108,11 +109,28 @@ class PollPipeline:
         os.replace(tmp, self._marker)
 
     # -- the poll ---------------------------------------------------------
-    def poll(self, listing: DataFrame | None = None, *, now: str | None = None) -> DataFrame:
+    def poll(
+        self,
+        listing: DataFrame | None = None,
+        *,
+        now: str | None = None,
+        sink=None,
+        epoch: int = 0,
+    ) -> DataFrame:
         """Run one tick; returns the records DataFrame (materialized).
 
         ``listing`` defaults to scanning the monitors' common base dirs via
         ``local_listing``; pass an explicit listing for custom sources.
+
+        ``sink`` (optional ``Callable[[DataFrame, int], None]``) is invoked
+        with the records BEFORE the state commit: if delivery fails, state
+        is not advanced and the next poll re-emits the same delta — the
+        reference's offsets-after-produce ordering (Connect commits offsets
+        only after records are produced; SURVEY.md §2.8 T5). Without a
+        sink, the caller receives the already-materialized records and the
+        state is committed; that mode is for batch/diagnostic use where
+        dropping a tick on a crash between commit and consumption is
+        acceptable.
         """
         if listing is None:
             bases = {(_glob_base(m.path), _leaf_glob(m.pattern)) for m in self.monitors}
@@ -140,13 +158,20 @@ class PollPipeline:
             now=now,
             drop_empty=self.drop_empty,
             max_files=self.max_files_per_poll,
+            # single eager materialization feeding BOTH records and
+            # new_state: one listing+fetch per tick, and the committed
+            # hash always matches the emitted record
+            checkpoint=True,
         )
-        # materialize records BEFORE committing state (at-least-once: a
-        # failure between the two replays the tick, like Connect's
-        # offset-after-produce ordering, SURVEY.md §2.8 T5)
-        records = records.cache()
-        records.count()
+        # Delivery BEFORE state commit (at-least-once): if the sink throws,
+        # state stays put and the next tick re-derives the same delta —
+        # snapshot() is deterministic given the old state.
+        if sink is not None:
+            sink(records, epoch)
         self._commit_state(new_state)
+        # The previous tick's localCheckpoint blocks are reclaimed by the
+        # ContextCleaner once unreferenced — keep only the latest.
+        self._last_records = records
         if self.keep_history:
             changed = records.filter(F.length("value") > 0).select(
                 F.col("key_name").alias("path")

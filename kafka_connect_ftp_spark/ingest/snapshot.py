@@ -79,6 +79,7 @@ def snapshot(
     now: str | None = None,
     drop_empty: bool = False,
     max_files: int | None = None,
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Process one poll tick. Returns ``(records, new_state)``.
 
@@ -164,6 +165,16 @@ def snapshot(
             "last_inspected": now_col,
         }
     )
+
+    if checkpoint:
+        # Materialize the joined+extracted frame ONCE before deriving both
+        # outputs: records and new_state otherwise share un-materialized
+        # lineage, so a caller that actions both re-lists and re-fetches
+        # every changed file (2x RETR per tick in FTP mode) — and a file
+        # changing between the two scans would commit a hash the emitted
+        # record never saw. Eager localCheckpoint also truncates the plan,
+        # which keeps long-running poll loops' plans from growing.
+        extracted = extracted.localCheckpoint(eager=True)
 
     records = extracted.select(
         "topic",

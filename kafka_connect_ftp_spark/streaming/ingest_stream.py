@@ -95,8 +95,11 @@ class StreamingIngest:
         if self.backoff and not self.backoff.passed():
             return
         try:
-            records = self.pipeline.poll()
-            self.sink(records, epoch)
+            # poll() invokes the sink BEFORE committing state: a crash
+            # mid-tick leaves state un-advanced, so the delta is re-emitted
+            # on the next tick (at-least-once; pair with an idempotent sink
+            # for effectively-once). Mirrors Connect's offsets-after-produce.
+            self.pipeline.poll(sink=self.sink, epoch=epoch)
             if self.backoff:
                 self.backoff.next_success()
         except Exception as err:  # noqa: BLE001 — poll failures must not kill the query

@@ -45,6 +45,13 @@ def test_from_props_full():
     }
 
 
+def test_monitor_splits_on_first_colon():
+    # reference regex '([^:]*):(.*)': path may not contain ':', topic may
+    cfg = FtpEngineConfig.from_props({"ftp.monitor.update": "/logs/:raw:v1"})
+    [(path, topic)] = [(m.path, m.topic) for m in cfg.monitors]
+    assert (path, topic) == ("/logs/", "raw:v1")
+
+
 def test_invalid_keystyle_and_monitor():
     with pytest.raises(ValueError):
         FtpEngineConfig.from_props({"ftp.keystyle": "banana"})

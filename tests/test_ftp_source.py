@@ -133,6 +133,84 @@ def test_timestamp_parsing():
     assert mtime == dt.datetime(2023, 12, 31, 23, 59, 59)
 
 
+class ListOnlyFtp(FakeFtp):
+    """A server that never learned MLSD (502) but speaks classic LIST —
+    the commons-net-compatible servers the reference supports via
+    FTPClient.initiateListParsing (FtpFileLister.scala:36-49)."""
+
+    def mlsd(self, path, facts=()):
+        import ftplib
+
+        raise ftplib.error_perm("502 MLSD not implemented")
+
+    def dir(self, path, callback):
+        import ftplib
+
+        path = path.rstrip("/") or "/"
+        if path not in self.dirs:
+            raise ftplib.error_perm("550 no such dir")
+        for name, facts in FakeFtp.mlsd(self, path):
+            if facts["type"] == "dir":
+                callback(f"drwxr-xr-x   2 ftp ftp        4096 Jun 01  2024 {name}")
+            else:
+                callback(
+                    f"-rw-r--r--   1 ftp ftp  {facts['size']:>10} Jun 01  2024 {name}"
+                )
+
+
+def test_list_fallback_traverses_same_tree(src):
+    files = dict(TREE)
+    source = FtpSource(host="fake", _client_factory=lambda: ListOnlyFtp(files))
+    got = sorted(p for p, _, _ in source.list_files("/a/dir?/path/*.txt"))
+    assert got == ["/a/dira/path/file1.txt", "/a/dirb/path/file3.txt"]
+    # sizes survive the LIST parse
+    sizes = {p: s for p, s, _ in source.list_files("/a/dirb/path/*")}
+    assert sizes == {"/a/dirb/path/file3.txt": 5, "/a/dirb/path/file4.csv": 4}
+
+
+def test_root_listing_failure_raises():
+    import ftplib
+
+    source = FtpSource(host="fake", _client_factory=lambda: FakeFtp(dict(TREE)))
+    with pytest.raises(ftplib.error_perm):
+        source.list_files("/nonexistent/dir/*")
+
+
+def test_parse_list_line_variants():
+    from kafka_connect_ftp_spark.sources.ftp import _parse_list_line
+
+    name, is_dir, size, mtime = _parse_list_line(
+        "-rw-r--r--   1 ftp ftp     1234 Mar 01  2025 data with spaces.csv"
+    )
+    assert (name, is_dir, size) == ("data with spaces.csv", False, 1234)
+    assert mtime == dt.datetime(2025, 3, 1)
+    # recent-file form carries a HH:MM instead of a year
+    now = dt.datetime(2026, 8, 13, 9, 0)
+    name, _, _, mtime = _parse_list_line(
+        "-rw-r--r--   1 ftp ftp       10 Aug 12 23:45 fresh.txt", now=now
+    )
+    assert mtime == dt.datetime(2026, 8, 12, 23, 45)
+    # a December timestamp seen in January belongs to LAST year
+    name, _, _, mtime = _parse_list_line(
+        "-rw-r--r--   1 ftp ftp       10 Dec 30 23:59 old.txt",
+        now=dt.datetime(2026, 1, 2),
+    )
+    assert mtime == dt.datetime(2025, 12, 30, 23, 59)
+    # symlinks and noise are skipped like commons-net's isFile gate
+    assert _parse_list_line("lrwxrwxrwx   1 ftp ftp 4 Jun 01  2024 link -> target") is None
+    assert _parse_list_line("total 42") is None
+
+
+def test_distributed_listing_matches_driver_walk(spark, src):
+    source, _ = src
+    monitors = [MonitoredPath("/a/dir?/path/*", topic="t")]
+    driver_side = source.listing(spark, monitors)
+    distributed = source.listing_distributed(spark, monitors, partitions=2)
+    want = {(r.path, r.size) for r in driver_side.collect()}
+    got = {(r.path, r.size) for r in distributed.collect()}
+    assert got == want and len(got) == 3
+
+
 class CountingFtp(FakeFtp):
     retr_count = 0  # class-level: survives executor->driver via... no — see test
 

@@ -124,6 +124,47 @@ def test_state_history_scd2(spark, tree, tmp_path):
     assert hist[0][1] != hist[1][1]
 
 
+def test_sink_failure_leaves_state_uncommitted(spark, tree, tmp_path):
+    """At-least-once (T5): delivery happens BEFORE the state commit, so a
+    sink crash leaves the state table un-advanced and the next poll
+    re-emits the same delta — Connect's offsets-after-produce ordering."""
+    write(tree, "updates/u0", b"payload", T0)
+    pipe = PollPipeline(
+        spark, [MonitoredPath(f"{tree}/updates/", topic="u")],
+        str(tmp_path / "state"), drop_empty=True,
+    )
+
+    def exploding_sink(records, epoch):
+        raise RuntimeError("broker down")
+
+    with pytest.raises(RuntimeError):
+        pipe.poll(sink=exploding_sink)
+    # state not advanced: the retry tick re-emits the record
+    delivered = []
+    pipe.poll(sink=lambda df, epoch: delivered.extend(df.collect()))
+    assert [bytes(r.value) for r in delivered] == [b"payload"]
+    # now committed: a further tick emits nothing
+    assert pipe.poll().count() == 0
+
+
+def test_sink_runs_before_state_commit(spark, tree, tmp_path):
+    write(tree, "updates/u0", b"x", T0)
+    state_dir = str(tmp_path / "state")
+    pipe = PollPipeline(
+        spark, [MonitoredPath(f"{tree}/updates/", topic="u")],
+        state_dir, drop_empty=True,
+    )
+    versions_at_sink_time = []
+
+    def observing_sink(records, epoch):
+        records.count()
+        versions_at_sink_time.append(os.path.exists(os.path.join(state_dir, "CURRENT")))
+
+    pipe.poll(sink=observing_sink)
+    assert versions_at_sink_time == [False]  # sink saw the world pre-commit
+    assert os.path.exists(os.path.join(state_dir, "CURRENT"))  # committed after
+
+
 def test_idempotent_sink_replay_no_duplicates(spark, tree, tmp_path):
     from kafka_connect_ftp_spark.streaming.ingest_stream import idempotent_parquet_sink
 
