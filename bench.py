@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed twice: a warm-up is NOT done (cold numbers are the
-honest ones for a per-round driver), but the session itself is reused so
-JVM startup is excluded from per-query times. Results are consumed via
-``collect()`` row counting to force full materialization without writing.
+No warm-up (cold numbers are the honest ones for a per-round driver), but
+the session is reused so JVM startup is excluded from per-query times.
+Results are materialized through a ``noop``-format write: every row is
+fully computed and serialized executor-side (unlike ``count()``, under
+which Catalyst prunes unreferenced aggregate expressions) without driver
+collection skewing the measurement toward transfer cost.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "window_topk_orders_per_customer",
+    "window_rank_family",
     "changelog_latest_state",
     "asof_join_click_purchase",
     "sessionize_events",
@@ -32,7 +34,7 @@ HEADLINE = [
     "simhash_fingerprint",
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
-    "text_stats",
+    "text_profile",
 ]
 
 
@@ -53,9 +55,12 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        n = reg[name].fn(spark, sf_dir).count()
+        # noop write = full materialization of every output row on the
+        # executors; a bare count() would let Catalyst skip computing
+        # aggregate expressions nothing references
+        reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

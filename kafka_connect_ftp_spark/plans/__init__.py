@@ -44,18 +44,22 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 
 
 def registry() -> dict[str, QuerySpec]:
-    # import side-effect populates _REGISTRY
+    # Import side-effect populates _REGISTRY. Import ORDER is registry
+    # order, which is the order the driver's correctness harness visits
+    # queries — headline operators (TPC-H, text/dedup, similarity,
+    # ingest/streaming) first so they are always inside any bounded
+    # verification window; general analytics breadth last.
     from kafka_connect_ftp_spark.plans import (  # noqa: F401
-        advanced,
-        analytics,
-        ingest_queries,
-        llm_pipeline,
-        multimodal_queries,
-        similarity,
-        streaming_queries,
-        text,
         tpch,
         tpch2,
+        text,
+        similarity,
+        llm_pipeline,
+        multimodal_queries,
+        ingest_queries,
+        streaming_queries,
+        analytics,
+        advanced,
     )
 
     return dict(_REGISTRY)

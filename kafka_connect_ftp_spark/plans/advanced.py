@@ -20,75 +20,31 @@ from kafka_connect_ftp_spark.session import load_tables
 @register(
     "grouping_sets_status_priority",
     """
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
     FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
-    doc="Explicit GROUPING SETS (each dimension alone + grand total).",
+    doc=(
+        "Explicit GROUPING SETS: the full pair, each dimension alone, and "
+        "the grand total. The ((s,p),(s),()) subset IS GROUP BY ROLLUP "
+        "(s,p) — round 1's rollup_status_priority is contained in this "
+        "result; CUBE is covered by cube_returnflag_linestatus."
+    ),
 )
 def grouping_sets_status_priority(spark, sf_dir):
     load_tables(spark, sf_dir, "orders")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
         FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
-    )
-
-
-@register(
-    "percentiles_per_status",
-    """
-    SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    doc="Exact interpolated percentiles (Spark percentile ≡ DuckDB "
-    "quantile_cont). At 100 TB swap for approx_percentile + rows-only check.",
-)
-def percentiles_per_status(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    return (
-        t["orders"]
-        .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-@register(
-    "stats_aggregates",
-    """
-    SELECT l_returnflag,
-           ROUND(stddev_samp(l_extendedprice), 4) AS price_std,
-           ROUND(var_samp(l_quantity), 4) AS qty_var,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-    doc="Statistical aggregates (stddev/variance/corr/covar).",
-)
-def stats_aggregates(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "lineitem")
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
-            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
-        )
-        .orderBy("l_returnflag")
     )
 
 
@@ -120,21 +76,36 @@ def argmax_order_per_customer(spark, sf_dir):
 
 
 @register(
-    "string_agg_nations_per_region",
+    "region_nation_lists",
     """
-    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(LEN(list_distinct(list(n_name))) AS BIGINT) AS n_nations,
+           list_sort(list(n_name))[1] AS first_nation,
+           list_contains(list(n_name), 'NATION_3') AS has_n3
     FROM region JOIN nation ON r_regionkey = n_regionkey
     GROUP BY r_name ORDER BY r_name
     """,
-    doc="Ordered string aggregation (collect_list → sort → join).",
+    doc=(
+        "Collection aggregation per region in one shuffle: ordered string "
+        "aggregation (collect_list → sort → join) plus array functions "
+        "(distinct size, element access, membership). Round 1's "
+        "string_agg_nations_per_region + array_agg_nations merged."
+    ),
 )
-def string_agg_nations_per_region(spark, sf_dir):
+def region_nation_lists(spark, sf_dir):
     t = load_tables(spark, sf_dir, "region", "nation")
+    arr = F.collect_list("n_name")
     return (
         t["region"]
         .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("r_name")
-        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .agg(
+            F.array_join(F.array_sort(arr), ",").alias("nations"),
+            F.size(F.array_distinct(arr)).cast("long").alias("n_nations"),
+            F.element_at(F.array_sort(arr), 1).alias("first_nation"),
+            F.array_contains(arr, "NATION_3").alias("has_n3"),
+        )
         .orderBy("r_name")
     )
 
@@ -225,59 +196,87 @@ def above_nation_avg_customers(spark, sf_dir):
     "window_rank_family",
     """
     SELECT o_orderkey,
+           CAST(ROW_NUMBER()   OVER w AS BIGINT) AS rn,
            CAST(DENSE_RANK()   OVER w AS BIGINT) AS drank,
            ROUND(PERCENT_RANK() OVER w, 6) AS prank,
-           CAST(NTILE(4)       OVER w AS BIGINT) AS quartile
+           CAST(NTILE(4)       OVER w AS BIGINT) AS quartile,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     ORDER BY o_orderkey
     """,
-    doc="dense_rank / percent_rank / ntile over one window definition.",
+    doc=(
+        "The window-function family over orders: row_number / dense_rank / "
+        "percent_rank / ntile on a rank window, plus the per-customer "
+        "cumulative sum (ROWS frame — same shuffle profile as the "
+        "state-merge) as a second window definition in the same pass. "
+        "Round 1's window_running_total merged in."
+    ),
 )
 def window_rank_family(spark, sf_dir):
     t = load_tables(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
         t["orders"]
         .select(
             "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
             F.dense_rank().over(w).cast("long").alias("drank"),
             F.round(F.percent_rank().over(w), 6).alias("prank"),
             F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
         )
         .orderBy("o_orderkey")
     )
 
 
 @register(
-    "window_range_1h_sum",
+    "window_events_range_lag",
     """
     SELECT event_id, user_id,
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
                                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                             AND CURRENT ROW), 4)
-             AS sum_1h
+             AS sum_1h,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS delta
     FROM events ORDER BY event_id
     """,
     doc=(
-        "RANGE window frame: per-user rolling 1-hour sum over event time "
-        "(expressed as a seconds-valued range frame; a streaming deployment "
-        "uses a sliding window aggregation instead)."
+        "Event-time windows per user in one pass: the rolling 1-hour RANGE "
+        "frame sum (a streaming deployment uses a sliding window "
+        "aggregation instead) and the LAG-based delta to the previous "
+        "event. Round 1's window_range_1h_sum + window_lag_value_delta "
+        "merged — both shuffle once on user_id."
     ),
 )
-def window_range_1h_sum(spark, sf_dir):
+def window_events_range_lag(spark, sf_dir):
     t = load_tables(spark, sf_dir, "events")
     # order by epoch MICROS: casting ts to long truncates to seconds and
     # shifts the frame boundary by up to 1s relative to the oracle's
     # native-precision interval arithmetic (caught at sf0.1)
-    w = (
+    w_range = (
         W.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         t["events"]
-        .select("event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("sum_1h"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w_range), 4).alias("sum_1h"),
+            F.round(F.col("value") - F.lag("value").over(w_lag), 4).alias("delta"),
+        )
         .orderBy("event_id")
     )
 
@@ -359,116 +358,4 @@ def tfidf_top_term(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
         .orderBy("doc_id")
-    )
-
-
-@register(
-    "embedding_centroid_components",
-    """
-    SELECT label, CAST(i AS BIGINT) AS pos, ROUND(AVG(e), 4) AS c
-    FROM (SELECT label,
-                 UNNEST(embedding::DOUBLE[]) AS e,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings)
-    GROUP BY label, i ORDER BY label, pos
-    """,
-    doc=(
-        "Per-label centroid (the IVF training step), long-format: "
-        "posexplode the vectors, average per (label, position). One "
-        "shuffle keyed on (label, pos) with map-side partial sums."
-    ),
-)
-def embedding_centroid_components(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "embeddings")
-    e = t["embeddings"].select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "e")
-    )
-    return (
-        e.groupBy(F.col("label").cast("int").alias("label"), (F.col("p") + 1).cast("long").alias("pos"))
-        .agg(F.round(F.avg("e"), 4).alias("c"))
-        .orderBy("label", "pos")
-    )
-
-
-@register(
-    "array_agg_nations",
-    """
-    SELECT r_name,
-           CAST(LEN(list_distinct(list(n_name))) AS BIGINT) AS n_nations,
-           list_sort(list(n_name))[1] AS first_nation,
-           list_contains(list(n_name), 'NATION_3') AS has_n3
-    FROM region JOIN nation ON r_regionkey = n_regionkey
-    GROUP BY r_name ORDER BY r_name
-    """,
-    doc="Array aggregation + array functions (collect, distinct size, "
-    "element access, membership).",
-)
-def array_agg_nations(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "region", "nation")
-    arr = F.collect_list("n_name")
-    return (
-        t["region"]
-        .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
-        .groupBy("r_name")
-        .agg(
-            F.size(F.array_distinct(arr)).cast("long").alias("n_nations"),
-            F.element_at(F.array_sort(arr), 1).alias("first_nation"),
-            F.array_contains(arr, "NATION_3").alias("has_n3"),
-        )
-        .orderBy("r_name")
-    )
-
-
-@register(
-    "date_parts_distribution",
-    """
-    SELECT CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
-           COUNT(*) AS n
-    FROM orders GROUP BY 1, 2 ORDER BY qtr, iso_dow
-    """,
-    doc=(
-        "Quarter / ISO day-of-week distribution. Spark's dayofweek is "
-        "1=Sunday while DuckDB's is 0=Sunday — both sides use the ISO "
-        "numbering (Mon=1) to agree: Spark weekday()+1 ≡ DuckDB isodow."
-    ),
-)
-def date_parts_distribution(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    return (
-        t["orders"]
-        .groupBy(
-            F.quarter("o_orderdate").cast("long").alias("qtr"),
-            (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("qtr", "iso_dow")
-    )
-
-
-@register(
-    "null_handling_funcs",
-    """
-    SELECT user_id,
-           COALESCE(ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 3), -1.0)
-             AS avg_purchase,
-           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
-           NULLIF(CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT), 0) AS n_errors_or_null
-    FROM events GROUP BY user_id ORDER BY user_id
-    """,
-    doc="NULL semantics: aggregates skip NULLs; coalesce/nullif round-trip.",
-)
-def null_handling_funcs(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "events")
-    purchase = F.when(F.col("event_type") == "purchase", F.col("value"))
-    err = F.when(F.col("event_type") == "error", F.lit(1))
-    return (
-        t["events"]
-        .groupBy("user_id")
-        .agg(
-            F.coalesce(F.round(F.avg(purchase), 3), F.lit(-1.0)).alias("avg_purchase"),
-            F.count(purchase).alias("n_purchases"),
-            F.nullif(F.count(err), F.lit(0)).alias("n_errors_or_null"),
-        )
-        .orderBy("user_id")
     )

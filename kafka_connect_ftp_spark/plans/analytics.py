@@ -21,18 +21,27 @@ from kafka_connect_ftp_spark.session import load_tables
 
 
 @register(
-    "agg_distinct_per_status",
+    "status_profile",
     """
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
            COUNT(DISTINCT o_custkey) AS n_customers,
            ROUND(SUM(o_totalprice), 2) AS total,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
-    doc="Hash aggregate with COUNT DISTINCT (expands to two-phase agg).",
+    doc=(
+        "Per-status profile in one hash aggregate: COUNT DISTINCT "
+        "(two-phase expand), money totals, and exact interpolated "
+        "percentiles (Spark percentile ≡ DuckDB quantile_cont; at 100 TB "
+        "swap for approx_percentile + rows-only check). Round 1's "
+        "agg_distinct_per_status + percentiles_per_status merged."
+    ),
 )
-def agg_distinct_per_status(spark, sf_dir):
+def status_profile(spark, sf_dir):
     t = load_tables(spark, sf_dir, "orders")
     return (
         t["orders"]
@@ -42,29 +51,11 @@ def agg_distinct_per_status(spark, sf_dir):
             F.countDistinct("o_custkey").alias("n_customers"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
         )
         .orderBy("o_orderstatus")
-    )
-
-
-@register(
-    "rollup_status_priority",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-    doc="ROLLUP hierarchy totals (status → priority → grand total).",
-)
-def rollup_status_priority(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    return (
-        t["orders"]
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
     )
 
 
@@ -72,226 +63,140 @@ def rollup_status_priority(spark, sf_dir):
     "cube_returnflag_linestatus",
     """
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_std,
+           ROUND(var_samp(l_quantity), 4) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    doc="CUBE over the two lineitem flags — all 4 grouping combinations.",
+    doc=(
+        "CUBE over the two lineitem flags (all 4 grouping combinations) "
+        "carrying the statistical aggregates (stddev/variance/corr/covar) "
+        "per cell — round 1's stats_aggregates folded into the cube. "
+        "ROLLUP is the subset of these grouping sets without the "
+        "(linestatus)-only cell; grouping_sets_status_priority covers the "
+        "explicit GROUPING SETS form."
+    ),
 )
 def cube_returnflag_linestatus(spark, sf_dir):
     t = load_tables(spark, sf_dir, "lineitem")
     return (
         t["lineitem"]
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+        )
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
-    )
-
-
-@register(
-    "case_when_price_buckets",
-    """
-    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
-                WHEN o_totalprice < 150000 THEN 'medium'
-                WHEN o_totalprice < 300000 THEN 'large'
-                ELSE 'jumbo' END AS bucket,
-           COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
-    FROM orders GROUP BY 1 ORDER BY bucket
-    """,
-    doc="CASE WHEN bucketing + aggregate.",
-)
-def case_when_price_buckets(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    bucket = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 150000, "medium")
-        .when(F.col("o_totalprice") < 300000, "large")
-        .otherwise("jumbo")
-    )
-    return (
-        t["orders"]
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
-        .orderBy("bucket")
     )
 
 
 # ------------------------------------------------------------------ windows
 
 
-@register(
-    "window_topk_orders_per_customer",
-    """
-    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
-    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
-          FROM orders)
-    WHERE rn <= 3
-    ORDER BY o_custkey, rn
-    """,
-    doc="Top-3-per-group via ROW_NUMBER window (SURVEY §2.11 window family).",
-)
-def window_topk_orders_per_customer(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        t["orders"]
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), F.col("rn").cast("long").alias("rn"))
-        .orderBy("o_custkey", "rn")
-    )
-
-
-@register(
-    "window_running_total",
-    """
-    SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_total
-    FROM orders ORDER BY o_custkey, o_orderkey
-    """,
-    doc="Cumulative sum per key — same shuffle profile as the state-merge.",
-)
-def window_running_total(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        t["orders"]
-        .select("o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
-        .orderBy("o_custkey", "o_orderkey")
-    )
-
-
-@register(
-    "window_lag_value_delta",
-    """
-    SELECT event_id, user_id,
-           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
-             AS delta
-    FROM events ORDER BY user_id, event_id
-    """,
-    doc="LAG-based per-user delta over event time.",
-)
-def window_lag_value_delta(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        t["events"]
-        .select("event_id", "user_id", F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"))
-        .orderBy("user_id", "event_id")
-    )
-
-
-@register(
-    "sort_topk_orders",
-    """
-    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-    """,
-    doc="Global top-k (TakeOrderedAndProject — no full sort at scale).",
-)
-def sort_topk_orders(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    return (
-        t["orders"]
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(20)
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
-    )
-
-
 # ------------------------------------------------------------------ set ops
 
 
 @register(
-    "setop_intersect_nations",
+    "setop_family",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
-    """,
-    doc="INTERSECT of customer and supplier nation keys.",
-)
-def setop_intersect_nations(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "customer", "supplier")
-    return (
-        t["customer"]
-        .select(F.col("c_nationkey").alias("nationkey"))
-        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
-        .orderBy("nationkey")
-    )
-
-
-@register(
-    "setop_except_nations",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
-    """,
-    doc="EXCEPT: nations with customers but no suppliers.",
-)
-def setop_except_nations(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "customer", "supplier")
-    return (
-        t["customer"]
-        .select(F.col("c_nationkey").alias("nationkey"))
-        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
-        .orderBy("nationkey")
-    )
-
-
-@register(
-    "setop_union_high_value_parties",
-    """
-    SELECT party, party_key FROM (
-        SELECT 'customer' AS party, c_custkey AS party_key FROM customer WHERE c_acctbal > 9000
+    SELECT setop, key FROM (
+      SELECT 'intersect' AS setop, nationkey AS key FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+      )
+      UNION ALL
+      SELECT 'except', nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 9900
+      )
+      UNION ALL
+      SELECT party, party_key FROM (
+        SELECT 'union_customer' AS party, c_custkey AS party_key FROM customer WHERE c_acctbal > 9000
         UNION
-        SELECT 'supplier' AS party, s_suppkey AS party_key FROM supplier WHERE s_acctbal > 9000
-    ) ORDER BY party, party_key
+        SELECT 'union_supplier', s_suppkey FROM supplier WHERE s_acctbal > 9000
+      )
+    ) ORDER BY setop, key
     """,
-    doc="UNION (distinct) of two filtered scans with a tag column.",
+    doc=(
+        "All three set operators in one tagged result: INTERSECT (nations "
+        "with customers AND suppliers), EXCEPT (nations with customers but "
+        "no high-balance supplier — the s_acctbal > 9900 predicate keeps "
+        "the result non-empty at every SF; round 1's plain EXCEPT matched "
+        "on 0 rows and tested nothing), and UNION-distinct of high-value "
+        "customer/supplier keys. Round 1's three setop_* queries merged."
+    ),
 )
-def setop_union_high_value_parties(spark, sf_dir):
+def setop_family(spark, sf_dir):
     t = load_tables(spark, sf_dir, "customer", "supplier")
-    c = t["customer"].filter(F.col("c_acctbal") > 9000).select(
-        F.lit("customer").alias("party"), F.col("c_custkey").alias("party_key")
+    cust_nations = t["customer"].select(F.col("c_nationkey").alias("key"))
+    supp_nations = t["supplier"].select(F.col("s_nationkey").alias("key"))
+    intersect = (
+        cust_nations.intersect(supp_nations)
+        .select(F.lit("intersect").alias("setop"), "key")
     )
-    s = t["supplier"].filter(F.col("s_acctbal") > 9000).select(
-        F.lit("supplier").alias("party"), F.col("s_suppkey").alias("party_key")
+    except_ = (
+        cust_nations.subtract(
+            t["supplier"].filter(F.col("s_acctbal") > 9900).select(F.col("s_nationkey").alias("key"))
+        )
+        .select(F.lit("except").alias("setop"), "key")
     )
-    return c.unionByName(s).distinct().orderBy("party", "party_key")
+    c_hi = t["customer"].filter(F.col("c_acctbal") > 9000).select(
+        F.lit("union_customer").alias("setop"), F.col("c_custkey").alias("key")
+    )
+    s_hi = t["supplier"].filter(F.col("s_acctbal") > 9000).select(
+        F.lit("union_supplier").alias("setop"), F.col("s_suppkey").alias("key")
+    )
+    union = c_hi.unionByName(s_hi).distinct()
+    return intersect.unionByName(except_).unionByName(union).orderBy("setop", "key")
 
 
 # ------------------------------------------------------------ scalar funcs
 
 
 @register(
-    "scalar_string_funcs",
+    "scalar_funcs",
     """
     SELECT p_partkey,
            UPPER(p_name) AS name_upper,
            CAST(LENGTH(p_name) AS BIGINT) AS name_len,
            SUBSTRING(p_type, 1, 5) AS type_prefix,
            REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
-           CONCAT(p_brand, ':', p_type) AS brand_type
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+           ROUND(LN(p_retailprice + 1), 6) AS price_ln,
+           ROUND(POW(p_size, 2), 2) AS size_sq,
+           ROUND(ABS(p_retailprice - 1000), 2) AS price_dev,
+           CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           CASE WHEN p_retailprice < 500  THEN 'cheap'
+                WHEN p_retailprice < 1500 THEN 'mid'
+                ELSE 'premium' END AS price_band
     FROM part ORDER BY p_partkey
     """,
-    doc="String function projection (upper/length/substr/replace/concat).",
+    doc=(
+        "Scalar-function projection over one scan: string functions "
+        "(upper/length/substr/replace/concat), math functions "
+        "(sqrt/ln/pow/abs/floor), and CASE WHEN banding — all codegen'd "
+        "JVM-side. Round 1's scalar_string_funcs + scalar_math_funcs + "
+        "case_when_price_buckets merged onto the part table."
+    ),
 )
-def scalar_string_funcs(spark, sf_dir):
+def scalar_funcs(spark, sf_dir):
     t = load_tables(spark, sf_dir, "part")
+    band = (
+        F.when(F.col("p_retailprice") < 500, "cheap")
+        .when(F.col("p_retailprice") < 1500, "mid")
+        .otherwise("premium")
+    )
     return (
         t["part"]
         .select(
@@ -301,62 +206,54 @@ def scalar_string_funcs(spark, sf_dir):
             F.substring("p_type", 1, 5).alias("type_prefix"),
             F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
             F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+            F.round(F.pow(F.col("p_size"), 2), 2).alias("size_sq"),
+            F.round(F.abs(F.col("p_retailprice") - 1000), 2).alias("price_dev"),
+            F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bucket"),
+            band.alias("price_band"),
         )
         .orderBy("p_partkey")
     )
 
 
 @register(
-    "scalar_date_funcs",
+    "date_rollup_funcs",
     """
     SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
            CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
            COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders GROUP BY 1, 2 ORDER BY yr, mon
+    FROM orders
+    GROUP BY GROUPING SETS ((YEAR(o_orderdate), MONTH(o_orderdate)),
+                            (quarter(o_orderdate), isodow(o_orderdate)))
+    ORDER BY yr NULLS FIRST, mon NULLS FIRST, qtr NULLS FIRST, iso_dow NULLS FIRST
     """,
-    doc="Date extraction + monthly aggregate.",
+    doc=(
+        "Date-part extraction at two grains in one pass via GROUPING SETS: "
+        "the (year, month) monthly rollup and the (quarter, ISO "
+        "day-of-week) distribution. Spark's dayofweek is 1=Sunday while "
+        "DuckDB's is 0=Sunday — both sides use ISO numbering (Mon=1): "
+        "Spark weekday()+1 ≡ DuckDB isodow. Round 1's scalar_date_funcs + "
+        "date_parts_distribution merged."
+    ),
 )
-def scalar_date_funcs(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    return (
-        t["orders"]
-        .groupBy(
-            F.year("o_orderdate").cast("long").alias("yr"),
-            F.month("o_orderdate").cast("long").alias("mon"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .orderBy("yr", "mon")
-    )
-
-
-@register(
-    "scalar_math_funcs",
-    """
-    SELECT l_orderkey, l_linenumber,
-           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
-           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
-           ROUND(POW(l_discount + 1, 3), 6) AS disc_pow,
-           ROUND(ABS(l_quantity - 25), 2) AS qty_dev,
-           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbucket
-    FROM lineitem WHERE l_orderkey <= 1000 ORDER BY l_orderkey, l_linenumber
-    """,
-    doc="Math function projection; all codegen'd JVM-side.",
-)
-def scalar_math_funcs(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "lineitem")
-    return (
-        t["lineitem"]
-        .filter(F.col("l_orderkey") <= 1000)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-            F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("disc_pow"),
-            F.round(F.abs(F.col("l_quantity") - 25), 2).alias("qty_dev"),
-            F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kbucket"),
-        )
-        .orderBy("l_orderkey", "l_linenumber")
+def date_rollup_funcs(spark, sf_dir):
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+               CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+               CAST(WEEKDAY(o_orderdate) + 1 AS BIGINT) AS iso_dow,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((YEAR(o_orderdate), MONTH(o_orderdate)),
+                                (QUARTER(o_orderdate), WEEKDAY(o_orderdate) + 1))
+        ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST,
+                 qtr ASC NULLS FIRST, iso_dow ASC NULLS FIRST
+        """
     )
 
 
@@ -371,37 +268,37 @@ def scalar_math_funcs(spark, sf_dir):
            COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
            COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
-           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COALESCE(ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 3), -1.0)
+             AS avg_purchase,
+           NULLIF(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS n_errors_or_null
     FROM events GROUP BY user_id ORDER BY user_id
     """,
-    doc="Pivot (wide counts per event type) — single-shuffle conditional agg.",
+    doc=(
+        "Pivot (wide per-type counts AND averages via the real pivot "
+        "relational operator) + NULL-semantics functions on top: aggregates "
+        "skip NULLs, coalesce defaults the never-purchased, nullif "
+        "re-NULLs zero error counts. Round 1's null_handling_funcs merged "
+        "into the pivot — both were one shuffle on user_id."
+    ),
 )
 def pivot_event_type_counts(spark, sf_dir):
     t = load_tables(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    df = t["events"].groupBy("user_id").pivot("event_type", types).count()
-    return df.select(
-        "user_id", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in types]
-    ).orderBy("user_id")
-
-
-@register(
-    "hour_rollup_events",
-    """
-    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
-    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
-    """,
-    doc="Tumbling-hour rollup — the batch analog of a streaming window agg.",
-)
-def hour_rollup_events(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "events")
-    return (
+    df = (
         t["events"]
-        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .orderBy("hour", "event_type")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg"))
     )
+    return df.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{c}_n"), F.lit(0)).cast("long").alias(c) for c in types],
+        F.coalesce(F.round(F.col("purchase_avg"), 3), F.lit(-1.0)).alias("avg_purchase"),
+        F.nullif(F.coalesce(F.col("error_n"), F.lit(0)).cast("long"), F.lit(0)).alias(
+            "n_errors_or_null"
+        ),
+    ).orderBy("user_id")
 
 
 @register(
@@ -546,20 +443,3 @@ def sliding_window_counts(spark, sf_dir):
     )
 
 
-@register(
-    "normalize_text",
-    r"""
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                               ' +', ' ', 'g')) AS norm_text
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Text normalization for dedup/matching: lowercase, strip "
-    "non-alphanumerics, collapse runs of spaces — pure projection.",
-)
-def normalize_text(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
-    )
-    return t["documents"].select("doc_id", norm.alias("norm_text")).orderBy("doc_id")

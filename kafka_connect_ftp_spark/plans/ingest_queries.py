@@ -36,45 +36,45 @@ def _tick_listing(spark, sf_dir, tick: int):
 
 
 @register(
-    "ingest_update_snapshot",
+    "ingest_snapshot_delta",
     """
-    SELECT 'docs' AS topic,
+    SELECT CAST(0 AS BIGINT) AS tick,
+           'docs' AS topic,
            '/docs/' || doc_id AS key_name,
            CAST(0 AS BIGINT) AS key_offset,
            hex(text::BLOB) AS value_hex
-    FROM documents ORDER BY key_name
-    """,
-    doc="Snapshot tick 0: every file is new → whole body at offset 0 "
-    "(FtpMonitor.scala:100-104). The binary value is projected as hex so "
-    "the comparison gate never hashes raw bytes.",
-)
-def ingest_update_snapshot(spark, sf_dir):
-    records, _ = snapshot(_tick_listing(spark, sf_dir, 0), empty_state(spark), _MON, now=_T0)
-    return records.select(
-        "topic", "key_name", "key_offset", F.hex("value").alias("value_hex")
-    ).orderBy("key_name")
-
-
-@register(
-    "ingest_tail_delta",
-    """
-    SELECT 'docs' AS topic,
-           '/docs/' || doc_id AS key_name,
-           CAST(strlen(text) AS BIGINT) AS key_offset,
-           hex((' tail:' || doc_id)::BLOB) AS value_hex
-    FROM documents ORDER BY key_name
+    FROM documents
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           'docs',
+           '/docs/' || doc_id,
+           CAST(strlen(text) AS BIGINT),
+           hex((' tail:' || doc_id)::BLOB)
+    FROM documents
+    ORDER BY tick, key_name
     """,
     doc=(
-        "Snapshot tick 1 in tail mode: the body grew and the sha256 of the "
-        "old prefix matches the stored hash, so exactly the appended bytes "
-        "are emitted at offset = previous size (FtpMonitor.scala:76-81). "
-        "State flows tick 0 → tick 1 as an unmaterialized DataFrame — the "
-        "whole two-tick pipeline is one lazy plan."
+        "Both snapshot ticks in one oracle-checked plan (round 1 shipped "
+        "them as ingest_update_snapshot + ingest_tail_delta). Tick 0: "
+        "every file is new → whole body at offset 0 "
+        "(FtpMonitor.scala:100-104). Tick 1 in tail mode: the body grew "
+        "and the sha256 of the old prefix matches the stored hash, so "
+        "exactly the appended bytes are emitted at offset = previous size "
+        "(FtpMonitor.scala:76-81). State flows tick 0 → tick 1 as an "
+        "unmaterialized DataFrame — the whole two-tick pipeline is one "
+        "lazy plan. Binary values are projected as hex so the comparison "
+        "gate never hashes raw bytes."
     ),
 )
-def ingest_tail_delta(spark, sf_dir):
-    _, state1 = snapshot(_tick_listing(spark, sf_dir, 0), empty_state(spark), _MON, now=_T0)
-    records, _ = snapshot(_tick_listing(spark, sf_dir, 1), state1, _MON, now=_T1)
-    return records.select(
-        "topic", "key_name", "key_offset", F.hex("value").alias("value_hex")
-    ).orderBy("key_name")
+def ingest_snapshot_delta(spark, sf_dir):
+    records0, state1 = snapshot(_tick_listing(spark, sf_dir, 0), empty_state(spark), _MON, now=_T0)
+    records1, _ = snapshot(_tick_listing(spark, sf_dir, 1), state1, _MON, now=_T1)
+    out0 = records0.select(
+        F.lit(0).cast("long").alias("tick"),
+        "topic", "key_name", "key_offset", F.hex("value").alias("value_hex"),
+    )
+    out1 = records1.select(
+        F.lit(1).cast("long").alias("tick"),
+        "topic", "key_name", "key_offset", F.hex("value").alias("value_hex"),
+    )
+    return out0.unionByName(out1).orderBy("tick", "key_name")

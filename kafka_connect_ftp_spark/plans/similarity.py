@@ -43,23 +43,62 @@ def _cos(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible on both
+    engines because the matrix is embedded as literals in each query."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+_LSH_BITS_DUCK = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}::DOUBLE[]) >= 0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p, plane in enumerate(_PLANES)
+)
+
+
 @register(
     "embedding_norms",
-    """
+    f"""
     SELECT vec_id,
            ROUND(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,
-           CAST(LEN(embedding) AS BIGINT) AS dim, CAST(label AS BIGINT) AS label
+           CAST(LEN(embedding) AS BIGINT) AS dim, CAST(label AS BIGINT) AS label,
+           CAST({_LSH_BITS_DUCK} AS BIGINT) AS lsh_bucket
     FROM embeddings ORDER BY vec_id
     """,
-    doc="L2 norms + dims — the normalization step of any vector pipeline.",
+    doc=(
+        "Per-vector map-side profile in one scan: L2 norm + dim (the "
+        "normalization step of any vector pipeline) and the random-"
+        "hyperplane (SimHash-for-vectors) LSH bucket: 8 signed projections "
+        "-> 256 buckets; near-dup search then compares only within buckets "
+        "(multi-probe across hamming-adjacent buckets recovers recall). "
+        "The bucket id is a pure projection, so at 100 TB it is a free "
+        "partitioning column for the table. Round 1's embedding_lsh_buckets "
+        "is the lsh_bucket column."
+    ),
 )
 def embedding_norms(spark, sf_dir):
     df = _emb(spark, sf_dir)
+    bits = None
+    for p, plane in enumerate(_PLANES):
+        arr = "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
+        bit = F.when(F.expr(_DOT.format(a="v", b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
     return df.select(
         "vec_id",
         F.round(F.sqrt(F.expr(_DOT.format(a="v", b="v"))), 4).alias("l2_norm"),
         F.size("embedding").cast("long").alias("dim"),
         F.col("label").cast("long").alias("label"),
+        bits.cast("long").alias("lsh_bucket"),
     ).orderBy("vec_id")
 
 
@@ -145,78 +184,42 @@ def ann_ivf_label_topk(spark, sf_dir):
     ),
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    # norms are computed once per vector (map-side, before the pair join)
-    # instead of per pair; the probe side is broadcast so the scan side
-    # keeps full core parallelism despite the low-cardinality block key
+    # Norms are computed once per vector, map-side. Pair generation is
+    # BUCKET-LOCAL: one shuffle groups each block (label) into a sorted
+    # struct array, and pairs are expanded + scored inside the block —
+    # the same pattern text.py uses for LSH buckets. Nothing is broadcast
+    # (round 1 broadcast the full table, which OOMs at 100 TB) and pairs
+    # below the threshold are dropped before they ever become rows. At
+    # test SF the handful of label blocks caps parallelism, but at real
+    # scale the block key is a 100k+-cell coarse quantizer; a per-block
+    # size cap (like ngram_jaccard's stop-shingle df cap) bounds the
+    # worst block.
     norm = F.sqrt(F.expr(_DOT.format(a="v", b="v")))
     df = (
         _emb(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "v", "label", norm.alias("nrm"))
     )
-    b = df.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("label").alias("label_b"),
-        F.col("nrm").alias("nrm_b"),
+    blocks = (
+        df.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "v", "nrm"))).alias("xs"))
+        .filter(F.size("xs") > 1)
     )
-    cos = F.expr(_DOT.format(a="v", b="vb")) / (F.col("nrm") * F.col("nrm_b"))
+    pair_expr = """
+        flatten(transform(xs, (x, i) ->
+          filter(
+            transform(slice(xs, i + 2, size(xs) - i - 1), y ->
+              struct(x.vec_id AS vec_a, y.vec_id AS vec_b,
+                     aggregate(zip_with(x.v, y.v, (p, q) -> p * q),
+                               CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)
+                       / (x.nrm * y.nrm) AS cos_sim)),
+            s -> s.cos_sim >= 0.3)))
+    """
     return (
-        df.join(F.broadcast(b), (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b")))
-        .filter(cos >= 0.3)
-        .select(F.col("vec_id").alias("vec_a"), "vec_b", F.round(cos, 4).alias("cos_sim"))
+        blocks.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.vec_a", "p.vec_b", F.round("p.cos_sim", 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
-
-
-def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
-    """Deterministic ±1 hyperplanes from md5 parity — reproducible on both
-    engines because the matrix is embedded as literals in each query."""
-    import hashlib
-
-    return [
-        [
-            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
-            for j in range(dim)
-        ]
-        for p in range(n_planes)
-    ]
-
-
-_PLANES = _hyperplanes()
-
-
-def _lsh_bucket_sql() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}::DOUBLE[]) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p, plane in enumerate(_PLANES)
-    )
-    return f"""
-    SELECT vec_id, CAST({bits} AS BIGINT) AS bucket
-    FROM embeddings ORDER BY vec_id
-    """
-
-
-@register(
-    "embedding_lsh_buckets",
-    _lsh_bucket_sql(),
-    doc=(
-        "Random-hyperplane (SimHash-for-vectors) LSH bucketing: 8 signed "
-        "projections -> 256 buckets; near-dup search then compares only "
-        "within buckets (multi-probe across hamming-adjacent buckets "
-        "recovers recall). Map-side only — the bucket id is a projection, "
-        "so at 100 TB this is a free partitioning column for the table."
-    ),
-)
-def embedding_lsh_buckets(spark, sf_dir):
-    df = _emb(spark, sf_dir)
-    bits = None
-    for p, plane in enumerate(_PLANES):
-        arr = "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
-        bit = F.when(F.expr(_DOT.format(a="v", b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return df.select("vec_id", bits.cast("long").alias("bucket")).orderBy("vec_id")
 
 
 @register(
@@ -241,14 +244,41 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+def _dedup_cluster_oracle() -> str:
+    # DuckDB computes the same connected components with a recursive
+    # reachability CTE over the minhash pair graph: walk = every (doc,
+    # reachable doc) pair; the cluster id is the MIN reachable doc_id —
+    # exactly the fixpoint of the engine's min-label propagation.
+    from kafka_connect_ftp_spark.plans.text import _MINHASH_CTES
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM lsh_pairs
+    ),
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    )
+    SELECT doc_id, MIN(reach) AS cluster, doc_id = MIN(reach) AS keep
+    FROM walk GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 @register(
     "dedup_cluster_decision",
-    None,  # iterative (connected components) — rows-only check
+    _dedup_cluster_oracle(),
     doc=(
         "Full dedup decision over the minhash-LSH candidate graph: "
-        "connected components (iterative min-label propagation, "
-        "operators/dedup_cluster.py) + keeper selection. One row per "
-        "document with its cluster id and keep flag."
+        "connected components (iterative min-label propagation with "
+        "per-round localCheckpoint, operators/dedup_cluster.py) + keeper "
+        "selection. One row per document with its cluster id and keep "
+        "flag. The oracle re-derives the same components with a DuckDB "
+        "recursive reachability CTE, so this iterative operator sits "
+        "inside the full hash-comparison gate (round 1 had rows-only)."
     ),
 )
 def dedup_cluster_decision(spark, sf_dir):

@@ -32,43 +32,6 @@ def _docs(spark, sf_dir):
     return load_tables(spark, sf_dir, "documents")["documents"]
 
 
-@register(
-    "text_stats",
-    f"""
-    SELECT doc_id,
-           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
-           CAST(LEN({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
-           CAST(LEN(list_distinct({_DUCK_TOKS})) AS BIGINT) AS n_distinct_tokens,
-           ROUND(CAST(LEN(list_distinct({_DUCK_TOKS})) AS DOUBLE)
-                 / LEN({_DUCK_TOKS}), 4) AS distinct_ratio,
-           ROUND(CAST(list_sum(list_transform({_DUCK_TOKS}, x -> LENGTH(x))) AS DOUBLE)
-                 / LEN({_DUCK_TOKS}), 4) AS avg_token_len,
-           ROUND((CAST(LEN(list_distinct({_DUCK_TOKS})) AS DOUBLE) / LEN({_DUCK_TOKS}))
-                 * (LEAST(LEN({_DUCK_TOKS}), 64) / 64.0), 4) AS quality_score
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Token counting + quality scoring (length/diversity heuristics).",
-)
-def text_stats(spark, sf_dir):
-    df = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS))
-    n_tokens = F.size("toks").cast("long")
-    n_distinct = F.size(F.array_distinct("toks")).cast("long")
-    tok_chars = F.expr("aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)")
-    ratio = n_distinct.cast("double") / n_tokens
-    return (
-        df.select(
-            "doc_id",
-            F.length("text").cast("long").alias("n_chars_calc"),
-            n_tokens.alias("n_tokens"),
-            n_distinct.alias("n_distinct_tokens"),
-            F.round(ratio, 4).alias("distinct_ratio"),
-            F.round(tok_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
-            F.round(ratio * (F.least(n_tokens, F.lit(64)) / F.lit(64.0)), 4).alias("quality_score"),
-        )
-        .orderBy("doc_id")
-    )
-
-
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in"],
     "de": ["der", "die", "das", "und", "ist"],
@@ -87,15 +50,10 @@ def _hits_expr_duck(words):
     return f"LEN(list_filter({_DUCK_TOKS}, x -> x IN ({arr})))"
 
 
-@register(
-    "lang_id_heuristic",
-    f"""
-    SELECT doc_id,
-           CAST({_hits_expr_duck(_STOPWORDS['en'])} AS BIGINT) AS en_hits,
-           CAST({_hits_expr_duck(_STOPWORDS['de'])} AS BIGINT) AS de_hits,
-           CAST({_hits_expr_duck(_STOPWORDS['es'])} AS BIGINT) AS es_hits,
-           CAST({_hits_expr_duck(_STOPWORDS['fr'])} AS BIGINT) AS fr_hits,
-           CASE
+_TOKEN_RX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# lang-ID prediction CASE, shared by the oracle string below
+_LANG_CASE_DUCK = f"""CASE
              WHEN {_hits_expr_duck(_STOPWORDS['en'])} = 0
               AND {_hits_expr_duck(_STOPWORDS['de'])} = 0
               AND {_hits_expr_duck(_STOPWORDS['es'])} = 0
@@ -107,13 +65,53 @@ def _hits_expr_duck(words):
               AND {_hits_expr_duck(_STOPWORDS['de'])} >= {_hits_expr_duck(_STOPWORDS['fr'])} THEN 'de'
              WHEN {_hits_expr_duck(_STOPWORDS['es'])} >= {_hits_expr_duck(_STOPWORDS['fr'])} THEN 'es'
              ELSE 'fr'
-           END AS pred_lang
+           END"""
+
+
+@register(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           CAST(LEN({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct({_DUCK_TOKS})) AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(LEN(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+                 / LEN({_DUCK_TOKS}), 4) AS distinct_ratio,
+           ROUND(CAST(list_sum(list_transform({_DUCK_TOKS}, x -> LENGTH(x))) AS DOUBLE)
+                 / LEN({_DUCK_TOKS}), 4) AS avg_token_len,
+           ROUND((CAST(LEN(list_distinct({_DUCK_TOKS})) AS DOUBLE) / LEN({_DUCK_TOKS}))
+                 * (LEAST(LEN({_DUCK_TOKS}), 64) / 64.0), 4) AS quality_score,
+           CAST({_hits_expr_duck(_STOPWORDS['en'])} AS BIGINT) AS en_hits,
+           CAST({_hits_expr_duck(_STOPWORDS['de'])} AS BIGINT) AS de_hits,
+           CAST({_hits_expr_duck(_STOPWORDS['es'])} AS BIGINT) AS es_hits,
+           CAST({_hits_expr_duck(_STOPWORDS['fr'])} AS BIGINT) AS fr_hits,
+           {_LANG_CASE_DUCK} AS pred_lang,
+           CAST(LEN(regexp_extract_all(text, '{_TOKEN_RX}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LEN(list_distinct(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
+             AS n_distinct_bpe_tokens,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_fp
     FROM documents ORDER BY doc_id
     """,
-    doc="Stopword-list language-ID heuristic (deterministic tie-break en>de>es>fr).",
+    doc=(
+        "Per-document text profile in ONE scan pass (all map-side column "
+        "exprs, no shuffle): token counts + quality score (length/diversity "
+        "heuristics), stopword-list language-ID (deterministic tie-break "
+        "en>de>es>fr), BPE-ish regex token counts (letter runs / digit runs "
+        "/ single punctuation — the GPT-style pre-tokenizer split), and the "
+        "md5 of the normalized text (lowercase, strip non-alnum, collapse "
+        "spaces) for canonical-form matching. Round 1 shipped these as four "
+        "queries (text_stats, lang_id_heuristic, text_regex_token_count, "
+        "normalize_text); merged so the full surface fits the driver's "
+        "correctness window."
+    ),
 )
-def lang_id_heuristic(spark, sf_dir):
-    df = _docs(spark, sf_dir)
+def text_profile(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("toks", F.expr(_TOKS))
+    n_tokens = F.size("toks").cast("long")
+    n_distinct = F.size(F.array_distinct("toks")).cast("long")
+    tok_chars = F.expr("aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)")
+    ratio = n_distinct.cast("double") / n_tokens
     hits = {k: F.expr(_hits_expr_spark(v)).cast("long") for k, v in _STOPWORDS.items()}
     all_zero = (hits["en"] == 0) & (hits["de"] == 0) & (hits["es"] == 0) & (hits["fr"] == 0)
     pred = (
@@ -123,97 +121,109 @@ def lang_id_heuristic(spark, sf_dir):
         .when(hits["es"] >= hits["fr"], "es")
         .otherwise("fr")
     )
-    return df.select(
-        "doc_id",
-        hits["en"].alias("en_hits"),
-        hits["de"].alias("de_hits"),
-        hits["es"].alias("es_hits"),
-        hits["fr"].alias("fr_hits"),
-        pred.alias("pred_lang"),
-    ).orderBy("doc_id")
+    bpe = F.expr(f"regexp_extract_all(text, '{_TOKEN_RX}', 0)")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return (
+        df.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_calc"),
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct_tokens"),
+            F.round(ratio, 4).alias("distinct_ratio"),
+            F.round(tok_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+            F.round(ratio * (F.least(n_tokens, F.lit(64)) / F.lit(64.0)), 4).alias("quality_score"),
+            hits["en"].alias("en_hits"),
+            hits["de"].alias("de_hits"),
+            hits["es"].alias("es_hits"),
+            hits["fr"].alias("fr_hits"),
+            pred.alias("pred_lang"),
+            F.size(bpe).cast("long").alias("n_bpe_tokens"),
+            F.size(F.array_distinct(bpe)).cast("long").alias("n_distinct_bpe_tokens"),
+            F.md5(norm.cast("binary")).alias("norm_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ROLL_B = 131
+_ROLL_M = 2147483647  # 2^31 - 1
 
 
 @register(
     "doc_fingerprint",
-    """
+    f"""
     SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
-           CAST(strlen(text) AS BIGINT) AS n_bytes
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           list_reduce(
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+             (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M}
+           ) AS roll_hash
     FROM documents ORDER BY doc_id
     """,
-    doc="Content fingerprinting (md5 + sha256 over UTF-8 bytes).",
+    doc=(
+        "Document fingerprinting in one pass: md5 + sha256 over the UTF-8 "
+        "bytes plus a polynomial (Rabin-Karp style) rolling hash over the "
+        "character stream — acc = (acc*B + byte) mod M, identical fold "
+        "order on both engines. Round 1's text_rolling_fingerprint is the "
+        "roll_hash column."
+    ),
 )
 def doc_fingerprint(spark, sf_dir):
     df = _docs(spark, sf_dir)
+    chars = "filter(split(text, ''), c -> c <> '')"
+    fold = (
+        f"aggregate(transform(slice({chars}, 2, size({chars}) - 1),"
+        f" c -> cast(ascii(c) as bigint)),"
+        f" cast(ascii(element_at({chars}, 1)) as bigint),"
+        f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
+    )
     return df.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_md5"),
         F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256"),
         F.octet_length("text").cast("long").alias("n_bytes"),
+        F.expr(fold).alias("roll_hash"),
     ).orderBy("doc_id")
 
 
 @register(
     "dedup_exact",
-    """
-    SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
-    FROM documents GROUP BY md5(text) ORDER BY keeper
+    f"""
+    SELECT method, keeper, n_docs FROM (
+      SELECT 'exact' AS method, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+      FROM documents GROUP BY md5(text)
+      UNION ALL
+      SELECT 'token_bag', MIN(doc_id), COUNT(*)
+      FROM (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS bag_fp
+            FROM documents)
+      GROUP BY bag_fp
+    ) ORDER BY method, keeper
     """,
     doc=(
-        "Exact dedup: hash-groupBy on content hash, keep min doc_id. At 100 TB "
-        "this groups on a 128-bit key, never on the text itself."
+        "Exact + near-exact dedup, one row per surviving group: 'exact' "
+        "groups on the md5 of the raw text, 'token_bag' on the md5 of the "
+        "sorted distinct-token bag (order/repetition-insensitive). Both "
+        "group on a 128-bit hash — the text itself never shuffles, which "
+        "is what makes this safe at 100 TB."
     ),
 )
 def dedup_exact(spark, sf_dir):
     df = _docs(spark, sf_dir)
-    return (
+    exact = (
         df.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
-        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
-        .select("keeper", "n_copies")
-        .orderBy("keeper")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("exact").alias("method"), "keeper", "n_docs")
     )
-
-
-@register(
-    "dedup_token_bag",
-    f"""
-    SELECT bag_fp, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
-    FROM (SELECT doc_id,
-                 md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS bag_fp
-          FROM documents)
-    GROUP BY bag_fp HAVING COUNT(*) > 1 ORDER BY bag_fp
-    """,
-    doc="Near-exact dedup on the sorted distinct-token bag (order-insensitive).",
-)
-def dedup_token_bag(spark, sf_dir):
-    df = _docs(spark, sf_dir)
     bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.expr(_TOKS)))).cast("binary"))
-    return (
+    token_bag = (
         df.groupBy(bag.alias("bag_fp"))
         .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .orderBy("bag_fp")
+        .select(F.lit("token_bag").alias("method"), "keeper", "n_docs")
     )
-
-
-@register(
-    "explode_word_counts",
-    f"""
-    SELECT word, COUNT(*) AS n
-    FROM (SELECT UNNEST({_DUCK_TOKS}) AS word FROM documents)
-    GROUP BY word ORDER BY n DESC, word LIMIT 50
-    """,
-    doc="1→N fan-out (explode) + count: the reference's SourceRecordConverter "
-    "1→N contract (SURVEY §2.7 U2) applied to token streams.",
-)
-def explode_word_counts(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    return (
-        df.select(F.explode(F.expr(_TOKS)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "word")
-        .limit(50)
-    )
+    return exact.unionByName(token_bag).orderBy("method", "keeper")
 
 
 # ----------------------------------------------------------- minhash / LSH
@@ -227,8 +237,8 @@ _SHINGLE = 8  # char-gram width
 # uses a static series + WHERE (4096 > max document length at any SF here).
 # The 8 minhash functions are the four 8-hex-char slices of two seeded md5
 # digests — 2 md5 calls per shingle instead of 8, same independence.
-_MINHASH_ORACLE = f"""
-    WITH shingles AS (
+# The CTE block is shared with dedup_cluster_decision's recursive oracle.
+_MINHASH_CTES = f"""shingles AS (
       SELECT DISTINCT doc_id,
              substring(text, CAST(i AS INTEGER), {_SHINGLE}) AS sh
       FROM documents, generate_series(1, 4096) AS t(i)
@@ -248,11 +258,16 @@ _MINHASH_ORACLE = f"""
           f"SELECT doc_id, {b} AS band, md5(m{2 * b} || ',' || m{2 * b + 1}) AS bsig FROM sig"
           for b in range(_N_SEEDS // _BAND_SIZE)
       )}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
+    ),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b
     """
 
 
@@ -451,87 +466,40 @@ _SIMHASH_ORACLE = f"""
     _SIMHASH_ORACLE,
     doc=(
         "32-bit SimHash per document from token md5s (frequency-weighted, "
-        "tie s=0 → bit 1). Near-dup candidates = small hamming distance."
+        "tie s=0 → bit 1). Near-dup candidates = small hamming distance. "
+        "One explode per token and ONE shuffle keyed on doc_id: the 32 bit "
+        "counters are 32 conditional SUM columns in a single hash "
+        "aggregate (map-side partials), not a 32x row fan-out — round 1 "
+        "exploded (k x b) per token, multiplying shuffle input 32x."
     ),
 )
 def simhash_fingerprint(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk")).withColumn("h8", F.substring(F.md5(F.col("tk").cast("binary")), 1, 8))
-    kb = tok.select(
-        "doc_id",
-        "h8",
-        F.explode(F.expr("sequence(1, 8)")).alias("k"),
-    ).select(
-        "doc_id",
-        "k",
-        F.explode(F.expr("sequence(0, 3)")).alias("b"),
-        (F.expr("instr('0123456789abcdef', substring(h8, k, 1))") - 1).alias("v"),
+    df = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk")).select(
+        "doc_id", F.substring(F.md5(F.col("tk").cast("binary")), 1, 8).alias("h8")
     )
-    contrib = F.when(F.expr("(v >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-    bits = kb.groupBy("doc_id", "k", "b").agg(F.sum(contrib).alias("s"))
-    weight = F.expr("shiftleft(CAST(1 AS BIGINT), (8 - k) * 4 + b)")
-    return (
-        bits.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("s") >= 0, weight).otherwise(F.lit(0))).cast("long").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    # s_{k}_{b} = sum over tokens of +-1 for hex digit k's bit b
+    sums = [
+        F.sum(
+            F.when(
+                F.expr(
+                    f"((instr('0123456789abcdef', substring(h8, {k}, 1)) - 1) >> {b}) & 1"
+                )
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"s_{k}_{b}")
+        for k in range(1, 9)
+        for b in range(4)
+    ]
+    bits = tok.groupBy("doc_id").agg(*sums)
+    simhash = None
+    for k in range(1, 9):
+        for b in range(4):
+            term = F.when(F.col(f"s_{k}_{b}") >= 0, F.lit(1 << ((8 - k) * 4 + b))).otherwise(
+                F.lit(0)
+            )
+            simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
 
 
-_ROLL_B = 131
-_ROLL_M = 2147483647  # 2^31 - 1
-
-
-@register(
-    "text_rolling_fingerprint",
-    f"""
-    SELECT doc_id,
-           list_reduce(
-             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-             (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M}
-           ) AS roll_hash
-    FROM documents ORDER BY doc_id
-    """,
-    doc=(
-        "Polynomial (Rabin-Karp style) rolling-hash fingerprint over the "
-        "character stream: left fold acc = (acc*B + byte) mod M. Pure "
-        "column fold, identical iteration order on both engines."
-    ),
-)
-def text_rolling_fingerprint(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    chars = "filter(split(text, ''), c -> c <> '')"
-    fold = (
-        f"aggregate(transform(slice({chars}, 2, size({chars}) - 1),"
-        f" c -> cast(ascii(c) as bigint)),"
-        f" cast(ascii(element_at({chars}, 1)) as bigint),"
-        f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
-    )
-    return df.select("doc_id", F.expr(fold).alias("roll_hash")).orderBy("doc_id")
-
-
-_TOKEN_RX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-
-
-@register(
-    "text_regex_token_count",
-    f"""
-    SELECT doc_id,
-           CAST(LEN(regexp_extract_all(text, '{_TOKEN_RX}')) AS BIGINT) AS n_bpe_tokens,
-           CAST(LEN(list_distinct(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
-             AS n_distinct_bpe_tokens
-    FROM documents ORDER BY doc_id
-    """,
-    doc=(
-        "BPE-ish regex tokenization (letter runs / digit runs / single "
-        "punctuation) — the pre-tokenizer split of GPT-style BPE, counted "
-        "per document."
-    ),
-)
-def text_regex_token_count(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RX}', 0)")
-    return df.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_bpe_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe_tokens"),
-    ).orderBy("doc_id")

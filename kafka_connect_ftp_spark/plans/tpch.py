@@ -220,42 +220,30 @@ def join_broadcast_dim(spark, sf_dir):
 
 
 @register(
-    "semi_join_open_order_customers",
-    """
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    ORDER BY c_custkey
-    """,
-    doc="Left-semi join (EXISTS): customers holding at least one open order.",
-)
-def semi_join_open_order_customers(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "customer", "orders")
-    open_orders = t["orders"].filter(F.col("o_orderstatus") == "O")
-    return (
-        t["customer"]
-        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@register(
     "anti_join_idle_customers",
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     ORDER BY c_custkey
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+    doc=(
+        "Left-anti join (NOT EXISTS): customers with no finished ('F') "
+        "order. The round-1 form anti-joined against ALL orders, which is "
+        "vacuously empty in this testdata (every customer has an order); "
+        "the 'F' predicate keeps survivors at every SF so the oracle "
+        "actually exercises anti-join row production. The left-SEMI join "
+        "shape is exercised by q4 (EXISTS with a non-equi conjunct) and "
+        "decontamination_flags (broadcast semi)."
+    ),
 )
 def anti_join_idle_customers(spark, sf_dir):
     t = load_tables(spark, sf_dir, "customer", "orders")
+    finished = t["orders"].filter(F.col("o_orderstatus") == "F")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(finished, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )

@@ -152,51 +152,3 @@ def q7_nation_volume(spark, sf_dir):
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "yr")
     )
-
-
-@register(
-    "funnel_signup_to_purchase",
-    """
-    WITH f AS (
-      SELECT user_id,
-             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
-             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS any_purchase_ts
-      FROM events GROUP BY user_id
-    ),
-    conv AS (
-      SELECT f.user_id, f.signup_ts,
-             MIN(e.ts) AS first_purchase_after_signup
-      FROM f LEFT JOIN events e
-        ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.signup_ts
-      GROUP BY f.user_id, f.signup_ts
-    )
-    SELECT user_id, signup_ts, first_purchase_after_signup,
-           signup_ts IS NOT NULL AND first_purchase_after_signup IS NOT NULL AS converted
-    FROM conv ORDER BY user_id
-    """,
-    doc=(
-        "Conversion funnel: each user's first signup and first purchase at "
-        "or after it — conditional-min aggregates plus an event-time "
-        "predicate join (single shuffle on user_id)."
-    ),
-)
-def funnel_signup_to_purchase(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "events")
-    ev = t["events"]
-    f = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    conv = (
-        f.join(purchases, (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("signup_ts")), "left")
-        .groupBy("user_id", "signup_ts")
-        .agg(F.min("p_ts").alias("first_purchase_after_signup"))
-    )
-    return conv.select(
-        "user_id",
-        "signup_ts",
-        "first_purchase_after_signup",
-        (F.col("signup_ts").isNotNull() & F.col("first_purchase_after_signup").isNotNull()).alias("converted"),
-    ).orderBy("user_id")

@@ -48,10 +48,20 @@ def test_q5_all_joins_broadcast(plans):
     assert "BroadcastHashJoin" in plan
 
 
-def test_topk_no_global_sort(plans):
-    plan = plans("sort_topk_orders")
-    assert "TakeOrderedAndProject" in plan
-    assert shuffle_count(plan) == 0
+def test_near_dup_no_broadcast_of_corpus(plans):
+    # the pair generation must be bucket-local (collect_list per block),
+    # never a broadcast of the full embeddings table — a full-table
+    # broadcast OOMs executors at scale
+    plan = plans("embedding_near_dup_pairs")
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_single_shuffle(plans):
+    # one explode per token, 32 conditional sums in ONE doc_id aggregate —
+    # no (k x b) row fan-out, and at most the repartition + agg exchanges
+    plan = plans("simhash_fingerprint")
+    assert shuffle_count(plan) <= 2
 
 
 def test_changelog_uses_window_group_limit(plans):
