@@ -20,6 +20,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -63,6 +64,42 @@ class Codec:
 
     def sample_frames(self, content: bytes, every_n: int) -> list[bytes]:
         raise NotImplementedError("media codecs are not available in this build")
+
+
+class HeaderCodec(Codec):
+    """REAL image-dimension extraction from format headers with stdlib
+    ``struct`` only — no media library required. Understands PNG (IHDR
+    chunk), JPEG (SOFn frame marker scan), and GIF (logical screen
+    descriptor). Pixel decoding / frame sampling still needs a real
+    decoder (Pillow/ffmpeg) and stays NotImplemented here."""
+
+    def image_dims(self, content: bytes) -> tuple[int, int]:
+        if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", content[16:24])
+            return w, h
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", content[6:10])
+            return w, h
+        if content[:2] == b"\xff\xd8":  # JPEG SOI; walk the marker segments
+            i = 2
+            while i + 9 <= len(content):
+                if content[i] != 0xFF:
+                    raise ValueError("corrupt JPEG marker stream")
+                marker = content[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # no payload
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+                # SOF0..SOF15 carry dimensions, except DHT/JPG/DAC (C4/C8/CC)
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                    return w, h
+                i += 2 + seg_len
+            raise ValueError("no SOF marker found in JPEG stream")
+        raise ValueError("unsupported image format (PNG/JPEG/GIF headers supported)")
 
 
 class FakeCodec(Codec):

@@ -11,10 +11,44 @@ from kafka_connect_ftp_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     Codec,
     FakeCodec,
+    HeaderCodec,
     image_features,
     media_meta,
     sample_frames,
 )
+
+
+def make_png(width: int, height: int) -> bytes:
+    """A real PNG signature + IHDR chunk (header parsing needs no IDAT)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """A real JPEG byte stream: SOI, APP0 (JFIF), DQT stub, SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def make_gif(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
 
 
 @pytest.fixture
@@ -55,3 +89,27 @@ def test_frame_sampling_one_to_n(media):
 def test_real_codec_interface_raises(media):
     with pytest.raises(Exception, match="not available|NotImplemented"):
         image_features(media, codec=Codec()).collect()
+
+
+def test_header_codec_parses_real_formats():
+    codec = HeaderCodec()
+    assert codec.image_dims(make_png(640, 480)) == (640, 480)
+    assert codec.image_dims(make_jpeg(1920, 1080)) == (1920, 1080)
+    assert codec.image_dims(make_gif(13, 37)) == (13, 37)
+    with pytest.raises(ValueError, match="unsupported"):
+        codec.image_dims(b"not an image at all")
+    with pytest.raises(ValueError, match="no SOF"):
+        codec.image_dims(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame header
+
+
+def test_image_features_with_header_codec(spark):
+    rows_in = [
+        (10, "image", "image/png", make_png(320, 200)),
+        (11, "image", "image/jpeg", make_jpeg(800, 600)),
+        (12, "video", "video/mp4", bytes(16)),
+    ]
+    media = spark.createDataFrame(rows_in, MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in image_features(media, codec=HeaderCodec()).collect()}
+    assert set(rows) == {10, 11}
+    assert (rows[10].width, rows[10].height) == (320, 200)
+    assert (rows[11].width, rows[11].height) == (800, 600)
