@@ -83,15 +83,21 @@ class MonitoredPath:
 def glob_to_regex(glob: str) -> str:
     """Translate a java.nio-style glob to an anchored regex.
 
-    Supports ``*`` (within segment), ``?``, ``[...]`` classes and ``{a,b}``
-    alternation — the constructs the reference's per-segment PathMatcher
-    accepts (FtpFileLister.scala:20-25). ``*`` and ``?`` never match "/".
+    Supports ``*`` (within segment), ``**`` (crosses segments), ``?``,
+    ``[...]`` classes and ``{a,b}`` alternation — the java.nio glob
+    constructs the reference's PathMatcher accepts
+    (FtpFileLister.scala:20-25). ``*`` and ``?`` never match "/";
+    ``**`` does.
     """
     out, i = [], 0
     while i < len(glob):
         c = glob[i]
         if c == "*":
-            out.append("[^/]*")
+            if i + 1 < len(glob) and glob[i + 1] == "*":
+                out.append(".*")
+                i += 1
+            else:
+                out.append("[^/]*")
         elif c == "?":
             out.append("[^/]")
         elif c == "[":

@@ -1,0 +1,105 @@
+"""Python Data Source tests: spark.read.format("ftpfiles") end to end
+against the in-memory fake FTP client, plus the streaming reader's
+poll/offset semantics (change detection + crash replay)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_ftp_spark.sources.ftp import FtpSource
+from kafka_connect_ftp_spark.sources.ftp_datasource import (
+    FtpFilesDataSource,
+    FtpFilesReader,
+    FtpFilesStreamReader,
+)
+from tests.test_ftp_source import TREE, FakeFtp
+
+_FILES = dict(TREE)
+_MTIMES: dict[str, str] = {}
+
+
+class FakeFtpFilesDataSource(FtpFilesDataSource):
+    """Same source, fake transport — cloudpickle ships this subclass (and
+    the module-level _FILES it closes over) to executors by value."""
+
+    @classmethod
+    def name(cls):
+        return "fakeftpfiles"
+
+    def _make_source(self):
+        return FtpSource(
+            host="fake", _client_factory=lambda: FakeFtp(_FILES, mtimes=_MTIMES)
+        )
+
+
+def _ds(options: dict) -> FakeFtpFilesDataSource:
+    return FakeFtpFilesDataSource(options=options)
+
+
+def test_batch_read_via_spark_format(spark):
+    spark.dataSource.register(FakeFtpFilesDataSource)
+    df = (
+        spark.read.format("fakeftpfiles")
+        .option("pattern", "/a/dir?/path/*.txt")
+        .option("numPartitions", "2")
+        .load()
+    )
+    got = {r.path: (r.size, bytes(r.content)) for r in df.collect()}
+    assert got == {
+        "/a/dira/path/file1.txt": (3, b"one"),
+        "/a/dirb/path/file3.txt": (5, b"three"),
+    }
+    # projections/filters compose like any DataFrame source
+    assert df.filter("size > 3").count() == 1
+
+
+def test_batch_metadata_only_skips_fetch(spark):
+    spark.dataSource.register(FakeFtpFilesDataSource)
+    df = (
+        spark.read.format("fakeftpfiles")
+        .option("pattern", "/a/dirb/path/*")
+        .option("fetch", "false")
+        .load()
+    )
+    rows = df.collect()
+    assert {r.path for r in rows} == {"/a/dirb/path/file3.txt", "/a/dirb/path/file4.csv"}
+    assert all(r.content is None for r in rows)
+
+
+def test_reader_partitions_cover_all_files_once():
+    reader = FtpFilesReader(_ds({"pattern": "/a/**", "numPartitions": "3"}))
+    parts = reader.partitions()
+    all_files = [f for p in parts for f in p.files]
+    assert sorted(p for p, _, _ in all_files) == sorted(_FILES)
+    assert len(parts) == 3
+
+
+def test_missing_pattern_rejected():
+    with pytest.raises(ValueError, match="pattern"):
+        FtpFilesReader(_ds({})).partitions()
+
+
+def test_stream_reader_poll_and_replay():
+    stream = FtpFilesStreamReader(_ds({"pattern": "/a/dirb/path/*"}))
+    off0 = stream.initialOffset()
+    rows1, off1 = stream.read(off0)
+    emitted1 = {r[0]: r[3] for r in rows1}
+    assert emitted1 == {
+        "/a/dirb/path/file3.txt": b"three",
+        "/a/dirb/path/file4.csv": b"four",
+    }
+    # unchanged tree → empty micro-batch, offset stable
+    rows2, off2 = stream.read(off1)
+    assert list(rows2) == [] and off2 == off1
+    # mutate one file (content + mtime): only it is re-emitted
+    _FILES["/a/dirb/path/file3.txt"] = b"three-more"
+    _MTIMES["/a/dirb/path/file3.txt"] = "20240601130000"
+    try:
+        rows3, off3 = stream.read(off2)
+        assert {r[0]: r[3] for r in rows3} == {"/a/dirb/path/file3.txt": b"three-more"}
+        # crash replay between committed offsets refetches exactly the delta
+        replay = list(stream.readBetweenOffsets(off2, off3))
+        assert [(r[0], r[3]) for r in replay] == [("/a/dirb/path/file3.txt", b"three-more")]
+    finally:
+        _FILES["/a/dirb/path/file3.txt"] = TREE["/a/dirb/path/file3.txt"]
+        _MTIMES.clear()

@@ -31,6 +31,16 @@ def test_star_does_not_cross_segments():
     assert matches("/tails/*", ["/tails/x", "/tails/sub/y"]) == ["/tails/x"]
 
 
+def test_double_star_crosses_segments():
+    assert matches("/a/**", TREE) == TREE
+    assert matches("/a/**/*.txt", TREE) == [
+        "/a/dira/path/file1.txt",
+        "/a/dirb/nopath/file2.txt",
+        "/a/dirb/path/file3.txt",
+    ]
+    assert matches("/a/**.csv", TREE) == ["/a/dirb/path/file4.csv"]
+
+
 def test_fixed_path():
     assert matches("/a/dirb/path/file3.txt", TREE) == ["/a/dirb/path/file3.txt"]
 
