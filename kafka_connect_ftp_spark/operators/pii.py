@@ -1,0 +1,67 @@
+"""PII detection and scrubbing for training-data pipelines.
+
+Every pattern is applied with built-in ``regexp_replace`` /
+``regexp_count`` column expressions — JVM-side, whole-stage-codegen'd, no
+Python in the per-row path — so scrubbing a 100 TB corpus is a pure
+map-side projection that pipelines with any other transform.
+
+The pattern set covers the categories the public corpus-cleaning
+literature scrubs (emails, phone numbers, IP addresses, SSN-shaped ids,
+16-digit PAN-shaped numbers); each replacement is a typed placeholder
+token so downstream tokenizers see a stable vocabulary item instead of a
+hole.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# order matters: PAN before phone (a 16-digit run contains phone-shaped
+# substrings), email before anything that could eat its digits
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("pan", r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"(?<![\d-])(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]\d{3}[ .-]\d{4}(?![\d-])",
+        "<PHONE>",
+    ),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_column(col: Column | str) -> Column:
+    """The scrubbed text: every PII category replaced by its placeholder."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(col: Column | str) -> list[Column]:
+    """One aliased count column per category (pre-scrub occurrences)."""
+    src = F.col(col) if isinstance(col, str) else col
+    cols = []
+    remaining = src
+    for name, pattern, repl in PII_PATTERNS:
+        # count on the progressively-scrubbed text so overlapping
+        # categories (PAN digits vs phone) aren't double-counted, matching
+        # what scrub_column actually replaces
+        cols.append(F.regexp_count(remaining, F.lit(pattern)).alias(f"n_{name}"))
+        remaining = F.regexp_replace(remaining, pattern, repl)
+    return cols
+
+
+def scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-category counts and replace ``text_col`` with the
+    scrubbed text; ``has_pii`` flags rows that were touched."""
+    counted = df.select(
+        "*",
+        *pii_counts(text_col),
+    )
+    total = sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS)
+    return counted.withColumn(text_col, scrub_column(text_col)).withColumn(
+        "has_pii", total > 0
+    )

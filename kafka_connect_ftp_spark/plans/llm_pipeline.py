@@ -127,26 +127,69 @@ def decontamination_flags(spark, sf_dir):
     f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKS} AS tk, LENGTH(text) AS n_chars FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1] AS b
+      FROM t, generate_series(1, 8192) AS s(i) WHERE i <= LEN(tk) - 1
+    ),
+    bct AS (SELECT doc_id, b, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, ROUND(CAST(MAX(ct) AS DOUBLE) / SUM(ct), 4) AS top_bigram_frac
+      FROM bct GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT t.doc_id,
            LEN(tk) BETWEEN 16 AND 4096 AS len_ok,
            (CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk))
              BETWEEN 3 AND 10 AS word_len_ok,
            (CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)) >= 0.2 AS diversity_ok,
+           rep.top_bigram_frac,
+           COALESCE(rep.top_bigram_frac <= 0.04, TRUE) AS repetition_ok,
            (LEN(tk) BETWEEN 16 AND 4096)
              AND ((CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk))
                   BETWEEN 3 AND 10)
-             AND ((CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)) >= 0.2) AS keep
-    FROM t ORDER BY doc_id
+             AND ((CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)) >= 0.2)
+             AND COALESCE(rep.top_bigram_frac <= 0.04, TRUE) AS keep
+    FROM t LEFT JOIN rep ON rep.doc_id = t.doc_id ORDER BY t.doc_id
     """,
     doc=(
         "Rule-based quality gate (Gopher/C4-style): token-count bounds, "
-        "mean-word-length band, type-token diversity floor — pure map-side "
-        "flags; the keep column is the conjunctive filter decision."
+        "mean-word-length band, type-token diversity floor, plus the Gopher "
+        "repetition metric — the fraction of all word 2-grams taken by the "
+        "single most frequent one (high = boilerplate/loop text; the 0.04 "
+        "threshold splits this corpus both ways at every SF so the flag is "
+        "non-vacuous). The scalar flags are map-side; the bigram fraction "
+        "is an explode + two-level hash aggregate co-partitioned on doc_id, "
+        "left-joined so token-poor documents still gate (repetition_ok "
+        "defaults true). keep is the conjunctive filter decision."
     ),
 )
 def quality_filter_flags(spark, sf_dir):
-    df = load_tables(spark, sf_dir, "documents")["documents"].withColumn("tk", F.expr(_TOKS))
+    df = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("tk", F.expr(_TOKS))
+    )
+    bigrams = df.select(
+        "doc_id",
+        F.explode(
+            # empty array (not greatest(...,1)) for <2-token docs so they
+            # produce no bigram rows, matching the oracle's i <= LEN-1
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN"
+                " transform(sequence(1, size(tk) - 1),"
+                "  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("b"),
+    )
+    rep = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("ct").cast("double") / F.sum("ct"), 4).alias("top_bigram_frac")
+        )
+    )
     n_tok = F.size("tk")
     mean_wl = F.expr("aggregate(transform(tk, x -> length(x)), 0, (a, x) -> a + x)").cast(
         "double"
@@ -155,10 +198,17 @@ def quality_filter_flags(spark, sf_dir):
     len_ok = (n_tok >= 16) & (n_tok <= 4096)
     wl_ok = (mean_wl >= 3) & (mean_wl <= 10)
     div_ok = diversity >= 0.2
-    return df.select(
-        "doc_id",
-        len_ok.alias("len_ok"),
-        wl_ok.alias("word_len_ok"),
-        div_ok.alias("diversity_ok"),
-        (len_ok & wl_ok & div_ok).alias("keep"),
-    ).orderBy("doc_id")
+    rep_ok = F.coalesce(F.col("top_bigram_frac") <= 0.04, F.lit(True))
+    return (
+        df.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            len_ok.alias("len_ok"),
+            wl_ok.alias("word_len_ok"),
+            div_ok.alias("diversity_ok"),
+            "top_bigram_frac",
+            rep_ok.alias("repetition_ok"),
+            (len_ok & wl_ok & div_ok & rep_ok).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

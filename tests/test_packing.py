@@ -1,0 +1,87 @@
+"""Sequence-packing operator: budget respected, every document packed
+exactly once, oversize docs isolated + flagged, deterministic output, and
+sane fill ratios on the real documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def packed_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return docs, pack_sequences(docs, max_tokens=256, n_shards=8)
+
+
+def test_budget_never_exceeded(packed_docs):
+    _, packed = packed_docs
+    over = (
+        packed.filter(~F.col("truncated"))
+        .groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("total"))
+        .filter(F.col("total") > 256)
+    )
+    assert over.count() == 0
+
+
+def test_every_doc_packed_exactly_once(packed_docs):
+    docs, packed = packed_docs
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_oversize_docs_isolated_and_flagged(spark):
+    rows = [(1, 10), (2, 300), (3, 20), (4, 256)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, max_tokens=256, n_shards=2)
+    flagged = {r.doc_id: r.truncated for r in packed.collect()}
+    assert flagged[2] and flagged[4]  # n >= max_tokens each alone, flagged
+    assert not flagged[1] and not flagged[3]
+    # an oversize doc never shares a sequence
+    seq_of = {r.doc_id: r.seq_id for r in packed.collect()}
+    members = [d for d, s in seq_of.items() if s == seq_of[2]]
+    assert members == [2]
+
+
+def test_positions_are_contiguous_concatenation_order(packed_docs):
+    _, packed = packed_docs
+    bad = (
+        packed.groupBy("seq_id")
+        .agg(F.sort_array(F.collect_list("position")).alias("ps"), F.count("*").alias("n"))
+        .filter(F.expr("ps <> sequence(0, int(n) - 1)"))
+    )
+    assert bad.count() == 0
+
+
+def test_deterministic(packed_docs):
+    docs, packed = packed_docs
+    again = pack_sequences(docs, max_tokens=256, n_shards=8)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_fill_ratio_beats_naive(packed_docs):
+    docs, packed = packed_docs
+    stats = packing_stats(packed, max_tokens=256).collect()[0]
+    naive_fill = (
+        docs.filter(F.col("n_tokens") < 256)
+        .agg(F.avg(F.col("n_tokens") / 256.0))
+        .collect()[0][0]
+    )
+    assert stats.n_documents == docs.count()
+    assert stats.mean_fill_ratio > naive_fill  # packing must beat 1 doc/seq
+    assert stats.mean_fill_ratio > 0.7
+
+
+def test_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
