@@ -69,6 +69,7 @@ class PollPipeline:
         drop_empty: bool = False,
         max_files_per_poll: int | None = None,
         keep_history: bool = False,
+        bucket_state: int | None = None,
     ) -> None:
         self.spark = spark
         self.monitors = list(monitors)
@@ -80,6 +81,15 @@ class PollPipeline:
         # state_dir/history (valid-from = last_inspected; the current
         # version lives in the versioned snapshot as usual)
         self.keep_history = keep_history
+        # bucket_state=N stores each state version as a managed table
+        # bucketed by path: the snapshot join (J1, the poll loop's only
+        # shuffle) then reads the state side bucket-aligned with NO
+        # Exchange — at 10^8 tracked files only the fresh listing
+        # shuffles per tick, never the accumulated state (SURVEY.md §4
+        # "state table is bucketable by path"). Pick N to match
+        # spark.sql.shuffle.partitions so the listing shuffle lands
+        # directly on the bucket layout.
+        self.bucket_state = bucket_state
         self._last_records: DataFrame | None = None
         os.makedirs(state_dir, exist_ok=True)
 
@@ -88,25 +98,49 @@ class PollPipeline:
     def _marker(self) -> str:
         return os.path.join(self.state_dir, "CURRENT")
 
+    def _table_name(self, version: str) -> str:
+        import hashlib
+
+        digest = hashlib.md5(self.state_dir.encode()).hexdigest()[:10]
+        return f"ftp_state_{digest}_{version}"
+
     def load_state(self) -> DataFrame:
         if os.path.exists(self._marker):
             with open(self._marker) as fh:
                 version = fh.read().strip()
+            if self.bucket_state:
+                return self.spark.table(self._table_name(version))
             return self.spark.read.schema(STATE_SCHEMA).parquet(
                 os.path.join(self.state_dir, version)
             )
         return empty_state(self.spark)
 
     def _commit_state(self, new_state: DataFrame) -> None:
-        version = "v0"
+        version, prev_version = "v0", None
         if os.path.exists(self._marker):
             with open(self._marker) as fh:
-                version = f"v{int(fh.read().strip()[1:]) + 1}"
-        new_state.write.mode("overwrite").parquet(os.path.join(self.state_dir, version))
+                prev_version = fh.read().strip()
+            version = f"v{int(prev_version[1:]) + 1}"
+        if self.bucket_state:
+            # managed bucketed table per version; sortBy(path) gives the
+            # sort-merge join pre-sorted bucket files as well
+            (
+                new_state.write.bucketBy(self.bucket_state, "path")
+                .sortBy("path")
+                .mode("overwrite")
+                .saveAsTable(self._table_name(version))
+            )
+        else:
+            new_state.write.mode("overwrite").parquet(os.path.join(self.state_dir, version))
         tmp = self._marker + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, self._marker)
+        if self.bucket_state and prev_version is not None:
+            # the marker is the source of truth, so the superseded
+            # version's table can go; a crash before this DROP leaves an
+            # orphan table, never a wrong state
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(prev_version)}")
 
     # -- the poll ---------------------------------------------------------
     def poll(

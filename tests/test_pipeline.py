@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.ingest.model import MonitoredPath
 from kafka_connect_ftp_spark.ingest.pipeline import PollPipeline, _glob_base
@@ -60,6 +61,46 @@ def test_poll_cycle_with_restart(spark, tree, tmp_path):
         (r.topic, r.key_offset, bytes(r.value)) for r in pipe2.poll().collect()
     }
     assert got1 == {("tails", 6, b"world"), ("updates", 0, b"v2!")}
+
+
+def test_bucketed_state_poll_cycle_and_shuffle_elision(spark, tree, tmp_path):
+    state_dir = str(tmp_path / "state")
+    write(tree, "tails/t0", b"hello ", T0)
+    write(tree, "updates/u0", b"v1", T0)
+
+    pipe = PollPipeline(spark, monitors(tree), state_dir, drop_empty=True, bucket_state=4)
+    got0 = {(r.topic, r.key_offset, bytes(r.value)) for r in pipe.poll().collect()}
+    assert got0 == {("tails", 0, b"hello "), ("updates", 0, b"v1")}
+
+    write(tree, "tails/t0", b"hello world", T0 + 60)
+    # restart: a fresh pipeline recovers state from the bucketed table
+    pipe2 = PollPipeline(spark, monitors(tree), state_dir, drop_empty=True, bucket_state=4)
+    got1 = {(r.topic, r.key_offset, bytes(r.value)) for r in pipe2.poll().collect()}
+    assert got1 == {("tails", 6, b"world")}
+
+    # superseded version tables are dropped; exactly one current version
+    live = [t.name for t in spark.catalog.listTables() if t.name.startswith("ftp_state_")]
+    assert live == [pipe2._table_name("v1")]
+
+    # the point of bucketing: joining on path reads the state side
+    # bucket-aligned with NO Exchange (only the probe side shuffles) —
+    # in the SMJ regime a real deployment is in, not the broadcast
+    # regime this test's table sizes would pick
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        state = pipe2.load_state()
+        probe = spark.createDataFrame([(p.path,) for p in state.select("path").collect()], "k string")
+        plan = (
+            probe.join(state, probe["k"] == state["path"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1  # probe side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_new_file_between_polls(spark, tree, tmp_path):
