@@ -101,6 +101,7 @@ def test_bucketed_state_poll_cycle_and_shuffle_elision(spark, tree, tmp_path):
         assert plan.count("Exchange") == 1  # probe side only
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {pipe2._table_name('v1')}")
 
 
 def test_new_file_between_polls(spark, tree, tmp_path):
