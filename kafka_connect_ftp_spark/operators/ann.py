@@ -66,6 +66,80 @@ def ivf_search(index: IvfIndex, query: list[float], top_k: int = 10, nprobe: int
     )
 
 
+def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes (md5-parity seeded), the same
+    construction plans/similarity.py embeds in the oracle-checked
+    ``embedding_norms`` query."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector its random-hyperplane bucket (map-side only —
+    a free partitioning column: sign bit p = 1 iff v · plane_p >= 0)."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    bits = None
+    for p, plane in enumerate(planes):
+        arr = "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
+        bit = F.when(F.expr(_DOT.format(a="v", b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return base.withColumn("bucket", bits.cast("int"))
+
+
+def lsh_search(
+    bucketed: DataFrame,
+    query: list[float],
+    planes: list[list[float]],
+    *,
+    top_k: int = 10,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH: exact cosine top-k over every bucket within
+    ``max_hamming`` bit flips of the query's bucket.
+
+    Single-probe (max_hamming=0) misses true neighbors that fall on the
+    other side of one hyperplane; probing hamming-adjacent buckets
+    recovers that recall at (n_planes choose <=h) × the bucket-scan cost
+    — still a tiny fraction of the corpus. With the table written
+    partitioned by bucket, the isin filter is partition pruning, so each
+    probe is a sub-scan (same scale argument as IVF nprobe).
+    """
+    import itertools
+    import math
+
+    n = len(planes)
+    qbits = sum(
+        (1 << p) if sum(a * b for a, b in zip(query, plane)) >= 0 else 0
+        for p, plane in enumerate(planes)
+    )
+    probe = [
+        qbits ^ sum(1 << p for p in flips)
+        for h in range(max_hamming + 1)
+        for flips in itertools.combinations(range(n), h)
+    ]
+    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
+    q_arr = F.array(*[F.lit(float(x)) for x in query])
+    cand = bucketed.filter(F.col("bucket").isin(probe)).withColumn("qv", q_arr)
+    cos = F.expr(_DOT.format(a="v", b="qv")) / (
+        F.sqrt(F.expr(_DOT.format(a="v", b="v"))) * F.lit(qnorm)
+    )
+    return (
+        cand.select("vec_id", "bucket", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(top_k)
+    )
+
+
 def brute_force_topk(df: DataFrame, query: list[float], vec_col: str = "embedding", id_col: str = "vec_id", top_k: int = 10) -> DataFrame:
     """Exact baseline for recall measurement."""
     import math

@@ -51,3 +51,50 @@ def test_recall_improves_with_nprobe(emb, index):
     r1, r8 = recall(1), recall(8)
     assert r8 == 1.0  # probing all cells == exact
     assert r1 <= r8
+
+
+# ---------------------------------------------------------- multi-probe LSH
+
+
+@pytest.fixture(scope="module")
+def lsh(emb):
+    from kafka_connect_ftp_spark.operators.ann import hyperplanes, lsh_bucket
+
+    dim = len(emb.first().embedding)
+    planes = hyperplanes(8, dim)
+    return planes, lsh_bucket(emb, planes)
+
+
+def _recall(spark_df, truth_ids):
+    got = {r.vec_id for r in spark_df.collect()}
+    return len(got & truth_ids) / len(truth_ids)
+
+
+def test_multi_probe_recovers_recall(emb, lsh):
+    planes, bucketed = lsh
+    query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    truth = {r.vec_id for r in brute_force_topk(emb, query, top_k=10).collect()}
+
+    from kafka_connect_ftp_spark.operators.ann import lsh_search
+
+    r0 = _recall(lsh_search(bucketed, query, planes, top_k=10, max_hamming=0), truth)
+    r1 = _recall(lsh_search(bucketed, query, planes, top_k=10, max_hamming=1), truth)
+    r2 = _recall(lsh_search(bucketed, query, planes, top_k=10, max_hamming=2), truth)
+    assert r0 <= r1 <= r2  # probing wider never loses recall
+    assert r2 >= 0.5  # and materially recovers it on real data
+    # probing every bucket IS brute force
+    r_all = _recall(lsh_search(bucketed, query, planes, top_k=10, max_hamming=8), truth)
+    assert r_all == 1.0
+
+
+def test_lsh_bucket_is_map_side_partition_column(emb, lsh):
+    planes, bucketed = lsh
+    # every vector bucketed, buckets within the 2^8 range
+    assert bucketed.count() == emb.count()
+    from pyspark.sql import functions as F
+
+    stats = bucketed.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert 0 <= stats[0] and stats[1] < 256
+    # pure projection: no Exchange in the plan
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
