@@ -79,6 +79,35 @@ def test_missing_pattern_rejected():
         FtpFilesReader(_ds({})).partitions()
 
 
+def test_readstream_end_to_end_microbatch(spark):
+    # the full engine path: spark.readStream → SimpleDataSourceStreamReader
+    # → memory sink, one availableNow micro-batch over the fake tree
+    spark.dataSource.register(FakeFtpFilesDataSource)
+    df = (
+        spark.readStream.format("fakeftpfiles")
+        .option("pattern", "/a/dirb/path/*")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("ftp_stream_e2e")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.path, r.size, bytes(r.content))
+        for r in spark.sql("SELECT * FROM ftp_stream_e2e").collect()
+    }
+    assert got == {
+        ("/a/dirb/path/file3.txt", 5, b"three"),
+        ("/a/dirb/path/file4.csv", 4, b"four"),
+    }
+
+
 def test_stream_reader_poll_and_replay():
     stream = FtpFilesStreamReader(_ds({"pattern": "/a/dirb/path/*"}))
     off0 = stream.initialOffset()
