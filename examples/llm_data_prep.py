@@ -1,0 +1,100 @@
+"""End-to-end LLM training-data preparation over the documents table —
+the full pipeline a pretraining corpus goes through, composed from the
+engine's operators:
+
+    quality gate (incl. Gopher repetition metric)
+      → exact dedup (md5 group)
+      → near-dup removal (minhash LSH → connected components → keepers)
+      → benchmark decontamination (5-gram overlap)
+      → PII scrub
+      → token counting + sequence packing (budget fill)
+
+Every stage is a DataFrame transform — one lazily-composed plan per
+stage boundary, shuffles only where the algorithm demands them (dedup
+grouping, LSH buckets, packing shards).
+
+Run: PYTHONPATH=. python examples/llm_data_prep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
+from kafka_connect_ftp_spark.operators.pii import scrub
+from kafka_connect_ftp_spark.operators.text_dedup import (
+    estimated_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from kafka_connect_ftp_spark.plans import registry
+from kafka_connect_ftp_spark.session import get_spark, load_tables
+
+SEQ_BUDGET = 512
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm_data_prep")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n0 = docs.count()
+
+    # 1. quality gate (the oracle-checked query, reused as a library call)
+    quality = registry()["quality_filter_flags"].fn(spark, sf_dir)
+    docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    n1 = docs.count()
+
+    # 2. exact dedup: keep the min doc_id per identical body
+    keepers = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(keepers, "doc_id", "left_semi")
+    n2 = docs.count()
+
+    # 3. near-dup clusters over minhash-LSH candidates; keep cluster minima
+    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16)
+    pairs = estimated_jaccard(sig, lsh_candidate_pairs(sig, band_size=4)).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    decision = dedup_decision(pairs, docs.select("doc_id"))
+    docs = docs.join(decision.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    n3 = docs.count()
+
+    # 4. decontamination: drop docs sharing 5-grams with the benchmark set
+    decon = registry()["decontamination_flags"].fn(spark, sf_dir)
+    docs = docs.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    n4 = docs.count()
+
+    # 5. PII scrub (map-side regex projection; counts kept for audit)
+    docs = scrub(docs, "text")
+    n_pii = docs.filter("has_pii").count()
+
+    # 6. pack into fixed-budget training sequences
+    counted = docs.select(
+        "doc_id", F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_tokens")
+    )
+    packed = pack_sequences(counted, max_tokens=SEQ_BUDGET, n_shards=8)
+    stats = packing_stats(packed, max_tokens=SEQ_BUDGET).collect()[0]
+
+    print(f"corpus:        {n0}")
+    print(f"quality-kept:  {n1}")
+    print(f"exact-deduped: {n2}")
+    print(f"near-deduped:  {n3}")
+    print(f"decontam-kept: {n4}")
+    print(f"pii-flagged:   {n_pii}")
+    print(
+        f"packed:        {stats.n_documents} docs -> {stats.n_sequences} sequences "
+        f"of <= {SEQ_BUDGET} tokens, mean fill {stats.mean_fill_ratio}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
