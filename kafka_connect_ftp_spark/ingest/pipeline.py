@@ -210,9 +210,13 @@ class PollPipeline:
             changed = records.filter(F.length("value") > 0).select(
                 F.col("key_name").alias("path")
             ).distinct()
-            new_state.join(changed, "path", "left_semi").write.mode("append").parquet(
-                os.path.join(self.state_dir, "history")
-            )
+            # read the history rows back from the version just COMMITTED,
+            # not from new_state's pre-commit lineage: the `carried` branch
+            # of that lineage still references the previous state version,
+            # which bucket_state mode has already dropped by this point
+            self.load_state().join(changed, "path", "left_semi").write.mode(
+                "append"
+            ).parquet(os.path.join(self.state_dir, "history"))
         return records
 
     def state_history(self) -> DataFrame:

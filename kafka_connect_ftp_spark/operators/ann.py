@@ -81,19 +81,27 @@ def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     ]
 
 
+def lsh_bits(planes: list[list[float]], vec: str = "v"):
+    """The bucket id as a column expression over an ``array<double>``
+    column: sign bit p = 1 iff v · plane_p >= 0. THE single definition of
+    the bucketing — the oracle-checked ``embedding_norms`` query and
+    ``lsh_bucket`` below both use it, so they can never desynchronize."""
+    bits = None
+    for p, plane in enumerate(planes):
+        arr = "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
+        bit = F.when(F.expr(_DOT.format(a=vec, b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
 def lsh_bucket(df: DataFrame, planes: list[list[float]], vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Assign each vector its random-hyperplane bucket (map-side only —
-    a free partitioning column: sign bit p = 1 iff v · plane_p >= 0)."""
+    a free partitioning column)."""
     base = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    bits = None
-    for p, plane in enumerate(planes):
-        arr = "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
-        bit = F.when(F.expr(_DOT.format(a="v", b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return base.withColumn("bucket", bits.cast("int"))
+    return base.withColumn("bucket", lsh_bits(planes).cast("int"))
 
 
 def lsh_search(

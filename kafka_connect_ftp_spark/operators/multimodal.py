@@ -44,6 +44,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("phash", T.StringType(), True),  # perceptual-hash stand-in
+        T.StructField("decode_error", T.StringType(), True),
     ]
 )
 
@@ -75,9 +76,13 @@ class HeaderCodec(Codec):
 
     def image_dims(self, content: bytes) -> tuple[int, int]:
         if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+            if len(content) < 24:
+                raise ValueError("PNG truncated inside IHDR")
             w, h = struct.unpack(">II", content[16:24])
             return w, h
         if content[:6] in (b"GIF87a", b"GIF89a"):
+            if len(content) < 10:
+                raise ValueError("GIF truncated inside screen descriptor")
             w, h = struct.unpack("<HH", content[6:10])
             return w, h
         if content[:2] == b"\xff\xd8":  # JPEG SOI; walk the marker segments
@@ -115,12 +120,25 @@ class FakeCodec(Codec):
 
 
 def image_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
-    """Per-image feature extraction (decode → dims + fingerprint)."""
+    """Per-image feature extraction (decode → dims + fingerprint).
+
+    Decode failures are isolated PER ROW: a corrupt image yields null
+    dims and its error message in ``decode_error`` instead of failing the
+    task — at corpus scale a handful of bad blobs is a certainty, and one
+    must never abort a 100 TB scan."""
     codec = codec or FakeCodec()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [codec.image_dims(bytes(b)) for b in pdf["content"]]
+            dims: list[tuple[int | None, int | None]] = []
+            errs: list[str | None] = []
+            for b in pdf["content"]:
+                try:
+                    dims.append(codec.image_dims(bytes(b)))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — row-level quarantine
+                    dims.append((None, None))
+                    errs.append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -128,6 +146,7 @@ def image_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
                     "height": [h for _, h in dims],
                     "n_bytes": [len(bytes(b)) for b in pdf["content"]],
                     "phash": [hashlib.md5(bytes(b)).hexdigest()[:16] for b in pdf["content"]],
+                    "decode_error": errs,
                 }
             )
 

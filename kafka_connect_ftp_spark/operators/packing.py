@@ -65,7 +65,7 @@ def pack_sequences(
         oversize: list[tuple] = []
         for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
             n = int(n)
-            if n >= max_tokens:
+            if n > max_tokens:  # exactly max_tokens is a perfect fit
                 oversize.append((doc_id, n))
                 continue
             for b in bins:

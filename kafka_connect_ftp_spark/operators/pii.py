@@ -40,28 +40,27 @@ def scrub_column(col: Column | str) -> Column:
     return out
 
 
-def pii_counts(col: Column | str) -> list[Column]:
-    """One aliased count column per category (pre-scrub occurrences)."""
+def pii_counts(col: Column | str) -> tuple[list[Column], Column]:
+    """Per-category count columns plus the fully-scrubbed text.
+
+    Counting happens on the progressively-scrubbed text so overlapping
+    categories (PAN digits vs phone) aren't double-counted — which makes
+    the chain's final value exactly ``scrub_column``'s output, returned
+    so callers never evaluate the regex chain twice."""
     src = F.col(col) if isinstance(col, str) else col
     cols = []
     remaining = src
     for name, pattern, repl in PII_PATTERNS:
-        # count on the progressively-scrubbed text so overlapping
-        # categories (PAN digits vs phone) aren't double-counted, matching
-        # what scrub_column actually replaces
         cols.append(F.regexp_count(remaining, F.lit(pattern)).alias(f"n_{name}"))
         remaining = F.regexp_replace(remaining, pattern, repl)
-    return cols
+    return cols, remaining
 
 
 def scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-category counts and replace ``text_col`` with the
-    scrubbed text; ``has_pii`` flags rows that were touched."""
-    counted = df.select(
-        "*",
-        *pii_counts(text_col),
-    )
+    scrubbed text; ``has_pii`` flags rows that were touched. One regex
+    chain per row: the counting pass's end state IS the scrubbed text."""
+    counts, scrubbed = pii_counts(text_col)
+    counted = df.select("*", *counts).withColumn(text_col, scrubbed)
     total = sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS)
-    return counted.withColumn(text_col, scrub_column(text_col)).withColumn(
-        "has_pii", total > 0
-    )
+    return counted.withColumn("has_pii", total > 0)

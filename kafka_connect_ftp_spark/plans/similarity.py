@@ -43,19 +43,12 @@ def _cos(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
-def _hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
-    """Deterministic ±1 hyperplanes from md5 parity — reproducible on both
-    engines because the matrix is embedded as literals in each query."""
-    import hashlib
-
-    return [
-        [
-            1.0 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
-            for j in range(dim)
-        ]
-        for p in range(n_planes)
-    ]
-
+# the hyperplane matrix and the sign-bit bucketing are defined ONCE in
+# operators/ann.py (hyperplanes / lsh_bits); the oracle embeds the same
+# plane literals, so operator buckets and the oracle-checked lsh_bucket
+# column can never drift apart
+from kafka_connect_ftp_spark.operators.ann import hyperplanes as _hyperplanes
+from kafka_connect_ftp_spark.operators.ann import lsh_bits as _lsh_bits
 
 _PLANES = _hyperplanes()
 
@@ -88,11 +81,7 @@ _LSH_BITS_DUCK = " + ".join(
 )
 def embedding_norms(spark, sf_dir):
     df = _emb(spark, sf_dir)
-    bits = None
-    for p, plane in enumerate(_PLANES):
-        arr = "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
-        bit = F.when(F.expr(_DOT.format(a="v", b=arr)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
+    bits = _lsh_bits(_PLANES)
     return df.select(
         "vec_id",
         F.round(F.sqrt(F.expr(_DOT.format(a="v", b="v"))), 4).alias("l2_norm"),

@@ -107,20 +107,23 @@ class FtpSource:
         src = self
         work: list[tuple[str, str]] = []  # (subtree dir, pattern regex)
         root_files: dict[str, tuple] = {}
-        for m in monitors:
-            rx = re.compile(glob_to_regex(m.pattern))
-            base = _glob_free_prefix(m.pattern)
-            ftp = self._connect()
-            try:
+        # one driver control connection serves every monitor's shallow base
+        # LIST — reconnecting per monitor would pay login/negotiation per
+        # entry and trip servers that cap session churn
+        ftp = self._connect()
+        try:
+            for m in monitors:
+                rx = re.compile(glob_to_regex(m.pattern))
+                base = _glob_free_prefix(m.pattern)
                 entries = _list_dir_auto(ftp, base.rstrip("/") or "/")
-            finally:
-                _quietly_close(ftp)
-            for name, is_dir, size, mtime in entries:
-                path = f"{base.rstrip('/')}/{name}"
-                if is_dir:
-                    work.append((path, rx.pattern))
-                elif rx.match(path):
-                    root_files[path] = (path, size, mtime)
+                for name, is_dir, size, mtime in entries:
+                    path = f"{base.rstrip('/')}/{name}"
+                    if is_dir:
+                        work.append((path, rx.pattern))
+                    elif rx.match(path):
+                        root_files[path] = (path, size, mtime)
+        finally:
+            _quietly_close(ftp)
 
         def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ftp = None
@@ -300,7 +303,10 @@ def _list_dir_auto(ftp: ftplib.FTP, cur: str):
 #   -rw-r--r--   1 ftp ftp     1234 Mar 01 12:30 data.csv
 #   drwxr-xr-x   2 ftp ftp     4096 Mar 01  2025 subdir
 _LIST_RX = re.compile(
-    r"^(?P<type>[-dl])\S{9}\s+\d+\s+\S+\s+\S+\s+(?P<size>\d+)\s+"
+    # 9 permission chars may carry an ACL/xattr marker ('+' on POSIX-ACL
+    # Linux, '@' on macOS, '.' on SELinux) — commons-net accepts those, and
+    # dropping them would silently skip every such file
+    r"^(?P<type>[-dl])\S{9}[+@.]?\s+\d+\s+\S+\s+\S+\s+(?P<size>\d+)\s+"
     r"(?P<month>[A-Za-z]{3})\s+(?P<day>\d{1,2})\s+(?P<yt>\d{4}|\d{1,2}:\d{2})\s+(?P<name>.+)$"
 )
 

@@ -199,6 +199,16 @@ def test_parse_list_line_variants():
     # symlinks and noise are skipped like commons-net's isFile gate
     assert _parse_list_line("lrwxrwxrwx   1 ftp ftp 4 Jun 01  2024 link -> target") is None
     assert _parse_list_line("total 42") is None
+    # ACL/xattr markers after the permission bits (Linux '+', macOS '@',
+    # SELinux '.') must not hide the entry
+    name, is_dir, size, _ = _parse_list_line(
+        "-rw-r--r--+   1 ftp ftp     1234 Mar 01  2025 acl.csv"
+    )
+    assert (name, is_dir, size) == ("acl.csv", False, 1234)
+    name, is_dir, _, _ = _parse_list_line(
+        "drwxr-xr-x@   2 ftp ftp     4096 Mar 01  2025 xattr_dir"
+    )
+    assert (name, is_dir) == ("xattr_dir", True)
 
 
 def test_distributed_listing_matches_driver_walk(spark, src):

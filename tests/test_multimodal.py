@@ -86,9 +86,28 @@ def test_frame_sampling_one_to_n(media):
     assert frames == [(i, src[j : j + 16]) for i, j in enumerate(range(0, 200, 32))]
 
 
-def test_real_codec_interface_raises(media):
-    with pytest.raises(Exception, match="not available|NotImplemented"):
-        image_features(media, codec=Codec()).collect()
+def test_codec_failures_quarantined_per_row(media):
+    # the base Codec raises on every image — rows survive with null dims
+    # and the error recorded, never failing the job (a 100 TB scan must
+    # not abort on one bad blob)
+    rows = image_features(media, codec=Codec()).collect()
+    assert rows, "image rows must still come through"
+    for r in rows:
+        assert r.width is None and r.height is None
+        assert "NotImplementedError" in r.decode_error
+        assert r.phash is not None  # byte-level features still extracted
+
+
+def test_corrupt_image_isolated_next_to_good_one(spark):
+    good = make_png(8, 6)
+    rows = [
+        (1, "image", "image/png", bytearray(good)),
+        (2, "image", "image/png", bytearray(good[:20])),  # truncated IHDR
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_features(df, codec=HeaderCodec()).collect()}
+    assert (got[1].width, got[1].height, got[1].decode_error) == (8, 6, None)
+    assert got[2].width is None and "ValueError" in got[2].decode_error
 
 
 def test_header_codec_parses_real_formats():

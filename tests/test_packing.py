@@ -42,12 +42,16 @@ def test_oversize_docs_isolated_and_flagged(spark):
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
     packed = pack_sequences(df, max_tokens=256, n_shards=2)
     flagged = {r.doc_id: r.truncated for r in packed.collect()}
-    assert flagged[2] and flagged[4]  # n >= max_tokens each alone, flagged
-    assert not flagged[1] and not flagged[3]
-    # an oversize doc never shares a sequence
+    assert flagged[2]  # strictly over budget → isolated + flagged
+    # exactly max_tokens is a PERFECT fit, not a truncation
+    assert not flagged[4] and not flagged[1] and not flagged[3]
     seq_of = {r.doc_id: r.seq_id for r in packed.collect()}
+    # an oversize doc never shares a sequence
     members = [d for d, s in seq_of.items() if s == seq_of[2]]
     assert members == [2]
+    # and the perfect-fit doc's sequence is exactly full
+    full = [d for d, s in seq_of.items() if s == seq_of[4]]
+    assert full == [4]
 
 
 def test_positions_are_contiguous_concatenation_order(packed_docs):

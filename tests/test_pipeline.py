@@ -104,6 +104,28 @@ def test_bucketed_state_poll_cycle_and_shuffle_elision(spark, tree, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {pipe2._table_name('v1')}")
 
 
+def test_bucketed_state_with_history_survives_version_drop(spark, tree, tmp_path):
+    # regression: the history write used to re-evaluate new_state's
+    # pre-commit lineage, whose carried branch read the version table the
+    # commit had just dropped → FILE_NOT_EXIST on every tick after the
+    # first; history now reads back the committed version
+    state_dir = str(tmp_path / "state")
+    write(tree, "updates/u0", b"v1", T0)
+    pipe = PollPipeline(
+        spark, monitors(tree), state_dir, drop_empty=True,
+        bucket_state=4, keep_history=True,
+    )
+    try:
+        pipe.poll()
+        write(tree, "updates/u0", b"v2", T0 + 60)
+        got = {bytes(r.value) for r in pipe.poll().collect()}
+        assert got == {b"v2"}
+        hist = pipe.state_history()
+        assert hist.filter(hist.path.endswith("updates/u0")).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {pipe._table_name('v1')}")
+
+
 def test_new_file_between_polls(spark, tree, tmp_path):
     state_dir = str(tmp_path / "state")
     write(tree, "tails/t0", b"a", T0)
