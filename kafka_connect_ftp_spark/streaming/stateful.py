@@ -71,3 +71,53 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same operator on Spark 4's ``transformWithStateInPandas`` —
+    the arbitrary-state API that supersedes applyInPandasWithState
+    (typed state handles, timers, composite state).
+
+    ENVIRONMENT GATE: the TWS Python runner speaks protobuf to the state
+    server, so executing this requires the ``protobuf`` package, which is
+    not in this container (the test skips itself when the import fails —
+    same policy as the jar-gated Kafka sink). On a real cluster with
+    protobuf present it runs as-is; semantics are pinned to the same
+    batch ground truth as the legacy form by the shared test body."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total, last_us = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+            self._state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType=STATS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -10,7 +10,12 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from kafka_connect_ftp_spark.streaming.stateful import running_user_stats
+import pytest
+
+from kafka_connect_ftp_spark.streaming.stateful import (
+    running_user_stats,
+    running_user_stats_tws,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -21,7 +26,30 @@ def _events_batch(spark):
     return load_tables(spark, SF, "events")["events"]
 
 
-def test_running_stats_match_batch_across_batches(spark, tmp_path):
+def _protobuf_available() -> bool:
+    try:  # the TWS Python runner needs protobuf for its state protocol
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        running_user_stats,
+        pytest.param(
+            running_user_stats_tws,
+            marks=pytest.mark.skipif(
+                not _protobuf_available(),
+                reason="transformWithStateInPandas needs protobuf (not in this container)",
+            ),
+        ),
+    ],
+    ids=["applyInPandasWithState", "transformWithStateInPandas"],
+)
+def test_running_stats_match_batch_across_batches(spark, tmp_path, op):
     # split the table into two files dropped sequentially so the operator
     # must carry state between micro-batches
     events = _events_batch(spark)
@@ -42,11 +70,11 @@ def test_running_stats_match_batch_across_batches(spark, tmp_path):
         .format("parquet")
         .load(src)
     )
-    out = running_user_stats(stream)
+    out = op(stream)
     q = (
         out.writeStream.outputMode("update")
         .format("memory")
-        .queryName("user_stats")
+        .queryName(f"user_stats_{op.__name__}")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
@@ -66,7 +94,7 @@ def test_running_stats_match_batch_across_batches(spark, tmp_path):
     # memory sink in update mode appends a row per key per batch: the LAST
     # row per key is the final state
     final = (
-        spark.sql("SELECT * FROM user_stats")
+        spark.sql(f"SELECT * FROM user_stats_{op.__name__}")
         .groupBy("user_id")
         .agg(F.max_by("n_events", "n_events").alias("n_events"),
              F.max_by("total_value", "n_events").alias("total_value"))
