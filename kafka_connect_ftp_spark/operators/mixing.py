@@ -1,0 +1,91 @@
+"""Corpus mixing: deterministic weighted sampling for training-mixture
+curricula ("webtext 0.6, code 0.3, reference 0.1").
+
+Uses the Efraimidis–Spirakis weighted-reservoir key: each row gets
+``k = u^(1/w)`` with ``u`` a uniform hash of (salt, id) — taking the
+global top-n by ``k`` IS an exact weighted sample without replacement.
+All of it is map-side column math plus one ``TakeOrderedAndProject``
+(no full sort, no shuffle of the corpus, no driver collect), and like
+operators/splits.py the hash (not rand()) makes the sample reproducible
+and stable: re-running with the same salt reselects the same rows.
+
+``mix_corpora`` applies per-source sampling rates in one pass over a
+union: rows keep/drop by comparing the hash to the source's rate — the
+standard "epochs per source" knob (a rate > 1 repeats the source with
+distinct salt epochs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 52)
+
+
+def _uniform(id_col: Column, salt: str) -> Column:
+    """Uniform (0, 1] from md5(salt || id) — 52 bits → exact double;
+    the +1 ulp shift avoids u=0, which would break u^(1/w)."""
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 13), 16, 10
+    ).cast("double") / F.lit(_DENOM)
+    return u + F.lit(1.0 / _DENOM)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Exact weighted sample WITHOUT replacement of ``n`` rows.
+
+    P(row selected) follows its weight (Efraimidis–Spirakis); rows with
+    non-positive weight are never selected. Deterministic in (salt, id).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col).cast("double")
+    key = F.pow(_uniform(F.col(id_col), salt), F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("_es_key", key)
+        .orderBy(F.desc("_es_key"))
+        .limit(n)
+        .drop("_es_key")
+    )
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Weighted union: each (name → (df, rate)) contributes ``rate`` of
+    its rows (rate in [0, 1]; rate > 1 adds full + fractional epochs,
+    each epoch re-rolled with its own salt). Output adds ``source`` and
+    ``epoch`` columns; selection is per-row deterministic."""
+    parts = []
+    for name, (df, rate) in sources.items():
+        if rate < 0:
+            raise ValueError(f"rate for {name!r} must be >= 0")
+        full_epochs, frac = int(rate), rate - int(rate)
+        for e in range(full_epochs):
+            parts.append(
+                df.withColumn("source", F.lit(name)).withColumn("epoch", F.lit(e))
+            )
+        if frac > 0:
+            esalt = f"{salt}:{name}:{full_epochs}"
+            kept = df.filter(_uniform(F.col(id_col), esalt) <= frac)
+            parts.append(
+                kept.withColumn("source", F.lit(name)).withColumn("epoch", F.lit(full_epochs))
+            )
+    if not parts:
+        raise ValueError("at least one source with rate > 0 is required")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

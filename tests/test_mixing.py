@@ -1,0 +1,76 @@
+"""Corpus-mixing operator: weighted-sample proportions track weights,
+determinism, mixing rates incl. multi-epoch, plan shape (top-n not full
+sort for the sample; no corpus shuffle for the mix)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.mixing import mix_corpora, weighted_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+
+
+def test_weighted_sample_follows_weights(spark):
+    # two strata, weight 9 vs 1 → heavy stratum dominates the sample
+    rows = [(i, 9.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 200, weight_col="w")
+    heavy = got.filter("doc_id < 500").count()
+    assert got.count() == 200
+    # E[heavy] ≈ 178 under ES sampling; allow wide but meaningful margin
+    assert heavy > 140
+
+
+def test_weighted_sample_deterministic_and_salt_sensitive(docs):
+    df = docs.withColumn("w", F.lit(1.0))
+    a = {r.doc_id for r in weighted_sample(df, 50, weight_col="w").collect()}
+    b = {r.doc_id for r in weighted_sample(df, 50, weight_col="w").collect()}
+    c = {r.doc_id for r in weighted_sample(df, 50, weight_col="w", salt="v2").collect()}
+    assert a == b and a != c and len(a) == 50
+
+
+def test_weighted_sample_uses_topk_not_full_sort(docs):
+    df = docs.withColumn("w", F.lit(1.0))
+    plan = (
+        weighted_sample(df, 10, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zero_weight_never_selected(spark):
+    rows = [(i, 0.0 if i % 2 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 50, weight_col="w")
+    assert got.filter("w = 0").count() == 0
+
+
+def test_mix_rates_and_epochs(docs):
+    n = docs.count()
+    mixed = mix_corpora(
+        {"a": (docs, 1.5), "b": (docs, 0.25)},
+    )
+    by = {(r.source, r.epoch): r["count"] for r in mixed.groupBy("source", "epoch").count().collect()}
+    assert by[("a", 0)] == n  # full epoch
+    assert by[("a", 1)] == pytest.approx(n * 0.5, abs=n * 0.15)
+    assert by[("b", 0)] == pytest.approx(n * 0.25, abs=n * 0.15)
+    # re-running selects the same rows (deterministic mix)
+    again = mix_corpora({"a": (docs, 1.5), "b": (docs, 0.25)})
+    key = lambda df: sorted((r.source, r.epoch, r.doc_id) for r in df.collect())
+    assert key(mixed) == key(again)
+
+
+def test_mix_rejects_bad_rates(docs):
+    with pytest.raises(ValueError):
+        mix_corpora({"a": (docs, -0.5)})
+    with pytest.raises(ValueError):
+        mix_corpora({})
