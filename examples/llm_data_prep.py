@@ -7,6 +7,7 @@ engine's operators:
       → near-dup removal (minhash LSH → connected components → keepers)
       → benchmark decontamination (5-gram overlap)
       → PII scrub
+      → curriculum mix (per-source epoch rates) + stable train/val/test split
       → token counting + sequence packing (budget fill)
 
 Every stage is a DataFrame transform — one lazily-composed plan per
@@ -23,8 +24,10 @@ import sys
 from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+from kafka_connect_ftp_spark.operators.mixing import mix_corpora
 from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
 from kafka_connect_ftp_spark.operators.pii import scrub
+from kafka_connect_ftp_spark.operators.splits import assign_splits
 from kafka_connect_ftp_spark.operators.text_dedup import (
     estimated_jaccard,
     lsh_candidate_pairs,
@@ -76,8 +79,18 @@ def main() -> int:
     docs = scrub(docs, "text")
     n_pii = docs.filter("has_pii").count()
 
-    # 6. pack into fixed-budget training sequences
-    counted = docs.select(
+    # 6. curriculum mix: upweight the first sources, then a train/val/test
+    # split that stays stable as the corpus grows
+    rates = {"src0": 1.5, "src1": 1.0}
+    mixed = mix_corpora(
+        {name: (docs.filter(F.col("source") == name), rate) for name, rate in rates.items()}
+    )
+    n_mixed = mixed.count()
+    docs = assign_splits(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    split_counts = {r.split: r["count"] for r in docs.groupBy("split").count().collect()}
+
+    # 7. pack the train split into fixed-budget training sequences
+    counted = docs.filter("split = 'train'").select(
         "doc_id", F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_tokens")
     )
     packed = pack_sequences(counted, max_tokens=SEQ_BUDGET, n_shards=8)
@@ -89,8 +102,10 @@ def main() -> int:
     print(f"near-deduped:  {n3}")
     print(f"decontam-kept: {n4}")
     print(f"pii-flagged:   {n_pii}")
+    print(f"mix demo:      {rates} -> {n_mixed} rows")
+    print(f"splits:        {split_counts}")
     print(
-        f"packed:        {stats.n_documents} docs -> {stats.n_sequences} sequences "
+        f"packed(train): {stats.n_documents} docs -> {stats.n_sequences} sequences "
         f"of <= {SEQ_BUDGET} tokens, mean fill {stats.mean_fill_ratio}"
     )
     return 0
