@@ -50,6 +50,12 @@ class FtpSource:
     timeout_seconds: float = 30.0  # reference hardcodes 30 s (FtpSourceConfig.scala:74)
     fetch_partitions: int = 8
     _client_factory: callable = field(default=None, repr=False)
+    # sticky listing mode: once a server rejects MLSD the source stays on
+    # classic LIST for its lifetime instead of re-probing every walk — a
+    # load-balanced farm that answers MLSD intermittently would otherwise
+    # alternate listing precision (MLSD second-UTC vs LIST minute-local)
+    # and make every file look changed to metadata-diff consumers
+    _prefer_mlsd: bool = field(default=True, repr=False)
 
     # -- connection -------------------------------------------------------
     def _connect(self) -> ftplib.FTP:
@@ -63,19 +69,27 @@ class FtpSource:
         return ftp
 
     # -- listing (driver-side metadata walk) ------------------------------
-    def list_files(self, pattern: str) -> list[tuple[str, int, dt.datetime]]:
+    def list_files(
+        self, pattern: str, ftp: ftplib.FTP | None = None
+    ) -> list[tuple[str, int, dt.datetime]]:
         """All plain files matching the glob ``pattern`` (full-path match,
-        segment-scoped wildcards — FtpFileLister.scala:27-53)."""
+        segment-scoped wildcards — FtpFileLister.scala:27-53). Pass an
+        open ``ftp`` connection to reuse it (caller keeps ownership)."""
         rx = re.compile(glob_to_regex(pattern))
         base = _glob_free_prefix(pattern)
-        ftp = self._connect()
+        own = ftp is None
+        if own:
+            ftp = self._connect()
+        mode = {"mlsd": self._prefer_mlsd}
         try:
             return [
                 (path, size, mtime)
-                for path, size, mtime in _walk(ftp, base, rx)
+                for path, size, mtime in _walk(ftp, base, rx, mode=mode)
             ]
         finally:
-            _quietly_close(ftp)
+            self._prefer_mlsd = mode["mlsd"]
+            if own:
+                _quietly_close(ftp)
 
     def listing(self, spark: SparkSession, monitors: Iterable[MonitoredPath]) -> DataFrame:
         """Metadata-only listing DataFrame (content column = null)."""
@@ -371,7 +385,9 @@ def _list_dir(ftp: ftplib.FTP, cur: str, use_mlsd: bool):
     return out
 
 
-def _walk(ftp: ftplib.FTP, base: str, rx: re.Pattern) -> Iterator[tuple[str, int, dt.datetime]]:
+def _walk(
+    ftp: ftplib.FTP, base: str, rx: re.Pattern, mode: dict | None = None
+) -> Iterator[tuple[str, int, dt.datetime]]:
     """Recursive walk under ``base`` yielding matching plain files.
 
     MLSD-first with a classic-LIST fallback, matching the reference's
@@ -380,17 +396,19 @@ def _walk(ftp: ftplib.FTP, base: str, rx: re.Pattern) -> Iterator[tuple[str, int
     (so the poller's backoff engages, like the reference's loud LIST
     failure); per-subdirectory permission errors are skipped, since a
     partially readable tree should still yield its readable files.
+    ``mode`` ({"mlsd": bool}) carries the listing mode in AND out so
+    callers can make the MLSD downgrade sticky across walks.
     """
     root = base.rstrip("/") or "/"
     stack = [root]
-    use_mlsd = True
+    mode = mode if mode is not None else {"mlsd": True}
     while stack:
         cur = stack.pop()
         try:
             try:
-                entries = _list_dir(ftp, cur, use_mlsd)
+                entries = _list_dir(ftp, cur, mode["mlsd"])
             except MlsdUnsupported:
-                use_mlsd = False
+                mode["mlsd"] = False
                 entries = _list_dir(ftp, cur, False)
         except ftplib.error_perm:
             if cur == root:

@@ -15,13 +15,19 @@ Batch read:
           .load())
     # → path, size, modification_time, content  (LISTING_SCHEMA)
 
+Passing a narrowed ``.schema(...)`` (any subset/order of the four
+columns) is honored: omit ``content`` and bodies are never fetched —
+projection pushdown for the expensive column.
+
 The LISTING happens once on the driver (tiny metadata round-trips, same
 as the reference's LIST traversal, FtpFileLister.scala:36-49); files are
 hash-chunked into ``numPartitions`` input partitions and each EXECUTOR
 opens its own FTP connection to RETR its share — the distributed-fetch
 design of ``FtpSource.fetch`` surfaced through the standard reader API,
 so filters/projections compose and the source can feed any DataFrame
-pipeline (including the snapshot plan) without custom glue.
+pipeline (including the snapshot plan) without custom glue. A file
+deleted between planning and fetch is skipped (it no longer exists to
+ingest) rather than failing the job on a frozen partition list.
 
 Streaming read (the reference's poll loop as a first-class source):
 
@@ -31,11 +37,17 @@ Each micro-batch lists the tree and emits ONLY files whose (size,
 modification_time) changed against the offset — the requiresFetch
 predicate (FtpMonitor.scala:35-46) — with the per-path metadata map
 carried in the streaming offset, giving restartable change detection
-from the checkpoint alone. The simple stream reader fetches on the
-driver (Spark's prefetch path); deployments with large bodies should
-emit metadata only (fetch=false) and join content via the distributed
-batch fetch, or keep using StreamingIngest whose state table scales
-past offset-JSON sizes.
+from the checkpoint alone. One FTP connection serves both the listing
+and the fetches of a poll, and the listing mode (MLSD vs classic LIST)
+is sticky per source so a flip never re-stamps the whole tree as
+changed. ``.option("pruneDeleted", "true")`` drops vanished paths from
+the offset map (bounding its growth under rotating filenames) at the
+cost of re-emitting a path that later reappears with identical
+metadata; the default keeps the reference's carry-over semantics. The
+simple stream reader fetches on the driver (Spark's prefetch path);
+deployments with large bodies should emit metadata only (fetch=false)
+and join content via the distributed batch fetch, or keep using
+StreamingIngest whose state table scales past offset-JSON sizes.
 
 Test seam: ``_make_source`` is the override point — tests register a
 subclass whose ``_make_source`` returns a fake-client ``FtpSource``
@@ -45,6 +57,7 @@ subclass whose ``_make_source`` returns a fake-client ``FtpSource``
 from __future__ import annotations
 
 import datetime as dt
+import ftplib
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -54,9 +67,15 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from kafka_connect_ftp_spark.sources.ftp import FtpSource, _quietly_close, _retr
+from kafka_connect_ftp_spark.sources.ftp import (
+    FtpSource,
+    _NoopClock,
+    _quietly_close,
+    _retr,
+)
 
 SCHEMA_DDL = "path string, size bigint, modification_time timestamp, content binary"
+_ALL_FIELDS = ("path", "size", "modification_time", "content")
 
 
 @dataclass
@@ -64,6 +83,17 @@ class FtpFilesPartition(InputPartition):
     """One executor's share of the matched files: [(path, size, mtime_iso)]."""
 
     files: list
+
+
+def _retr_or_none(ftp, path: str):
+    """RETR one file; None if it vanished since planning (550) — a rotated
+    file is not an error, it simply no longer exists to ingest."""
+    try:
+        return _retr(ftp, path)
+    except ftplib.error_perm as exc:
+        if str(exc).startswith("550"):
+            return None
+        raise
 
 
 class FtpFilesDataSource(DataSource):
@@ -77,7 +107,7 @@ class FtpFilesDataSource(DataSource):
         return SCHEMA_DDL
 
     def reader(self, schema) -> "FtpFilesReader":
-        return FtpFilesReader(self)
+        return FtpFilesReader(self, schema)
 
     def simpleStreamReader(self, schema) -> "FtpFilesStreamReader":
         return FtpFilesStreamReader(self)
@@ -85,8 +115,11 @@ class FtpFilesDataSource(DataSource):
     # -- override point (tests substitute a fake-client source) -----------
     def _make_source(self) -> FtpSource:
         o = self.options
+        host = o.get("host")
+        if not host:
+            raise ValueError("ftpfiles requires .option('host', ...)")
         return FtpSource(
-            host=o.get("host", "localhost"),
+            host=host,
             user=o.get("user", "anonymous"),
             password=o.get("password", ""),
             port=int(o.get("port", 21)),
@@ -101,10 +134,21 @@ class FtpFilesDataSource(DataSource):
 
 
 class FtpFilesReader(DataSourceReader):
-    def __init__(self, ds: FtpFilesDataSource) -> None:
+    def __init__(self, ds: FtpFilesDataSource, schema=None) -> None:
         self.ds = ds
         self.n_partitions = int(ds.options.get("numPartitions", 8))
-        self.fetch = ds.options.get("fetch", "true").lower() == "true"
+        if self.n_partitions < 1:
+            raise ValueError("numPartitions must be >= 1")
+        # honor a narrowed user schema: emit exactly its fields, and skip
+        # the RETR entirely when content isn't requested
+        names = tuple(f.name for f in schema.fields) if schema is not None else _ALL_FIELDS
+        unknown = set(names) - set(_ALL_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown ftpfiles columns: {sorted(unknown)}")
+        self.fields = names
+        self.fetch = (
+            ds.options.get("fetch", "true").lower() == "true" and "content" in names
+        )
 
     def partitions(self):
         src = self.ds._make_source()
@@ -121,10 +165,22 @@ class FtpFilesReader(DataSourceReader):
             return
         src = self.ds._make_source()
         ftp = src._connect() if self.fetch else None
+        clock = _NoopClock()
         try:
             for path, size, mtime_iso in partition.files:
-                content = _retr(ftp, path) if ftp is not None else None
-                yield path, size, dt.datetime.fromisoformat(mtime_iso), content
+                row = {
+                    "path": path,
+                    "size": size,
+                    "modification_time": dt.datetime.fromisoformat(mtime_iso),
+                    "content": None,
+                }
+                if ftp is not None:
+                    content = _retr_or_none(ftp, path)
+                    clock.tick(ftp)  # keepalive between transfers
+                    if content is None:
+                        continue  # deleted since planning — nothing to ingest
+                    row["content"] = content
+                yield tuple(row[f] for f in self.fields)
         finally:
             if ftp is not None:
                 _quietly_close(ftp)
@@ -137,32 +193,50 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, ds: FtpFilesDataSource) -> None:
         self.ds = ds
         self.fetch = ds.options.get("fetch", "true").lower() == "true"
+        self.prune_deleted = ds.options.get("pruneDeleted", "false").lower() == "true"
+        self._src: FtpSource | None = None
 
     def initialOffset(self) -> dict:
         return {"files": {}}
 
+    def _source(self) -> FtpSource:
+        # one FtpSource per reader (not per poll): its sticky MLSD/LIST
+        # mode then holds across micro-batches
+        if self._src is None:
+            self._src = self.ds._make_source()
+        return self._src
+
     def _poll(self, state: dict):
-        src = self.ds._make_source()
-        listing = src.list_files(self.ds._pattern())
-        changed = [
-            (path, size, mtime)
-            for path, size, mtime in sorted(listing)
-            if state.get(path) != [size, mtime.isoformat()]
-        ]
-        new_state = dict(state)
-        for path, size, mtime in changed:
-            new_state[path] = [size, mtime.isoformat()]
-        rows = []
-        if changed:
-            ftp = src._connect() if self.fetch else None
-            try:
-                for path, size, mtime in changed:
-                    content = _retr(ftp, path) if ftp is not None else None
-                    rows.append((path, size, mtime, content))
-            finally:
-                if ftp is not None:
-                    _quietly_close(ftp)
-        return rows, new_state
+        src = self._source()
+        # a single connection serves the listing AND the fetches
+        ftp = src._connect()
+        try:
+            listing = src.list_files(self.ds._pattern(), ftp=ftp)
+            changed = [
+                (path, size, mtime)
+                for path, size, mtime in sorted(listing)
+                if state.get(path) != [size, mtime.isoformat()]
+            ]
+            if self.prune_deleted:
+                live = {path for path, _, _ in listing}
+                new_state = {p: m for p, m in state.items() if p in live}
+            else:
+                new_state = dict(state)
+            for path, size, mtime in changed:
+                new_state[path] = [size, mtime.isoformat()]
+            rows = []
+            clock = _NoopClock()
+            for path, size, mtime in changed:
+                content = None
+                if self.fetch:
+                    content = _retr_or_none(ftp, path)
+                    clock.tick(ftp)
+                    if content is None:
+                        continue  # vanished between LIST and RETR
+                rows.append((path, size, mtime, content))
+            return rows, new_state
+        finally:
+            _quietly_close(ftp)
 
     def read(self, start: dict):
         rows, new_state = self._poll(dict(start.get("files", {})))
@@ -177,13 +251,13 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
         changed = sorted(p for p, meta in e.items() if s.get(p) != meta)
         if not changed:
             return iter([])
-        src = self.ds._make_source()
+        src = self._source()
         rows = []
         ftp = src._connect() if self.fetch else None
         try:
             for path in changed:
                 size, mtime_iso = e[path]
-                content = _retr(ftp, path) if ftp is not None else None
+                content = _retr_or_none(ftp, path) if ftp is not None else None
                 rows.append((path, size, dt.datetime.fromisoformat(mtime_iso), content))
         finally:
             if ftp is not None:

@@ -76,7 +76,48 @@ def test_reader_partitions_cover_all_files_once():
 
 def test_missing_pattern_rejected():
     with pytest.raises(ValueError, match="pattern"):
-        FtpFilesReader(_ds({})).partitions()
+        FtpFilesReader(_ds({"numPartitions": "2"})).partitions()
+
+
+def test_missing_host_rejected():
+    with pytest.raises(ValueError, match="host"):
+        FtpFilesDataSource(options={"pattern": "/a/*"})._make_source()
+
+
+def test_bad_num_partitions_rejected():
+    with pytest.raises(ValueError, match="numPartitions"):
+        FtpFilesReader(_ds({"pattern": "/a/**", "numPartitions": "0"}))
+
+
+def test_narrowed_schema_skips_fetch(spark):
+    # projection pushdown for the expensive column: no content field →
+    # reader never opens a data connection
+    spark.dataSource.register(FakeFtpFilesDataSource)
+    df = (
+        spark.read.format("fakeftpfiles")
+        .schema("path string, size bigint")
+        .option("pattern", "/a/dirb/path/*")
+        .load()
+    )
+    assert df.columns == ["path", "size"]
+    got = {(r.path, r.size) for r in df.collect()}
+    assert got == {("/a/dirb/path/file3.txt", 5), ("/a/dirb/path/file4.csv", 4)}
+    reader = FtpFilesReader(_ds({"pattern": "/a/**"}), schema=df.schema)
+    assert reader.fetch is False
+    with pytest.raises(ValueError, match="unknown"):
+        FtpFilesReader(
+            _ds({"pattern": "/a/**"}),
+            schema=spark.createDataFrame([], "path string, nope int").schema,
+        )
+
+
+def test_deleted_between_planning_and_fetch_skipped():
+    reader = FtpFilesReader(_ds({"pattern": "/a/dirb/path/*", "numPartitions": "1"}))
+    [part] = reader.partitions()
+    # simulate rotation: one planned file vanishes before the fetch
+    part.files = [("/a/gone.txt", 4, "2024-06-01T12:00:00")] + part.files
+    rows = list(reader.read(part))
+    assert {r[0] for r in rows} == {"/a/dirb/path/file3.txt", "/a/dirb/path/file4.csv"}
 
 
 def test_readstream_end_to_end_microbatch(spark):
@@ -106,6 +147,27 @@ def test_readstream_end_to_end_microbatch(spark):
         ("/a/dirb/path/file3.txt", 5, b"three"),
         ("/a/dirb/path/file4.csv", 4, b"four"),
     }
+
+
+def test_stream_prune_deleted_bounds_offset_and_reemits_restored():
+    stream = FtpFilesStreamReader(
+        _ds({"pattern": "/a/dirb/path/*", "pruneDeleted": "true"})
+    )
+    rows1, off1 = stream.read(stream.initialOffset())
+    assert len(list(rows1)) == 2
+    body = _FILES.pop("/a/dirb/path/file4.csv")
+    try:
+        rows2, off2 = stream.read(off1)
+        assert list(rows2) == []
+        # the vanished path left the offset map — growth stays bounded
+        assert set(off2["files"]) == {"/a/dirb/path/file3.txt"}
+        # restoring it with IDENTICAL metadata re-emits (carry-over mode
+        # would stay silent — that's the documented trade-off)
+        _FILES["/a/dirb/path/file4.csv"] = body
+        rows3, _ = stream.read(off2)
+        assert [r[0] for r in rows3] == ["/a/dirb/path/file4.csv"]
+    finally:
+        _FILES["/a/dirb/path/file4.csv"] = body
 
 
 def test_stream_reader_poll_and_replay():

@@ -55,6 +55,10 @@ class FakeFtp:
 
     def retrbinary(self, cmd, callback):
         path = cmd.split(" ", 1)[1]
+        if path not in self.files:  # match real servers: 550 on missing file
+            import ftplib
+
+            raise ftplib.error_perm("550 no such file")
         callback(self.files[path])
 
     def quit(self):
