@@ -251,19 +251,29 @@ def dedup_exact(spark, sf_dir):
 
 _N_SEEDS = 8
 _BAND_SIZE = 2  # 4 bands of 2 rows
-_SHINGLE = 8  # char-gram width
+_SHINGLE_WORDS = 3  # word-gram width (Broder-style w-shingling)
 
 
 # DuckDB's generate_series can't take lateral column args, so the oracle
-# uses a static series + WHERE (4096 > max document length at any SF here).
+# uses a static series + WHERE (4096 > max token count at any SF here).
+# Shingles are word 3-grams over the shared whitespace tokenization
+# (_TOKS/_DUCK_TOKS — same split ngram_jaccard uses): ~6x fewer hash
+# inputs than char 8-grams on this corpus for the same near-dup recall,
+# which matters because md5 on the shingle stream dominates the runtime.
+# Documents shorter than 3 tokens contribute their (truncated) full text
+# as the single shingle — slice() truncates identically in both engines.
 # The 8 minhash functions are the four 8-hex-char slices of two seeded md5
 # digests — 2 md5 calls per shingle instead of 8, same independence.
 # The CTE block is shared with dedup_cluster_decision's recursive oracle.
-_MINHASH_CTES = f"""shingles AS (
+_MINHASH_CTES = f"""mh_toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ),
+    shingles AS (
       SELECT DISTINCT doc_id,
-             substring(text, CAST(i AS INTEGER), {_SHINGLE}) AS sh
-      FROM documents, generate_series(1, 4096) AS t(i)
-      WHERE i <= GREATEST(LENGTH(text) - {_SHINGLE - 1}, 1)
+             array_to_string(list_slice(tk, CAST(i AS INTEGER),
+                                        CAST(i AS INTEGER) + {_SHINGLE_WORDS - 1}), ' ') AS sh
+      FROM mh_toks, generate_series(1, 4096) AS t(i)
+      WHERE i <= GREATEST(LEN(tk) - {_SHINGLE_WORDS - 1}, 1)
     ),
     h AS (
       SELECT doc_id, md5('a:' || sh) AS h1, md5('b:' || sh) AS h2 FROM shingles
@@ -296,7 +306,7 @@ _MINHASH_ORACLE = f"""
     "minhash_lsh_pairs",
     _MINHASH_ORACLE,
     doc=(
-        "MinHash+LSH near-dup candidates: char-8-gram shingles → 8 minhashes "
+        "MinHash+LSH near-dup candidates: word-3-gram shingles → 8 minhashes "
         "→ 4 bands of 2 → bucket self-join. Linear-ish in corpus size; the "
         "O(n²) comparison only happens inside identical-signature buckets."
     ),
@@ -314,15 +324,16 @@ def minhash_lsh_pairs(spark, sf_dir):
     # explode + hash-agg rather than higher-order array lambdas: the md5 and
     # substring expressions stay inside whole-stage codegen, and the min()
     # partial-aggregates map-side, so the shuffle carries one 8-string
-    # signature row per document, not the shingles
-    sh = df.select(
+    # signature row per document, not the shingles. No array_distinct:
+    # min() is insensitive to duplicate shingles, so deduping before the
+    # hash would cost a per-array hash set for nothing.
+    toks = df.select("doc_id", F.expr(_TOKS).alias("tk"))
+    sh = toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)),"
-                    f" i -> substring(text, i, {_SHINGLE}))"
-                )
+            F.expr(
+                f"transform(sequence(1, greatest(size(tk) - {_SHINGLE_WORDS - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(tk, i, {_SHINGLE_WORDS})))"
             )
         ).alias("sh"),
     ).select(
