@@ -1,0 +1,166 @@
+"""Drop-in CLI: run the engine from an unmodified kafka-connect-ftp
+properties file (the reference's example.properties format).
+
+    python -m kafka_connect_ftp_spark --properties connect.properties \
+        [--local-root DIR] [--state-dir DIR] [--sink-dir DIR] \
+        [--max-polls N | --forever] [--list-only]
+
+Connector parity (reference: FtpSourceTask.scala poll loop):
+  * the ``ftp.*`` property surface is parsed verbatim
+    (ingest/config.py; FtpSourceConfig.scala:35-47);
+  * each tick lists the monitored trees, fetches only new/changed files,
+    emits update bodies / tail deltas, and commits per-file state after
+    delivery (offsets-after-produce ordering, FtpMonitor.scala:108-122);
+  * failures back off exponentially up to ``ftp.max.backoff``
+    (ExponentialBackOff.scala:5-22).
+
+Modes:
+  * ``--local-root DIR`` — monitor paths resolve under a local directory
+    tree (file:// deployment; no FTP server involved).
+  * otherwise — connect to ``ftp.address`` with ``ftp.user``/
+    ``ftp.password`` and poll the remote tree (distributed RETR).
+
+Records land in ``--sink-dir`` as parquet (appended per tick with an
+``epoch`` column) or, without a sink dir, a per-tick count + sample is
+printed. Delivery happens BEFORE the state commit, so a failed write is
+retried on the next tick instead of dropped (SURVEY.md §2.8 T5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def parse_properties(path: str) -> dict[str, str]:
+    """Parse a java .properties file: ``k=v`` / ``k: v`` / ``k v``,
+    ``#``/``!`` comments, backslash line continuations."""
+    props: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        logical = ""
+        for raw in fh:
+            line = raw.rstrip("\n")
+            if not logical and (not line.strip() or line.lstrip()[0] in "#!"):
+                continue
+            if logical:
+                # java.util.Properties strips leading whitespace from
+                # continuation lines
+                line = line.lstrip()
+            if line.endswith("\\") and not line.endswith("\\\\"):
+                logical += line[:-1]
+                continue
+            logical += line
+            stripped = logical.strip()
+            logical = ""
+            if not stripped:
+                continue
+            for i, ch in enumerate(stripped):
+                if ch in "=:" or ch.isspace():
+                    key, value = stripped[:i], stripped[i + 1 :].lstrip()
+                    break
+            else:
+                key, value = stripped, ""
+            props[key.strip()] = value
+    return props
+
+
+def _parquet_sink(sink_dir: str):
+    def write(records, epoch: int) -> None:
+        records.withColumn("epoch", F.lit(epoch)).write.mode("append").parquet(sink_dir)
+
+    return write
+
+
+def _print_sink(records, epoch: int) -> None:
+    rows = records.limit(5).collect()
+    print(f"tick {epoch}: {records.count()} record(s)")
+    for r in rows:
+        body = bytes(r.value or b"")
+        shown = body[:48] + (b"..." if len(body) > 48 else b"")
+        print(f"  topic={r.topic} key={r.key_name} offset={r.key_offset} value={shown!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m kafka_connect_ftp_spark",
+        description="Poll FTP/local directories and emit file-change records "
+        "(kafka-connect-ftp drop-in).",
+    )
+    ap.add_argument("--properties", required=True, help="connector .properties file")
+    ap.add_argument("--state-dir", default="./ftp_state", help="per-file state table dir")
+    ap.add_argument("--local-root", help="resolve monitor paths under this local dir (no FTP)")
+    ap.add_argument("--sink-dir", help="append records as parquet here (default: print)")
+    ap.add_argument("--max-polls", type=int, default=1, help="stop after N ticks (default 1)")
+    ap.add_argument("--forever", action="store_true", help="poll until interrupted")
+    ap.add_argument("--list-only", action="store_true", help="print the current listing and exit")
+    args = ap.parse_args(argv)
+
+    from kafka_connect_ftp_spark.ingest.config import FtpEngineConfig
+    from kafka_connect_ftp_spark.session import get_spark
+    from kafka_connect_ftp_spark.streaming.backoff import ExponentialBackOff
+
+    cfg = FtpEngineConfig.from_props(parse_properties(args.properties))
+    if not cfg.monitors:
+        print("no ftp.monitor.tail / ftp.monitor.update entries configured", file=sys.stderr)
+        return 2
+
+    spark = get_spark("ftp-engine-cli")
+    source = None
+    if args.local_root is None:
+        from kafka_connect_ftp_spark.sources.ftp import FtpSource
+
+        source = FtpSource(
+            host=cfg.host, port=cfg.port or 21, user=cfg.user, password=cfg.password
+        )
+
+    pipeline = cfg.build_pipeline(spark, args.state_dir, local_root=args.local_root)
+
+    if args.list_only:
+        listing = (
+            source.listing(spark, cfg.monitors) if source else pipeline.default_listing()
+        )
+        for r in listing.orderBy("path").select("path", "size", "modification_time").collect():
+            print(f"{r.size:>10}  {r.modification_time}  {r.path}")
+        return 0
+
+    sink = _parquet_sink(args.sink_dir) if args.sink_dir else _print_sink
+    backoff = ExponentialBackOff(step_seconds=1.0, cap_seconds=cfg.max_backoff_seconds)
+    epoch, polled = 0, 0
+    while True:
+        t0 = time.time()
+        if backoff.passed():
+            try:
+                if source is not None:
+                    meta = source.listing(spark, cfg.monitors)
+                    listing = source.incremental_fetch(spark, meta, pipeline.load_state())
+                    pipeline.poll(listing, sink=sink, epoch=epoch)
+                else:
+                    pipeline.poll(sink=sink, epoch=epoch)
+                backoff.next_success()
+            except KeyboardInterrupt:  # pragma: no cover - interactive only
+                return 130
+            except Exception as e:  # noqa: BLE001 - poll failures must not kill the loop
+                backoff.next_failure()
+                print(
+                    f"tick {epoch} failed ({e}); next attempt in "
+                    f"{backoff.remaining_seconds():.0f}s",
+                    file=sys.stderr,
+                )
+            epoch += 1
+        polled += 1
+        if not args.forever and polled >= args.max_polls:
+            return 0
+        # reference semantics: next tick starts `refresh` after the
+        # previous one BEGAN (FtpSourceTask.scala:55 interval check);
+        # under backoff, wait out the remaining penalty instead
+        time.sleep(
+            max(backoff.remaining_seconds(), cfg.refresh_seconds - (time.time() - t0), 0.0)
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

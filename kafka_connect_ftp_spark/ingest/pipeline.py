@@ -142,6 +142,23 @@ class PollPipeline:
             # orphan table, never a wrong state
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(prev_version)}")
 
+    def default_listing(self) -> DataFrame:
+        """Listing over the monitors' common base dirs via ``local_listing``."""
+        bases = {(_glob_base(m.path), _leaf_glob(m.pattern)) for m in self.monitors}
+        # a missing monitored dir lists as empty, like FTP LIST on a
+        # nonexistent path (FtpFileLister.scala:37-50 None case)
+        parts = [
+            local_listing(self.spark, b, leaf_glob=g) for b, g in sorted(bases) if os.path.isdir(b)
+        ]
+        if not parts:
+            from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA
+
+            parts = [self.spark.createDataFrame([], LISTING_SCHEMA)]
+        listing = parts[0]
+        for p in parts[1:]:
+            listing = listing.unionByName(p)
+        return listing.dropDuplicates(["path"])
+
     # -- the poll ---------------------------------------------------------
     def poll(
         self,
@@ -167,22 +184,7 @@ class PollPipeline:
         acceptable.
         """
         if listing is None:
-            bases = {(_glob_base(m.path), _leaf_glob(m.pattern)) for m in self.monitors}
-            # a missing monitored dir lists as empty, like FTP LIST on a
-            # nonexistent path (FtpFileLister.scala:37-50 None case)
-            parts = [
-                local_listing(self.spark, b, leaf_glob=g)
-                for b, g in sorted(bases)
-                if os.path.isdir(b)
-            ]
-            if not parts:
-                from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA
-
-                parts = [self.spark.createDataFrame([], LISTING_SCHEMA)]
-            listing = parts[0]
-            for p in parts[1:]:
-                listing = listing.unionByName(p)
-            listing = listing.dropDuplicates(["path"])
+            listing = self.default_listing()
 
         records, new_state = snapshot(
             listing,
