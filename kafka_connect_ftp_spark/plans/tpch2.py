@@ -120,8 +120,8 @@ def q18_large_volume_customers(spark, sf_dir):
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation sn ON s_nationkey = sn.n_nationkey
     JOIN nation cn ON c_nationkey = cn.n_nationkey
-    WHERE ((sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_10')
-        OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_9'))
+    WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr
@@ -138,8 +138,8 @@ def q7_nation_volume(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     pair = (
-        ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
-        | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+        ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     )
     return (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
