@@ -70,6 +70,7 @@ class PollPipeline:
         max_files_per_poll: int | None = None,
         keep_history: bool = False,
         bucket_state: int | None = None,
+        keep_versions: int = 2,
     ) -> None:
         self.spark = spark
         self.monitors = list(monitors)
@@ -90,6 +91,14 @@ class PollPipeline:
         # spark.sql.shuffle.partitions so the listing shuffle lands
         # directly on the bucket layout.
         self.bucket_state = bucket_state
+        # parquet-mode retention: superseded version dirs strictly older
+        # than the last `keep_versions` are deleted after each commit, so a
+        # long-running loop doesn't grow state_dir without bound (bucketed
+        # mode already drops the superseded table per commit). Minimum 1
+        # kept behind the marker preserves crash-recovery headroom: the
+        # marker flip is atomic, but a reader mid-scan of the previous
+        # version must not have files deleted under it within the same tick.
+        self.keep_versions = max(1, keep_versions)
         self._last_records: DataFrame | None = None
         os.makedirs(state_dir, exist_ok=True)
 
@@ -141,6 +150,21 @@ class PollPipeline:
             # version's table can go; a crash before this DROP leaves an
             # orphan table, never a wrong state
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(prev_version)}")
+        elif not self.bucket_state:
+            self._prune_versions(current=int(version[1:]))
+
+    def _prune_versions(self, *, current: int) -> None:
+        """Delete parquet version dirs older than the retention window.
+        The marker has already moved, so anything pruned is unreferenced;
+        a crash mid-prune leaves stale dirs, never a missing current."""
+        import re
+        import shutil
+
+        cutoff = current - self.keep_versions
+        for entry in os.listdir(self.state_dir):
+            m = re.fullmatch(r"v(\d+)", entry)
+            if m and int(m.group(1)) <= cutoff:
+                shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
 
     def default_listing(self) -> DataFrame:
         """Listing over the monitors' common base dirs via ``local_listing``."""

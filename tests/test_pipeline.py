@@ -244,3 +244,21 @@ def test_idempotent_sink_replay_no_duplicates(spark, tree, tmp_path):
     sink(records, 7)  # crash-replay of the same epoch
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and bytes(got[0].value) == b"data"
+
+
+def test_state_version_retention_prunes_old_dirs(spark, tree, tmp_path):
+    state_dir = str(tmp_path / "state")
+    write(tree, "updates/u0", b"v1", T0)
+    pipe = PollPipeline(spark, monitors(tree), state_dir, keep_versions=2)
+
+    for i in range(4):  # commits v0..v3
+        write(tree, "updates/u0", b"v%d" % i, T0 + 60 * i)
+        pipe.poll()
+
+    versions = sorted(d for d in os.listdir(state_dir) if d.startswith("v"))
+    assert versions == ["v2", "v3"]
+    with open(os.path.join(state_dir, "CURRENT")) as fh:
+        assert fh.read().strip() == "v3"
+    # the surviving current version still loads and drives change detection
+    assert pipe.load_state().count() == 1
+    assert pipe.poll().count() == 0  # nothing changed
