@@ -3,6 +3,7 @@ the full pipeline a pretraining corpus goes through, composed from the
 engine's operators:
 
     quality gate (incl. Gopher repetition metric)
+      → unigram-LM fluency scoring (CCNet-style; worst tail cut)
       → exact dedup (md5 group)
       → near-dup removal (minhash LSH → connected components → keepers)
       → benchmark decontamination (5-gram overlap)
@@ -24,6 +25,7 @@ import sys
 from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
 from kafka_connect_ftp_spark.operators.mixing import mix_corpora
 from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
 from kafka_connect_ftp_spark.operators.pii import scrub
@@ -49,6 +51,15 @@ def main() -> int:
     quality = registry()["quality_filter_flags"].fn(spark, sf_dir)
     docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
     n1 = docs.count()
+
+    # 1b. LM fluency: drop the worst-perplexity 5% tail (corpus-trained
+    # unigram model — the CCNet signal with an in-engine LM)
+    scores = unigram_scores(docs)
+    cut = scores.approxQuantile("perplexity", [0.95], 0.001)[0]
+    docs = docs.join(
+        scores.filter(F.col("perplexity") <= cut).select("doc_id"), "doc_id", "left_semi"
+    )
+    n1b = docs.count()
 
     # 2. exact dedup: keep the min doc_id per identical body
     keepers = (
@@ -98,6 +109,7 @@ def main() -> int:
 
     print(f"corpus:        {n0}")
     print(f"quality-kept:  {n1}")
+    print(f"lm-kept:       {n1b}")
     print(f"exact-deduped: {n2}")
     print(f"near-deduped:  {n3}")
     print(f"decontam-kept: {n4}")
