@@ -141,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     pipeline.poll(sink=sink, epoch=epoch)
                 backoff.next_success()
+                m = pipeline.last_metrics
+                if m:
+                    print(
+                        f"tick {m['epoch']}: {m['n_changed']} changed / "
+                        f"{m['n_records']} record(s), {m['bytes_emitted']} B, "
+                        f"{m['n_tracked_paths']} tracked, {m['wall_seconds']}s",
+                        file=sys.stderr,
+                    )
             except KeyboardInterrupt:  # pragma: no cover - interactive only
                 return 130
             except Exception as e:  # noqa: BLE001 - poll failures must not kill the loop

@@ -20,6 +20,7 @@ the snapshot plan is source-agnostic.
 from __future__ import annotations
 
 import os
+import time as _time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +101,7 @@ class PollPipeline:
         # version must not have files deleted under it within the same tick.
         self.keep_versions = max(1, keep_versions)
         self._last_records: DataFrame | None = None
+        self.last_metrics: dict | None = None
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state table ------------------------------------------------------
@@ -207,6 +209,7 @@ class PollPipeline:
         dropping a tick on a crash between commit and consumption is
         acceptable.
         """
+        t0 = _time.monotonic()
         if listing is None:
             listing = self.default_listing()
 
@@ -232,6 +235,25 @@ class PollPipeline:
         # The previous tick's localCheckpoint blocks are reclaimed by the
         # ContextCleaner once unreferenced — keep only the latest.
         self._last_records = records
+        # Per-tick operational metrics (the connector logs a files-count per
+        # poll, FtpMonitor.scala:111; this is the structured form). The
+        # records frame is already materialized by snapshot(), so these
+        # aggregates never re-run the listing or the fetch.
+        agg = records.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("value")), F.lit(0)).alias("b"),
+            F.coalesce(
+                F.sum(F.when(F.length("value") > 0, 1).otherwise(0)), F.lit(0)
+            ).alias("c"),
+        ).collect()[0]
+        self.last_metrics = {
+            "epoch": epoch,
+            "n_records": agg.n,
+            "n_changed": agg.c,
+            "bytes_emitted": agg.b,
+            "n_tracked_paths": self.load_state().count(),
+            "wall_seconds": round(_time.monotonic() - t0, 3),
+        }
         if self.keep_history:
             changed = records.filter(F.length("value") > 0).select(
                 F.col("key_name").alias("path")

@@ -262,3 +262,25 @@ def test_state_version_retention_prunes_old_dirs(spark, tree, tmp_path):
     # the surviving current version still loads and drives change detection
     assert pipe.load_state().count() == 1
     assert pipe.poll().count() == 0  # nothing changed
+
+
+def test_poll_metrics_per_tick(spark, tree, tmp_path):
+    state_dir = str(tmp_path / "state")
+    write(tree, "tails/t0", b"hello ", T0)
+    write(tree, "updates/u0", b"v1", T0)
+    pipe = PollPipeline(spark, monitors(tree), state_dir)
+    assert pipe.last_metrics is None
+
+    pipe.poll(epoch=7)
+    m = pipe.last_metrics
+    assert m["epoch"] == 7
+    assert m["n_records"] == 2 and m["n_changed"] == 2
+    assert m["bytes_emitted"] == len(b"hello ") + len(b"v1")
+    assert m["n_tracked_paths"] == 2
+    assert m["wall_seconds"] > 0
+
+    # unchanged tick: no changed records, paths still tracked
+    pipe.poll(epoch=8)
+    m = pipe.last_metrics
+    assert m["epoch"] == 8 and m["n_changed"] == 0 and m["bytes_emitted"] == 0
+    assert m["n_tracked_paths"] == 2
