@@ -114,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_connect_ftp_spark.sources.ftp import FtpSource
 
         source = FtpSource(
-            host=cfg.host, port=cfg.port or 21, user=cfg.user, password=cfg.password
+            host=cfg.host,
+            port=cfg.port or 21,
+            user=cfg.user,
+            password=cfg.password,
+            tls=cfg.tls,
         )
 
     pipeline = cfg.build_pipeline(spark, args.state_dir, local_root=args.local_root)

@@ -16,6 +16,9 @@ Supported keys (defaults mirror the reference):
     ftp.sourcerecordconverter  converter registry name (default "nop";
                              the reference takes a class name — here it
                              selects from converters.register_converter)
+    ftp.protocol             ftp | ftps (engine extension: explicit-TLS
+                             FTPS with PROT P; the reference is
+                             plaintext-only)
 """
 
 from __future__ import annotations
@@ -71,6 +74,7 @@ class FtpEngineConfig:
     max_poll_records: int = 10000
     monitors: list[MonitoredPath] = field(default_factory=list)
     converter: str = "nop"
+    tls: bool = False
 
     @classmethod
     def from_props(cls, props: dict[str, str]) -> "FtpEngineConfig":
@@ -83,6 +87,9 @@ class FtpEngineConfig:
             props.get("ftp.monitor.update", ""), tail=False
         )
         max_age = props.get("ftp.file.maxage")
+        protocol = props.get("ftp.protocol", "ftp").lower()
+        if protocol not in ("ftp", "ftps"):
+            raise ValueError(f"ftp.protocol must be ftp|ftps, got {protocol!r}")
         return cls(
             host=host,
             port=int(port_s) if port_s else None,
@@ -95,6 +102,7 @@ class FtpEngineConfig:
             max_poll_records=int(props.get("ftp.max.poll.records", "10000")),
             monitors=monitors,
             converter=props.get("ftp.sourcerecordconverter", "nop"),
+            tls=protocol == "ftps",
         )
 
     @property

@@ -49,6 +49,10 @@ class FtpSource:
     port: int = 21
     timeout_seconds: float = 30.0  # reference hardcodes 30 s (FtpSourceConfig.scala:74)
     fetch_partitions: int = 8
+    # FTPS (explicit TLS, RFC 4217): AUTH TLS on the control channel and
+    # PROT P on the data channel. The reference is plaintext-only; real
+    # deployments increasingly require this.
+    tls: bool = False
     _client_factory: callable = field(default=None, repr=False)
     # sticky listing mode: once a server rejects MLSD the source stays on
     # classic LIST for its lifetime instead of re-probing every walk — a
@@ -61,9 +65,11 @@ class FtpSource:
     def _connect(self) -> ftplib.FTP:
         if self._client_factory is not None:
             return self._client_factory()
-        ftp = ftplib.FTP(timeout=self.timeout_seconds)
+        ftp = (ftplib.FTP_TLS if self.tls else ftplib.FTP)(timeout=self.timeout_seconds)
         ftp.connect(self.host, self.port)
         ftp.login(self.user, self.password)
+        if self.tls:
+            ftp.prot_p()  # encrypt the data channel too
         ftp.set_pasv(True)  # reference enters passive mode (FtpMonitor.scala:156)
         _enable_tcp_keepalive(ftp)
         return ftp

@@ -124,6 +124,7 @@ class FtpFilesDataSource(DataSource):
             password=o.get("password", ""),
             port=int(o.get("port", 21)),
             timeout_seconds=float(o.get("timeout", 30.0)),
+            tls=o.get("tls", "false").lower() in ("true", "1", "yes"),
         )
 
     def _pattern(self) -> str:

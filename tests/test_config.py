@@ -67,3 +67,17 @@ def test_build_pipeline_local_remap(spark, tmp_path):
     assert pipe.max_files_per_poll == 7
     assert pipe.monitors[0].path == str(tmp_path) + "/data/"
     assert pipe.monitors[0].topic == "files"
+
+
+def test_protocol_ftps_parses_and_validates():
+    from kafka_connect_ftp_spark.ingest.config import FtpEngineConfig
+
+    cfg = FtpEngineConfig.from_props(
+        {"ftp.monitor.update": "/u/:t", "ftp.protocol": "FTPS"}
+    )
+    assert cfg.tls is True
+    assert FtpEngineConfig.from_props({"ftp.monitor.update": "/u/:t"}).tls is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ftp.protocol"):
+        FtpEngineConfig.from_props({"ftp.protocol": "sftp"})

@@ -276,3 +276,36 @@ def test_incremental_fetch_skips_unchanged(spark, tmp_path):
     assert got == {("/a/dirb/path/file3.txt", b"three-changed")}
     fetched_tick1 = set(open(counter).read().split())
     assert fetched_tick1 == {"/a/dirb/path/file3.txt"}
+
+
+def test_tls_connect_uses_ftps_and_prot_p(monkeypatch):
+    """tls=True builds an FTP_TLS client and encrypts the data channel
+    (AUTH TLS via login, then PROT P) before entering passive mode."""
+    import ftplib
+
+    calls = []
+
+    class StubTls:
+        def __init__(self, timeout=None):
+            calls.append(("ctor", timeout))
+
+        def connect(self, host, port):
+            calls.append(("connect", host, port))
+
+        def login(self, user, password):
+            calls.append(("login", user))
+
+        def prot_p(self):
+            calls.append(("prot_p",))
+
+        def set_pasv(self, flag):
+            calls.append(("pasv", flag))
+
+    monkeypatch.setattr(ftplib, "FTP_TLS", StubTls)
+    monkeypatch.setattr(
+        "kafka_connect_ftp_spark.sources.ftp._enable_tcp_keepalive", lambda ftp: None
+    )
+    src = FtpSource(host="secure.example", user="u", password="p", tls=True)
+    src._connect()
+    assert [c[0] for c in calls] == ["ctor", "connect", "login", "prot_p", "pasv"]
+    assert ("connect", "secure.example", 21) in calls
