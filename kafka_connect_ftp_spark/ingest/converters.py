@@ -6,14 +6,17 @@ record mapper (README.md:61-92 shows a CSV-line splitter). Both become
 DataFrame → DataFrame transforms over RECORD_SCHEMA rows; the registry
 replaces reflective class loading with a name → callable lookup.
 
-All converters are pure column expressions (codegen'd, no Python UDFs);
-``csv_lines`` is the explode-based 1→N example (SURVEY.md §2.7 U2).
+All converters are pure column expressions (codegen'd, no Python UDFs)
+except ``gunzip``, which has no SQL-builtin equivalent and uses an
+Arrow-batched pandas UDF (zlib does the work in C); ``csv_lines`` is the
+explode-based 1→N example (SURVEY.md §2.7 U2).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -83,6 +86,28 @@ def csv_lines(records: DataFrame) -> DataFrame:
         F.col("pos").cast("long").alias("line_no"),
         F.encode("line", "UTF-8").alias("value"),
     )
+
+
+@register_converter("gunzip")
+def gunzip(records: DataFrame) -> DataFrame:
+    """Transparently decompress gzipped bodies (magic ``1f 8b``); other
+    bodies pass through untouched. Compose with ``csv_lines`` for the
+    common gzipped-log-drop case. Arrow-batched; bytes stay in the
+    partition that fetched them."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gunzip(bodies: pd.Series) -> pd.Series:
+        import gzip as _gzip
+
+        def one(b):
+            if b is not None and len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
+                return _gzip.decompress(bytes(b))
+            return b
+
+        return bodies.map(one)
+
+    return records.withColumn("value", _gunzip(F.col("value")))
 
 
 def to_kafka_frame(records: DataFrame, key_style: str = "string_key") -> DataFrame:

@@ -58,3 +58,30 @@ def test_to_kafka_frame_struct_serializes_json(records):
 def test_unknown_converter():
     with pytest.raises(KeyError):
         get_converter("nope")
+
+
+def test_gunzip_decompresses_only_gzip_bodies(spark):
+    import gzip
+
+    from kafka_connect_ftp_spark.ingest.converters import get_converter
+
+    rows = [
+        ("t", "/a.gz", 0, gzip.compress(b"line1\nline2\n")),
+        ("t", "/b.txt", 0, b"plain body"),
+        ("t", "/c", 0, None),
+    ]
+    records = spark.createDataFrame(
+        rows, "topic string, key_name string, key_offset long, value binary"
+    )
+    out = {r.key_name: (bytes(r.value) if r.value is not None else None)
+           for r in get_converter("gunzip")(records).collect()}
+    assert out == {"/a.gz": b"line1\nline2\n", "/b.txt": b"plain body", "/c": None}
+
+    # composes with csv_lines for the gzipped-log-drop case
+    lines = get_converter("csv_lines")(get_converter("gunzip")(records))
+    got = {(r.key_name, r.line_no, bytes(r.value)) for r in lines.collect()}
+    assert got == {
+        ("/a.gz", 0, b"line1"),
+        ("/a.gz", 1, b"line2"),
+        ("/b.txt", 0, b"plain body"),
+    }
