@@ -195,6 +195,10 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
         self.ds = ds
         self.fetch = ds.options.get("fetch", "true").lower() == "true"
         self.prune_deleted = ds.options.get("pruneDeleted", "false").lower() == "true"
+        # L1 rate limit (ftp.max.poll.records, FtpSourceTask.scala:31,47-52):
+        # at most N changed files per micro-batch; the rest stay out of the
+        # committed offset, so the next poll re-detects and carries them over
+        self.max_files = int(ds.options.get("maxFilesPerTrigger", 0)) or None
         self._src: FtpSource | None = None
 
     def initialOffset(self) -> dict:
@@ -218,6 +222,8 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
                 for path, size, mtime in sorted(listing)
                 if state.get(path) != [size, mtime.isoformat()]
             ]
+            if self.max_files is not None:
+                changed = changed[: self.max_files]
             if self.prune_deleted:
                 live = {path for path, _, _ in listing}
                 new_state = {p: m for p, m in state.items() if p in live}

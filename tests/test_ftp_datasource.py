@@ -194,3 +194,21 @@ def test_stream_reader_poll_and_replay():
     finally:
         _FILES["/a/dirb/path/file3.txt"] = TREE["/a/dirb/path/file3.txt"]
         _MTIMES.clear()
+
+
+def test_stream_max_files_per_trigger_carries_over():
+    """L1 parity (ftp.max.poll.records): a capped poll emits the first N
+    changed files; the remainder stays out of the offset and arrives on
+    the next micro-batch."""
+    stream = FtpFilesStreamReader(
+        _ds({"pattern": "/a/dirb/path/*", "maxFilesPerTrigger": "1"})
+    )
+    rows1, off1 = stream.read(stream.initialOffset())
+    emitted1 = [r[0] for r in rows1]
+    assert emitted1 == ["/a/dirb/path/file3.txt"]  # sorted order, capped at 1
+
+    rows2, off2 = stream.read(off1)
+    assert [r[0] for r in rows2] == ["/a/dirb/path/file4.csv"]  # carry-over
+
+    rows3, off3 = stream.read(off2)
+    assert list(rows3) == [] and off3 == off2  # drained
