@@ -11,8 +11,13 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# runnable from any cwd: the repo root (this file's parent's parent) hosts
+# the kafka_connect_ftp_spark package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
