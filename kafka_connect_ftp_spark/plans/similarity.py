@@ -169,44 +169,27 @@ def ann_ivf_label_topk(spark, sf_dir):
     """,
     doc=(
         "Embedding-cosine near-dup pairs, blocked by coarse partition "
-        "(label) so the pairwise join is per-block, never global O(n²)."
+        "(label) so the pairwise comparison is per-block, never global "
+        "O(n²) — and tiled (operators/neardup.py) so one hot block can "
+        "neither OOM a task nor serialize on one worker."
     ),
 )
 def embedding_near_dup_pairs(spark, sf_dir):
-    # Pair generation is BLOCK-LOCAL: one shuffle groups each coarse block
-    # (label) onto an executor, where an Arrow-batched applyInPandas scores
-    # every in-block pair with a single BLAS matmul (m @ m.T) — the
-    # standard blocked all-pairs design. Nothing is broadcast (round 1
-    # broadcast the full table, which OOMs at 100 TB) and pairs below the
-    # threshold are dropped inside the block before they ever become rows.
-    # The SQL-lambda form (nested transform + aggregate over struct
-    # arrays) is interpreted per pair; the vectorized matmul profiled 4x
-    # faster at sf0.1 with identical 4-decimal output. At test SF the
-    # handful of label blocks caps parallelism, but at real scale the
-    # block key is a 100k+-cell coarse quantizer; a per-block size cap
-    # (like ngram_jaccard's stop-shingle df cap) bounds the worst block.
-    import numpy as np
-    import pandas as pd
+    # Pair generation is BLOCK-LOCAL and TILED: blocks above the cap are
+    # hash-split into chunks and every chunk pair becomes an independent
+    # Arrow-batched applyInPandas task scoring its pairs with one BLAS
+    # matmul. Exact (no candidate dropped — the oracle's full in-block
+    # join still matches), memory-bounded (~cap² per task however hot the
+    # block), and parallel (a hot block fans out across the cluster
+    # instead of pinning one Python worker). Nothing is broadcast
+    # (round 1 broadcast the full table, which OOMs at 100 TB) and pairs
+    # below the threshold are dropped inside the tile before they ever
+    # become rows. See operators/neardup.py for the design.
+    from kafka_connect_ftp_spark.operators.neardup import blocked_near_dup_pairs
 
     emb = _emb(spark, sf_dir).select("vec_id", "v", "label")
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["v"].to_numpy())
-        nrm = np.sqrt((m * m).sum(axis=1))
-        sim = (m @ m.T) / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sim[ia, ib] >= 0.3
-        return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cos_sim": sim[ia, ib][keep]}
-        )
-
     return (
-        emb.groupBy("label")
-        .applyInPandas(block_pairs, "vec_a long, vec_b long, cos_sim double")
+        blocked_near_dup_pairs(emb, block_col="label", threshold=0.3, block_cap=2048)
         .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )

@@ -8,9 +8,10 @@ batch/SQL oracle, which is exactly what makes them checkable by the
 driver's DuckDB compare while still exercising the streaming engine
 (micro-batch planner, state store, event-time windows).
 
-The parquet file stores TIMESTAMP(NANOS), which Spark's reader rejects;
-the stream declares ts as LongType under legacy.parquet.nanosAsLong and
-converts to micros — same instants the oracle sees.
+``ts`` is declared TimestampType when the parquet file stores micros; a
+TIMESTAMP(NANOS) file (which Spark's reader rejects) is instead read as
+LongType under legacy.parquet.nanosAsLong and converted to micros — either
+way the stream sees the same instants the oracle sees.
 """
 
 from __future__ import annotations
@@ -25,29 +26,37 @@ from kafka_connect_ftp_spark.plans import register
 
 _mem_counter = itertools.count()
 
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see module doc)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_nanos: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from kafka_connect_ftp_spark.session import _nano_timestamp_cols
+
+    ts_nanos = bool(_nano_timestamp_cols(os.path.join(sf_dir, "events.parquet")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if ts_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the table is a single parquet FILE; the file-stream source requires a
     # directory, so stream the parent dir filtered down to this one file
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_nanos))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def _run_to_completion(agg, name_prefix: str):

@@ -28,6 +28,10 @@ def get_spark(app_name: str = "kafka_connect_ftp_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet stores naive timestamp[us]; read as TimestampType
+        # (LTZ, pinned UTC above) not TIMESTAMP_NTZ so arithmetic casts
+        # (unix seconds, bigint) work and semantics match the DuckDB oracle
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -61,6 +65,9 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """
     from pyspark.sql import functions as F
 
+    # defensive for sessions not built by get_spark: naive parquet
+    # timestamps must surface as TimestampType (see get_spark)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,87 @@
+"""Tiled near-dup pair generation (operators/neardup.py).
+
+The cap must (a) bound how many rows any single applyInPandas task sees,
+(b) fan a hot block out into many tiles, and (c) change NOTHING about the
+result — tiling is an execution strategy, not an approximation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.neardup import (
+    blocked_near_dup_pairs,
+    tile_assignments,
+)
+
+
+def _mk_embeddings(spark, n_hot=300, n_cold=40, dim=8, seed=7):
+    """One hot block (label 0, n_hot rows) + one small block (label 1)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_hot):
+        rows.append((i, [float(x) for x in rng.normal(size=dim)], 0))
+    for i in range(n_cold):
+        rows.append((10_000 + i, [float(x) for x in rng.normal(size=dim)], 1))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>, label int")
+
+
+def _brute_force_pairs(df):
+    """Uncapped in-block all-pairs oracle, computed driver-side."""
+    rows = df.collect()
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r.label, []).append((r.vec_id, np.array(r.v)))
+    out = set()
+    for vecs in by_block.values():
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                ia, va = vecs[i]
+                ib, vb = vecs[j]
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if cos >= 0.3:
+                    a, b = min(ia, ib), max(ia, ib)
+                    out.add((a, b, round(cos, 4)))
+    return out
+
+
+def test_hot_block_is_split_into_bounded_tiles(spark):
+    df = _mk_embeddings(spark)
+    cap = 50
+    tiled = tile_assignments(df, block_col="label", id_col="vec_id", block_cap=cap)
+    sizes = (
+        tiled.groupBy("label", "tile_i", "tile_j")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hot = [r for r in sizes if r.label == 0]
+    cold = [r for r in sizes if r.label == 1]
+    # hot block (300 rows, cap 50 -> 6 chunks) fans out into 21 tiles
+    assert len(hot) == 6 * 7 // 2
+    # a tile holds at most two hash-chunks; allow hash imbalance headroom
+    assert max(r.n for r in hot) <= int(2.5 * cap)
+    # the under-cap block stays a single tile with zero replication
+    assert len(cold) == 1 and cold[0].n == 40
+
+
+def test_tiled_pairs_equal_uncapped_result(spark):
+    df = _mk_embeddings(spark)
+    expected = _brute_force_pairs(df)
+    assert expected, "fixture should produce at least one pair"
+    for cap in (50, 10_000):  # capped (6 chunks) and uncapped (1 chunk)
+        got = {
+            (r.vec_a, r.vec_b, round(r.cos_sim, 4))
+            for r in blocked_near_dup_pairs(df, block_cap=cap).collect()
+        }
+        assert got == expected, f"cap={cap}"
+
+
+def test_pair_appears_in_exactly_one_tile(spark):
+    # no dedup step exists downstream — the tiling itself must be disjoint
+    df = _mk_embeddings(spark, n_hot=120, n_cold=0)
+    pairs = blocked_near_dup_pairs(df, block_cap=30, threshold=-1.1)  # keep ALL pairs
+    n = pairs.count()
+    assert n == 120 * 119 // 2
+    assert pairs.select("vec_a", "vec_b").distinct().count() == n

@@ -49,12 +49,15 @@ def test_q5_all_joins_broadcast(plans):
 
 
 def test_near_dup_no_broadcast_of_corpus(plans):
-    # the pair generation must be bucket-local (collect_list per block),
-    # never a broadcast of the full embeddings table — a full-table
-    # broadcast OOMs executors at scale
+    # the pair generation must be tile-local, never a broadcast of the
+    # full embeddings table — a full-table broadcast OOMs executors at
+    # scale. The per-block chunk-count frame (one int row per block) IS
+    # allowed to broadcast; no BroadcastExchange may carry the vectors.
     plan = plans("embedding_near_dup_pairs")
-    assert "BroadcastExchange" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        assert "embedding" not in cols and not re.search(r"\bv#", cols), cols
 
 
 def test_simhash_single_shuffle(plans):
