@@ -23,13 +23,24 @@ from pyspark.sql import functions as F
 _DENOM = float(1 << 52)
 
 
-def _uniform(id_col: Column, salt: str) -> Column:
+def uniform_hash(id_col: Column, salt: Column | str) -> Column:
     """Uniform (0, 1] from md5(salt || id) — 52 bits → exact double;
-    the +1 ulp shift avoids u=0, which would break u^(1/w)."""
+    the +1 ulp shift avoids u=0, which would break u^(1/w). ``salt`` may
+    be a per-row Column (mix_corpora builds per-source salts)."""
+    s = F.lit(salt + ":") if isinstance(salt, str) else F.concat(salt, F.lit(":"))
     u = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 13), 16, 10
+        F.substring(F.md5(F.concat(s, id_col.cast("string"))), 1, 13), 16, 10
     ).cast("double") / F.lit(_DENOM)
     return u + F.lit(1.0 / _DENOM)
+
+
+def es_key(id_col: Column, weight_col: Column, salt: str = "v1") -> Column:
+    """The Efraimidis–Spirakis reservoir key ``u^(1/w)``: the global top-n
+    rows by this key form an exact weighted sample without replacement."""
+    return F.pow(uniform_hash(id_col, salt), F.lit(1.0) / weight_col.cast("double"))
+
+
+_uniform = uniform_hash  # internal alias kept for the call sites below
 
 
 def weighted_sample(
@@ -48,7 +59,7 @@ def weighted_sample(
     if n <= 0:
         raise ValueError("n must be positive")
     w = F.col(weight_col).cast("double")
-    key = F.pow(_uniform(F.col(id_col), salt), F.lit(1.0) / w)
+    key = es_key(F.col(id_col), w, salt)
     return (
         df.filter(w > 0)
         .withColumn("_es_key", key)

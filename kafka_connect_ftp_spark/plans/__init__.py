@@ -55,6 +55,7 @@ def registry() -> dict[str, QuerySpec]:
         text,
         similarity,
         llm_pipeline,
+        governance,
         multimodal_queries,
         ingest_queries,
         streaming_queries,

@@ -1,0 +1,232 @@
+"""Corpus-governance profile: one oracle-checked documents-grain query
+covering the training-data bookkeeping operators that previously had
+pytest-only evidence — deterministic splits (operators/splits.py),
+mixing keys (operators/mixing.py), PII detection/scrubbing
+(operators/pii.py) and unigram-LM fluency scoring
+(operators/lm_score.py) — plus the document fingerprints absorbed from
+round 2's ``doc_fingerprint`` query (md5/sha256/rolling hash).
+
+The query calls the REAL operator code paths; the DuckDB oracle
+re-derives every column independently (md5-hex arithmetic, RE2 regexes,
+ln/avg), so all five operator families sit inside the driver's full
+hash-comparison gate in a single row-budget slot.
+
+PII note: the synthetic documents contain no digits at all, so counting
+PII on the raw text would be vacuously zero. The query therefore
+augments each document with deterministic, id-derived PII strings
+(email for doc_id%5==0, SSN-shaped for %7, PAN-shaped for %11) and
+detects/scrubs THOSE — the regex machinery is exercised with per-row
+variation, and both engines build the identical augmented text from
+table values. Categories whose reference patterns need lookaround
+(phone) are provably zero on the augmented text (letters separate every
+injected digit run), so the operator's progressive-scrub chain and the
+RE2 oracle agree on every emitted column.
+
+Scale design (100 TB): fingerprints/split/mix-key/PII are pure map-side
+projections that pipeline with the scan; the LM columns add one
+token-keyed aggregation bounded by vocabulary size plus a broadcast
+log-prob join (see operators/lm_score.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
+from kafka_connect_ftp_spark.operators.mixing import es_key, uniform_hash
+from kafka_connect_ftp_spark.operators.pii import PII_PATTERNS, pii_counts
+from kafka_connect_ftp_spark.operators.splits import split_column
+from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.session import load_tables
+
+_ROLL_B = 131
+_ROLL_M = 2147483647  # 2^31 - 1
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATE = 0.6
+_DENOM = float(1 << 52)
+
+# the split boundaries as Python-float accumulation, EXACTLY as
+# operators/splits.py accumulates them — repr()'d into the oracle so both
+# engines compare u against bit-identical thresholds (0.8 + 0.1 is
+# 0.9000000000000001, not 0.9)
+def _split_bounds() -> list[tuple[str, float]]:
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    out, acc = [], 0.0
+    for name in list(_SPLIT_WEIGHTS)[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        out.append((name, acc))
+    return out
+
+
+def _duck_u(salt_sql: str) -> str:
+    """DuckDB twin of mixing.uniform_hash / splits' hash-to-[0,1)."""
+    return (
+        f"(('0x' || substr(md5({salt_sql} || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT"
+        f" / {_DENOM!r})"
+    )
+
+
+# deterministic PII augmentation — the same text built on both engines
+_AUG_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' ssn ', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),"
+    "      '-42-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(' card 4111 1111 1111 ',"
+    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)"
+)
+_AUG_DUCK = (
+    "text ||"
+    " CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||"
+    " CASE WHEN doc_id % 7 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    "      || '-42-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
+    " CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 '"
+    "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+# RE2-compatible scrub chain for the oracle: email -> pan -> ssn, each
+# counted on the progressively-scrubbed text exactly like
+# operators/pii.py. Phone needs lookaround (not RE2) but is provably
+# matchless on the augmented text; ipv4 likewise has no digits left.
+_RX = {name: pattern for name, pattern, _ in PII_PATTERNS}
+_REPL = {name: repl for name, _, repl in PII_PATTERNS}
+
+
+def _duck_pii() -> str:
+    t0 = "aug"
+    t1 = f"regexp_replace({t0}, '{_RX['email']}', '{_REPL['email']}', 'g')"
+    t2 = f"regexp_replace({t1}, '{_RX['pan']}', '{_REPL['pan']}', 'g')"
+    t3 = f"regexp_replace({t2}, '{_RX['ssn']}', '{_REPL['ssn']}', 'g')"
+    return f"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all({t0}, '{_RX['email']}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all({t1}, '{_RX['pan']}')) AS INT) AS n_pan,
+             CAST(len(regexp_extract_all({t2}, '{_RX['ssn']}')) AS INT) AS n_ssn,
+             md5({t3}) AS scrub_fp
+      FROM (SELECT doc_id, {_AUG_DUCK} AS aug FROM documents)
+    """
+
+
+def _oracle() -> str:
+    from kafka_connect_ftp_spark.plans.text import _DUCK_TOKS
+
+    bounds = "".join(
+        f"WHEN u < {b!r} THEN '{name}' " for name, b in _split_bounds()
+    )
+    last = list(_SPLIT_WEIGHTS)[-1]
+    u_split = _duck_u("'v1'")
+    u_mix = _duck_u("'v1:' || source || ':0'")
+    ulp = 1.0 / _DENOM
+    return f"""
+    WITH lm_toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS n FROM lm_toks GROUP BY token),
+    norm AS (SELECT SUM(n) AS total, COUNT(*) AS vsize FROM vocab),
+    lp AS (
+      SELECT token, ln((n + 0.5) / (total + 0.5 * (vsize + 1))) AS log_prob
+      FROM vocab, norm
+    ),
+    doc_lm AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(lp.log_prob) AS avg_logprob
+      FROM lm_toks t JOIN lp USING (token) GROUP BY t.doc_id
+    ),
+    pii AS ({_duck_pii()}),
+    base AS (
+      SELECT doc_id,
+             md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             list_reduce(
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+               (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M}
+             ) AS roll_hash,
+             CASE {bounds}ELSE '{last}' END AS split,
+             ROUND(POW({u_split} + {ulp!r}, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS es_key,
+             ({u_mix} + {ulp!r}) <= {_MIX_RATE!r} AS mix_keep
+      FROM (SELECT *, {u_split} AS u FROM documents)
+    )
+    SELECT b.doc_id, b.fp_md5, b.fp_sha256, b.n_bytes, b.roll_hash,
+           b.split, b.es_key, b.mix_keep,
+           p.n_email, p.n_pan, p.n_ssn,
+           (p.n_email + p.n_pan + p.n_ssn) > 0 AS has_pii,
+           p.scrub_fp,
+           CAST(COALESCE(l.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(l.avg_logprob, 4) AS avg_logprob,
+           ROUND(EXP(-l.avg_logprob), 4) AS perplexity
+    FROM base b
+    JOIN pii p USING (doc_id)
+    LEFT JOIN doc_lm l USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "governance_profile",
+    _oracle(),
+    doc=(
+        "Merged corpus-governance row per document: content fingerprints "
+        "(md5/sha256/Rabin-Karp rolling hash — round 2's doc_fingerprint), "
+        "deterministic train/val/test split, Efraimidis-Spirakis mixing "
+        "key + per-source mix-keep decision, PII counts/scrub fingerprint "
+        "over deterministically-augmented text, and unigram-LM fluency "
+        "(token count, avg log-prob, perplexity). Every column runs the "
+        "real operator code (operators/{splits,mixing,pii,lm_score}.py) "
+        "and is independently re-derived by the DuckDB oracle."
+    ),
+)
+def governance_profile(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+
+    chars = "filter(split(text, ''), c -> c <> '')"
+    fold = (
+        f"aggregate(transform(slice({chars}, 2, size({chars}) - 1),"
+        f" c -> cast(ascii(c) as bigint)),"
+        f" cast(ascii(element_at({chars}, 1)) as bigint),"
+        f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
+    )
+
+    aug = docs.withColumn("aug", F.expr(_AUG_SPARK))
+    counts, scrubbed = pii_counts("aug")
+    pii = aug.select("doc_id", *counts, F.md5(scrubbed.cast("binary")).alias("scrub_fp"))
+
+    lm = unigram_scores(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.expr(fold).alias("roll_hash"),
+        split_column("doc_id", _SPLIT_WEIGHTS, salt="v1").alias("split"),
+        F.round(
+            es_key(F.col("doc_id"), F.col("n_chars"), salt="v1"), 6
+        ).alias("es_key"),
+        (
+            uniform_hash(
+                F.col("doc_id"), F.concat(F.lit("v1:"), F.col("source"), F.lit(":0"))
+            )
+            <= F.lit(_MIX_RATE)
+        ).alias("mix_keep"),
+    )
+
+    has_pii = sum(F.col(f"n_{name}") for name in ("email", "pan", "ssn")) > 0
+    return (
+        base.join(pii, "doc_id")
+        .join(lm, "doc_id", "left")
+        .select(
+            "doc_id", "fp_md5", "fp_sha256", "n_bytes", "roll_hash",
+            "split", "es_key", "mix_keep",
+            "n_email", "n_pan", "n_ssn",
+            has_pii.alias("has_pii"),
+            "scrub_fp",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_logprob", "perplexity",
+        )
+        .orderBy("doc_id")
+    )

@@ -168,45 +168,9 @@ def text_profile(spark, sf_dir):
     )
 
 
-_ROLL_B = 131
-_ROLL_M = 2147483647  # 2^31 - 1
-
-
-@register(
-    "doc_fingerprint",
-    f"""
-    SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           list_reduce(
-             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-             (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M}
-           ) AS roll_hash
-    FROM documents ORDER BY doc_id
-    """,
-    doc=(
-        "Document fingerprinting in one pass: md5 + sha256 over the UTF-8 "
-        "bytes plus a polynomial (Rabin-Karp style) rolling hash over the "
-        "character stream — acc = (acc*B + byte) mod M, identical fold "
-        "order on both engines. Round 1's text_rolling_fingerprint is the "
-        "roll_hash column."
-    ),
-)
-def doc_fingerprint(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    chars = "filter(split(text, ''), c -> c <> '')"
-    fold = (
-        f"aggregate(transform(slice({chars}, 2, size({chars}) - 1),"
-        f" c -> cast(ascii(c) as bigint)),"
-        f" cast(ascii(element_at({chars}, 1)) as bigint),"
-        f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
-    )
-    return df.select(
-        "doc_id",
-        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
-        F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256"),
-        F.octet_length("text").cast("long").alias("n_bytes"),
-        F.expr(fold).alias("roll_hash"),
-    ).orderBy("doc_id")
+# doc_fingerprint (md5/sha256/rolling-hash) moved into the merged
+# governance_profile query (plans/governance.py) to hold the driver's
+# 50-query window while adding splits/mixing/PII/LM-fluency coverage.
 
 
 @register(
