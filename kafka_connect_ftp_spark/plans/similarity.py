@@ -195,15 +195,28 @@ def embedding_near_dup_pairs(spark, sf_dir):
     )
 
 
+_IVF_RAW_COS = f"""list_dot_product(embedding::DOUBLE[], {_Q})
+                 / (SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * SQRT(list_dot_product({_Q}, {_Q})))"""
+
+
 @register(
     "ann_ivf_kmeans_topk",
-    None,  # iterative (KMeans training) — no SQL oracle; rows-only check
+    f"""
+    SELECT vec_id, ROUND({_IVF_RAW_COS}, 4) AS cos_sim
+    FROM embeddings
+    ORDER BY {_IVF_RAW_COS} DESC, vec_id LIMIT 10
+    """,
     doc=(
-        "IVF ANN with a trained KMeans coarse quantizer (operators/ann.py): "
-        "build the index, probe the 2 nearest cells for the min-vec_id "
-        "query vector, exact top-10 within them. Iterative training has no "
-        "SQL equivalent — the driver records the weaker rows-only check; "
-        "recall properties are pinned by tests/test_ann.py."
+        "IVF ANN with a trained KMeans coarse quantizer (operators/ann.py) "
+        "run at nprobe = k (probe every cell) — the recall=1.0 "
+        "configuration, where IVF search is provably exact. That makes the "
+        "ENTIRE trained pipeline (KMeans train, cell assignment, centroid "
+        "ranking, per-cell exact scoring, merge) hash-checkable against the "
+        "brute-force SQL top-k: any dropped/duplicated/mis-scored vector "
+        "breaks equality. Round 2 recorded this row as no_oracle; the "
+        "nprobe<k pruning/recall trade-off stays pinned by tests/test_ann.py "
+        "(recall monotonicity vs brute force)."
     ),
 )
 def ann_ivf_kmeans_topk(spark, sf_dir):
@@ -212,8 +225,10 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     index = build_ivf(emb, k=8, seed=42)
     query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
-    return ivf_search(index, query, top_k=10, nprobe=2).select(
-        "vec_id", "cell", F.round("cos_sim", 4).alias("cos_sim")
+    # cell is training-state-dependent (not oracle-derivable) — project it
+    # away; vec_id + cos_sim fully identify the search result
+    return ivf_search(index, query, top_k=10, nprobe=8).select(
+        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
     )
 
 
