@@ -43,11 +43,21 @@ is sticky per source so a flip never re-stamps the whole tree as
 changed. ``.option("pruneDeleted", "true")`` drops vanished paths from
 the offset map (bounding its growth under rotating filenames) at the
 cost of re-emitting a path that later reappears with identical
-metadata; the default keeps the reference's carry-over semantics. The
-simple stream reader fetches on the driver (Spark's prefetch path);
-deployments with large bodies should emit metadata only (fetch=false)
-and join content via the distributed batch fetch, or keep using
-StreamingIngest whose state table scales past offset-JSON sizes.
+metadata; the default keeps the reference's carry-over semantics.
+
+Streaming fetch placement: the default stream reader is PARTITIONED
+(``DataSourceStreamReader``) — the driver does only the metadata LIST
+per trigger (exactly the reference's poll listing), offsets carry
+metadata only, and the changed files are hash-chunked so each EXECUTOR
+RETRs its share inside the micro-batch. Bodies never ride through the
+driver. ``.option("streamMode", "simple")`` selects the previous
+``SimpleDataSourceStreamReader`` path (driver-side prefetch), retained
+for environments where executors cannot reach the FTP server. One rate
+cap nuance in partitioned mode: ``maxFilesPerTrigger`` is applied
+against the reader's last-seen offset, which after a crash restart is
+unknown until the engine replays — so the first trigger after a restart
+may exceed the cap (it emits every pending change); steady state obeys
+the cap exactly.
 
 Test seam: ``_make_source`` is the override point — tests register a
 subclass whose ``_make_source`` returns a fake-client ``FtpSource``
@@ -60,9 +70,11 @@ import datetime as dt
 import ftplib
 from dataclasses import dataclass
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -108,6 +120,15 @@ class FtpFilesDataSource(DataSource):
 
     def reader(self, schema) -> "FtpFilesReader":
         return FtpFilesReader(self, schema)
+
+    def streamReader(self, schema) -> "FtpFilesPartitionedStreamReader":
+        if self.options.get("streamMode", "partitioned").lower() == "simple":
+            # raising NOT_IMPLEMENTED makes the engine fall back to
+            # simpleStreamReader (pyspark.sql.datasource_internal._streamReader)
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+            )
+        return FtpFilesPartitionedStreamReader(self, schema)
 
     def simpleStreamReader(self, schema) -> "FtpFilesStreamReader":
         return FtpFilesStreamReader(self)
@@ -162,29 +183,36 @@ class FtpFilesReader(DataSourceReader):
         return [FtpFilesPartition(files=c) for c in chunks]
 
     def read(self, partition: FtpFilesPartition):
-        if not partition.files:
-            return
-        src = self.ds._make_source()
-        ftp = src._connect() if self.fetch else None
-        clock = _NoopClock()
-        try:
-            for path, size, mtime_iso in partition.files:
-                row = {
-                    "path": path,
-                    "size": size,
-                    "modification_time": dt.datetime.fromisoformat(mtime_iso),
-                    "content": None,
-                }
-                if ftp is not None:
-                    content = _retr_or_none(ftp, path)
-                    clock.tick(ftp)  # keepalive between transfers
-                    if content is None:
-                        continue  # deleted since planning — nothing to ingest
-                    row["content"] = content
-                yield tuple(row[f] for f in self.fields)
-        finally:
+        yield from _fetch_partition(self.ds, partition, self.fields, self.fetch)
+
+
+def _fetch_partition(ds: FtpFilesDataSource, partition: FtpFilesPartition, fields, fetch: bool):
+    """Executor-side body of both the batch and the partitioned-stream
+    read: one FTP connection per partition, RETR each planned file,
+    skip files deleted since planning, project to the requested fields."""
+    if not partition.files:
+        return
+    src = ds._make_source()
+    ftp = src._connect() if fetch else None
+    clock = _NoopClock()
+    try:
+        for path, size, mtime_iso in partition.files:
+            row = {
+                "path": path,
+                "size": size,
+                "modification_time": dt.datetime.fromisoformat(mtime_iso),
+                "content": None,
+            }
             if ftp is not None:
-                _quietly_close(ftp)
+                content = _retr_or_none(ftp, path)
+                clock.tick(ftp)  # keepalive between transfers
+                if content is None:
+                    continue  # deleted since planning — nothing to ingest
+                row["content"] = content
+            yield tuple(row[f] for f in fields)
+    finally:
+        if ftp is not None:
+            _quietly_close(ftp)
 
 
 class FtpFilesStreamReader(SimpleDataSourceStreamReader):
@@ -270,3 +298,90 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
             if ftp is not None:
                 _quietly_close(ftp)
         return iter(rows)
+
+
+class FtpFilesPartitionedStreamReader(DataSourceStreamReader):
+    """The default streaming reader: per trigger the DRIVER does only the
+    metadata LIST (the reference's poll listing, FtpMonitor.scala:164-170)
+    and advances a metadata-only offset; the changed files are chunked
+    into input partitions and each EXECUTOR opens its own connection to
+    RETR its share (same distributed-fetch path as the batch reader).
+    File bodies therefore never pass through the driver — the round-2
+    limitation of the simple reader."""
+
+    def __init__(self, ds: FtpFilesDataSource, schema=None) -> None:
+        self.ds = ds
+        names = tuple(f.name for f in schema.fields) if schema is not None else _ALL_FIELDS
+        unknown = set(names) - set(_ALL_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown ftpfiles columns: {sorted(unknown)}")
+        self.fields = names
+        self.fetch = (
+            ds.options.get("fetch", "true").lower() == "true" and "content" in names
+        )
+        self.n_partitions = int(ds.options.get("numPartitions", 8))
+        if self.n_partitions < 1:
+            raise ValueError("numPartitions must be >= 1")
+        self.prune_deleted = ds.options.get("pruneDeleted", "false").lower() == "true"
+        self.max_files = int(ds.options.get("maxFilesPerTrigger", 0)) or None
+        self._src: FtpSource | None = None
+        # the last offset this reader produced or saw; None right after a
+        # crash restart (first latestOffset is then uncapped — module doc)
+        self._offset: dict | None = None
+
+    def _source(self) -> FtpSource:
+        if self._src is None:
+            self._src = self.ds._make_source()
+        return self._src
+
+    def initialOffset(self) -> dict:
+        self._offset = {"files": {}}
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        # driver side, metadata only — no data connection is ever opened
+        listing = self._source().list_files(self.ds._pattern())
+        state = dict(self._offset["files"]) if self._offset is not None else {}
+        changed = [
+            (path, size, mtime)
+            for path, size, mtime in sorted(listing)
+            if self._offset is None or state.get(path) != [size, mtime.isoformat()]
+        ]
+        if self.max_files is not None and self._offset is not None:
+            # L1 carry-over: only the capped slice advances the offset;
+            # the rest re-detects next trigger
+            changed = changed[: self.max_files]
+        if self.prune_deleted:
+            live = {path for path, _, _ in listing}
+            state = {p: m for p, m in state.items() if p in live}
+        for path, size, mtime in changed:
+            state[path] = [size, mtime.isoformat()]
+        self._offset = {"files": state}
+        return {"files": dict(state)}
+
+    def partitions(self, start: dict, end: dict):
+        # also reached on crash replay of a pending batch (no prior
+        # latestOffset call): adopt the replayed end as our last-seen state
+        self._offset = {"files": dict(end.get("files", {}))}
+        s = start.get("files", {})
+        changed = sorted(
+            (path, meta[0], meta[1])
+            for path, meta in end.get("files", {}).items()
+            if s.get(path) != meta
+        )
+        if not changed:
+            return [FtpFilesPartition(files=[])]
+        chunks: list[list] = [[] for _ in range(min(self.n_partitions, len(changed)))]
+        for i, f in enumerate(changed):
+            chunks[i % len(chunks)].append(f)
+        return [FtpFilesPartition(files=c) for c in chunks]
+
+    def read(self, partition: FtpFilesPartition):
+        # EXECUTOR side — the fetch parallelizes across the cluster
+        return _fetch_partition(self.ds, partition, self.fields, self.fetch)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine checkpoint; nothing to clean up
+
+    def stop(self) -> None:
+        self._src = None

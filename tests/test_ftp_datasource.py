@@ -9,6 +9,7 @@ import pytest
 from kafka_connect_ftp_spark.sources.ftp import FtpSource
 from kafka_connect_ftp_spark.sources.ftp_datasource import (
     FtpFilesDataSource,
+    FtpFilesPartitionedStreamReader,
     FtpFilesReader,
     FtpFilesStreamReader,
 )
@@ -194,6 +195,101 @@ def test_stream_reader_poll_and_replay():
     finally:
         _FILES["/a/dirb/path/file3.txt"] = TREE["/a/dirb/path/file3.txt"]
         _MTIMES.clear()
+
+
+def test_stream_fetch_runs_on_executors_not_driver(spark, tmp_path):
+    """The partitioned stream reader must RETR bodies in executor
+    processes; the driver may only LIST. PID-stamped transport calls are
+    the evidence: every data-connection call must come from a non-driver
+    process, while the listing calls come from the driver."""
+    import os
+
+    log = tmp_path / "calls.log"
+    log_path = str(log)
+
+    class SpyFtp(FakeFtp):
+        def mlsd(self, path, facts=()):
+            with open(log_path, "a") as fh:
+                fh.write(f"LIST {os.getpid()}\n")
+            return super().mlsd(path, facts)
+
+        def retrbinary(self, cmd, callback):
+            with open(log_path, "a") as fh:
+                fh.write(f"RETR {os.getpid()}\n")
+            return super().retrbinary(cmd, callback)
+
+    class SpyFtpFilesDataSource(FtpFilesDataSource):
+        @classmethod
+        def name(cls):
+            return "spyftpfiles"
+
+        def _make_source(self):
+            return FtpSource(
+                host="fake", _client_factory=lambda: SpyFtp(_FILES, mtimes=_MTIMES)
+            )
+
+    spark.dataSource.register(SpyFtpFilesDataSource)
+    df = (
+        spark.readStream.format("spyftpfiles")
+        .option("pattern", "/a/dirb/path/*")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("ftp_stream_execfetch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.path, bytes(r.content))
+        for r in spark.sql("SELECT * FROM ftp_stream_execfetch").collect()
+    }
+    assert got == {
+        ("/a/dirb/path/file3.txt", b"three"),
+        ("/a/dirb/path/file4.csv", b"four"),
+    }
+    calls = [line.split() for line in log.read_text().splitlines()]
+    retr_pids = {int(pid) for op, pid in calls if op == "RETR"}
+    list_pids = {int(pid) for op, pid in calls if op == "LIST"}
+    driver_pid = os.getpid()
+    assert retr_pids, "expected at least one RETR"
+    assert driver_pid not in retr_pids, "stream fetch ran on the driver"
+    # the poll listing runs in Spark's dedicated streaming-source-runner
+    # process (driver side); the fetches must happen in OTHER processes —
+    # the executors' python workers
+    assert list_pids, "expected at least one LIST"
+    assert retr_pids.isdisjoint(list_pids), "fetch ran in the planning process"
+
+
+def test_partitioned_stream_max_files_carries_over_and_chunks():
+    """Offset semantics of the partitioned reader: capped latestOffset
+    advance, carry-over on the next trigger, changed files spread across
+    input partitions."""
+    reader = FtpFilesPartitionedStreamReader(
+        _ds({"pattern": "/a/dirb/path/*", "maxFilesPerTrigger": "1", "numPartitions": "2"})
+    )
+    off0 = reader.initialOffset()
+    off1 = reader.latestOffset()
+    assert sorted(off1["files"]) == ["/a/dirb/path/file3.txt"]  # capped at 1
+    parts = reader.partitions(off0, off1)
+    files = [f for p in parts for f in p.files]
+    assert [f[0] for f in files] == ["/a/dirb/path/file3.txt"]
+    off2 = reader.latestOffset()
+    assert sorted(off2["files"]) == [
+        "/a/dirb/path/file3.txt",
+        "/a/dirb/path/file4.csv",
+    ]  # carry-over arrived
+    parts2 = reader.partitions(off1, off2)
+    rows = [r for p in parts2 for r in reader.read(p)]
+    assert [(r[0], r[3]) for r in rows] == [("/a/dirb/path/file4.csv", b"four")]
+    # drained: offset stable, empty batch
+    off3 = reader.latestOffset()
+    assert off3 == off2
+    assert [p.files for p in reader.partitions(off2, off3)] == [[]]
 
 
 def test_stream_max_files_per_trigger_carries_over():
