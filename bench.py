@@ -53,12 +53,16 @@ def main() -> int:
     spark.range(1).count()
 
     # best-of-N per query: the first execution of a plan pays whole-stage
-    # codegen compilation (and, on this shared host, scheduling noise that
-    # profiling showed can inflate a 1s query to 10s+); the minimum over
-    # two runs is the steady-state number a warm cluster would see and is
-    # reproducible round over round. The runs/agg fields record the
-    # methodology in the output.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # codegen compilation (profiled at 10-60s for the wide text plans —
+    # the correct trade at 100 TB where compile amortizes over terabytes,
+    # pure overhead at bench scale), and this shared host shows external
+    # load spikes that can inflate ANY single sample 5-10x (a pure-numpy
+    # calibration loop shows the same spikes with Spark idle, and GC logs
+    # show zero full collections). Three samples give the minimum a high
+    # chance of landing in a quiet window; the min is the steady-state
+    # number a warm cluster would see and is reproducible round to round.
+    # The runs/agg fields record the methodology in the output.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
