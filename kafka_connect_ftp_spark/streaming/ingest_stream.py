@@ -14,6 +14,16 @@ Connect-offset split of clock vs data (SURVEY.md §2.8 T3/T5).
 Records flow to a pluggable sink callable — ``kafka_sink`` routes on the
 per-row topic column (needs the spark-sql-kafka package on the
 classpath); ``parquet_sink`` is the dependency-free default.
+
+Kafka integration-test waiver (permanent for this build environment):
+the sandbox has no spark-sql-kafka/kafka-clients jar and no network to
+fetch one, so ``kafka_sink`` cannot be driven end-to-end here. What IS
+covered: ``to_kafka_frame`` (tests/test_converters.py) pins the exact
+frame contract the Kafka writer consumes — per-row ``topic``, binary
+``key``/``value``, both key styles — and ``kafka_sink`` adds only the
+three ``.write.format("kafka")`` lines below on top of it. On a cluster
+with the jar present, ``examples/migrate_from_connector.py`` plus a
+bootstrap-servers option is the intended smoke path.
 """
 
 from __future__ import annotations
