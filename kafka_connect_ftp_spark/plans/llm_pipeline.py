@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.plans import register
-from kafka_connect_ftp_spark.session import load_tables
+from kafka_connect_ftp_spark.session import balanced, load_tables
 
 _TOKS = "filter(split(text, ' '), x -> x <> '')"
 _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -164,11 +164,9 @@ def decontamination_flags(spark, sf_dir):
     ),
 )
 def quality_filter_flags(spark, sf_dir):
-    df = (
-        load_tables(spark, sf_dir, "documents")["documents"]
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .withColumn("tk", F.expr(_TOKS))
-    )
+    df = balanced(
+        load_tables(spark, sf_dir, "documents")["documents"], spark, "doc_id"
+    ).withColumn("tk", F.expr(_TOKS))
     bigrams = df.select(
         "doc_id",
         F.explode(

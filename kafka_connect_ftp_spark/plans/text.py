@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.plans import register
-from kafka_connect_ftp_spark.session import load_tables
+from kafka_connect_ftp_spark.session import balanced, load_tables
 
 # tokens = non-empty chunks of a single-space split (documents are
 # lower-case word soup; both engines keep empty strings on split)
@@ -108,7 +108,7 @@ _LANG_CASE_DUCK = f"""CASE
     ),
 )
 def text_profile(spark, sf_dir):
-    df = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
     lang_of = F.create_map(
         *[x for lang, ws in _STOPWORDS.items() for w in ws for x in (F.lit(w), F.lit(lang))]
@@ -284,7 +284,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     # shingles and megabytes of sketches.
     # spread the (cpu-bound) signature computation across all cores —
     # the source is a single small parquet file, i.e. one input split
-    df = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     # explode + hash-agg rather than higher-order array lambdas: the md5 and
     # substring expressions stay inside whole-stage codegen, and the min()
     # partial-aggregates map-side, so the shuffle carries one 8-string
@@ -389,8 +389,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     # frame (3 consumers); the combined emission profiled 3x faster and
     # drops the cache.
     df = (
-        _docs(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        balanced(_docs(spark, sf_dir), spark, "doc_id")
         .withColumn("tk", F.expr(_TOKS))
         .filter(F.size("tk") >= 3)
     )
@@ -483,7 +482,7 @@ _SIMHASH_ORACLE = f"""
     ),
 )
 def simhash_fingerprint(spark, sf_dir):
-    df = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk")).select(
         "doc_id",
         F.conv(F.substring(F.md5(F.col("tk").cast("binary")), 1, 8), 16, 10)

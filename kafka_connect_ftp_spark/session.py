@@ -42,6 +42,23 @@ def get_spark(app_name: str = "kafka_connect_ftp_spark") -> SparkSession:
     return spark
 
 
+def balanced(df, spark: SparkSession, *keys: str):
+    """Repartition a scan to full parallelism ONLY when it under-splits.
+
+    A fan-out stage (shingle explode, tokenization) needs parallelism
+    decoupled from input-file splittability: the driver's testdata is one
+    row group per file, so a scan yields 1-3 partitions and a downstream
+    explode would serialize on as many cores. At production scale the
+    input has many splits and this helper is a no-op — the guard avoids
+    paying a gratuitous shuffle exactly where it would hurt (large,
+    already-parallel scans).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
 def _nano_timestamp_cols(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS), which Spark's reader
     rejects (PARQUET_TYPE_ILLEGAL). Footer-only check via pyarrow."""
