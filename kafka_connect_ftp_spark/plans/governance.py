@@ -176,6 +176,11 @@ def _oracle() -> str:
     ),
 )
 def governance_profile(spark, sf_dir):
+    # Plan shape: fingerprints, split, mix key/keep and the whole PII
+    # chain are pure column expressions — they live in ONE map-side
+    # projection over the scan, no join. The only shuffles are the LM
+    # model's token aggregation (vocabulary-bounded) and the final
+    # doc_id-keyed score aggregation, joined back once.
     docs = load_tables(spark, sf_dir, "documents")["documents"]
 
     chars = "filter(split(text, ''), c -> c <> '')"
@@ -186,18 +191,14 @@ def governance_profile(spark, sf_dir):
         f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
     )
 
-    aug = docs.withColumn("aug", F.expr(_AUG_SPARK))
-    counts, scrubbed = pii_counts("aug")
-    pii = aug.select("doc_id", *counts, F.md5(scrubbed.cast("binary")).alias("scrub_fp"))
+    # pii_counts returns its count columns in PII_PATTERNS order
+    # (email, pan, ssn, phone, ipv4); phone/ipv4 are provably zero on the
+    # augmented text (module doc) and not emitted
+    counts, scrubbed = pii_counts(F.expr(_AUG_SPARK))
+    n_email, n_pan, n_ssn = counts[0], counts[1], counts[2]
+    has_pii = F.col("n_email") + F.col("n_pan") + F.col("n_ssn") > 0
 
-    lm = unigram_scores(docs).select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("avg_logprob", 4).alias("avg_logprob"),
-        F.round("perplexity", 4).alias("perplexity"),
-    )
-
-    base = docs.select(
+    mapside = docs.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_md5"),
         F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256"),
@@ -213,12 +214,21 @@ def governance_profile(spark, sf_dir):
             )
             <= F.lit(_MIX_RATE)
         ).alias("mix_keep"),
+        n_email,
+        n_pan,
+        n_ssn,
+        F.md5(scrubbed.cast("binary")).alias("scrub_fp"),
     )
 
-    has_pii = sum(F.col(f"n_{name}") for name in ("email", "pan", "ssn")) > 0
+    lm = unigram_scores(docs, include_tokenless=False).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
     return (
-        base.join(pii, "doc_id")
-        .join(lm, "doc_id", "left")
+        mapside.join(lm, "doc_id", "left")
         .select(
             "doc_id", "fp_md5", "fp_sha256", "n_bytes", "roll_hash",
             "split", "es_key", "mix_keep",
