@@ -66,6 +66,35 @@ def ivf_search(index: IvfIndex, query: list[float], top_k: int = 10, nprobe: int
     )
 
 
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Materialize the index as a cell-partitioned parquet table plus a
+    centroid sidecar. ``partitionBy("cell")`` is what turns nprobe into
+    PARTITION PRUNING: a probe reads only its cell directories, so at
+    100 TB with a k=4096 quantizer an nprobe=8 search touches ~0.2% of
+    the data and the pruning shows up in the scan's PartitionFilters
+    (asserted in tests/test_ann.py)."""
+    import json
+    import os
+
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # tiny driver-side sidecar: k centroid vectors (k ≪ corpus)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(index.centroids, fh)
+
+
+def read_ivf_index(spark, path: str) -> IvfIndex:
+    """Open a materialized index. The returned ``assigned`` frame is the
+    partitioned table — ``ivf_search`` over it prunes to the probed
+    cells."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centroids = json.load(fh)
+    assigned = spark.read.parquet(path).select("vec_id", "v", "cell")
+    return IvfIndex(assigned=assigned, centroids=centroids)
+
+
 def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes (md5-parity seeded), the same
     construction plans/similarity.py embeds in the oracle-checked

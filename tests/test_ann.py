@@ -70,6 +70,35 @@ def _recall(spark_df, truth_ids):
     return len(got & truth_ids) / len(truth_ids)
 
 
+def test_materialized_index_prunes_partitions_and_matches(spark, emb, index, tmp_path):
+    """The cell-partitioned index turns nprobe into partition pruning:
+    the probe scan must carry a PartitionFilters entry on cell and read
+    no non-probed cell directory — the 100 TB scale mechanism, asserted
+    on the real plan. Results must equal searching the in-memory index."""
+    from kafka_connect_ftp_spark.operators.ann import (
+        ivf_search,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(index, path)
+    opened = read_ivf_index(spark, path)
+    assert opened.centroids == index.centroids
+
+    query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    got = ivf_search(opened, query, top_k=5, nprobe=2)
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    expected = ivf_search(index, query, top_k=5, nprobe=2)
+    assert [(r.vec_id, round(r.cos_sim, 6)) for r in got.collect()] == [
+        (r.vec_id, round(r.cos_sim, 6)) for r in expected.collect()
+    ]
+
+
 def test_multi_probe_recovers_recall(emb, lsh):
     planes, bucketed = lsh
     query = [float(x) for x in emb.orderBy("vec_id").first().embedding]

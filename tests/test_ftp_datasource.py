@@ -292,6 +292,28 @@ def test_partitioned_stream_max_files_carries_over_and_chunks():
     assert [p.files for p in reader.partitions(off2, off3)] == [[]]
 
 
+def test_partitioned_stream_replays_pending_batch_after_restart():
+    """Crash replay: after a restart the engine re-executes the pending
+    batch by calling partitions(start, end) on a FRESH reader with no
+    prior latestOffset — the reader must reproduce exactly the files
+    whose metadata advanced between the checkpointed offsets, and adopt
+    end as its state so the next trigger caps correctly."""
+    warm = FtpFilesPartitionedStreamReader(_ds({"pattern": "/a/dirb/path/*"}))
+    off0 = warm.initialOffset()
+    off1 = warm.latestOffset()
+
+    fresh = FtpFilesPartitionedStreamReader(_ds({"pattern": "/a/dirb/path/*"}))
+    rows = [r for p in fresh.partitions(off0, off1) for r in fresh.read(p)]
+    assert {(r[0], r[3]) for r in rows} == {
+        ("/a/dirb/path/file3.txt", b"three"),
+        ("/a/dirb/path/file4.csv", b"four"),
+    }
+    # state adopted from the replayed end: nothing new → empty next batch
+    off2 = fresh.latestOffset()
+    assert off2 == off1
+    assert [p.files for p in fresh.partitions(off1, off2)] == [[]]
+
+
 def test_stream_max_files_per_trigger_carries_over():
     """L1 parity (ftp.max.poll.records): a capped poll emits the first N
     changed files; the remainder stays out of the offset and arrives on
