@@ -1,0 +1,86 @@
+"""Corpus readers: load text corpora in the common LLM-pipeline interchange
+formats into the engine's canonical documents frame.
+
+``read_corpus(spark, path, fmt)`` returns a frame with the same shape as
+the ``documents`` testdata table — ``doc_id BIGINT, text STRING,
+source STRING`` (+ passthrough metadata columns) — so every documents-grain
+operator (dedup, text profile, quality gate, governance, chunking, packing)
+runs unchanged on external corpora:
+
+- ``jsonl``: one JSON object per line (the de-facto corpus format);
+  ``text_field`` selects the payload key, other keys pass through.
+- ``csv``: header row expected; ``text_field`` selects the column.
+- ``text``: one document per FILE (``wholetext``) or per LINE.
+- ``parquet``: columnar corpora; ``text_field`` renamed to ``text``.
+
+``doc_id`` synthesis: corpora rarely ship stable ids, and
+``monotonically_increasing_id`` is partition-layout-dependent (re-running
+after a repartition renumbers everything — poison for deterministic
+splits/dedup decisions). The synthesized id is ``xxhash64(source, text)``:
+a pure function of content + provenance, so it survives repartitioning,
+retries and incremental re-runs, and exact duplicates WITHIN one source
+collide on purpose — they are the same document, and downstream exact
+dedup treats them as such. Pass ``id_field`` to keep a trusted upstream id
+instead.
+
+Scale: every reader is a plain DataFrame source (splittable scans,
+predicate/column pushdown where the format supports it) plus map-side
+projections — no shuffle, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FORMATS = ("jsonl", "csv", "text", "parquet")
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "jsonl",
+    *,
+    text_field: str = "text",
+    id_field: str | None = None,
+    source: str | None = None,
+    per_line: bool = True,
+) -> DataFrame:
+    """Load a corpus into the canonical ``(doc_id, text, source, ...)``
+    frame. ``source`` defaults to the input file name of each row
+    (provenance column — mixing rates and governance salts key on it).
+    For ``fmt="text"``, ``per_line=False`` reads one document per file."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+
+    if fmt == "jsonl":
+        df = spark.read.json(path)
+    elif fmt == "csv":
+        df = spark.read.option("header", "true").option("multiLine", "true").csv(path)
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:  # text
+        # NB: must be the keyword form — DataFrameReader.text() overwrites
+        # a previously-set "wholetext" option with its own default
+        df = spark.read.text(path, wholetext=not per_line).withColumnRenamed(
+            "value", text_field
+        )
+
+    if text_field not in df.columns:
+        raise ValueError(f"column {text_field!r} not found; corpus has {df.columns}")
+
+    src_col = F.lit(source) if source is not None else F.input_file_name()
+    out = df.withColumn("source", src_col)
+    if text_field != "text":
+        out = out.withColumnRenamed(text_field, "text")
+    out = out.withColumn("text", F.col("text").cast("string"))
+
+    if id_field is not None:
+        if id_field not in df.columns:
+            raise ValueError(f"id column {id_field!r} not found; corpus has {df.columns}")
+        out = out.withColumn("doc_id", F.col(id_field).cast("long"))
+    else:
+        out = out.withColumn("doc_id", F.xxhash64("source", "text"))
+
+    meta = [c for c in out.columns if c not in ("doc_id", "text", "source")]
+    return out.select("doc_id", "text", "source", *meta)

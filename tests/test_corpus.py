@@ -1,0 +1,90 @@
+"""Corpus readers (ingest/corpus.py): JSONL/CSV/text/parquet corpora land
+in the canonical documents frame and flow through documents-grain
+operators unchanged."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.ingest.corpus import read_corpus
+
+DOCS = [
+    {"text": "the quick brown fox", "lang": "en"},
+    {"text": "le renard brun rapide", "lang": "fr"},
+    {"text": "the quick brown fox", "lang": "en"},  # exact duplicate
+]
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text("\n".join(json.dumps(d) for d in DOCS))
+    return str(p)
+
+
+def test_jsonl_canonical_shape_and_passthrough(spark, jsonl_dir):
+    df = read_corpus(spark, jsonl_dir, "jsonl")
+    assert df.columns[:3] == ["doc_id", "text", "source"]
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.lang for r in rows} == {"en", "fr"}  # metadata passes through
+    assert all(r.source.endswith("part-0.jsonl") for r in rows)
+
+
+def test_doc_id_is_content_stable_and_dedupable(spark, jsonl_dir):
+    df = read_corpus(spark, jsonl_dir, "jsonl")
+    # identical (source, text) -> identical id: exact dupes collide BY DESIGN
+    assert df.select("doc_id").distinct().count() == 2
+    # stable under repartitioning (monotonically_increasing_id is not)
+    again = read_corpus(spark, jsonl_dir, "jsonl").repartition(7)
+    assert {r.doc_id for r in df.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_trusted_upstream_id_kept(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        "\n".join(json.dumps({"my_id": i, "body": f"doc {i}"}) for i in range(3))
+    )
+    df = read_corpus(spark, str(p), "jsonl", text_field="body", id_field="my_id")
+    assert sorted(r.doc_id for r in df.collect()) == [0, 1, 2]
+    assert {r.text for r in df.collect()} == {"doc 0", "doc 1", "doc 2"}
+
+
+def test_csv_and_text_formats(spark, tmp_path):
+    c = tmp_path / "csv"
+    c.mkdir()
+    (c / "a.csv").write_text("text,tag\nhello world,x\nbye now,y\n")
+    df = read_corpus(spark, str(c), "csv")
+    assert {r.text for r in df.collect()} == {"hello world", "bye now"}
+
+    t = tmp_path / "txt"
+    t.mkdir()
+    (t / "a.txt").write_text("line one\nline two\n")
+    per_line = read_corpus(spark, str(t), "text")
+    assert {r.text for r in per_line.collect()} == {"line one", "line two"}
+    whole = read_corpus(spark, str(t), "text", per_line=False)
+    [row] = whole.collect()
+    assert row.text == "line one\nline two\n"
+
+
+def test_documents_grain_operators_run_on_external_corpus(spark, jsonl_dir):
+    # the point of the canonical shape: existing operators run unchanged
+    from kafka_connect_ftp_spark.operators.pii import scrub
+    from kafka_connect_ftp_spark.operators.splits import assign_splits
+
+    df = read_corpus(spark, jsonl_dir, "jsonl")
+    out = assign_splits(scrub(df), {"train": 0.9, "val": 0.1})
+    assert set(out.columns) >= {"doc_id", "text", "split", "has_pii"}
+    assert out.count() == 3
+
+
+def test_bad_format_and_missing_column_rejected(spark, jsonl_dir):
+    with pytest.raises(ValueError, match="fmt"):
+        read_corpus(spark, jsonl_dir, "xml")
+    with pytest.raises(ValueError, match="not found"):
+        read_corpus(spark, jsonl_dir, "jsonl", text_field="nope")
