@@ -15,6 +15,10 @@ Every stage is a DataFrame transform — one lazily-composed plan per
 stage boundary, shuffles only where the algorithm demands them (dedup
 grouping, LSH buckets, packing shards).
 
+The same pipeline runs on external corpora: swap the ``load_tables``
+line for ``ingest.corpus.read_corpus(spark, path, "jsonl")`` (or csv/
+text/parquet) — the readers land in the identical documents shape.
+
 Run: PYTHONPATH=. python examples/llm_data_prep.py [sf_dir]
 """
 
