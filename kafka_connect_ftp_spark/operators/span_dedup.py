@@ -1,0 +1,96 @@
+"""Span-level exact deduplication (C4-style): remove every repeated
+paragraph/line across the corpus, keeping only its first occurrence.
+
+Web corpora repeat boilerplate spans (navigation, license blocks, quoted
+headers) across millions of pages; C4 famously deduplicates at the
+three-sentence-span level corpus-wide. This operator does the same for
+a configurable unit (paragraph or line): a span that occurs anywhere
+earlier in the corpus — in another document or earlier in the same one —
+is dropped; the first occurrence (lowest ``(doc_id, position)``) is kept.
+
+Scale design (100 TB):
+- the KEEP/DROP decision runs on a metadata-only frame: ``(span_hash,
+  doc_id, idx)`` — three longs per span. Only this frame shuffles on
+  ``span_hash`` (window rank per hash); span TEXT never rides the
+  hash shuffle;
+- the decision joins back to the text on ``(doc_id, idx)`` — the data's
+  home key, co-partitionable with the source layout (bucketed tables
+  make it shuffle-free on the text side);
+- reconstruction is one ``doc_id`` aggregation ordering surviving spans
+  by position.
+
+xxhash64 keys the spans (64-bit collisions at corpus scale are
+~n²/2⁶⁵ — acceptable for dedup where a collision merely drops one extra
+span; swap a 128-bit hash for forensic-grade exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SPLITTERS = {"paragraph": "\n\n", "line": "\n"}
+
+
+def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "text") -> DataFrame:
+    """Explode documents into ``(doc_id, idx, span)`` rows; empty spans
+    (consecutive separators) keep their index so reconstruction preserves
+    spacing semantics, but never participate in dedup."""
+    if unit not in _SPLITTERS:
+        raise ValueError(f"unit must be one of {sorted(_SPLITTERS)}, got {unit!r}")
+    sep = _SPLITTERS[unit]
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("idx", "span"),
+    )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    unit: str = "paragraph",
+    *,
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide span dedup. Returns ``(doc_id, text, n_spans,
+    n_dropped)`` with ``text`` rebuilt from the surviving spans in their
+    original order. Spans shorter than ``min_chars`` are exempt (never
+    dropped — deduplicating one-word spans destroys ordinary prose).
+    """
+    units = span_units(docs, unit, text_col=text_col)
+    sep = _SPLITTERS[unit]
+
+    eligible = (F.length("span") >= min_chars) & (F.trim(F.col("span")) != "")
+    # metadata-only decision frame: the window shuffles (hash, doc_id,
+    # idx) triples, never the span text
+    meta = units.select(
+        F.xxhash64("span").alias("h"), "doc_id", "idx", eligible.alias("elig")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    decisions = meta.filter("elig").withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select("doc_id", "idx", "keep")
+
+    # join on the data's home key — exempt spans (no decision row) keep
+    decided = units.join(decisions, ["doc_id", "idx"], "left").withColumn(
+        "keep", F.coalesce("keep", F.lit(True))
+    )
+    rebuilt = (
+        decided.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("idx", "span"))
+                        )
+                    ),
+                    lambda s: s.span,
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+    return rebuilt.select("doc_id", "text", "n_spans", "n_dropped")

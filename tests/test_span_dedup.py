@@ -1,0 +1,78 @@
+"""C4-style span dedup (operators/span_dedup.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans, span_units
+
+BOILER = "all rights reserved by the site"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, f"unique alpha text\n\n{BOILER}\n\nmore alpha"),
+        (2, f"{BOILER}\n\nunique beta text"),
+        (3, f"unique gamma\n\n{BOILER}\n\nunique gamma"),  # intra-doc repeat too
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_occurrence_kept_rest_dropped(spark, docs):
+    out = {r.doc_id: r for r in dedup_spans(docs, "paragraph").collect()}
+    # doc 1 holds the first occurrence of the boilerplate -> untouched
+    assert out[1].text == f"unique alpha text\n\n{BOILER}\n\nmore alpha"
+    assert out[1].n_dropped == 0
+    # doc 2's copy is dropped
+    assert out[2].text == "unique beta text"
+    assert out[2].n_dropped == 1
+    # doc 3: boilerplate dropped AND its own internal repeat deduped
+    assert out[3].text == "unique gamma"
+    assert out[3].n_dropped == 2
+
+
+def test_order_preserved_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c\n\nz z z\n\nd e f"), (2, "q r s\n\nz z z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(df).collect()}
+    assert out[1].text == "a b c\n\nz z z\n\nd e f" and out[1].n_spans == 3
+    assert out[2].text == "q r s" and out[2].n_dropped == 1
+
+
+def test_short_spans_exempt(spark):
+    df = spark.createDataFrame(
+        [(1, "the\n\nlong shared paragraph"), (2, "the\n\nother text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in dedup_spans(df, "paragraph", min_chars=10).collect()}
+    # "the" repeats but is under min_chars -> kept in both docs
+    assert out[1] == "the\n\nlong shared paragraph"
+    assert out[2] == "the\n\nother text"
+
+
+def test_line_unit_and_bad_unit(spark, docs):
+    df = spark.createDataFrame([(1, "x\ny"), (2, "y\nz")], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in dedup_spans(df, "line").collect()}
+    assert out == {1: "x\ny", 2: "z"}
+    with pytest.raises(ValueError, match="unit"):
+        span_units(df, "sentence")
+
+
+def test_decision_shuffle_carries_no_text(spark, docs):
+    # the hash-keyed window must see only (h, doc_id, idx[, elig]) —
+    # span text shuffles exclusively on the doc_id home key
+    plan = dedup_spans(docs)._jdf.queryExecution().executedPlan().treeString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(h#\d+L[^\n]*", plan):
+        assert "span" not in m.group(0)
+
+
+def test_idempotent(spark, docs):
+    once = dedup_spans(docs).select("doc_id", "text")
+    twice = dedup_spans(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
