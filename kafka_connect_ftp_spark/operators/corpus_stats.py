@@ -1,0 +1,71 @@
+"""Corpus composition statistics: the "know your data" report every
+training-data pipeline runs before and after filtering.
+
+One pass over the documents frame produces per-group (default: per
+``source``) composition rows — document/byte/token counts, length
+quantiles, duplication ratio — plus an ALL-corpus rollup row, so a
+mixture designer can see each source's weight and shape at a glance.
+
+Scale design: a single ``GROUPING SETS``-style aggregation (group +
+grand total via ``cube`` on one column = 2 grouping sets); token counts
+come from one ``size(split(...))`` map-side expression — the text is
+never exploded and never shuffles; only per-group partial aggregates
+move. ``approx_percentile`` keeps the quantiles mergeable (t-digest
+style sketch), which is what makes them computable in one pass at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TOKS = "size(filter(split(text, ' '), x -> x <> ''))"
+
+
+def corpus_stats(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composition report: one row per ``group_col`` value plus an
+    ``__all__`` rollup row. Columns: ``n_docs``, ``n_bytes``,
+    ``n_tokens``, ``len_p50/p90/p99`` (token-length quantiles),
+    ``dup_ratio`` (1 - distinct_texts/docs: exact-duplicate mass),
+    ``share`` (group's fraction of corpus bytes)."""
+    base = docs.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias("grp"),
+        F.octet_length(text_col).cast("long").alias("bytes"),
+        F.expr(_TOKS.replace("text", text_col)).cast("long").alias("toks"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+    )
+    agg = (
+        base.cube("grp")  # grouping sets {(grp), ()} — group rows + rollup
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bytes").alias("n_bytes"),
+            F.sum("toks").alias("n_tokens"),
+            F.percentile_approx("toks", [0.5, 0.9, 0.99]).alias("_q"),
+            F.count_distinct("fp").alias("_n_distinct"),
+        )
+        .select(
+            F.coalesce("grp", F.lit("__all__")).alias(group_col),
+            "n_docs",
+            "n_bytes",
+            "n_tokens",
+            F.col("_q")[0].alias("len_p50"),
+            F.col("_q")[1].alias("len_p90"),
+            F.col("_q")[2].alias("len_p99"),
+            F.round(1 - F.col("_n_distinct") / F.col("n_docs"), 4).alias("dup_ratio"),
+        )
+    )
+    # share = group bytes / corpus bytes; the rollup row itself is the
+    # denominator, read via an empty-frame window (the agg output is tiny
+    # — one row per group — so the single-partition window is free)
+    total = F.max(F.when(F.col(group_col) == "__all__", F.col("n_bytes"))).over(
+        Window.partitionBy()
+    )
+    return agg.withColumn("share", F.round(F.col("n_bytes") / total, 4)).orderBy(
+        group_col
+    )

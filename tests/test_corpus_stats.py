@@ -1,0 +1,49 @@
+"""Corpus composition report (operators/corpus_stats.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "one two three", "web"),
+        (2, "one two three", "web"),      # exact duplicate inside web
+        (3, "four five", "web"),
+        (4, "six seven eight nine ten", "code"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_groups_plus_rollup_row(docs):
+    out = {r.source: r for r in corpus_stats(docs).collect()}
+    assert set(out) == {"web", "code", "__all__"}
+    assert out["web"].n_docs == 3 and out["code"].n_docs == 1
+    assert out["__all__"].n_docs == 4
+    assert out["__all__"].n_tokens == 3 + 3 + 2 + 5
+
+
+def test_dup_ratio_and_share(docs):
+    out = {r.source: r for r in corpus_stats(docs).collect()}
+    # web: 3 docs, 2 distinct texts -> 1/3 duplicated mass
+    assert out["web"].dup_ratio == round(1 - 2 / 3, 4)
+    assert out["code"].dup_ratio == 0.0
+    assert out["__all__"].share == 1.0
+    assert 0 < out["code"].share < out["web"].share
+
+
+def test_quantiles_are_token_lengths(docs):
+    out = {r.source: r for r in corpus_stats(docs).collect()}
+    assert out["code"].len_p50 == 5
+    assert out["web"].len_p50 in (2, 3)  # approx_percentile on {3,3,2}
+
+
+def test_null_group_bucketed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", None), (2, "c d", "web")], "doc_id long, text string, source string"
+    )
+    out = {r.source for r in corpus_stats(df).collect()}
+    assert out == {"__null__", "web", "__all__"}

@@ -78,6 +78,36 @@ def test_tiled_pairs_equal_uncapped_result(spark):
         assert got == expected, f"cap={cap}"
 
 
+def test_scale_smoke_one_hot_block(spark):
+    """A pathologically hot block (every row in one quantizer cell) must
+    complete with bounded tiles — the exact scenario that OOMs the
+    uncapped design (a 12k² similarity matrix in one worker)."""
+    rng = np.random.default_rng(1)
+    n, dim, cap = 12_000, 8, 1024
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim)], 0) for i in range(n)],
+        "vec_id long, v array<double>, label int",
+    )
+    tiles = (
+        tile_assignments(df, block_cap=cap)
+        .groupBy("tile_i", "tile_j")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    nchunks = -(-n // cap)  # 12
+    assert len(tiles) == nchunks * (nchunks + 1) // 2
+    assert max(r.c for r in tiles) <= int(2.5 * cap)
+    # near-identical planted pair must survive the tiling regardless of
+    # which chunks the ids hash into
+    v = [float(x) for x in rng.normal(size=dim)]
+    planted = spark.createDataFrame(
+        [(100_001, v, 0), (100_002, [x * 1.001 for x in v], 0)],
+        "vec_id long, v array<double>, label int",
+    )
+    got = blocked_near_dup_pairs(df.union(planted), block_cap=cap, threshold=0.9999)
+    assert (100_001, 100_002) in {(r.vec_a, r.vec_b) for r in got.collect()}
+
+
 def test_pair_appears_in_exactly_one_tile(spark):
     # no dedup step exists downstream — the tiling itself must be disjoint
     df = _mk_embeddings(spark, n_hot=120, n_cold=0)
