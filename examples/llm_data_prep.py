@@ -24,7 +24,11 @@ Run: PYTHONPATH=. python examples/llm_data_prep.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
+
+# runnable from any cwd without PYTHONPATH: the repo root is this file's parent's parent
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 

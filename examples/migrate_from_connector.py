@@ -11,7 +11,11 @@ Run: PYTHONPATH=. python examples/migrate_from_connector.py
 from __future__ import annotations
 
 import os
+import os
 import sys
+
+# runnable from any cwd without PYTHONPATH: the repo root is this file's parent's parent
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tempfile
 
 from kafka_connect_ftp_spark.ingest.config import FtpEngineConfig
