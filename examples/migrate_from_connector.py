@@ -11,7 +11,6 @@ Run: PYTHONPATH=. python examples/migrate_from_connector.py
 from __future__ import annotations
 
 import os
-import os
 import sys
 
 # runnable from any cwd without PYTHONPATH: the repo root is this file's parent's parent

@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 _FORMATS = ("jsonl", "csv", "text", "parquet")
 
 
+_NUMERIC_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def read_corpus(
     spark: SparkSession,
     path: str,
@@ -45,18 +48,32 @@ def read_corpus(
     id_field: str | None = None,
     source: str | None = None,
     per_line: bool = True,
+    multiline_csv: bool = False,
 ) -> DataFrame:
     """Load a corpus into the canonical ``(doc_id, text, source, ...)``
     frame. ``source`` defaults to the input file name of each row
     (provenance column — mixing rates and governance salts key on it).
-    For ``fmt="text"``, ``per_line=False`` reads one document per file."""
+    For ``fmt="text"``, ``per_line=False`` reads one document per file.
+
+    When ``text_field`` names a non-``text`` column and the corpus ALSO
+    has a ``text`` column, the pre-existing one is kept as ``orig_text``
+    metadata. Integer upstream ids pass through ``id_field`` unchanged;
+    string ids (UUIDs etc.) are hashed with xxhash64 — still
+    deterministic per id, but not numerically equal to the original.
+
+    ``multiline_csv=True`` enables quoted embedded newlines at the cost
+    of unsplittable files (one task per file) — leave it off for large
+    single-file corpora."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
 
     if fmt == "jsonl":
         df = spark.read.json(path)
     elif fmt == "csv":
-        df = spark.read.option("header", "true").option("multiLine", "true").csv(path)
+        reader = spark.read.option("header", "true")
+        if multiline_csv:
+            reader = reader.option("multiLine", "true")
+        df = reader.csv(path)
     elif fmt == "parquet":
         df = spark.read.parquet(path)
     else:  # text
@@ -72,13 +89,26 @@ def read_corpus(
     src_col = F.lit(source) if source is not None else F.input_file_name()
     out = df.withColumn("source", src_col)
     if text_field != "text":
+        if "text" in out.columns:
+            if "orig_text" in out.columns:
+                raise ValueError(
+                    "corpus has both 'text' and 'orig_text' columns alongside "
+                    f"text_field={text_field!r}; rename one upstream"
+                )
+            out = out.withColumnRenamed("text", "orig_text")
         out = out.withColumnRenamed(text_field, "text")
     out = out.withColumn("text", F.col("text").cast("string"))
 
     if id_field is not None:
         if id_field not in df.columns:
             raise ValueError(f"id column {id_field!r} not found; corpus has {df.columns}")
-        out = out.withColumn("doc_id", F.col(id_field).cast("long"))
+        id_type = dict(out.dtypes)[id_field]
+        if id_type in _NUMERIC_ID_TYPES:
+            out = out.withColumn("doc_id", F.col(id_field).cast("long"))
+        else:
+            # string/uuid ids: hash rather than cast — an ANSI cast would
+            # crash mid-job on the first non-numeric value
+            out = out.withColumn("doc_id", F.xxhash64(F.col(id_field).cast("string")))
     else:
         out = out.withColumn("doc_id", F.xxhash64("source", "text"))
 

@@ -74,12 +74,16 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     the data and the pruning shows up in the scan's PartitionFilters
     (asserted in tests/test_ann.py)."""
     import json
-    import os
 
     index.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    # tiny driver-side sidecar: k centroid vectors (k ≪ corpus)
-    with open(os.path.join(path, "_centroids.json"), "w") as fh:
-        json.dump(index.centroids, fh)
+    # tiny sidecar (k centroid vectors, k ≪ corpus), written THROUGH Spark
+    # so any filesystem the table write supports (s3a/hdfs/...) works —
+    # a local open() would break on distributed storage. The _-prefixed
+    # directory is invisible to the parquet scan (Hadoop hidden-path rule).
+    spark = index.assigned.sparkSession
+    spark.createDataFrame([(json.dumps(index.centroids),)], "c string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/_centroids")
 
 
 def read_ivf_index(spark, path: str) -> IvfIndex:
@@ -87,10 +91,8 @@ def read_ivf_index(spark, path: str) -> IvfIndex:
     partitioned table — ``ivf_search`` over it prunes to the probed
     cells."""
     import json
-    import os
 
-    with open(os.path.join(path, "_centroids.json")) as fh:
-        centroids = json.load(fh)
+    centroids = json.loads(spark.read.text(f"{path}/_centroids").first().value)
     assigned = spark.read.parquet(path).select("vec_id", "v", "cell")
     return IvfIndex(assigned=assigned, centroids=centroids)
 

@@ -43,6 +43,10 @@ def corpus_stats(
     agg = (
         base.cube("grp")  # grouping sets {(grp), ()} — group rows + rollup
         .agg(
+            # grouping() (not a sentinel compare) marks the rollup row, so
+            # a user group literally named "__all__" can never be mistaken
+            # for it in the share denominator below
+            F.grouping("grp").alias("_is_total"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("bytes").alias("n_bytes"),
             F.sum("toks").alias("n_tokens"),
@@ -50,7 +54,8 @@ def corpus_stats(
             F.count_distinct("fp").alias("_n_distinct"),
         )
         .select(
-            F.coalesce("grp", F.lit("__all__")).alias(group_col),
+            "_is_total",
+            F.when(F.col("_is_total") == 1, "__all__").otherwise(F.col("grp")).alias(group_col),
             "n_docs",
             "n_bytes",
             "n_tokens",
@@ -63,9 +68,11 @@ def corpus_stats(
     # share = group bytes / corpus bytes; the rollup row itself is the
     # denominator, read via an empty-frame window (the agg output is tiny
     # — one row per group — so the single-partition window is free)
-    total = F.max(F.when(F.col(group_col) == "__all__", F.col("n_bytes"))).over(
+    total = F.max(F.when(F.col("_is_total") == 1, F.col("n_bytes"))).over(
         Window.partitionBy()
     )
-    return agg.withColumn("share", F.round(F.col("n_bytes") / total, 4)).orderBy(
-        group_col
+    return (
+        agg.withColumn("share", F.round(F.col("n_bytes") / total, 4))
+        .drop("_is_total")
+        .orderBy(group_col)
     )

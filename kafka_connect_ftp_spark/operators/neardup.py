@@ -56,8 +56,14 @@ def tile_assignments(
     """
     counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_block_n"))
     nchunks = F.ceil(F.col("_block_n") / F.lit(block_cap)).cast("int")
+    # null-safe join: a NULL block (unassigned vectors) is a group like
+    # any other — a plain equi-join would silently drop those rows
+    sized = F.broadcast(
+        counts.withColumn("_nchunks", nchunks).withColumnRenamed(block_col, "_cblk")
+    )
     return (
-        df.join(F.broadcast(counts.withColumn("_nchunks", nchunks)), block_col)
+        df.join(sized, F.col(block_col).eqNullSafe(F.col("_cblk")))
+        .drop("_cblk")
         .withColumn("chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nchunks")).cast("int"))
         .withColumn("_other", F.explode(F.sequence(F.lit(0), F.col("_nchunks") - 1)))
         .withColumn("tile_i", F.least("chunk", "_other"))

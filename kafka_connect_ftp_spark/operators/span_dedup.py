@@ -39,9 +39,14 @@ def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "tex
     if unit not in _SPLITTERS:
         raise ValueError(f"unit must be one of {sorted(_SPLITTERS)}, got {unit!r}")
     sep = _SPLITTERS[unit]
+    # NULL text coalesces to "" so the document still yields one (empty)
+    # span — posexplode of NULL would emit zero rows and the document
+    # would silently vanish from the rebuilt corpus
     return docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("idx", "span"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
+        ).alias("idx", "span"),
     )
 
 

@@ -97,6 +97,15 @@ class FtpFilesPartition(InputPartition):
     files: list
 
 
+def _parse_max_files(raw) -> int | None:
+    """maxFilesPerTrigger: positive = cap, 0/unset = unlimited; anything
+    negative is a config error, not a silent slice-from-the-end."""
+    n = int(raw)
+    if n < 0:
+        raise ValueError(f"maxFilesPerTrigger must be >= 0, got {n}")
+    return n or None
+
+
 def _retr_or_none(ftp, path: str):
     """RETR one file; None if it vanished since planning (550) — a rotated
     file is not an error, it simply no longer exists to ingest."""
@@ -226,7 +235,7 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
         # L1 rate limit (ftp.max.poll.records, FtpSourceTask.scala:31,47-52):
         # at most N changed files per micro-batch; the rest stay out of the
         # committed offset, so the next poll re-detects and carries them over
-        self.max_files = int(ds.options.get("maxFilesPerTrigger", 0)) or None
+        self.max_files = _parse_max_files(ds.options.get("maxFilesPerTrigger", 0))
         self._src: FtpSource | None = None
 
     def initialOffset(self) -> dict:
@@ -323,10 +332,17 @@ class FtpFilesPartitionedStreamReader(DataSourceStreamReader):
         if self.n_partitions < 1:
             raise ValueError("numPartitions must be >= 1")
         self.prune_deleted = ds.options.get("pruneDeleted", "false").lower() == "true"
-        self.max_files = int(ds.options.get("maxFilesPerTrigger", 0)) or None
+        self.max_files = _parse_max_files(ds.options.get("maxFilesPerTrigger", 0))
         self._src: FtpSource | None = None
-        # the last offset this reader produced or saw; None right after a
-        # crash restart (first latestOffset is then uncapped — module doc)
+        # The last offset this reader produced or saw; None right after a
+        # crash restart. The first latestOffset after a restart therefore
+        # rebuilds from the live listing alone: it is uncapped (module
+        # doc), and a path that was in the checkpointed offset but is
+        # deleted from the server right now silently leaves the map — if
+        # it later reappears with identical metadata it is re-emitted
+        # (at-least-once, same trade pruneDeleted makes explicitly). The
+        # engine's replay of a pending batch goes through partitions(),
+        # which adopts the checkpointed offset exactly.
         self._offset: dict | None = None
 
     def _source(self) -> FtpSource:

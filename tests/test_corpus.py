@@ -83,6 +83,28 @@ def test_documents_grain_operators_run_on_external_corpus(spark, jsonl_dir):
     assert out.count() == 3
 
 
+def test_conflicting_text_column_preserved_as_metadata(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text(json.dumps({"body": "payload", "text": "meta"}))
+    df = read_corpus(spark, str(p), "jsonl", text_field="body")
+    [row] = df.collect()
+    assert row.text == "payload" and row.orig_text == "meta"
+
+
+def test_string_upstream_ids_hashed_not_cast(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        "\n".join(json.dumps({"uid": u, "text": f"t{u}"}) for u in ("doc-001", "doc-002"))
+    )
+    df = read_corpus(spark, str(p), "jsonl", id_field="uid")
+    rows = df.collect()  # must not raise CAST_INVALID_INPUT mid-job
+    assert len({r.doc_id for r in rows}) == 2
+    again = read_corpus(spark, str(p), "jsonl", id_field="uid").collect()
+    assert {r.doc_id for r in rows} == {r.doc_id for r in again}
+
+
 def test_bad_format_and_missing_column_rejected(spark, jsonl_dir):
     with pytest.raises(ValueError, match="fmt"):
         read_corpus(spark, jsonl_dir, "xml")

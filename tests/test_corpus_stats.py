@@ -41,6 +41,21 @@ def test_quantiles_are_token_lengths(docs):
     assert out["web"].len_p50 in (2, 3)  # approx_percentile on {3,3,2}
 
 
+def test_group_named_all_does_not_corrupt_share(spark):
+    # the rollup row is identified by grouping(), not a sentinel compare,
+    # so a user group literally called "__all__" cannot hijack the
+    # share denominator
+    df = spark.createDataFrame(
+        [(1, "a b", "__all__"), (2, "c d e f", "web")],
+        "doc_id long, text string, source string",
+    )
+    rows = corpus_stats(df).collect()
+    totals = [r for r in rows if r.source == "__all__" and r.share == 1.0]
+    assert len(totals) == 1 and totals[0].n_docs == 2  # the true rollup
+    web = next(r for r in rows if r.source == "web")
+    assert 0 < web.share < 1
+
+
 def test_null_group_bucketed(spark):
     df = spark.createDataFrame(
         [(1, "a b", None), (2, "c d", "web")], "doc_id long, text string, source string"

@@ -108,6 +108,17 @@ def test_scale_smoke_one_hot_block(spark):
     assert (100_001, 100_002) in {(r.vec_a, r.vec_b) for r in got.collect()}
 
 
+def test_null_block_rows_still_pair(spark):
+    # unassigned vectors (NULL block) are a group like any other; the
+    # null-safe counts join must not silently drop them
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], None), (2, [1.0, 0.001], None), (3, [0.0, 1.0], 7)],
+        "vec_id long, v array<double>, label int",
+    )
+    got = {(r.vec_a, r.vec_b) for r in blocked_near_dup_pairs(df, block_cap=10).collect()}
+    assert got == {(1, 2)}
+
+
 def test_pair_appears_in_exactly_one_tile(spark):
     # no dedup step exists downstream — the tiling itself must be disjoint
     df = _mk_embeddings(spark, n_hot=120, n_cold=0)

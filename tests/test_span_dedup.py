@@ -72,6 +72,15 @@ def test_decision_shuffle_carries_no_text(spark, docs):
         assert "span" not in m.group(0)
 
 
+def test_null_text_docs_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "real\n\ncontent"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup_spans(df).collect()}
+    assert set(out) == {1, 2}  # the NULL-text doc must not vanish
+    assert out[2].text == "" and out[2].n_dropped == 0
+
+
 def test_idempotent(spark, docs):
     once = dedup_spans(docs).select("doc_id", "text")
     twice = dedup_spans(once).select("doc_id", "text")
