@@ -2,7 +2,9 @@
 the full pipeline a pretraining corpus goes through, composed from the
 engine's operators:
 
-    quality gate (incl. Gopher repetition metric)
+    corpus composition report (know-your-data)
+      → span-level (C4-style) boilerplate dedup
+      → quality gate (incl. Gopher repetition metric)
       → unigram-LM fluency scoring (CCNet-style; worst tail cut)
       → exact dedup (md5 group)
       → near-dup removal (minhash LSH → connected components → keepers)
@@ -32,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
 from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans
 from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
 from kafka_connect_ftp_spark.operators.mixing import mix_corpora
 from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
@@ -56,6 +60,14 @@ def main() -> int:
     n0 = docs.count()
 
     # 1. quality gate (the oracle-checked query, reused as a library call)
+    # 0. know your data: per-source composition report before any filter
+    corpus_stats(docs).show(5, truncate=False)
+
+    # 0b. C4-style span dedup: strip corpus-wide repeated lines before
+    # document-level filtering (boilerplate distorts quality signals)
+    deduped_text = dedup_spans(docs, unit="line").select("doc_id", "text")
+    docs = docs.drop("text").join(deduped_text, "doc_id")
+
     quality = registry()["quality_filter_flags"].fn(spark, sf_dir)
     docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
     n1 = docs.count()
