@@ -140,7 +140,10 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 if source is not None:
                     meta = source.listing(spark, cfg.monitors)
-                    listing = source.incremental_fetch(spark, meta, pipeline.load_state())
+                    listing = source.incremental_fetch(
+                        spark, meta, pipeline.load_state(),
+                        max_age_seconds=cfg.max_age_seconds or None,
+                    )
                     pipeline.poll(listing, sink=sink, epoch=epoch)
                 else:
                     pipeline.poll(sink=sink, epoch=epoch)

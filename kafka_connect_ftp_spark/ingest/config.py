@@ -127,6 +127,8 @@ class FtpEngineConfig:
             spark,
             monitors,
             state_dir,
-            max_age_seconds=int(self.max_age_seconds) if self.max_age_seconds else None,
+            # keep the float: int() would truncate PT0.5S to a
+            # filter-everything max_age of 0
+            max_age_seconds=self.max_age_seconds if self.max_age_seconds else None,
             max_files_per_poll=self.max_poll_records,
         )

@@ -102,7 +102,14 @@ def gunzip(records: DataFrame) -> DataFrame:
 
         def one(b):
             if b is not None and len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
-                return _gzip.decompress(bytes(b))
+                try:
+                    return _gzip.decompress(bytes(b))
+                except Exception:
+                    # corrupt/truncated member: pass the raw bytes through
+                    # instead of failing the task — an unraisable record
+                    # would poison EVERY subsequent tick (state never
+                    # advances past it), halting all monitors
+                    return bytes(b)
             return b
 
         return bodies.map(one)

@@ -89,6 +89,10 @@ def glob_to_regex(glob: str) -> str:
     (FtpFileLister.scala:20-25). ``*`` and ``?`` never match "/";
     ``**`` does.
     """
+    return "^" + _glob_body(glob) + "$"
+
+
+def _glob_body(glob: str) -> str:
     out, i = [], 0
     while i < len(glob):
         c = glob[i]
@@ -101,18 +105,27 @@ def glob_to_regex(glob: str) -> str:
         elif c == "?":
             out.append("[^/]")
         elif c == "[":
-            j = glob.index("]", i + 1)
+            try:
+                j = glob.index("]", i + 1)
+            except ValueError:
+                raise ValueError(f"unterminated '[' in glob {glob!r}") from None
             cls = glob[i + 1 : j]
             if cls.startswith("!"):
                 cls = "^" + cls[1:]
             out.append("[" + cls + "]")
             i = j
         elif c == "{":
-            j = glob.index("}", i + 1)
+            try:
+                j = glob.index("}", i + 1)
+            except ValueError:
+                raise ValueError(f"unterminated '{{' in glob {glob!r}") from None
+            # java.nio allows glob constructs INSIDE alternatives
+            # ({*.csv,*.json}); each one is translated recursively, not
+            # escaped literally
             alts = glob[i + 1 : j].split(",")
-            out.append("(" + "|".join(re.escape(a) for a in alts) + ")")
+            out.append("(" + "|".join(_glob_body(a) for a in alts) + ")")
             i = j
         else:
             out.append(re.escape(c))
         i += 1
-    return "^" + "".join(out) + "$"
+    return "".join(out)

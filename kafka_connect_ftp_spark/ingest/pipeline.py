@@ -98,8 +98,10 @@ class PollPipeline:
         # mode already drops the superseded table per commit). Minimum 1
         # kept behind the marker preserves crash-recovery headroom: the
         # marker flip is atomic, but a reader mid-scan of the previous
-        # version must not have files deleted under it within the same tick.
-        self.keep_versions = max(1, keep_versions)
+        # version must not have files deleted under it within the same
+        # tick — which is exactly the version keep_versions=1 would prune
+        # right after the flip, hence the clamp at 2.
+        self.keep_versions = max(2, keep_versions)
         self._last_records: DataFrame | None = None
         self.last_metrics: dict | None = None
         os.makedirs(state_dir, exist_ok=True)
@@ -231,6 +233,11 @@ class PollPipeline:
         # snapshot() is deterministic given the old state.
         if sink is not None:
             sink(records, epoch)
+        # counted BEFORE the commit: in bucketed mode the commit drops the
+        # superseded table new_state's lineage still reads, so a
+        # post-commit count would hit deleted files; pre-commit it is also
+        # the metrics gauge, avoiding a per-tick re-scan of the new table
+        n_tracked = new_state.count()
         self._commit_state(new_state)
         # The previous tick's localCheckpoint blocks are reclaimed by the
         # ContextCleaner once unreferenced — keep only the latest.
@@ -251,7 +258,7 @@ class PollPipeline:
             "n_records": agg.n,
             "n_changed": agg.c,
             "bytes_emitted": agg.b,
-            "n_tracked_paths": self.load_state().count(),
+            "n_tracked_paths": n_tracked,
             "wall_seconds": round(_time.monotonic() - t0, 3),
         }
         if self.keep_history:

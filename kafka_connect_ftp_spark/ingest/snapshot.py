@@ -123,7 +123,14 @@ def snapshot(
     )
     fetched = joined.filter(requires_fetch)
     if max_files is not None:
-        fetched = fetched.orderBy("path").limit(max_files)
+        # limit DISTINCT paths, not tagged rows: a path matched by two
+        # monitors is duplicated per monitor here, and a row-level limit
+        # could cut between the duplicates — emitting to one topic while
+        # committing the new hash, so the other topic never sees the
+        # change. Path-level limiting keeps all of a file's monitor rows
+        # together and counts the file once against the cap.
+        keep_paths = fetched.select("path").distinct().orderBy("path").limit(max_files)
+        fetched = fetched.join(F.broadcast(keep_paths), "path", "left_semi")
 
     # oversized bodies: fail loudly instead of mis-slicing (see module doc)
     guarded = fetched.withColumn(

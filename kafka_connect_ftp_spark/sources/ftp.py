@@ -178,14 +178,30 @@ class FtpSource:
         )
 
     # -- fetch (distributed) ----------------------------------------------
-    def incremental_fetch(self, spark: SparkSession, meta: DataFrame, state: DataFrame) -> DataFrame:
+    def incremental_fetch(
+        self,
+        spark: SparkSession,
+        meta: DataFrame,
+        state: DataFrame,
+        max_age_seconds: float | None = None,
+    ) -> DataFrame:
         """Fetch content ONLY for files the state table marks as new or
         changed (size/timestamp mismatch — the requiresFetch predicate,
         FtpMonitor.scala:35-46); unchanged files pass through with null
         content. The snapshot plan filters them out before touching
         content, so bytes of unchanged files never cross the wire — the
         reference's central transfer-saving property (SURVEY.md §4).
+
+        Pass the pipeline's ``max_age_seconds`` so the F1 age filter runs
+        HERE, before any RETR: an aged-out changed file would otherwise be
+        downloaded, then discarded by the snapshot filter, get no state
+        update, and be re-downloaded every tick forever.
         """
+        if max_age_seconds is not None:
+            meta = meta.filter(
+                F.col("modification_time")
+                >= F.current_timestamp() - F.make_interval(secs=F.lit(max_age_seconds))
+            )
         prev = state.select(
             F.col("path").alias("s_path"),
             F.col("size").alias("s_size"),

@@ -33,6 +33,13 @@ class ExponentialBackOff:
         self._failures = 0
         self._end = self.clock() + self.interval_seconds
 
+    def reset(self) -> None:
+        """Clear failures and open the gate immediately — for callers whose
+        cadence is paced elsewhere (e.g. a streaming trigger), where
+        ``next_success``'s post-poll wait window would double-gate."""
+        self._failures = 0
+        self._end = self.clock()
+
     def next_failure(self) -> None:
         self._failures += 1
         self._end = self.clock() + self.interval_seconds

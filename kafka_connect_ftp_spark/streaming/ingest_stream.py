@@ -55,6 +55,15 @@ def idempotent_parquet_sink(out_dir: str) -> Sink:
     once."""
 
     def write(records: DataFrame, epoch: int) -> None:
+        # Replay guard: if a crash hit AFTER the state commit but BEFORE
+        # the engine committed the micro-batch, the replayed tick
+        # re-derives an EMPTY delta — overwriting would erase the rows
+        # the original attempt already delivered. Skipping empty frames
+        # is correct in both worlds: a genuinely empty epoch has nothing
+        # to write (and no pre-existing partition to leave stale), a
+        # replayed one keeps the original rows.
+        if records.isEmpty():
+            return
         records.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch}")
 
     return write
@@ -99,7 +108,12 @@ class StreamingIngest:
         self.sink = sink
         self.refresh_seconds = refresh_seconds
         self.backoff = backoff
-        self.errors: list[Exception] = []
+        # bounded: an always-on query against a down server must not
+        # accumulate exception objects (and their frame-pinned locals)
+        # without limit
+        from collections import deque
+
+        self.errors: deque = deque(maxlen=100)
 
     def _tick(self, batch_df: DataFrame, epoch: int) -> None:
         if self.backoff and not self.backoff.passed():
@@ -111,7 +125,13 @@ class StreamingIngest:
             # for effectively-once). Mirrors Connect's offsets-after-produce.
             self.pipeline.poll(sink=self.sink, epoch=epoch)
             if self.backoff:
-                self.backoff.next_success()
+                # reset, not next_success(): the trigger already paces
+                # healthy ticks at refresh_seconds, and next_success()'s
+                # step-sized wait window measured from poll END would gate
+                # off every other trigger firing (interval silently 2x).
+                # The success window belongs to the CLI loop, where
+                # backoff IS the pacing mechanism (reference parity).
+                self.backoff.reset()
         except Exception as err:  # noqa: BLE001 — poll failures must not kill the query
             self.errors.append(err)
             if self.backoff:

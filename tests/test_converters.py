@@ -77,6 +77,17 @@ def test_gunzip_decompresses_only_gzip_bodies(spark):
            for r in get_converter("gunzip")(records).collect()}
     assert out == {"/a.gz": b"line1\nline2\n", "/b.txt": b"plain body", "/c": None}
 
+    # a truncated gzip member passes through as raw bytes instead of
+    # failing the task — an unraisable record would poison every
+    # subsequent tick (state never advances past it)
+    corrupt = gzip.compress(b"payload")[:-5]
+    bad = spark.createDataFrame(
+        [("t", "/bad.gz", 0, corrupt), ("t", "/ok.gz", 0, gzip.compress(b"fine"))],
+        "topic string, key_name string, key_offset long, value binary",
+    )
+    got = {r.key_name: bytes(r.value) for r in get_converter("gunzip")(bad).collect()}
+    assert got == {"/bad.gz": corrupt, "/ok.gz": b"fine"}
+
     # composes with csv_lines for the gzipped-log-drop case
     lines = get_converter("csv_lines")(get_converter("gunzip")(records))
     got = {(r.key_name, r.line_no, bytes(r.value)) for r in lines.collect()}

@@ -57,6 +57,27 @@ def test_char_class_and_braces():
     ]
 
 
+def test_braces_allow_nested_glob_constructs():
+    # java.nio groups may contain wildcards: {*.txt,*.csv} is the common
+    # multi-extension monitor; literal escaping would match nothing
+    assert matches("/a/*/path/{*.txt,*.csv}", TREE) == [
+        "/a/dira/path/file1.txt",
+        "/a/dirb/path/file3.txt",
+        "/a/dirb/path/file4.csv",
+    ]
+
+
+def test_unterminated_class_or_group_rejected():
+    import pytest
+
+    from kafka_connect_ftp_spark.ingest.model import glob_to_regex
+
+    with pytest.raises(ValueError, match="unterminated '\\['"):
+        glob_to_regex("/a/[bc")
+    with pytest.raises(ValueError, match="unterminated '\\{'"):
+        glob_to_regex("/a/{x,y")
+
+
 def test_dir_monitor_pattern_appends_star():
     m = MonitoredPath("/tails/", topic="tails", tail=True)
     assert m.pattern == "/tails/*"

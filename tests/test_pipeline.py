@@ -244,6 +244,12 @@ def test_idempotent_sink_replay_no_duplicates(spark, tree, tmp_path):
     sink(records, 7)  # crash-replay of the same epoch
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and bytes(got[0].value) == b"data"
+    # replay AFTER the state commit succeeded: the re-derived delta is
+    # empty — the sink must keep the originally delivered rows, not
+    # overwrite the epoch partition with nothing
+    sink(pipe.poll(), 7)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and bytes(got[0].value) == b"data"
 
 
 def test_state_version_retention_prunes_old_dirs(spark, tree, tmp_path):

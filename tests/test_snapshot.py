@@ -257,6 +257,24 @@ def test_max_files_rate_limit_carries_over(spark):
     assert r2.count() == 0
 
 
+def test_max_files_never_splits_a_multi_monitor_path(spark):
+    # the cap limits PATHS: a file matched by two monitors must emit to
+    # BOTH topics or neither — a row-level cut between the duplicates
+    # would commit the new hash while one topic never sees the change
+    monitors = [
+        MonitoredPath("/data/", topic="all_files", tail=False),
+        MonitoredPath("/data/*.csv", topic="csv_only", tail=False),
+    ]
+    files = {"/data/a.csv": S1, "/data/b.txt": S2}
+    records, _ = snapshot(
+        listing_df(spark, files, 0, {p: 0 for p in files}),
+        empty_state(spark), monitors, now="2024-06-01 12:00:00", max_files=1,
+    )
+    got = sorted((r.topic, r.key_name) for r in records.collect())
+    # a.csv sorts first and both its monitor rows survive the cap
+    assert got == [("all_files", "/data/a.csv"), ("csv_only", "/data/a.csv")]
+
+
 def test_overlapping_monitors_emit_per_monitor_records(spark):
     # a file matched by two monitors produces one record per monitor with
     # its own topic/mode (the reference processes each MonitoredPath

@@ -47,6 +47,18 @@ def test_backoff_gates_until_window_passes():
     assert b.passed()
 
 
+def test_backoff_reset_opens_gate_immediately():
+    # for trigger-paced callers (StreamingIngest): success must clear the
+    # gate entirely — next_success()'s step-sized window measured from
+    # poll end would skip every other trigger firing when step == refresh
+    clock = FakeClock()
+    b = ExponentialBackOff(step_seconds=10.0, cap_seconds=60.0, clock=clock)
+    b.next_failure()
+    assert not b.passed()
+    b.reset()
+    assert b.passed() and b.interval_seconds == 10.0  # failures cleared
+
+
 def test_streaming_ingest_emits_and_picks_up_changes(spark, tmp_path):
     base = str(tmp_path / "ftp")
     os.makedirs(f"{base}/tails")
