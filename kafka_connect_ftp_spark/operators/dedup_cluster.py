@@ -71,9 +71,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
+        # release the superseded round's blocks eagerly: without this,
+        # up to max_iter label-set copies pile up in storage memory
+        # (the initial cache on round 1, checkpoint blocks afterwards)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

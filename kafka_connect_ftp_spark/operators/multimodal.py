@@ -42,7 +42,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
-        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),  # null for content-less rows
         T.StructField("phash", T.StringType(), True),  # perceptual-hash stand-in
         T.StructField("decode_error", T.StringType(), True),
     ]
@@ -144,8 +144,16 @@ def image_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
-                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
-                    "phash": [hashlib.md5(bytes(b)).hexdigest()[:16] for b in pdf["content"]],
+                    # NULL-safe: content is nullable (metadata-only rows);
+                    # bytes(None) here would escape the per-row quarantine
+                    # and abort the whole task
+                    "n_bytes": [
+                        len(bytes(b)) if b is not None else None for b in pdf["content"]
+                    ],
+                    "phash": [
+                        hashlib.md5(bytes(b)).hexdigest()[:16] if b is not None else None
+                        for b in pdf["content"]
+                    ],
                     "decode_error": errs,
                 }
             )

@@ -60,7 +60,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the probe side salted and the build side replicated
-    ×``n_salts``, eliminating single-key reducer hot spots."""
+    ×``n_salts``, eliminating single-key reducer hot spots.
+
+    Only probe-preserving join types are valid: the build side exists in
+    ``n_salts`` replicas, so right/full outer would surface each
+    unmatched replica as its own null-probe row (up to n_salts duplicates
+    per build key)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated build "
+            "side would emit one null-probe row per unmatched salt replica"
+        )
     salted_probe = with_salt(probe, n_salts)
     replicated = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -352,8 +352,12 @@ def changelog_latest_state(spark, sf_dir):
 def sessionize_events(spark, sf_dir):
     t = load_tables(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    is_new = F.when(gap <= 1800, F.lit(0)).otherwise(F.lit(1))
+    # unix_micros, not cast('long'): the long cast floors to whole seconds
+    # while the oracle compares exact INTERVAL arithmetic — a sub-second
+    # gap straddling the 30-min boundary would sessionize differently
+    # (same fix as window_events_range_lag's range frame)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    is_new = F.when(gap <= 1800 * 1_000_000, F.lit(0)).otherwise(F.lit(1))
     wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         t["events"]

@@ -44,7 +44,15 @@ def chunk_documents(spark, sf_dir):
         "doc_id",
         "tk",
         F.explode(
-            F.expr(f"filter(sequence(1, size(tk)), i -> (i - 1) % {_STRIDE} = 0)")
+            # the size(tk) >= 1 guard matters: Spark's sequence(1, 0)
+            # auto-steps DOWN to [1, 0], which would fabricate a phantom
+            # empty chunk for a zero-token document (the oracle's
+            # i <= LEN(tk) emits nothing)
+            F.expr(
+                f"case when size(tk) >= 1 then"
+                f" filter(sequence(1, size(tk)), i -> (i - 1) % {_STRIDE} = 0)"
+                f" else array() end"
+            )
         ).alias("start"),
     )
     end = F.least(F.col("start") + _CHUNK - 1, F.size("tk"))

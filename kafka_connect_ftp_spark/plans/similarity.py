@@ -33,7 +33,10 @@ def _emb(spark, sf_dir):
     )
 
 
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+# the dot-product template is defined ONCE, in operators/ann.py — same
+# single-definition rule as the hyperplane/lsh imports below, so the
+# oracle-checked plans and the operator library can never drift apart
+from kafka_connect_ftp_spark.operators.ann import _DOT
 
 
 def _cos(a: str, b: str) -> F.Column:

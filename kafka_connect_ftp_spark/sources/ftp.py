@@ -363,14 +363,20 @@ def _parse_list_line(line: str, now: dt.datetime | None = None):
         return None
     now = now or dt.datetime.now()
     yt = m.group("yt")
-    if ":" in yt:
-        hour, minute = (int(x) for x in yt.split(":"))
-        year = now.year
-        mtime = dt.datetime(year, _MONTHS[m.group("month")], int(m.group("day")), hour, minute)
-        if mtime > now + dt.timedelta(days=1):  # "Dec 30 23:59" seen in January
-            mtime = mtime.replace(year=year - 1)
-    else:
-        mtime = dt.datetime(int(yt), _MONTHS[m.group("month")], int(m.group("day")))
+    try:
+        if ":" in yt:
+            hour, minute = (int(x) for x in yt.split(":"))
+            year = now.year
+            mtime = dt.datetime(year, _MONTHS[m.group("month")], int(m.group("day")), hour, minute)
+            if mtime > now + dt.timedelta(days=1):  # "Dec 30 23:59" seen in January
+                mtime = mtime.replace(year=year - 1)
+        else:
+            mtime = dt.datetime(int(yt), _MONTHS[m.group("month")], int(m.group("day")))
+    except ValueError:
+        # e.g. "Feb 29 12:00" from a leap-year mtime parsed in a non-leap
+        # current year: an unrepresentable date is an unparseable line —
+        # skip it (commons-net parity) rather than abort the whole walk
+        return None
     return m.group("name"), m.group("type") == "d", int(m.group("size")), mtime
 
 

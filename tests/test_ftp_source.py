@@ -180,6 +180,18 @@ def test_root_listing_failure_raises():
         source.list_files("/nonexistent/dir/*")
 
 
+def test_parse_list_line_unrepresentable_date_skipped():
+    # "Feb 29 12:00" (leap-year mtime) parsed when the current year is
+    # non-leap: unrepresentable -> skipped like any unparseable line,
+    # never a ValueError that aborts the whole walk
+    from kafka_connect_ftp_spark.sources.ftp import _parse_list_line
+
+    assert _parse_list_line(
+        "-rw-r--r--   1 ftp ftp       10 Feb 29 12:00 leap.txt",
+        now=dt.datetime(2026, 3, 1),
+    ) is None
+
+
 def test_parse_list_line_variants():
     from kafka_connect_ftp_spark.sources.ftp import _parse_list_line
 

@@ -98,6 +98,19 @@ def test_codec_failures_quarantined_per_row(media):
         assert r.phash is not None  # byte-level features still extracted
 
 
+def test_null_content_row_quarantined_not_fatal(spark):
+    # content is nullable (metadata-only rows): the byte-level feature
+    # columns must null out per row instead of escaping the quarantine
+    # and aborting the task
+    good = make_png(4, 4)
+    rows = [(1, "image", "image/png", bytearray(good)), (2, "image", "image/png", None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in image_features(df, codec=HeaderCodec()).collect()}
+    assert (got[1].width, got[1].height) == (4, 4)
+    assert got[2].n_bytes is None and got[2].phash is None
+    assert got[2].width is None
+
+
 def test_corrupt_image_isolated_next_to_good_one(spark):
     good = make_png(8, 6)
     rows = [

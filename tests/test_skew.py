@@ -63,3 +63,17 @@ def test_salt_spreads_hot_key(spark):
     df = with_salt(skewed_df(spark), 8)
     buckets = df.filter(F.col("key") == "HOT").groupBy("_salt").count().collect()
     assert len(buckets) == 8  # the hot key occupies all salt buckets
+
+
+def test_salted_join_rejects_build_preserving_modes(spark):
+    # right/full would surface each unmatched build replica as its own
+    # null-probe row (xn_salts duplicates) — a config error, not a result
+    import pytest
+
+    from kafka_connect_ftp_spark.operators.skew import salted_join
+
+    a = spark.range(5).withColumnRenamed("id", "k")
+    b = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(a, b, ["k"], how=how)

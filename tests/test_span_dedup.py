@@ -85,3 +85,22 @@ def test_idempotent(spark, docs):
     once = dedup_spans(docs).select("doc_id", "text")
     twice = dedup_spans(once).select("doc_id", "text")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_chunk_documents_skips_zero_token_docs(spark, tmp_path):
+    # regression for the sequence(1, 0) -> [1, 0] phantom chunk: Spark
+    # auto-steps DOWN when start > stop, which fabricated an empty chunk
+    # for a zero-token document while the oracle emitted none
+    import os
+
+    from kafka_connect_ftp_spark.plans import registry
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16), (2, "   ", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = registry()["chunk_documents"].fn(spark, sf).collect()
+    assert {r.doc_id for r in out} == {1}  # whitespace-only doc: no chunks
