@@ -50,7 +50,10 @@ def parse_properties(path: str) -> dict[str, str]:
                 # java.util.Properties strips leading whitespace from
                 # continuation lines
                 line = line.lstrip()
-            if line.endswith("\\") and not line.endswith("\\\\"):
+            # a line continues iff it ends in an ODD number of backslashes
+            # (an even count is escaped backslashes, java semantics)
+            trailing = len(line) - len(line.rstrip("\\"))
+            if trailing % 2 == 1:
                 logical += line[:-1]
                 continue
             logical += line
@@ -58,14 +61,36 @@ def parse_properties(path: str) -> dict[str, str]:
             logical = ""
             if not stripped:
                 continue
-            for i, ch in enumerate(stripped):
-                if ch in "=:" or ch.isspace():
-                    key, value = stripped[:i], stripped[i + 1 :].lstrip()
-                    break
-            else:
-                key, value = stripped, ""
-            props[key.strip()] = value
+            # key ends at the first unescaped '=', ':' or whitespace;
+            # whitespace around the separator is ignored, so 'k = v'
+            # yields ('k', 'v') — java.util.Properties semantics
+            i, n = 0, len(stripped)
+            while i < n and not (stripped[i] in "=:" or stripped[i].isspace()):
+                if stripped[i] == "\\":
+                    i += 1  # escaped char belongs to the key
+                i += 1
+            key, rest = stripped[:i], stripped[i:]
+            rest = rest.lstrip()
+            if rest[:1] in "=:":
+                rest = rest[1:]
+            value = rest.lstrip()
+            props[_unescape(key.strip())] = _unescape(value)
     return props
+
+
+def _unescape(s: str) -> str:
+    """Decode java.util.Properties backslash escapes (\\=, \\:, \\\\, \\t,
+    \\n, \\ ); unknown escapes drop the backslash, like java."""
+    out, i = [], 0
+    specials = {"t": "\t", "n": "\n", "r": "\r", "f": "\f"}
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(specials.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
 
 
 def _parquet_sink(sink_dir: str):
@@ -133,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sink = _parquet_sink(args.sink_dir) if args.sink_dir else _print_sink
     backoff = ExponentialBackOff(step_seconds=1.0, cap_seconds=cfg.max_backoff_seconds)
-    epoch, polled = 0, 0
+    epoch, polled, succeeded = 0, 0, 0
     while True:
         t0 = time.time()
         if backoff.passed():
@@ -148,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     pipeline.poll(sink=sink, epoch=epoch)
                 backoff.next_success()
+                succeeded += 1
                 m = pipeline.last_metrics
                 if m:
                     print(
@@ -168,13 +194,20 @@ def main(argv: list[str] | None = None) -> int:
             epoch += 1
         polled += 1
         if not args.forever and polled >= args.max_polls:
-            return 0
+            # a run whose every attempted tick failed must not report
+            # success to cron/CI wrappers
+            return 0 if succeeded or not epoch else 1
         # reference semantics: next tick starts `refresh` after the
         # previous one BEGAN (FtpSourceTask.scala:55 interval check);
         # under backoff, wait out the remaining penalty instead
-        time.sleep(
-            max(backoff.remaining_seconds(), cfg.refresh_seconds - (time.time() - t0), 0.0)
-        )
+        try:
+            time.sleep(
+                max(backoff.remaining_seconds(), cfg.refresh_seconds - (time.time() - t0), 0.0)
+            )
+        except KeyboardInterrupt:  # pragma: no cover - interactive only
+            # --forever runs spend nearly all wall time here; Ctrl-C must
+            # exit cleanly, not dump a traceback
+            return 130
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def merge_upsert(
@@ -40,6 +41,13 @@ def merge_upsert(
         raise ValueError(
             f"schema mismatch: target={sorted(target.columns)} source={sorted(source.columns)}"
         )
+    # SQL MERGE raises on multiple source rows per key; silently unioning
+    # them would leave duplicate target rows that every later merge
+    # propagates. Same check, same contract.
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        keyvals = {k: dup[0][k] for k in keys}
+        raise ValueError(f"source has multiple rows for merge key {keyvals}")
     untouched = target.join(source.select(*keys), keys, "left_anti")
     if when_matched is None:
         merged = source

@@ -54,6 +54,18 @@ def pack_sequences(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(token_count_col).cast("long").alias("n_tokens"),
     ).withColumn("shard", F.pmod(F.hash("doc_id"), F.lit(n_shards)))
+    # a NULL token count cannot be packed — and would reach pandas as NaN
+    # and crash the shard worker at int(n); reject loudly rather than
+    # silently dropping rows from the training set
+    base = base.withColumn(
+        "n_tokens",
+        F.when(
+            F.col("n_tokens").isNull(),
+            F.raise_error(
+                F.concat(F.lit("null token count for doc_id "), F.col("doc_id").cast("string"))
+            ),
+        ).otherwise(F.col("n_tokens")),
+    )
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])

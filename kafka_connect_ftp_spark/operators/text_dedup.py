@@ -108,8 +108,21 @@ def estimated_jaccard(sig: DataFrame, pairs: DataFrame) -> DataFrame:
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
     """Exact dedup over arbitrary columns: groups on a 64-bit content hash
     (never on the raw values), keeps the min id. Returns (keeper, n_copies,
-    content_hash)."""
-    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    content_hash).
+
+    NULLs are made position-significant before hashing: Spark's hash
+    functions SKIP null arguments, so ``xxhash64('x', NULL)`` equals
+    ``xxhash64(NULL, 'x')`` and rows with the same values in different
+    columns would silently collapse into one group. Each column is
+    wrapped as (null-flag, value) so a NULL in column 1 can never alias
+    a value in column 2."""
+    h = F.xxhash64(
+        *[
+            x
+            for c in content_cols
+            for x in (F.col(c).isNull().cast("int"), F.coalesce(F.col(c).cast("string"), F.lit("")))
+        ]
+    )
     return (
         df.groupBy(h.alias("content_hash"))
         .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))

@@ -52,7 +52,16 @@ def balanced(df, spark: SparkSession, *keys: str):
     input has many splits and this helper is a no-op — the guard avoids
     paying a gratuitous shuffle exactly where it would hurt (large,
     already-parallel scans).
+
+    Intended for RAW SCANS only: probing partition counts goes through
+    ``df.rdd``, which under AQE would EXECUTE any upstream shuffle stages
+    just to count partitions. Frames whose plan already contains a
+    shuffle-inducing operator are returned untouched (their parallelism
+    is governed by ``spark.sql.shuffle.partitions``, not file splits).
     """
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if any(op in analyzed for op in ("Join", "Aggregate", "Sort", "Window", "Repartition")):
+        return df
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
@@ -90,6 +99,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         path = os.path.join(sf_dir, f"{name}.parquet")
         nano_cols = _nano_timestamp_cols(path)
         if nano_cols:
+            # restore the caller's prior value, not a hardcoded 'false' —
+            # a caller running its own nano-parquet reads must not have
+            # the conf silently flipped under it
+            prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             try:
                 df = spark.read.parquet(path)
@@ -97,7 +110,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
                     # integer div: ns epochs exceed double's 2^53 mantissa
                     df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
             finally:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         else:
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)

@@ -45,6 +45,26 @@ def test_parse_properties_formats(tmp_path):
     }
 
 
+def test_parse_properties_padded_separators_and_escapes(tmp_path):
+    # the most common real-world form is 'key = value'; the separator must
+    # never leak into the value. Escapes follow java.util.Properties.
+    f = tmp_path / "y.properties"
+    f.write_text(
+        "ftp.address = ftp.example.com\n"
+        "ftp.user\t:\tbob\n"
+        "spaced   key=v\n"
+        "esc\\=key=colon\\:val\n"
+        "tab=a\\tb\n"
+    )
+    assert parse_properties(str(f)) == {
+        "ftp.address": "ftp.example.com",
+        "ftp.user": "bob",
+        "spaced": "key=v",
+        "esc=key": "colon:val",
+        "tab": "a\tb",
+    }
+
+
 def test_cli_two_polls_emit_update_and_tail_delta(spark, tmp_path):
     root = tmp_path / "tree"
     (root / "tails").mkdir(parents=True)

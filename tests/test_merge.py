@@ -43,3 +43,15 @@ def test_schema_mismatch_rejected(spark, target):
     bad = spark.createDataFrame([(1, "x")], "id long, name string")
     with pytest.raises(ValueError):
         merge_upsert(target, bad, ["id"])
+
+
+def test_duplicate_source_keys_rejected(spark, target):
+    # SQL MERGE raises on multiple source rows per key; a silent union
+    # would leave duplicate target rows that later merges propagate
+    import pytest
+
+    src = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "id long, name string, v double"
+    )
+    with pytest.raises(ValueError, match="multiple rows for merge key"):
+        merge_upsert(target, src, ["id"])

@@ -89,3 +89,14 @@ def test_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         pack_sequences(df, max_tokens=0)
+
+
+def test_null_token_count_rejected_loudly(spark):
+    # a NaN reaching the shard worker would crash with an opaque int()
+    # error (or silently vanish); the operator must name the offending doc
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, 5), (2, None)], "doc_id long, n_tokens int")
+    with pytest.raises(Exception, match="null token count"):
+        pack_sequences(df, max_tokens=10).collect()

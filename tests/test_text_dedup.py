@@ -58,6 +58,17 @@ def test_exact_dedup_groups_copies(spark):
     assert rows == {1: 2, 3: 1}
 
 
+def test_exact_dedup_null_position_significant(spark):
+    # Spark's hash functions skip NULL args, so ('x', NULL) and (NULL, 'x')
+    # would otherwise hash identically and collapse distinct rows
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", None)],
+        "id long, a string, b string",
+    )
+    rows = {r.keeper: r.n_copies for r in exact_dedup(df, "id", ["a", "b"]).collect()}
+    assert rows == {1: 2, 2: 1}  # 1&3 identical; 2 is NOT their duplicate
+
+
 def test_band_size_must_divide(docs):
     sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16)
     with pytest.raises(ValueError):
