@@ -1,0 +1,104 @@
+"""Heavy-hitter n-grams: find the most frequent n-grams in a corpus —
+the standard diagnostic for boilerplate discovery (the phrases worth
+feeding to span dedup) and tokenizer-vocabulary sanity checks.
+
+The naive ``groupBy(ngram).count().orderBy(desc)`` is exact but shuffles
+EVERY distinct n-gram — at web scale that is a key space in the
+billions, almost all of it singletons that can never be heavy. The
+two-phase design here prunes before the global shuffle:
+
+- **phase 1 (local candidates)**: each partition runs a bounded
+  SpaceSaving-style counter (`mapInPandas`, one dict capped at
+  ``candidates_per_partition``) and emits only its local survivors with
+  their local counts. A true global heavy hitter (frequency above
+  ~1/candidates of a partition's stream) survives in every partition
+  that sees it — the SpaceSaving guarantee — so the union of local
+  survivors is a superset of the global top-k for any
+  ``k << candidates_per_partition``.
+- **phase 2 (exact rescore)**: the candidate set (≤ partitions x cap
+  rows — tiny) is distinct-ed, broadcast back against the n-gram
+  stream, and counted EXACTLY; top-k of those exact counts is returned.
+
+The global shuffle therefore carries only candidate matches instead of
+the full distinct-key space, and the result is exact for the returned
+rows (counts are true corpus counts, not sketch estimates). Phase-1
+pruning can only lose an n-gram whose true frequency is below the
+SpaceSaving threshold — tune ``candidates_per_partition`` >= 10x the
+wanted k for comfortable headroom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKS = "filter(split({col}, ' '), x -> x <> '')"
+
+
+def ngram_stream(docs: DataFrame, n: int = 3, *, text_col: str = "text") -> DataFrame:
+    """One row per n-gram occurrence: ``(ngram)``. Map-side explode."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = _TOKS.format(col=text_col)
+    return docs.select(
+        F.explode(
+            F.expr(
+                f"case when size({toks}) >= {n} then"
+                f" transform(sequence(1, size({toks}) - {n - 1}),"
+                f"   i -> concat_ws(' ', slice({toks}, i, {n})))"
+                f" else array() end"
+            )
+        ).alias("ngram")
+    )
+
+
+def heavy_hitter_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    *,
+    text_col: str = "text",
+    candidates_per_partition: int = 1000,
+) -> DataFrame:
+    """Exact counts of the (approximately complete) top-k n-grams.
+
+    Returns ``(ngram, count)`` ordered by count desc then ngram. See the
+    module doc for the two-phase guarantee and its tuning knob.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if candidates_per_partition < top_k:
+        raise ValueError("candidates_per_partition must be >= top_k")
+    grams = ngram_stream(docs, n, text_col=text_col)
+
+    cap = candidates_per_partition
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        # SpaceSaving: on overflow, evict the current minimum and give the
+        # newcomer min+1 (over-estimate, never under) — survivors are a
+        # superset of everything frequent in this partition's stream
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for g in pdf["ngram"]:
+                if g in counts:
+                    counts[g] += 1
+                elif len(counts) < cap:
+                    counts[g] = 1
+                else:
+                    victim = min(counts, key=counts.get)
+                    floor = counts.pop(victim)
+                    counts[g] = floor + 1
+        yield pd.DataFrame({"ngram": list(counts.keys())})
+
+    candidates = (
+        grams.mapInPandas(local_candidates, "ngram string").distinct()
+    )
+    return (
+        grams.join(F.broadcast(candidates), "ngram", "left_semi")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "ngram")
+        .limit(top_k)
+    )
