@@ -28,12 +28,20 @@ def corpus_stats(
     *,
     group_col: str = "source",
     text_col: str = "text",
+    exact_quantiles: bool = False,
 ) -> DataFrame:
     """Composition report: one row per ``group_col`` value plus an
     ``__all__`` rollup row. Columns: ``n_docs``, ``n_bytes``,
     ``n_tokens``, ``len_p50/p90/p99`` (token-length quantiles),
     ``dup_ratio`` (1 - distinct_texts/docs: exact-duplicate mass),
-    ``share`` (group's fraction of corpus bytes)."""
+    ``share`` (group's fraction of corpus bytes).
+
+    ``exact_quantiles=True`` swaps the mergeable ``approx_percentile``
+    sketch for the exact interpolated ``percentile`` (sorts each group's
+    token counts — fine up to millions of docs per group, and what the
+    oracle-checked registry row uses since it matches DuckDB's
+    ``quantile_cont`` bit-for-bit after rounding); the default sketch is
+    the 100 TB path."""
     base = docs.select(
         F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias("grp"),
         F.octet_length(text_col).cast("long").alias("bytes"),
@@ -50,7 +58,11 @@ def corpus_stats(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("bytes").alias("n_bytes"),
             F.sum("toks").alias("n_tokens"),
-            F.percentile_approx("toks", [0.5, 0.9, 0.99]).alias("_q"),
+            (
+                F.expr("percentile(toks, array(0.5D, 0.9D, 0.99D))")
+                if exact_quantiles
+                else F.percentile_approx("toks", [0.5, 0.9, 0.99])
+            ).alias("_q"),
             F.count_distinct("fp").alias("_n_distinct"),
         )
         .select(

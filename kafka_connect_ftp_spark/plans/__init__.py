@@ -56,6 +56,7 @@ def registry() -> dict[str, QuerySpec]:
         similarity,
         llm_pipeline,
         governance,
+        corpus_queries,
         multimodal_queries,
         ingest_queries,
         streaming_queries,

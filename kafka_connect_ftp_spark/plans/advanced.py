@@ -18,32 +18,51 @@ from kafka_connect_ftp_spark.session import load_tables
 
 
 @register(
-    "grouping_sets_status_priority",
+    "order_rollup_family",
     """
     SELECT o_orderstatus, o_orderpriority,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
            COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                            (o_orderstatus), (o_orderpriority), ())
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+                            (o_orderstatus), (o_orderpriority), (),
+                            (YEAR(o_orderdate), MONTH(o_orderdate)),
+                            (quarter(o_orderdate), isodow(o_orderdate)))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+             yr NULLS FIRST, mon NULLS FIRST, qtr NULLS FIRST, iso_dow NULLS FIRST
     """,
     doc=(
-        "Explicit GROUPING SETS: the full pair, each dimension alone, and "
-        "the grand total. The ((s,p),(s),()) subset IS GROUP BY ROLLUP "
-        "(s,p) — round 1's rollup_status_priority is contained in this "
-        "result; CUBE is covered by cube_returnflag_linestatus."
+        "Explicit GROUPING SETS over orders at six grains in ONE scan: the "
+        "status/priority pair, each dimension alone, the grand total "
+        "(= GROUP BY ROLLUP(s,p); CUBE is covered by "
+        "cube_returnflag_linestatus), plus the (year, month) monthly "
+        "rollup and the (quarter, ISO day-of-week) distribution — round "
+        "3's date_rollup_funcs merged in. Spark's dayofweek is 1=Sunday "
+        "while DuckDB's is 0=Sunday — both sides use ISO numbering "
+        "(Mon=1): Spark weekday()+1 ≡ DuckDB isodow."
     ),
 )
-def grouping_sets_status_priority(spark, sf_dir):
+def order_rollup_family(spark, sf_dir):
     load_tables(spark, sf_dir, "orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
+               CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+               CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+               CAST(WEEKDAY(o_orderdate) + 1 AS BIGINT) AS iso_dow,
                COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+                                (o_orderstatus), (o_orderpriority), (),
+                                (YEAR(o_orderdate), MONTH(o_orderdate)),
+                                (QUARTER(o_orderdate), WEEKDAY(o_orderdate) + 1))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+                 yr ASC NULLS FIRST, mon ASC NULLS FIRST,
+                 qtr ASC NULLS FIRST, iso_dow ASC NULLS FIRST
         """
     )
 
@@ -110,25 +129,9 @@ def region_nation_lists(spark, sf_dir):
     )
 
 
-@register(
-    "json_extract_props",
-    """
-    SELECT event_type,
-           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
-           ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 4) AS k_avg
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    doc="JSON field extraction from a string column + aggregate.",
-)
-def json_extract_props(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        t["events"]
-        .groupBy("event_type")
-        .agg(F.sum(k).alias("k_total"), F.round(F.avg(k), 4).alias("k_avg"))
-        .orderBy("event_type")
-    )
+# json_extract_props (round 1-3) was merged into
+# analytics.sliding_window_counts — the JSON field extraction + aggregate
+# now rides the same events scan as the sliding-window rollup.
 
 
 _BANDS = [(0.0, 20000.0, "low"), (20000.0, 60000.0, "mid"), (60000.0, 1e18, "high")]

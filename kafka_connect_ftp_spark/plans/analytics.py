@@ -217,44 +217,9 @@ def scalar_funcs(spark, sf_dir):
     )
 
 
-@register(
-    "date_rollup_funcs",
-    """
-    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
-           CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
-           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY GROUPING SETS ((YEAR(o_orderdate), MONTH(o_orderdate)),
-                            (quarter(o_orderdate), isodow(o_orderdate)))
-    ORDER BY yr NULLS FIRST, mon NULLS FIRST, qtr NULLS FIRST, iso_dow NULLS FIRST
-    """,
-    doc=(
-        "Date-part extraction at two grains in one pass via GROUPING SETS: "
-        "the (year, month) monthly rollup and the (quarter, ISO "
-        "day-of-week) distribution. Spark's dayofweek is 1=Sunday while "
-        "DuckDB's is 0=Sunday — both sides use ISO numbering (Mon=1): "
-        "Spark weekday()+1 ≡ DuckDB isodow. Round 1's scalar_date_funcs + "
-        "date_parts_distribution merged."
-    ),
-)
-def date_rollup_funcs(spark, sf_dir):
-    load_tables(spark, sf_dir, "orders")
-    return spark.sql(
-        """
-        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
-               CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
-               CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
-               CAST(WEEKDAY(o_orderdate) + 1 AS BIGINT) AS iso_dow,
-               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
-        FROM orders
-        GROUP BY GROUPING SETS ((YEAR(o_orderdate), MONTH(o_orderdate)),
-                                (QUARTER(o_orderdate), WEEKDAY(o_orderdate) + 1))
-        ORDER BY yr ASC NULLS FIRST, mon ASC NULLS FIRST,
-                 qtr ASC NULLS FIRST, iso_dow ASC NULLS FIRST
-        """
-    )
+# date_rollup_funcs (round 1-3) was merged into advanced.order_rollup_family
+# — the same (year,month)/(quarter,isodow) grouping sets now share one
+# orders scan with the status/priority sets.
 
 
 # --------------------------------------------------- events / changelog ops
@@ -422,27 +387,45 @@ def asof_join_click_purchase(spark, sf_dir):
     WITH w AS (
       SELECT time_bucket(INTERVAL '15 minutes', ts) - CAST(k AS INTEGER) * INTERVAL '15 minutes'
                AS window_start,
-             event_type, value
+             event_type, value, CAST(props->>'$.k' AS BIGINT) AS k_val
       FROM events, generate_series(0, 3) AS g(k)
     )
     SELECT window_start, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value,
+           CAST(SUM(k_val) AS BIGINT) AS k_total,
+           ROUND(AVG(k_val), 4) AS k_avg
     FROM w GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
     doc=(
         "Sliding event-time windows (1 hour every 15 min) in batch: Spark's "
         "window() expands each event into its 4 covering windows (Expand "
         "operator); the oracle replays the same expansion with a series "
-        "join. The streaming form is the identical expression on a stream."
+        "join. The streaming form is the identical expression on a stream. "
+        "k_total/k_avg extract a JSON field from the props string column "
+        "and aggregate it per window — round 3's json_extract_props merged "
+        "onto the same events scan (NULL-skipping avg included)."
     ),
 )
 def sliding_window_counts(spark, sf_dir):
     t = load_tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
     return (
         t["events"]
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(k).alias("k_total"),
+            F.round(F.avg(k), 4).alias("k_avg"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+            "k_total",
+            "k_avg",
+        )
         .orderBy("window_start", "event_type")
     )
 
