@@ -14,13 +14,17 @@ hash-comparison gate in a single row-budget slot.
 PII note: the synthetic documents contain no digits at all, so counting
 PII on the raw text would be vacuously zero. The query therefore
 augments each document with deterministic, id-derived PII strings
-(email for doc_id%5==0, SSN-shaped for %7, PAN-shaped for %11) and
-detects/scrubs THOSE — the regex machinery is exercised with per-row
-variation, and both engines build the identical augmented text from
-table values. Categories whose reference patterns need lookaround
-(phone) are provably zero on the augmented text (letters separate every
-injected digit run), so the operator's progressive-scrub chain and the
-RE2 oracle agree on every emitted column.
+(email for doc_id%5==0, SSN-shaped for %7, PAN-shaped for %11, a
+``(nnn) nnn-nnnn`` phone for %13) and detects/scrubs THOSE — the regex
+machinery is exercised with per-row variation, and both engines build
+the identical augmented text from table values. The operator's phone
+pattern needs lookaround (unavailable in RE2/DuckDB), so the phone
+injection is constructed to make the context requirements trivially
+satisfied (space-delimited, no adjacent digits or dashes): on THIS text
+the Java lookaround pattern and the oracle's lookaround-free RE2 twin
+``\\(\\d{3}\\) \\d{3}-\\d{4}`` provably match the identical spans, so
+n_phone and the scrub fingerprint are hash-checked non-vacuously.
+ipv4 remains provably zero (no dotted digit runs survive).
 
 Scale design (100 TB): fingerprints/split/mix-key/PII are pure map-side
 projections that pipeline with the scan; the LM columns add one
@@ -74,7 +78,10 @@ _AUG_SPARK = (
     " CASE WHEN doc_id % 7 = 0 THEN concat(' ssn ', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),"
     "      '-42-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
     " CASE WHEN doc_id % 11 = 0 THEN concat(' card 4111 1111 1111 ',"
-    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)"
+    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 13 = 0 THEN concat(' call (', CAST(200 + doc_id % 700 AS STRING), ') ',"
+    "      lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',"
+    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now') ELSE '' END)"
 )
 _AUG_DUCK = (
     "text ||"
@@ -82,15 +89,22 @@ _AUG_DUCK = (
     " CASE WHEN doc_id % 7 = 0 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
     "      || '-42-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
     " CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 '"
-    "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
+    " CASE WHEN doc_id % 13 = 0 THEN ' call (' || CAST(200 + doc_id % 700 AS VARCHAR) || ') '"
+    "      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END"
 )
 
-# RE2-compatible scrub chain for the oracle: email -> pan -> ssn, each
-# counted on the progressively-scrubbed text exactly like
-# operators/pii.py. Phone needs lookaround (not RE2) but is provably
-# matchless on the augmented text; ipv4 likewise has no digits left.
+# RE2-compatible scrub chain for the oracle: email -> pan -> ssn ->
+# phone, each counted on the progressively-scrubbed text exactly like
+# operators/pii.py. The operator's phone pattern needs lookaround (not
+# RE2); on the space-delimited augmented phone injection its matches
+# coincide exactly with this lookaround-free twin (module doc). ipv4 has
+# no dotted digit runs left — provably zero, chain ends at the phone
+# scrub.
 _RX = {name: pattern for name, pattern, _ in PII_PATTERNS}
 _REPL = {name: repl for name, _, repl in PII_PATTERNS}
+_PHONE_RE2 = r"\(\d{3}\) \d{3}-\d{4}"
 
 
 def _duck_pii() -> str:
@@ -98,12 +112,14 @@ def _duck_pii() -> str:
     t1 = f"regexp_replace({t0}, '{_RX['email']}', '{_REPL['email']}', 'g')"
     t2 = f"regexp_replace({t1}, '{_RX['pan']}', '{_REPL['pan']}', 'g')"
     t3 = f"regexp_replace({t2}, '{_RX['ssn']}', '{_REPL['ssn']}', 'g')"
+    t4 = f"regexp_replace({t3}, '{_PHONE_RE2}', '{_REPL['phone']}', 'g')"
     return f"""
       SELECT doc_id,
              CAST(len(regexp_extract_all({t0}, '{_RX['email']}')) AS INT) AS n_email,
              CAST(len(regexp_extract_all({t1}, '{_RX['pan']}')) AS INT) AS n_pan,
              CAST(len(regexp_extract_all({t2}, '{_RX['ssn']}')) AS INT) AS n_ssn,
-             md5({t3}) AS scrub_fp
+             CAST(len(regexp_extract_all({t3}, '{_PHONE_RE2}')) AS INT) AS n_phone,
+             md5({t4}) AS scrub_fp
       FROM (SELECT doc_id, {_AUG_DUCK} AS aug FROM documents)
     """
 
@@ -148,8 +164,8 @@ def _oracle() -> str:
     )
     SELECT b.doc_id, b.fp_md5, b.fp_sha256, b.n_bytes, b.roll_hash,
            b.split, b.es_key, b.mix_keep,
-           p.n_email, p.n_pan, p.n_ssn,
-           (p.n_email + p.n_pan + p.n_ssn) > 0 AS has_pii,
+           p.n_email, p.n_pan, p.n_ssn, p.n_phone,
+           (p.n_email + p.n_pan + p.n_ssn + p.n_phone) > 0 AS has_pii,
            p.scrub_fp,
            CAST(COALESCE(l.n_tokens, 0) AS BIGINT) AS n_tokens,
            ROUND(l.avg_logprob, 4) AS avg_logprob,
@@ -192,11 +208,13 @@ def governance_profile(spark, sf_dir):
     )
 
     # pii_counts returns its count columns in PII_PATTERNS order
-    # (email, pan, ssn, phone, ipv4); phone/ipv4 are provably zero on the
+    # (email, pan, ssn, phone, ipv4); ipv4 is provably zero on the
     # augmented text (module doc) and not emitted
     counts, scrubbed = pii_counts(F.expr(_AUG_SPARK))
-    n_email, n_pan, n_ssn = counts[0], counts[1], counts[2]
-    has_pii = F.col("n_email") + F.col("n_pan") + F.col("n_ssn") > 0
+    n_email, n_pan, n_ssn, n_phone = counts[0], counts[1], counts[2], counts[3]
+    has_pii = (
+        F.col("n_email") + F.col("n_pan") + F.col("n_ssn") + F.col("n_phone") > 0
+    )
 
     mapside = docs.select(
         "doc_id",
@@ -217,6 +235,7 @@ def governance_profile(spark, sf_dir):
         n_email,
         n_pan,
         n_ssn,
+        n_phone,
         F.md5(scrubbed.cast("binary")).alias("scrub_fp"),
     )
 
@@ -232,7 +251,7 @@ def governance_profile(spark, sf_dir):
         .select(
             "doc_id", "fp_md5", "fp_sha256", "n_bytes", "roll_hash",
             "split", "es_key", "mix_keep",
-            "n_email", "n_pan", "n_ssn",
+            "n_email", "n_pan", "n_ssn", "n_phone",
             has_pii.alias("has_pii"),
             "scrub_fp",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
