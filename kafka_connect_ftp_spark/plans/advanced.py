@@ -351,9 +351,14 @@ def tfidf_top_term(spark, sf_dir):
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # n_docs as a broadcast 1-row frame, not an eager docs.count(): keeps
+    # the IDF denominator inside the single job instead of a separate
+    # driver-side scan per invocation
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

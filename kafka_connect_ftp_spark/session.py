@@ -58,14 +58,47 @@ def balanced(df, spark: SparkSession, *keys: str):
     just to count partitions. Frames whose plan already contains a
     shuffle-inducing operator are returned untouched (their parallelism
     is governed by ``spark.sql.shuffle.partitions``, not file splits).
+    The guard walks the analyzed logical plan's node types — not the plan
+    STRING, which would false-positive on column names like "SortKey".
+
+    Classic sessions only: the guard needs the JVM plan handle
+    (``df._jdf``); under Spark Connect the frame is returned untouched.
     """
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    if any(op in analyzed for op in ("Join", "Aggregate", "Sort", "Window", "Repartition")):
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:
         return df
+    stack = [jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _SHUFFLE_NODE_NAMES:
+            return df
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
+# logical-plan node types whose presence means parallelism is governed by
+# spark.sql.shuffle.partitions (or an explicit repartition), not by input
+# file splits — balanced() must not add a shuffle on top of these
+_SHUFFLE_NODE_NAMES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Sort",
+        "Window",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Distinct",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+    }
+)
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:

@@ -1,0 +1,53 @@
+"""balanced() guard: logical-plan node walk, not plan-string sniffing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.session import balanced
+
+
+def _tiny_parquet(spark, tmp_path, name="t"):
+    path = str(tmp_path / name)
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
+    # single file, single row group -> scan yields 1 partition
+    return spark.read.parquet(path)
+
+
+def test_join_bearing_frame_untouched(spark, tmp_path):
+    a = _tiny_parquet(spark, tmp_path, "a")
+    b = _tiny_parquet(spark, tmp_path, "b")
+    joined = a.join(b, "id")
+    assert balanced(joined, spark) is joined
+
+
+def test_aggregate_and_window_untouched(spark, tmp_path):
+    df = _tiny_parquet(spark, tmp_path)
+    agg = df.groupBy("id").count()
+    assert balanced(agg, spark) is agg
+    from pyspark.sql import Window
+
+    win = df.withColumn("rn", F.row_number().over(Window.partitionBy("id").orderBy("id")))
+    assert balanced(win, spark) is win
+
+
+def test_shuffle_words_in_column_names_do_not_false_positive(spark, tmp_path):
+    # the old string-matching guard saw "Join"/"Sort"/"Window" in the plan
+    # text and skipped the rebalance; aliases containing those words must
+    # not suppress it
+    df = _tiny_parquet(spark, tmp_path).select(
+        F.col("id").alias("JoinKey"),
+        (F.col("id") * 2).alias("SortOrderWindowValue"),
+    )
+    out = balanced(df, spark)
+    assert out is not df
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_already_parallel_scan_untouched(spark, tmp_path):
+    path = str(tmp_path / "many")
+    target = spark.sparkContext.defaultParallelism
+    spark.range(10_000).repartition(target).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    if df.rdd.getNumPartitions() >= target:
+        assert balanced(df, spark) is df
