@@ -93,28 +93,40 @@ def gunzip(records: DataFrame) -> DataFrame:
     """Transparently decompress gzipped bodies (magic ``1f 8b``); other
     bodies pass through untouched. Compose with ``csv_lines`` for the
     common gzipped-log-drop case. Arrow-batched; bytes stay in the
-    partition that fetched them."""
+    partition that fetched them.
+
+    A corrupt/truncated gzip member passes its RAW bytes through instead
+    of failing the task — an unraisable record would poison EVERY
+    subsequent tick (state never advances past it), halting all monitors
+    — but is flagged with ``decode_error=true`` so the quarantine is
+    observable (route those rows to a dead-letter topic or alert on the
+    count) rather than binary garbage flowing on silently as content."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("binary")
-    def _gunzip(bodies: pd.Series) -> pd.Series:
+    @pandas_udf("value binary, decode_error boolean")
+    def _gunzip(bodies: pd.Series) -> pd.DataFrame:
         import gzip as _gzip
 
-        def one(b):
+        vals, errs = [], []
+        for b in bodies:
             if b is not None and len(b) >= 2 and b[0] == 0x1F and b[1] == 0x8B:
                 try:
-                    return _gzip.decompress(bytes(b))
+                    vals.append(_gzip.decompress(bytes(b)))
+                    errs.append(False)
                 except Exception:
-                    # corrupt/truncated member: pass the raw bytes through
-                    # instead of failing the task — an unraisable record
-                    # would poison EVERY subsequent tick (state never
-                    # advances past it), halting all monitors
-                    return bytes(b)
-            return b
+                    vals.append(bytes(b))
+                    errs.append(True)
+            else:
+                vals.append(b)
+                errs.append(False)
+        return pd.DataFrame({"value": vals, "decode_error": errs})
 
-        return bodies.map(one)
-
-    return records.withColumn("value", _gunzip(F.col("value")))
+    return (
+        records.withColumn("_gz", _gunzip(F.col("value")))
+        .withColumn("value", F.col("_gz.value"))
+        .withColumn("decode_error", F.col("_gz.decode_error"))
+        .drop("_gz")
+    )
 
 
 def to_kafka_frame(records: DataFrame, key_style: str = "string_key") -> DataFrame:

@@ -57,7 +57,12 @@ def read_corpus(
 
     When ``text_field`` names a non-``text`` column and the corpus ALSO
     has a ``text`` column, the pre-existing one is kept as ``orig_text``
-    metadata. Integer upstream ids pass through ``id_field`` unchanged;
+    metadata; a pre-existing ``source`` column is likewise preserved as
+    ``orig_source`` (the synthesized column is provenance, not payload).
+    A pre-existing ``doc_id`` column is an error unless claimed with
+    ``id_field="doc_id"`` — overwriting a trusted-looking id with a
+    synthesized hash would be silent data loss.
+    Integer upstream ids pass through ``id_field`` unchanged;
     string ids (UUIDs etc.) are hashed with xxhash64 — still
     deterministic per id, but not numerically equal to the original.
 
@@ -85,6 +90,23 @@ def read_corpus(
 
     if text_field not in df.columns:
         raise ValueError(f"column {text_field!r} not found; corpus has {df.columns}")
+
+    # provenance/id synthesis must not silently eat upstream metadata
+    # (mirror of the orig_text handling below): a pre-existing 'source'
+    # column is preserved as 'orig_source'; a pre-existing 'doc_id' the
+    # caller did NOT claim via id_field is ambiguous — refuse rather than
+    # overwrite a trusted-looking id with a synthesized hash
+    if "source" in df.columns:
+        if "orig_source" in df.columns:
+            raise ValueError(
+                "corpus has both 'source' and 'orig_source' columns; rename one upstream"
+            )
+        df = df.withColumnRenamed("source", "orig_source")
+    if "doc_id" in df.columns and id_field != "doc_id":
+        raise ValueError(
+            "corpus already has a 'doc_id' column; pass id_field='doc_id' to keep "
+            "it, or rename it upstream to let read_corpus synthesize content ids"
+        )
 
     src_col = F.lit(source) if source is not None else F.input_file_name()
     out = df.withColumn("source", src_col)

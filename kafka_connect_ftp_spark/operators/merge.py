@@ -36,6 +36,15 @@ def merge_upsert(
     (SCD1). Pass ``when_matched(matched_target, source) -> DataFrame`` for
     custom update logic (it receives the matched target rows and the full
     source; must return rows in target schema).
+
+    NOTE: the duplicate-key guard below is an EAGER extra action — it
+    aggregates ``source`` once before the merge plan itself evaluates it
+    again. If ``source`` is expensive to recompute, or non-deterministic
+    (e.g. derived from ``rand()`` or an uncheckpointed shuffle whose
+    re-evaluation could yield different rows — letting the check pass
+    while the merge still materializes duplicates), ``cache()`` or
+    ``localCheckpoint()`` it first so both the guard and the merge see
+    one frozen frame.
     """
     if set(target.columns) != set(source.columns):
         raise ValueError(

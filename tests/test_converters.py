@@ -79,14 +79,18 @@ def test_gunzip_decompresses_only_gzip_bodies(spark):
 
     # a truncated gzip member passes through as raw bytes instead of
     # failing the task — an unraisable record would poison every
-    # subsequent tick (state never advances past it)
+    # subsequent tick (state never advances past it) — but is tagged
+    # decode_error=true so the quarantine is observable
     corrupt = gzip.compress(b"payload")[:-5]
     bad = spark.createDataFrame(
         [("t", "/bad.gz", 0, corrupt), ("t", "/ok.gz", 0, gzip.compress(b"fine"))],
         "topic string, key_name string, key_offset long, value binary",
     )
-    got = {r.key_name: bytes(r.value) for r in get_converter("gunzip")(bad).collect()}
-    assert got == {"/bad.gz": corrupt, "/ok.gz": b"fine"}
+    got = {
+        r.key_name: (bytes(r.value), r.decode_error)
+        for r in get_converter("gunzip")(bad).collect()
+    }
+    assert got == {"/bad.gz": (corrupt, True), "/ok.gz": (b"fine", False)}
 
     # composes with csv_lines for the gzipped-log-drop case
     lines = get_converter("csv_lines")(get_converter("gunzip")(records))

@@ -105,6 +105,25 @@ def test_string_upstream_ids_hashed_not_cast(spark, tmp_path):
     assert {r.doc_id for r in rows} == {r.doc_id for r in again}
 
 
+def test_upstream_source_column_preserved_as_orig_source(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text(json.dumps({"text": "payload", "source": "crawl-7"}))
+    df = read_corpus(spark, str(p), "jsonl", source="mycorpus")
+    [row] = df.collect()
+    assert row.source == "mycorpus" and row.orig_source == "crawl-7"
+
+
+def test_upstream_doc_id_requires_explicit_claim(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text(json.dumps({"text": "t", "doc_id": 42}))
+    with pytest.raises(ValueError, match="doc_id"):
+        read_corpus(spark, str(p), "jsonl")
+    [row] = read_corpus(spark, str(p), "jsonl", id_field="doc_id").collect()
+    assert row.doc_id == 42
+
+
 def test_bad_format_and_missing_column_rejected(spark, jsonl_dir):
     with pytest.raises(ValueError, match="fmt"):
         read_corpus(spark, jsonl_dir, "xml")
