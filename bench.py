@@ -18,7 +18,10 @@ import os
 import sys
 import time
 
-# headline set: scan-agg, multi-join, window, dedup, similarity, text
+# headline set: scan-agg, multi-join, window, dedup, similarity, text,
+# plus the LLM-pipeline surface (chunking, quality gate, governance,
+# dedup clustering, span dedup, corpus report) so a perf regression in
+# the heaviest plans is visible round-over-round
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -35,6 +38,13 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_near_dup_pairs",
     "text_profile",
+    # added round 4 (first tracked round; compare r4+ numbers only)
+    "chunk_documents",
+    "quality_filter_flags",
+    "governance_profile",
+    "dedup_cluster_decision",
+    "span_dedup_decision",
+    "corpus_report",
 ]
 
 

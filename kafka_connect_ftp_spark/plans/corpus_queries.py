@@ -89,12 +89,16 @@ _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 )
 def span_dedup_decision(spark, sf_dir):
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # materialize the token array before the transform lambda — inlining
+    # the tokenizer would re-split the text once per span position
     paragraphized = docs.select(
+        "doc_id", F.expr(_TOKS).alias("_tk")
+    ).select(
         "doc_id",
         F.expr(
             f"concat_ws('\\n\\n',"
-            f" transform(filter(sequence(1, size({_TOKS})), i -> (i - 1) % {_SPAN_W} = 0),"
-            f"  i -> concat_ws(' ', slice({_TOKS}, i, {_SPAN_W}))))"
+            f" transform(filter(sequence(1, size(_tk)), i -> (i - 1) % {_SPAN_W} = 0),"
+            f"  i -> concat_ws(' ', slice(_tk, i, {_SPAN_W}))))"
         ).alias("text"),
     )
     deduped = dedup_spans(paragraphized, "paragraph")

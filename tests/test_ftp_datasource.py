@@ -314,6 +314,37 @@ def test_partitioned_stream_replays_pending_batch_after_restart():
     assert [p.files for p in fresh.partitions(off1, off2)] == [[]]
 
 
+def test_partitioned_stream_restart_cap_overshoot_then_steady_state():
+    """Documented cap nuance (module doc): maxFilesPerTrigger applies
+    against the reader's LAST-SEEN offset, which right after a crash
+    restart is unknown — the first trigger emits every pending change
+    (uncapped); from the next trigger on the cap + carry-over semantics
+    hold exactly."""
+    opts = {"pattern": "/a/dirb/path/*", "maxFilesPerTrigger": "1"}
+    warm = FtpFilesPartitionedStreamReader(_ds(opts))
+    start = warm.initialOffset()  # committed checkpoint: empty state
+
+    # crash; a fresh reader (restart) has no last-seen offset
+    fresh = FtpFilesPartitionedStreamReader(_ds(opts))
+    end = fresh.latestOffset()
+    files = [f for p in fresh.partitions(start, end) for f in p.files]
+    assert len(files) == 2  # both pending files: exceeds cap=1 (documented)
+
+    # steady state after the restart trigger: cap + carry-over again
+    _FILES["/a/dirb/path/file5.log"] = b"five"
+    _FILES["/a/dirb/path/file6.log"] = b"six"
+    try:
+        off2 = fresh.latestOffset()
+        batch2 = [f for p in fresh.partitions(end, off2) for f in p.files]
+        assert [f[0] for f in batch2] == ["/a/dirb/path/file5.log"]  # capped
+        off3 = fresh.latestOffset()
+        batch3 = [f for p in fresh.partitions(off2, off3) for f in p.files]
+        assert [f[0] for f in batch3] == ["/a/dirb/path/file6.log"]  # carry-over
+    finally:
+        _FILES.pop("/a/dirb/path/file5.log", None)
+        _FILES.pop("/a/dirb/path/file6.log", None)
+
+
 def test_stream_max_files_per_trigger_carries_over():
     """L1 parity (ftp.max.poll.records): a capped poll emits the first N
     changed files; the remainder stays out of the offset and arrives on
