@@ -199,11 +199,14 @@ def governance_profile(spark, sf_dir):
     # doc_id-keyed score aggregation, joined back once.
     docs = load_tables(spark, sf_dir, "documents")["documents"]
 
+    # the char array is materialized once (_ch) — inlining the
+    # filter(split(text, '')) tokenizer at each of its three references
+    # would split a ~1.5k-char doc three times per row
     chars = "filter(split(text, ''), c -> c <> '')"
     fold = (
-        f"aggregate(transform(slice({chars}, 2, size({chars}) - 1),"
-        f" c -> cast(ascii(c) as bigint)),"
-        f" cast(ascii(element_at({chars}, 1)) as bigint),"
+        "aggregate(transform(slice(_ch, 2, size(_ch) - 1),"
+        " c -> cast(ascii(c) as bigint)),"
+        " cast(ascii(element_at(_ch, 1)) as bigint),"
         f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
     )
 
@@ -216,7 +219,7 @@ def governance_profile(spark, sf_dir):
         F.col("n_email") + F.col("n_pan") + F.col("n_ssn") + F.col("n_phone") > 0
     )
 
-    mapside = docs.select(
+    mapside = docs.withColumn("_ch", F.expr(chars)).select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_md5"),
         F.sha2(F.col("text").cast("binary"), 256).alias("fp_sha256"),

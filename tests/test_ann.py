@@ -99,6 +99,31 @@ def test_materialized_index_prunes_partitions_and_matches(spark, emb, index, tmp
     ]
 
 
+def test_registry_config_pruned_at_nprobe_lt_k(spark):
+    """The registry's ann_ivf_kmeans_topk configuration (build_ivf k=8,
+    seed=42 on the real embeddings table) searched at nprobe<k must (a)
+    carry the cell membership filter in the physical plan — the pruning
+    that makes a probe a sub-scan at 100 TB — and (b) still find the
+    query's own vector (it lives in a probed cell by construction)."""
+    from kafka_connect_ftp_spark.operators.ann import build_ivf, ivf_search
+    from kafka_connect_ftp_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    index = build_ivf(emb, k=8, seed=42)
+    query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    got = ivf_search(index, query, top_k=5, nprobe=2)
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = got._jdf.queryExecution().explainString(mode)
+    # the isin filter must sit in the plan (map-side, pre-TakeOrdered) —
+    # over a cell-partitioned table it becomes PartitionFilters (asserted
+    # in test_materialized_index_prunes_partitions_and_matches)
+    assert "cell" in plan and " IN " in plan
+    assert "TakeOrderedAndProject" in plan
+    top = got.collect()
+    assert top and top[0].cos_sim == pytest.approx(1.0, abs=1e-9)
+
+
 def test_multi_probe_recovers_recall(emb, lsh):
     planes, bucketed = lsh
     query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
