@@ -11,8 +11,9 @@ Plain neighbor propagation needs diameter rounds — a 260-node chain-ish
 near-dup cluster at sf0.01 blew past a 20-round cap — while the
 label-of-label hop doubles the propagation distance per round, giving
 O(log n) convergence on any component shape. Each round is two joins +
-one aggregation, all shuffles on doc_id; the driver only checks a scalar
-convergence flag per round, no data is collected.
+one aggregation, all shuffles on doc_id; convergence is a flag column
+computed during the update and filter-counted off the checkpointed
+blocks (no old-vs-new join), so the driver only sees a scalar per round.
 """
 
 from __future__ import annotations
@@ -52,25 +53,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # Catalyst analysis time explodes exponentially (~2× per round).
         # On a cluster with unreliable executors use checkpoint() to a
         # reliable dir instead.
+        new_cluster = F.least(
+            F.col("cluster"),
+            F.coalesce(F.col("n_cluster"), F.col("cluster")),
+            F.coalesce(F.col("h_cluster"), F.col("cluster")),
+        )
+        # the convergence flag rides the checkpointed frame (old cluster is
+        # in scope during the update), so the per-round check is a plain
+        # filter-count over checkpointed blocks — no old-vs-new join
         new_labels = (
             labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
             .join(hop, labels["cluster"] == hop["h_id"], "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("n_cluster"), F.col("cluster")),
-                    F.coalesce(F.col("h_cluster"), F.col("cluster")),
-                ).alias("cluster"),
+                new_cluster.alias("cluster"),
+                (new_cluster != F.col("cluster")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
+        changed = new_labels.filter("_changed").count()
         # release the superseded round's blocks eagerly: without this,
         # up to max_iter label-set copies pile up in storage memory
         # (the initial cache on round 1, checkpoint blocks afterwards)
@@ -79,7 +80,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return labels.select("doc_id", "cluster")
 
 
 def dedup_decision(pairs: DataFrame, corpus_ids: DataFrame) -> DataFrame:
