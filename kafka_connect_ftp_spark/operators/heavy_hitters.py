@@ -29,7 +29,12 @@ the full distinct-key space, and the result is exact for the returned
 rows (counts are true corpus counts, not sketch estimates). Phase-1
 pruning can only lose an n-gram whose true frequency is below the
 SpaceSaving threshold — tune ``candidates_per_partition`` >= 10x the
-wanted k for comfortable headroom.
+wanted k for comfortable headroom. The flip side: on NEAR-UNIFORM data
+(no n-gram above ~stream/cap per partition) the top-k ranking sits
+entirely below the threshold and pruning can reorder it — there the
+result is exact only in the no-eviction regime
+(cap >= distinct n-grams per partition), which is how the oracle-gated
+corpus_report runs it on the near-uniform synthetic corpus.
 
 Phase-1 micro-bench (500k occurrences, 400k distinct singletons + one
 heavy key, cap=1000 — the eviction-heavy worst case): the batched
