@@ -46,12 +46,19 @@ def nop(records: DataFrame) -> DataFrame:
     return records
 
 
+def _quarantine_cols(records: DataFrame) -> list[str]:
+    """Observability columns (gunzip's ``decode_error``) that selecting
+    converters must carry through — otherwise the quarantine flag dies at
+    the first projection and dead-letter routing is impossible."""
+    return [c for c in ("decode_error",) if c in records.columns]
+
+
 @register_converter("string_key")
 def string_key(records: DataFrame) -> DataFrame:
     """String key style: key = path, value = bytes
     (SimpleFileConverter.scala:43-52)."""
     return records.select(
-        "topic", F.col("key_name").alias("key"), F.col("value")
+        "topic", F.col("key_name").alias("key"), F.col("value"), *_quarantine_cols(records)
     )
 
 
@@ -65,6 +72,7 @@ def struct_key(records: DataFrame) -> DataFrame:
             F.col("key_name").alias("name"), F.col("key_offset").alias("offset")
         ).alias("key"),
         F.col("value"),
+        *_quarantine_cols(records),
     )
 
 
@@ -73,10 +81,12 @@ def csv_lines(records: DataFrame) -> DataFrame:
     """1→N: split each body into newline-delimited records, preserving the
     intra-file line offset in the key (the README's CSV example). Empty
     trailing segments are dropped."""
+    extra = _quarantine_cols(records)
     lines = records.select(
         "topic",
         "key_name",
         "key_offset",
+        *extra,
         F.posexplode(F.split(F.decode(F.col("value"), "UTF-8"), "\r?\n")).alias("pos", "line"),
     )
     return lines.filter(F.length("line") > 0).select(
@@ -85,6 +95,7 @@ def csv_lines(records: DataFrame) -> DataFrame:
         "key_offset",
         F.col("pos").cast("long").alias("line_no"),
         F.encode("line", "UTF-8").alias("value"),
+        *extra,
     )
 
 
@@ -137,6 +148,14 @@ def to_kafka_frame(records: DataFrame, key_style: str = "string_key") -> DataFra
     routing (FtpSourceTask.scala:24-25,60-63). Struct keys are serialized
     as JSON (the Connect struct schema's wire format is broker-side
     concern; JSON keeps the example dependency-free).
+
+    The Kafka contract is exactly (topic, key, value), so quarantine
+    flags (gunzip's ``decode_error``) do NOT survive this projection —
+    branch BEFORE it for dead-letter routing, e.g.::
+
+        bad = records.filter("decode_error")
+        good = records.filter(~F.col("decode_error"))
+        to_kafka_frame(bad.withColumn("topic", F.lit("dead-letter")))
     """
     projected = get_converter(key_style)(records)
     key = projected["key"]

@@ -44,6 +44,14 @@ from kafka_connect_ftp_spark.session import load_tables
 _SPAN_W = 8  # tokens per derived paragraph
 _HH_N = 3  # n-gram width for the boilerplate section
 _HH_K = 20  # top-k n-grams reported
+# Oracle-side token-position cap (repo convention, see llm_pipeline.py):
+# the DuckDB twins enumerate positions with generate_series(1, 512)
+# while the Spark side iterates the full token array. Testdata documents
+# max out at 100 tokens, so the sides agree; if the documents table is
+# ever regenerated with >512-token texts, raise this alongside or the
+# hash gate diverges (the FAIL would be loud, not silent — but raise it
+# here, don't chase phantom span/ngram bugs).
+_ORACLE_MAX_TOKENS = 512
 # Phase-1 candidate budget for the boilerplate section. The SpaceSaving
 # top-k guarantee needs the heavy hitters to be HEAVY (frequency above
 # ~N/cap per partition) — true for web boilerplate repeated millions of
@@ -68,7 +76,7 @@ _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
     spans AS (
       SELECT doc_id, CAST((i - 1) / {_SPAN_W} AS BIGINT) AS idx,
              array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_SPAN_W - 1}], ' ') AS span
-      FROM toks, generate_series(1, 512) AS s(i)
+      FROM toks, generate_series(1, {_ORACLE_MAX_TOKENS}) AS s(i)
       WHERE (i - 1) % {_SPAN_W} = 0 AND i <= LEN(tk)
     ),
     decided AS (
@@ -152,7 +160,7 @@ def span_dedup_decision(spark, sf_dir):
     ),
     grams AS (
       SELECT array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_HH_N - 1}], ' ') AS ngram
-      FROM (SELECT {_DUCK_TOKS} AS tk FROM documents), generate_series(1, 512) AS s(i)
+      FROM (SELECT {_DUCK_TOKS} AS tk FROM documents), generate_series(1, {_ORACLE_MAX_TOKENS}) AS s(i)
       WHERE i <= LEN(tk) - {_HH_N - 1}
     ),
     hh AS (

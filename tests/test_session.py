@@ -35,6 +35,10 @@ def test_shuffle_words_in_column_names_do_not_false_positive(spark, tmp_path):
     # the old string-matching guard saw "Join"/"Sort"/"Window" in the plan
     # text and skipped the rebalance; aliases containing those words must
     # not suppress it
+    import pytest
+
+    if spark.sparkContext.defaultParallelism <= 1:
+        pytest.skip("needs >1 core: a 1-partition scan already meets the target")
     df = _tiny_parquet(spark, tmp_path).select(
         F.col("id").alias("JoinKey"),
         (F.col("id") * 2).alias("SortOrderWindowValue"),
