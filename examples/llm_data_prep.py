@@ -12,6 +12,8 @@ engine's operators:
       → PII scrub
       → curriculum mix (per-source epoch rates) + stable train/val/test split
       → token counting + sequence packing (budget fill)
+      → shard assembly (deterministic hash shuffle, split-partitioned,
+        size-bounded files)
 
 Every stage is a DataFrame transform — one lazily-composed plan per
 stage boundary, shuffles only where the algorithm demands them (dedup
@@ -41,6 +43,7 @@ from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
 from kafka_connect_ftp_spark.operators.mixing import mix_corpora
 from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
 from kafka_connect_ftp_spark.operators.pii import scrub
+from kafka_connect_ftp_spark.operators.sharding import write_training_shards
 from kafka_connect_ftp_spark.operators.splits import assign_splits
 from kafka_connect_ftp_spark.operators.text_dedup import (
     estimated_jaccard,
@@ -127,6 +130,16 @@ def main() -> int:
     packed = pack_sequences(counted, max_tokens=SEQ_BUDGET, n_shards=8)
     stats = packing_stats(packed, max_tokens=SEQ_BUDGET).collect()[0]
 
+    # 8. assemble the deliverable: deterministic hash-shuffled,
+    # split-partitioned, size-bounded shards a trainer streams directly
+    import tempfile
+
+    shard_dir = os.path.join(tempfile.mkdtemp(prefix="llm_prep_"), "shards")
+    manifest = write_training_shards(
+        docs, shard_dir, n_shards=8, max_records_per_file=100_000
+    )
+    shard_counts = {r.split: r.n_rows for r in manifest.collect()}
+
     print(f"corpus:        {n0}")
     print(f"quality-kept:  {n1}")
     print(f"lm-kept:       {n1b}")
@@ -140,6 +153,7 @@ def main() -> int:
         f"packed(train): {stats.n_documents} docs -> {stats.n_sequences} sequences "
         f"of <= {SEQ_BUDGET} tokens, mean fill {stats.mean_fill_ratio}"
     )
+    print(f"shards:        {shard_counts} -> {shard_dir}")
     return 0
 
 

@@ -29,6 +29,7 @@ def corpus_stats(
     group_col: str = "source",
     text_col: str = "text",
     exact_quantiles: bool = False,
+    approx_distinct: bool = False,
 ) -> DataFrame:
     """Composition report: one row per ``group_col`` value plus an
     ``__all__`` rollup row. Columns: ``n_docs``, ``n_bytes``,
@@ -41,7 +42,14 @@ def corpus_stats(
     token counts — fine up to millions of docs per group, and what the
     oracle-checked registry row uses since it matches DuckDB's
     ``quantile_cont`` bit-for-bit after rounding); the default sketch is
-    the 100 TB path."""
+    the 100 TB path.
+
+    ``approx_distinct=True`` swaps the exact ``count_distinct`` behind
+    ``dup_ratio`` for HyperLogLog++ (``approx_count_distinct``, default
+    ~2% rsd). The exact form shuffles every distinct fingerprint to its
+    group reducer — fine to billions, but at 100 TB the HLL sketch (a
+    few KB per group, mergeable map-side) is the right trade for a
+    ratio that informs a mixing decision, not an audit."""
     base = docs.select(
         F.coalesce(F.col(group_col).cast("string"), F.lit("__null__")).alias("grp"),
         F.octet_length(text_col).cast("long").alias("bytes"),
@@ -63,7 +71,11 @@ def corpus_stats(
                 if exact_quantiles
                 else F.percentile_approx("toks", [0.5, 0.9, 0.99])
             ).alias("_q"),
-            F.count_distinct("fp").alias("_n_distinct"),
+            (
+                F.approx_count_distinct("fp")
+                if approx_distinct
+                else F.count_distinct("fp")
+            ).alias("_n_distinct"),
         )
         .select(
             "_is_total",

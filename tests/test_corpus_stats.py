@@ -56,6 +56,18 @@ def test_group_named_all_does_not_corrupt_share(spark):
     assert 0 < web.share < 1
 
 
+def test_approx_distinct_dup_ratio_close_to_exact(docs):
+    from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
+
+    exact = {r[0]: r.dup_ratio for r in corpus_stats(docs).collect()}
+    approx = {r[0]: r.dup_ratio for r in corpus_stats(docs, approx_distinct=True).collect()}
+    assert exact.keys() == approx.keys()
+    # HLL++ default rsd ~2%; at test cardinalities the ratio must land
+    # within a loose band of the exact value
+    for k, v in exact.items():
+        assert abs(approx[k] - v) < 0.1, (k, approx[k], v)
+
+
 def test_null_group_bucketed(spark):
     df = spark.createDataFrame(
         [(1, "a b", None), (2, "c d", "web")], "doc_id long, text string, source string"
