@@ -1,0 +1,101 @@
+"""Property-based tests for the corpus operators: random corpora driven
+through span dedup and heavy hitters must match pure-Python oracles —
+generalizing the fixture-based unit tests to arbitrary inputs (repeats,
+empty spans, NULL text, caps that force eviction)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_connect_ftp_spark.operators.heavy_hitters import heavy_hitter_ngrams
+from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans
+
+# small alphabet so duplicates actually happen
+word = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+span = st.lists(word, min_size=0, max_size=3).map(" ".join)
+doc = st.lists(span, min_size=1, max_size=4).map("\n\n".join)
+corpus = st.lists(doc, min_size=1, max_size=6)
+
+
+def _py_span_dedup(texts):
+    """Pure-Python twin of dedup_spans(unit='paragraph', min_chars=1)."""
+    seen: set[str] = set()
+    out = []
+    for doc_id, text in enumerate(texts):
+        spans = (text or "").split("\n\n")
+        kept, dropped = [], 0
+        for s in spans:
+            eligible = len(s) >= 1 and s.strip() != ""
+            if eligible and s in seen:
+                dropped += 1
+                continue
+            if eligible:
+                seen.add(s)
+            kept.append(s)
+        out.append((doc_id, "\n\n".join(kept), len(spans), dropped))
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=corpus)
+def test_span_dedup_matches_python_oracle(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.text, r.n_spans, r.n_dropped)
+        for r in dedup_spans(df, "paragraph").collect()
+    )
+    assert got == _py_span_dedup(texts)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=corpus)
+def test_span_dedup_idempotent_and_lossless_on_uniques(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    once = dedup_spans(df, "paragraph").select("doc_id", "text")
+    twice = dedup_spans(once, "paragraph")
+    assert twice.filter("n_dropped > 0").count() == 0  # fixpoint
+
+
+hh_doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+hh_corpus = st.lists(hh_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=hh_corpus, n=st.integers(1, 3))
+def test_heavy_hitters_no_eviction_regime_is_exact(spark, texts, n):
+    """cap >= distinct n-grams -> no eviction -> exact top-k with the
+    (count desc, ngram) tie-break — the regime corpus_report runs in."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    exact = Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        for i in range(len(toks) - n + 1):
+            exact[" ".join(toks[i : i + n])] += 1
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [
+        (r.ngram, r["count"])
+        for r in heavy_hitter_ngrams(
+            df, n=n, top_k=5, candidates_per_partition=10_000
+        ).collect()
+    ]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=hh_corpus)
+def test_heavy_hitters_counts_are_true_counts_even_under_eviction(spark, texts):
+    """Whatever survives a tiny cap, its reported count is the TRUE corpus
+    count (phase 2 rescores exactly) — the sketch can drop light grams
+    but never fabricates or inflates a count."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    exact = Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        for i in range(len(toks) - 1):
+            exact[" ".join(toks[i : i + 2])] += 1
+    got = heavy_hitter_ngrams(df, n=2, top_k=5, candidates_per_partition=5).collect()
+    for r in got:
+        assert exact[r.ngram] == r["count"]
