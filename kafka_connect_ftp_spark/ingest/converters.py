@@ -80,16 +80,35 @@ def struct_key(records: DataFrame) -> DataFrame:
 def csv_lines(records: DataFrame) -> DataFrame:
     """1→N: split each body into newline-delimited records, preserving the
     intra-file line offset in the key (the README's CSV example). Empty
-    trailing segments are dropped."""
+    trailing segments are dropped.
+
+    Quarantined records (``decode_error=true`` from gunzip) are passed
+    through UN-SPLIT as a single record holding the original bytes:
+    decoding raw gzip as UTF-8 would lossily mangle the payload (U+FFFD
+    substitution — unreplayable from any dead-letter topic) and under
+    ``spark.sql.ansi.enabled`` would throw, reintroducing the exact
+    poison-pill the quarantine exists to prevent."""
     extra = _quarantine_cols(records)
-    lines = records.select(
+    splittable = records
+    passthrough = None
+    if extra:
+        passthrough = records.filter(F.col("decode_error")).select(
+            "topic",
+            "key_name",
+            "key_offset",
+            F.lit(0).cast("long").alias("line_no"),
+            F.col("value"),
+            *extra,
+        )
+        splittable = records.filter(~F.col("decode_error"))
+    lines = splittable.select(
         "topic",
         "key_name",
         "key_offset",
         *extra,
         F.posexplode(F.split(F.decode(F.col("value"), "UTF-8"), "\r?\n")).alias("pos", "line"),
     )
-    return lines.filter(F.length("line") > 0).select(
+    out = lines.filter(F.length("line") > 0).select(
         "topic",
         "key_name",
         "key_offset",
@@ -97,6 +116,7 @@ def csv_lines(records: DataFrame) -> DataFrame:
         F.encode("line", "UTF-8").alias("value"),
         *extra,
     )
+    return out.unionByName(passthrough) if passthrough is not None else out
 
 
 @register_converter("gunzip")

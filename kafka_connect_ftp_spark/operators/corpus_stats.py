@@ -86,7 +86,12 @@ def corpus_stats(
             F.col("_q")[0].alias("len_p50"),
             F.col("_q")[1].alias("len_p90"),
             F.col("_q")[2].alias("len_p99"),
-            F.round(1 - F.col("_n_distinct") / F.col("n_docs"), 4).alias("dup_ratio"),
+            # least() clamp: HLL++ can OVER-estimate distincts beyond
+            # n_docs, which would drive the ratio negative — a no-op for
+            # the exact count
+            F.round(
+                1 - F.least(F.col("_n_distinct"), F.col("n_docs")) / F.col("n_docs"), 4
+            ).alias("dup_ratio"),
         )
     )
     # share = group bytes / corpus bytes; the rollup row itself is the

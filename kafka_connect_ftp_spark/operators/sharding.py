@@ -63,14 +63,28 @@ def shuffled_shards(
     spark = df.sparkSession
     if n_shards is not None and n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "_shard_key" in df.columns:
+        raise ValueError(
+            "input already has a '_shard_key' column (this operator's internal "
+            "key); rename it upstream — silently overwriting and dropping it "
+            "would lose the column from the written shards"
+        )
     n = n_shards if n_shards is not None else int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     key = F.xxhash64(F.lit(salt), F.col(id_col).cast("string"))
+    # id_col as the sort tie-break: equal hash keys (duplicate ids) would
+    # otherwise land in nondeterministic relative order across re-runs
+    # (shuffle fetch order is arbitrary and the sort is not stable),
+    # breaking the byte-identical-rerun guarantee. Determinism therefore
+    # holds up to id uniqueness: rows SHARING an id (and NULL ids, which
+    # all hash to the same constant) tie — use content-stable unique ids
+    # (e.g. ingest/corpus.py's xxhash64(source, text)) for full-strength
+    # reproducibility.
     return (
         df.withColumn("_shard_key", key)
         .repartition(n, "_shard_key")
-        .sortWithinPartitions(*sort_prefix, "_shard_key")
+        .sortWithinPartitions(*sort_prefix, "_shard_key", id_col)
     )
 
 

@@ -92,6 +92,19 @@ def test_gunzip_decompresses_only_gzip_bodies(spark):
     }
     assert got == {"/bad.gz": (corrupt, True), "/ok.gz": (b"fine", False)}
 
+    # a quarantined body must survive csv_lines UN-SPLIT with its original
+    # bytes (decoding raw gzip as UTF-8 would mangle it unreplayably);
+    # clean bodies still explode into flagged-false lines
+    composed = get_converter("csv_lines")(get_converter("gunzip")(bad))
+    rows = {
+        (r.key_name, r.line_no): (bytes(r.value), r.decode_error)
+        for r in composed.collect()
+    }
+    assert rows == {
+        ("/bad.gz", 0): (corrupt, True),
+        ("/ok.gz", 0): (b"fine", False),
+    }
+
     # composes with csv_lines for the gzipped-log-drop case
     lines = get_converter("csv_lines")(get_converter("gunzip")(records))
     got = {(r.key_name, r.line_no, bytes(r.value)) for r in lines.collect()}

@@ -86,3 +86,23 @@ def test_unsplit_corpus_and_validation(spark, docs, tmp_path):
 
 def test_shard_count_pinned(spark, docs):
     assert shuffled_shards(docs, n_shards=7).rdd.getNumPartitions() == 7
+
+
+def test_shard_key_collision_rejected(spark, docs):
+    clash = docs.withColumn("_shard_key", F.lit(1))
+    with pytest.raises(ValueError, match="_shard_key"):
+        shuffled_shards(clash, n_shards=2)
+
+
+def test_duplicate_ids_still_deterministic(spark, tmp_path):
+    # duplicate doc_ids tie on the hash key; the id tie-break keeps
+    # re-runs byte-identical (same-id rows here are identical rows)
+    dup = spark.range(100).select(
+        (F.col("id") % 20).alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 20)).alias("text"),
+        F.lit("train").alias("split"),
+    )
+    p1, p2 = str(tmp_path / "x"), str(tmp_path / "y")
+    write_training_shards(dup, p1, n_shards=3)
+    write_training_shards(dup, p2, n_shards=3)
+    assert _file_order(spark, p1) == _file_order(spark, p2)
