@@ -25,9 +25,20 @@ from pyspark.sql import functions as F
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """``pairs``: (doc_a, doc_b) undirected edges. Returns (doc_id, cluster)
     where cluster = min doc_id reachable."""
+    # both edge directions from ONE pass over pairs (map-side explode):
+    # a union of two selects would evaluate the pairs lineage — often an
+    # expensive minhash/LSH plan — once per branch before the cache
+    # materializes
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
