@@ -157,6 +157,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     sink = _parquet_sink(args.sink_dir) if args.sink_dir else _print_sink
+    # ftp.sourcerecordconverter parity (FtpSourceTask.scala:83-87; X2 in
+    # SURVEY §2.7): the configured 1→N record converter runs on each
+    # tick's records before delivery. Resolved eagerly so a typo fails
+    # at startup, not on the first poll.
+    if cfg.converter != "nop":
+        from kafka_connect_ftp_spark.ingest.converters import get_converter
+
+        convert, inner_sink = get_converter(cfg.converter), sink
+
+        def sink(records, epoch: int) -> None:
+            inner_sink(convert(records), epoch)
+
     backoff = ExponentialBackOff(step_seconds=1.0, cap_seconds=cfg.max_backoff_seconds)
     epoch, polled, succeeded = 0, 0, 0
     while True:

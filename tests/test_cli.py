@@ -106,6 +106,38 @@ def test_cli_two_polls_emit_update_and_tail_delta(spark, tmp_path):
     assert tick2 == {("tail-topic", b"line2\n", 6), ("update-topic", b"max=99", 0)}
 
 
+def test_cli_applies_configured_sourcerecordconverter(spark, tmp_path):
+    """ftp.sourcerecordconverter parity: the configured 1→N converter runs
+    on each tick's records before delivery (FtpSourceTask.scala:83-87)."""
+    root = tmp_path / "tree"
+    (root / "updates").mkdir(parents=True)
+    (root / "updates" / "data.csv").write_bytes(b"a,1\nb,2\n")
+    props = _write_props(tmp_path, "ftp.sourcerecordconverter=csv_lines\n")
+    sink_dir = str(tmp_path / "records")
+
+    args = [
+        "--properties", props,
+        "--local-root", str(root),
+        "--state-dir", str(tmp_path / "state"),
+        "--sink-dir", sink_dir,
+        "--max-polls", "1",
+    ]
+    assert main(args) == 0
+    rows = {
+        (r.line_no, bytes(r.value))
+        for r in spark.read.parquet(sink_dir).filter("topic = 'update-topic'").collect()
+    }
+    assert rows == {(0, b"a,1"), (1, b"b,2")}
+
+    # an unknown converter name fails at startup, not on the first poll
+    bad = _write_props(tmp_path, "ftp.sourcerecordconverter=nope\n")
+    import pytest
+
+    with pytest.raises(KeyError, match="nope"):
+        main(["--properties", bad, "--local-root", str(root),
+              "--state-dir", str(tmp_path / "state2"), "--max-polls", "1"])
+
+
 def test_cli_list_only_prints_listing(spark, tmp_path, capsys):
     root = tmp_path / "tree"
     (root / "tails").mkdir(parents=True)
