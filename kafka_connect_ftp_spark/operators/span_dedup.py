@@ -11,8 +11,10 @@ is dropped; the first occurrence (lowest ``(doc_id, position)``) is kept.
 Scale design (100 TB):
 - the KEEP/DROP decision runs on a metadata-only frame: ``(span_hash,
   doc_id, idx)`` — three longs per span. Only this frame shuffles on
-  ``span_hash`` (window rank per hash); span TEXT never rides the
-  hash shuffle;
+  ``span_hash``, as a min-struct AGGREGATION with map-side partial
+  combine, so even a span repeated billions of times (empty lines, nav
+  boilerplate) collapses per-mapper instead of funneling into one hot
+  reducer; span TEXT never rides the hash shuffle;
 - the decision joins back to the text on ``(doc_id, idx)`` — the data's
   home key, co-partitionable with the source layout (bucketed tables
   make it shuffle-free on the text side);
@@ -26,7 +28,7 @@ span; swap a 128-bit hash for forensic-grade exactness).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SPLITTERS = {"paragraph": "\n\n", "line": "\n"}
@@ -66,19 +68,34 @@ def dedup_spans(
     sep = _SPLITTERS[unit]
 
     eligible = (F.length("span") >= min_chars) & (F.trim(F.col("span")) != "")
-    # metadata-only decision frame: the window shuffles (hash, doc_id,
-    # idx) triples, never the span text
+    # metadata-only decision frame: only (hash, doc_id, idx) triples
+    # shuffle, never the span text. The first occurrence per hash is a
+    # MIN-STRUCT AGGREGATION, not a row_number window: min() partially
+    # aggregates map-side, so a boilerplate span repeated billions of
+    # times collapses to one row per mapper before the shuffle — a
+    # window over the same hash key would funnel every occurrence of the
+    # hot span into a single reducer partition, which WindowExec cannot
+    # split (no skew mitigation exists for windows; AQE only splits
+    # joins). Same semantics: min(struct(doc_id, idx)) == the row that
+    # row_number() over (partition by h order by doc_id, idx) ranks 1.
     meta = units.select(
         F.xxhash64("span").alias("h"), "doc_id", "idx", eligible.alias("elig")
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "idx")
-    decisions = meta.filter("elig").withColumn(
-        "keep", F.row_number().over(w) == 1
-    ).select("doc_id", "idx", "keep")
-
-    # join on the data's home key — exempt spans (no decision row) keep
-    decided = units.join(decisions, ["doc_id", "idx"], "left").withColumn(
-        "keep", F.coalesce("keep", F.lit(True))
+    winners = (
+        meta.filter("elig")
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.idx").alias("idx"),
+            F.lit(True).alias("is_winner"),
+        )
+    )
+    # join on the data's home key (uniform, skew-free); eligibility is
+    # recomputed as a column, so exempt spans keep without a winner row
+    decided = units.join(winners, ["doc_id", "idx"], "left").withColumn(
+        "keep",
+        ~eligible | F.coalesce(F.col("is_winner"), F.lit(False)),
     )
     rebuilt = (
         decided.groupBy("doc_id")
