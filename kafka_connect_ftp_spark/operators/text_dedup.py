@@ -59,12 +59,28 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, *, band_size: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, *, band_size: int = 4, bucket_cap: int = 4096
+) -> DataFrame:
     """Banded LSH: docs sharing any band signature become (doc_a, doc_b)
-    candidates (doc_a < doc_b). Pairs expand bucket-locally — no self-join."""
+    candidates (doc_a < doc_b). Pairs expand bucket-locally — no self-join.
+
+    A bucket larger than ``bucket_cap`` (mass-duplicated boilerplate with
+    identical band signatures) would otherwise collect its whole id list
+    into ONE task and expand O(n²) pairs there; such buckets are split
+    into ``ceil(n/cap)`` hash chunks and every chunk pair becomes its own
+    tile task — the same exact triangle/tile decomposition as
+    operators/neardup.py: every in-bucket pair lands in exactly one tile
+    (duplicates across bands are removed by the final distinct, as
+    before), per-task work is bounded by ~cap², and a hot bucket fans
+    out across the cluster. Buckets at or under the cap keep one tile
+    and zero replication, so the common case pays only the bucket-size
+    pre-aggregation (map-side combined, skew-safe)."""
     n_hashes = len([c for c in sig.columns if c.startswith("m")])
     if n_hashes % band_size:
         raise ValueError(f"n_hashes={n_hashes} not divisible by band_size={band_size}")
+    if bucket_cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -75,18 +91,46 @@ def lsh_candidate_pairs(sig: DataFrame, *, band_size: int = 4) -> DataFrame:
     exploded = sig.select("doc_id", F.explode(F.array(*bands)).alias("bs")).select(
         "doc_id", "bs.band", "bs.bsig"
     )
-    buckets = (
-        exploded.groupBy("band", "bsig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    return tiled_bucket_pairs(exploded, ["band", "bsig"], bucket_cap=bucket_cap)
+
+
+def tiled_bucket_pairs(
+    members: DataFrame, bucket_cols: list[str], *, id_col: str = "doc_id", bucket_cap: int = 4096
+) -> DataFrame:
+    """All unordered id pairs within each bucket of ``members``, with
+    buckets above ``bucket_cap`` tile-decomposed (module pattern doc on
+    :func:`lsh_candidate_pairs`). Returns distinct (doc_a < doc_b)."""
+    counts = members.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_n"))
+    tiled = (
+        members.join(counts.filter(F.col("_n") > 1), bucket_cols)
+        .withColumn("_nc", F.ceil(F.col("_n") / F.lit(bucket_cap)).cast("int"))
+        .withColumn("chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nc")).cast("int"))
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+        .withColumn("tile_i", F.least("chunk", "_other"))
+        .withColumn("tile_j", F.greatest("chunk", "_other"))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
+    tiles = tiled.groupBy(*bucket_cols, "tile_i", "tile_j").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("chunk") == F.col("tile_i"), F.col(id_col)))
+        ).alias("ids_a"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("chunk") == F.col("tile_j"), F.col(id_col)))
+        ).alias("ids_b"),
+    )
+    # diagonal tiles expand the triangle of one chunk; off-diagonal tiles
+    # the full cross of two disjoint chunks (least/greatest restores the
+    # doc_a < doc_b orientation)
+    diag = (
+        "flatten(transform(ids_a, (x, i) ->"
+        " transform(slice(ids_a, i + 2, size(ids_a) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    cross = (
+        "flatten(transform(ids_a, x -> transform(ids_b,"
+        " y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+    )
+    pairs = tiles.select(
+        F.explode(F.expr(f"CASE WHEN tile_i = tile_j THEN {diag} ELSE {cross} END")).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 

@@ -321,21 +321,15 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
     # bucket-local pair generation instead of a self-join: one shuffle on
     # (band, bsig), pairs expanded inside each bucket — avoids recomputing
-    # the signature lineage for both join sides and never shuffles pairs
-    buckets = (
-        bands.groupBy("band", "bsig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    # the signature lineage for both join sides and never shuffles pairs.
+    # Buckets above the cap (mass-duplicated boilerplate sharing one band
+    # signature) are tile-decomposed so no single task ever expands more
+    # than ~cap² pairs — exact, see operators/text_dedup.tiled_bucket_pairs
+    from kafka_connect_ftp_spark.operators.text_dedup import tiled_bucket_pairs
+
+    return tiled_bucket_pairs(bands, ["band", "bsig"], bucket_cap=4096).orderBy(
+        "doc_a", "doc_b"
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct().orderBy("doc_a", "doc_b")
 
 
 _MAX_SHINGLE_DF = 100  # stop-shingle cap: drop shingles present in >100 docs

@@ -69,6 +69,39 @@ def test_exact_dedup_null_position_significant(spark):
     assert rows == {1: 2, 2: 1}  # 1&3 identical; 2 is NOT their duplicate
 
 
+def test_hot_bucket_tiling_exact_and_bounded(spark):
+    """A mass-duplicated text (one hot LSH bucket) tiled under a tiny cap
+    must yield exactly the uncapped pair set, and no tile may hold more
+    than two cap-sized chunks."""
+    from kafka_connect_ftp_spark.operators.text_dedup import (
+        minhash_signatures,
+        tiled_bucket_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the exact same boilerplate text every time") for i in range(40)]
+        + [(100 + i, f"unique text number {i} with its own words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig, band_size=4, bucket_cap=8).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig, band_size=4, bucket_cap=1_000_000).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) >= 40 * 39 // 2  # the hot clique is fully present
+
+    # direct tile bound: 40 members, cap 8 -> 5 chunks of ~8; every tile
+    # materializes at most 2 chunks
+    members = docs.select(F.lit(0).alias("b"), "doc_id")
+    pairs = tiled_bucket_pairs(members, ["b"], bucket_cap=8)
+    assert pairs.count() == 45 * 44 // 2
+
+
 def test_band_size_must_divide(docs):
     sig = minhash_signatures(docs, "doc_id", "text", n_hashes=16)
     with pytest.raises(ValueError):
