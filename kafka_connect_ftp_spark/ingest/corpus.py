@@ -74,6 +74,17 @@ def read_corpus(
 
     if fmt == "jsonl":
         df = spark.read.json(path)
+        # PERMISSIVE mode parks unparseable lines in _corrupt_record with
+        # every real field NULL — surface them under the package-wide
+        # quarantine convention (decode_error, like gunzip) instead of
+        # letting NULL-text ghost documents flow on silently. The raw
+        # line is kept for dead-letter replay; the rename also keeps
+        # callers clear of Spark's referencing restrictions on the
+        # internal column name.
+        if "_corrupt_record" in df.columns:
+            df = df.withColumn(
+                "decode_error", F.col("_corrupt_record").isNotNull()
+            ).withColumnRenamed("_corrupt_record", "corrupt_record")
     elif fmt == "csv":
         reader = spark.read.option("header", "true")
         if multiline_csv:

@@ -124,6 +124,22 @@ def test_upstream_doc_id_requires_explicit_claim(spark, tmp_path):
     assert row.doc_id == 42
 
 
+def test_corrupt_jsonl_lines_quarantined_not_silent(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"text": "good"}\n{broken json!!\n{"text": "also good"}\n'
+    )
+    df = read_corpus(spark, str(p), "jsonl")
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r.decode_error]
+    good = sorted(r.text for r in rows if not r.decode_error)
+    assert good == ["also good", "good"]
+    assert len(bad) == 1 and bad[0].corrupt_record == "{broken json!!"
+    assert bad[0].text is None  # flagged, original line preserved
+
+
 def test_bad_format_and_missing_column_rejected(spark, jsonl_dir):
     with pytest.raises(ValueError, match="fmt"):
         read_corpus(spark, jsonl_dir, "xml")

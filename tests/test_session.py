@@ -48,6 +48,23 @@ def test_shuffle_words_in_column_names_do_not_false_positive(spark, tmp_path):
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
+def test_changelog_top1_keeps_windowgrouplimit(spark):
+    """The latest-record-per-key plan must compile to WindowGroupLimit
+    with a Partial pass — the map-side top-1 that keeps a hot state key
+    from funneling all its rows into one reducer (docs/SCALING.md
+    hot-key rule). A formulation change that silently loses this (e.g.
+    filtering on rank computed in a prior select) would regress the
+    state-merge's skew behavior without failing any result check."""
+    from kafka_connect_ftp_spark.plans import registry
+
+    df = registry()["changelog_latest_state"].fn(spark, "/root/testdata/sf0.001")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "WindowGroupLimit" in plan
+    # the Partial-mode pass is what runs before the shuffle
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1]
+
+
 def test_already_parallel_scan_untouched(spark, tmp_path):
     path = str(tmp_path / "many")
     target = spark.sparkContext.defaultParallelism
