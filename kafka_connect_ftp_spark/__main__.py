@@ -159,12 +159,16 @@ def main(argv: list[str] | None = None) -> int:
     sink = _parquet_sink(args.sink_dir) if args.sink_dir else _print_sink
     # ftp.sourcerecordconverter parity (FtpSourceTask.scala:83-87; X2 in
     # SURVEY §2.7): the configured 1→N record converter runs on each
-    # tick's records before delivery. Resolved eagerly so a typo fails
-    # at startup, not on the first poll.
+    # tick's records before delivery. Resolved eagerly — and restricted
+    # to record converters — so a typo or a key-style name fails at
+    # startup, not as a per-tick error spinning through backoff. NB: the
+    # tick metrics line reports SOURCE records/bytes (files fetched, the
+    # poll-level semantic), not post-conversion record counts — the
+    # converted volume is what lands in the sink.
     if cfg.converter != "nop":
-        from kafka_connect_ftp_spark.ingest.converters import get_converter
+        from kafka_connect_ftp_spark.ingest.converters import get_record_converter
 
-        convert, inner_sink = get_converter(cfg.converter), sink
+        convert, inner_sink = get_record_converter(cfg.converter), sink
 
         def sink(records, epoch: int) -> None:
             inner_sink(convert(records), epoch)

@@ -40,6 +40,26 @@ def get_converter(name: str) -> Converter:
         raise KeyError(f"unknown converter {name!r}; available: {sorted(_REGISTRY)}") from None
 
 
+# X1 key-style converters project records down to the Kafka (topic, key,
+# value) contract and drop key_name/key_offset — valid only as the final
+# framing step, never as ftp.sourcerecordconverter (X2), whose output
+# must keep flowing through record-schema sinks
+_KEY_STYLE = frozenset({"string_key", "struct_key"})
+
+
+def get_record_converter(name: str) -> Converter:
+    """Resolve an X2 record converter (1→N mapper); rejects the X1
+    key-style projections, which would break record-schema consumers
+    mid-poll instead of failing fast at configuration time."""
+    if name in _KEY_STYLE:
+        raise KeyError(
+            f"{name!r} is a key-style (X1) converter; ftp.sourcerecordconverter "
+            f"takes a record converter — available: "
+            f"{sorted(set(_REGISTRY) - _KEY_STYLE)}"
+        )
+    return get_converter(name)
+
+
 @register_converter("nop")
 def nop(records: DataFrame) -> DataFrame:
     """NopSourceRecordConverter (SourceRecordConverter.scala:14-17)."""

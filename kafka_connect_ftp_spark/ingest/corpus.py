@@ -80,11 +80,23 @@ def read_corpus(
         # letting NULL-text ghost documents flow on silently. The raw
         # line is kept for dead-letter replay; the rename also keeps
         # callers clear of Spark's referencing restrictions on the
-        # internal column name.
+        # internal column name. decode_error is ALWAYS present for jsonl
+        # (lit(False) on a clean corpus) so pipelines filtering on it
+        # don't break schema-dependently on the first clean input — and,
+        # per this function's no-silent-clobber rule, upstream fields
+        # already named decode_error/corrupt_record are an error.
+        clash = {"decode_error", "corrupt_record"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"corpus already has quarantine column(s) {sorted(clash)}; rename "
+                "them upstream (read_corpus reserves these names for its own flags)"
+            )
         if "_corrupt_record" in df.columns:
             df = df.withColumn(
                 "decode_error", F.col("_corrupt_record").isNotNull()
             ).withColumnRenamed("_corrupt_record", "corrupt_record")
+        else:
+            df = df.withColumn("decode_error", F.lit(False))
     elif fmt == "csv":
         reader = spark.read.option("header", "true")
         if multiline_csv:
@@ -143,7 +155,16 @@ def read_corpus(
             # crash mid-job on the first non-numeric value
             out = out.withColumn("doc_id", F.xxhash64(F.col(id_field).cast("string")))
     else:
-        out = out.withColumn("doc_id", F.xxhash64("source", "text"))
+        # quarantined rows (NULL text) hash their raw corrupt line instead:
+        # xxhash64 SKIPS null arguments, so plain (source, text) would
+        # collapse every corrupt line in a file onto one doc_id and
+        # downstream doc_id-keyed steps would silently drop all but one
+        id_text = (
+            F.coalesce(F.col("text"), F.col("corrupt_record"))
+            if "corrupt_record" in out.columns
+            else F.col("text")
+        )
+        out = out.withColumn("doc_id", F.xxhash64("source", id_text))
 
     meta = [c for c in out.columns if c not in ("doc_id", "text", "source")]
     return out.select("doc_id", "text", "source", *meta)

@@ -99,10 +99,38 @@ def tiled_bucket_pairs(
 ) -> DataFrame:
     """All unordered id pairs within each bucket of ``members``, with
     buckets above ``bucket_cap`` tile-decomposed (module pattern doc on
-    :func:`lsh_candidate_pairs`). Returns distinct (doc_a < doc_b)."""
-    counts = members.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_n"))
+    :func:`lsh_candidate_pairs`). Returns distinct (doc_a < doc_b).
+
+    Same chunk/tile scheme as ``operators/neardup.tile_assignments`` but
+    NOT shared code, deliberately: that tiler broadcasts its block-count
+    frame (block cardinality there is a quantizer's k — tiny), while an
+    LSH bucket-count frame has one row per distinct band signature —
+    corpus-order cardinality — so the counts here join as a shuffle with
+    AQE handling any hot-bucket skew. The join is null-safe: a NULL
+    bucket key is a bucket like any other (a plain equi-join would
+    silently drop its members — the neardup tiler documents the same).
+
+    ``members`` is lazily localCheckpoint-ed first: the counts
+    pre-aggregation and the tile join would otherwise each evaluate the
+    upstream lineage — for LSH callers that is the dominant-cost minhash
+    over the full corpus, run twice."""
+    members = members.localCheckpoint(eager=False)
+    # counts keys renamed (_b_*): self-join column resolution against the
+    # shared lineage would otherwise be ambiguous
+    counts = (
+        members.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *[F.col(c).alias(f"_b_{c}") for c in bucket_cols], "_n"
+        )
+    )
+    on = None
+    for c in bucket_cols:
+        cond = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+        on = cond if on is None else on & cond
     tiled = (
-        members.join(counts.filter(F.col("_n") > 1), bucket_cols)
+        members.join(counts.filter(F.col("_n") > 1), on)
+        .drop(*[f"_b_{c}" for c in bucket_cols])
         .withColumn("_nc", F.ceil(F.col("_n") / F.lit(bucket_cap)).cast("int"))
         .withColumn("chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nc")).cast("int"))
         .withColumn("_other", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))

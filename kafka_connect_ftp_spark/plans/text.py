@@ -319,12 +319,13 @@ def minhash_lsh_pairs(spark, sf_dir):
     bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
     )
-    # bucket-local pair generation instead of a self-join: one shuffle on
-    # (band, bsig), pairs expanded inside each bucket — avoids recomputing
-    # the signature lineage for both join sides and never shuffles pairs.
-    # Buckets above the cap (mass-duplicated boilerplate sharing one band
+    # bucket-local pair generation instead of a self-join: pairs are
+    # expanded inside each (band, bsig) bucket and never shuffle. Buckets
+    # above the cap (mass-duplicated boilerplate sharing one band
     # signature) are tile-decomposed so no single task ever expands more
-    # than ~cap² pairs — exact, see operators/text_dedup.tiled_bucket_pairs
+    # than ~cap² pairs — exact, see operators/text_dedup.tiled_bucket_pairs,
+    # which lazily localCheckpoints the band rows so its bucket-size
+    # pre-aggregation does not re-run the minhash lineage a second time
     from kafka_connect_ftp_spark.operators.text_dedup import tiled_bucket_pairs
 
     return tiled_bucket_pairs(bands, ["band", "bsig"], bucket_cap=4096).orderBy(

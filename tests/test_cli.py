@@ -137,6 +137,13 @@ def test_cli_applies_configured_sourcerecordconverter(spark, tmp_path):
         main(["--properties", bad, "--local-root", str(root),
               "--state-dir", str(tmp_path / "state2"), "--max-polls", "1"])
 
+    # key-style converters drop key_name/key_offset and would break every
+    # tick — rejected at startup too
+    keystyle = _write_props(tmp_path, "ftp.sourcerecordconverter=string_key\n")
+    with pytest.raises(KeyError, match="key-style"):
+        main(["--properties", keystyle, "--local-root", str(root),
+              "--state-dir", str(tmp_path / "state3"), "--max-polls", "1"])
+
 
 def test_cli_list_only_prints_listing(spark, tmp_path, capsys):
     root = tmp_path / "tree"

@@ -128,16 +128,35 @@ def test_corrupt_jsonl_lines_quarantined_not_silent(spark, tmp_path):
     p = tmp_path / "c"
     p.mkdir()
     (p / "a.jsonl").write_text(
-        '{"text": "good"}\n{broken json!!\n{"text": "also good"}\n'
+        '{"text": "good"}\n{broken json!!\n{"text": "also good"}\n{other broken}\n'
     )
     df = read_corpus(spark, str(p), "jsonl")
     rows = df.collect()
-    assert len(rows) == 3
+    assert len(rows) == 4
     bad = [r for r in rows if r.decode_error]
     good = sorted(r.text for r in rows if not r.decode_error)
     assert good == ["also good", "good"]
-    assert len(bad) == 1 and bad[0].corrupt_record == "{broken json!!"
-    assert bad[0].text is None  # flagged, original line preserved
+    assert {r.corrupt_record for r in bad} == {"{broken json!!", "{other broken}"}
+    assert all(r.text is None for r in bad)  # flagged, original line preserved
+    # DISTINCT corrupt lines must get distinct ids (xxhash64 skips NULL
+    # text — the raw line is hashed instead)
+    assert len({r.doc_id for r in bad}) == 2
+
+
+def test_clean_jsonl_still_carries_decode_error_column(spark, jsonl_dir):
+    # the quarantine flag is schema-stable: filters on it must not break
+    # on the first corpus that happens to be clean
+    df = read_corpus(spark, jsonl_dir, "jsonl")
+    assert "decode_error" in df.columns
+    assert df.filter("decode_error").count() == 0
+
+
+def test_upstream_quarantine_columns_rejected(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text(json.dumps({"text": "t", "decode_error": False}))
+    with pytest.raises(ValueError, match="decode_error"):
+        read_corpus(spark, str(p), "jsonl")
 
 
 def test_bad_format_and_missing_column_rejected(spark, jsonl_dir):
