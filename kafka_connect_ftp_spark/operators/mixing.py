@@ -100,3 +100,51 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rates_for_token_budgets(
+    docs: DataFrame,
+    budgets: dict[str, float],
+    *,
+    source_col: str = "source",
+    token_count_expr: Column | None = None,
+    allow_epochs: bool = True,
+) -> dict[str, float]:
+    """Turn per-source TOKEN budgets ("50B tokens of web, 10B of code")
+    into the sampling rates ``mix_corpora`` consumes.
+
+    Mixture specs are usually written in tokens, but the engine samples
+    by row; the bridge is one aggregation (map-side partial sums — one
+    tiny row per source reaches the driver) giving each source's total
+    tokens, then ``rate = budget / total``. Hash sampling hits the budget
+    in expectation with relative deviation ~1/sqrt(docs selected) —
+    negligible at corpus scale; an exact greedy cut would need a
+    running-sum window per source, funneling billions of rows through
+    one reducer per source (the hot-key window anti-pattern,
+    docs/SCALING.md).
+
+    ``allow_epochs=False`` caps rates at 1.0 (never repeat data);
+    sources without a budget entry get rate 0.0 (dropped).
+    """
+    toks = (
+        token_count_expr
+        if token_count_expr is not None
+        else F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    )
+    totals = {
+        r["src"]: r["total"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(toks.cast("long")).alias("total"))
+        .collect()
+    }
+    unknown = set(budgets) - set(totals)
+    if unknown:
+        raise ValueError(f"budgets name sources absent from the corpus: {sorted(unknown)}")
+    rates = {}
+    for name, budget in budgets.items():
+        if budget < 0:
+            raise ValueError(f"budget for {name!r} must be >= 0")
+        total = totals[name] or 0
+        rate = (budget / total) if total else 0.0
+        rates[name] = rate if allow_epochs else min(1.0, rate)
+    return rates

@@ -69,6 +69,38 @@ def test_mix_rates_and_epochs(docs):
     assert key(mixed) == key(again)
 
 
+def test_rates_for_token_budgets_bridge(spark):
+    from kafka_connect_ftp_spark.operators.mixing import rates_for_token_budgets
+
+    docs2 = spark.createDataFrame(
+        [(i, "web", "one two three four five") for i in range(100)]  # 500 toks
+        + [(1000 + i, "code", "a b c d e f g h i j") for i in range(50)],  # 500 toks
+        "doc_id long, source string, text string",
+    )
+    rates = rates_for_token_budgets(docs2, {"web": 250.0, "code": 1000.0})
+    assert rates == {"web": 0.5, "code": 2.0}
+    capped = rates_for_token_budgets(
+        docs2, {"web": 250.0, "code": 1000.0}, allow_epochs=False
+    )
+    assert capped == {"web": 0.5, "code": 1.0}
+
+    # the rates feed mix_corpora; the sampled token mass tracks the budget
+    mixed = mix_corpora(
+        {
+            "web": (docs2.filter("source = 'web'").drop("source"), rates["web"]),
+        }
+    )
+    toks = mixed.select(
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert 150 <= toks <= 350  # 250 expected, hash-sampling variance
+
+    with pytest.raises(ValueError, match="absent"):
+        rates_for_token_budgets(docs2, {"nope": 1.0})
+    with pytest.raises(ValueError, match=">= 0"):
+        rates_for_token_budgets(docs2, {"web": -1.0})
+
+
 def test_mix_rejects_bad_rates(docs):
     with pytest.raises(ValueError):
         mix_corpora({"a": (docs, -0.5)})
