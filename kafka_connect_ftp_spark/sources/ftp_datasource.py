@@ -106,6 +106,34 @@ def _parse_max_files(raw) -> int | None:
     return n or None
 
 
+def _parse_max_bytes(raw) -> int | None:
+    """maxBytesPerTrigger: positive = cap in bytes, 0/unset = unlimited."""
+    n = int(raw)
+    if n < 0:
+        raise ValueError(f"maxBytesPerTrigger must be >= 0, got {n}")
+    return n or None
+
+
+def _cap_changed(changed: list, max_files: int | None, max_bytes: int | None) -> list:
+    """Apply the rate caps to a sorted changed-file list: at most
+    ``max_files`` entries AND cumulative listed size <= ``max_bytes``.
+    The byte cap always admits at least one file, so a single file larger
+    than the cap is still ingested (next trigger) instead of stalling the
+    stream forever; whatever is cut stays out of the offset and carries
+    over (L1 semantics, same as the file-count cap)."""
+    if max_files is not None:
+        changed = changed[:max_files]
+    if max_bytes is not None:
+        out, total = [], 0
+        for f in changed:
+            if out and total + f[1] > max_bytes:
+                break
+            out.append(f)
+            total += f[1]
+        changed = out
+    return changed
+
+
 def _retr_or_none(ftp, path: str):
     """RETR one file; None if it vanished since planning (550) — a rotated
     file is not an error, it simply no longer exists to ingest."""
@@ -234,8 +262,11 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
         self.prune_deleted = ds.options.get("pruneDeleted", "false").lower() == "true"
         # L1 rate limit (ftp.max.poll.records, FtpSourceTask.scala:31,47-52):
         # at most N changed files per micro-batch; the rest stay out of the
-        # committed offset, so the next poll re-detects and carries them over
+        # committed offset, so the next poll re-detects and carries them over.
+        # maxBytesPerTrigger is the byte-denominated sibling for trees whose
+        # file sizes vary wildly (one cap per dimension, both may be set).
         self.max_files = _parse_max_files(ds.options.get("maxFilesPerTrigger", 0))
+        self.max_bytes = _parse_max_bytes(ds.options.get("maxBytesPerTrigger", 0))
         self._src: FtpSource | None = None
 
     def initialOffset(self) -> dict:
@@ -259,8 +290,7 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
                 for path, size, mtime in sorted(listing)
                 if state.get(path) != [size, mtime.isoformat()]
             ]
-            if self.max_files is not None:
-                changed = changed[: self.max_files]
+            changed = _cap_changed(changed, self.max_files, self.max_bytes)
             if self.prune_deleted:
                 live = {path for path, _, _ in listing}
                 new_state = {p: m for p, m in state.items() if p in live}
@@ -333,6 +363,7 @@ class FtpFilesPartitionedStreamReader(DataSourceStreamReader):
             raise ValueError("numPartitions must be >= 1")
         self.prune_deleted = ds.options.get("pruneDeleted", "false").lower() == "true"
         self.max_files = _parse_max_files(ds.options.get("maxFilesPerTrigger", 0))
+        self.max_bytes = _parse_max_bytes(ds.options.get("maxBytesPerTrigger", 0))
         self._src: FtpSource | None = None
         # The last offset this reader produced or saw; None right after a
         # crash restart. The first latestOffset after a restart therefore
@@ -363,10 +394,11 @@ class FtpFilesPartitionedStreamReader(DataSourceStreamReader):
             for path, size, mtime in sorted(listing)
             if self._offset is None or state.get(path) != [size, mtime.isoformat()]
         ]
-        if self.max_files is not None and self._offset is not None:
+        if self._offset is not None:
             # L1 carry-over: only the capped slice advances the offset;
-            # the rest re-detects next trigger
-            changed = changed[: self.max_files]
+            # the rest re-detects next trigger (uncapped right after a
+            # restart — module doc)
+            changed = _cap_changed(changed, self.max_files, self.max_bytes)
         if self.prune_deleted:
             live = {path for path, _, _ in listing}
             state = {p: m for p, m in state.items() if p in live}

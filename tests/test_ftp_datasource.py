@@ -314,6 +314,32 @@ def test_partitioned_stream_replays_pending_batch_after_restart():
     assert [p.files for p in fresh.partitions(off1, off2)] == [[]]
 
 
+def test_stream_max_bytes_per_trigger_carries_over():
+    """maxBytesPerTrigger: the byte-denominated rate cap — cumulative
+    listed size bounds the batch, remainder carries over, and a single
+    oversized file still makes progress (admitted alone)."""
+    stream = FtpFilesStreamReader(
+        _ds({"pattern": "/a/dirb/path/*", "maxBytesPerTrigger": "1"})
+    )
+    # every file exceeds 1 byte; each trigger admits exactly one anyway
+    rows1, off1 = stream.read(stream.initialOffset())
+    assert [r[0] for r in rows1] == ["/a/dirb/path/file3.txt"]
+    rows2, off2 = stream.read(off1)
+    assert [r[0] for r in rows2] == ["/a/dirb/path/file4.csv"]
+    rows3, _ = stream.read(off2)
+    assert list(rows3) == []  # drained
+
+    # a generous byte cap admits both files in one batch
+    wide = FtpFilesStreamReader(
+        _ds({"pattern": "/a/dirb/path/*", "maxBytesPerTrigger": "1000000"})
+    )
+    rows, _ = wide.read(wide.initialOffset())
+    assert len(list(rows)) == 2
+
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        FtpFilesStreamReader(_ds({"pattern": "/a/*", "maxBytesPerTrigger": "-1"}))
+
+
 def test_partitioned_stream_restart_cap_overshoot_then_steady_state():
     """Documented cap nuance (module doc): maxFilesPerTrigger applies
     against the reader's LAST-SEEN offset, which right after a crash
