@@ -52,12 +52,16 @@ metadata only, and the changed files are hash-chunked so each EXECUTOR
 RETRs its share inside the micro-batch. Bodies never ride through the
 driver. ``.option("streamMode", "simple")`` selects the previous
 ``SimpleDataSourceStreamReader`` path (driver-side prefetch), retained
-for environments where executors cannot reach the FTP server. One rate
-cap nuance in partitioned mode: ``maxFilesPerTrigger`` is applied
-against the reader's last-seen offset, which after a crash restart is
-unknown until the engine replays — so the first trigger after a restart
-may exceed the cap (it emits every pending change); steady state obeys
-the cap exactly.
+for environments where executors cannot reach the FTP server.
+
+Rate caps: ``maxFilesPerTrigger`` (count) and ``maxBytesPerTrigger``
+(cumulative listed size; a single oversized file is still admitted
+alone so the stream never stalls) both use L1 carry-over semantics —
+cut files stay out of the offset and re-detect next trigger. One nuance
+in partitioned mode: the caps are applied against the reader's
+last-seen offset, which after a crash restart is unknown until the
+engine replays — so the first trigger after a restart may exceed them
+(it emits every pending change); steady state obeys the caps exactly.
 
 Test seam: ``_make_source`` is the override point — tests register a
 subclass whose ``_make_source`` returns a fake-client ``FtpSource``
