@@ -11,7 +11,8 @@ runs unchanged on external corpora:
   ``text_field`` selects the payload key, other keys pass through.
 - ``csv``: header row expected; ``text_field`` selects the column.
 - ``text``: one document per FILE (``wholetext``) or per LINE.
-- ``parquet``: columnar corpora; ``text_field`` renamed to ``text``.
+- ``parquet`` / ``orc``: columnar corpora; ``text_field`` renamed to
+  ``text``.
 
 ``doc_id`` synthesis: corpora rarely ship stable ids, and
 ``monotonically_increasing_id`` is partition-layout-dependent (re-running
@@ -33,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_FORMATS = ("jsonl", "csv", "text", "parquet")
+_FORMATS = ("jsonl", "csv", "text", "parquet", "orc")
 
 
 _NUMERIC_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
@@ -104,6 +105,8 @@ def read_corpus(
         df = reader.csv(path)
     elif fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
     else:  # text
         # NB: must be the keyword form — DataFrameReader.text() overwrites
         # a previously-set "wholetext" option with its own default

@@ -72,6 +72,16 @@ def test_csv_and_text_formats(spark, tmp_path):
     assert row.text == "line one\nline two\n"
 
 
+def test_orc_format(spark, tmp_path):
+    p = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(i, f"body {i}", "tagged") for i in range(4)], "my_id long, body string, tag string"
+    ).write.orc(p)
+    df = read_corpus(spark, p, "orc", text_field="body", id_field="my_id")
+    assert sorted(r.doc_id for r in df.collect()) == [0, 1, 2, 3]
+    assert {r.tag for r in df.collect()} == {"tagged"}
+
+
 def test_documents_grain_operators_run_on_external_corpus(spark, jsonl_dir):
     # the point of the canonical shape: existing operators run unchanged
     from kafka_connect_ftp_spark.operators.pii import scrub
