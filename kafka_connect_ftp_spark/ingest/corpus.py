@@ -50,6 +50,7 @@ def read_corpus(
     source: str | None = None,
     per_line: bool = True,
     multiline_csv: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Load a corpus into the canonical ``(doc_id, text, source, ...)``
     frame. ``source`` defaults to the input file name of each row
@@ -69,35 +70,64 @@ def read_corpus(
 
     ``multiline_csv=True`` enables quoted embedded newlines at the cost
     of unsplittable files (one task per file) — leave it off for large
-    single-file corpora."""
+    single-file corpora.
+
+    ``schema`` (jsonl only): a ``StructType`` or DDL string with the
+    corpus's data fields. When omitted, one schema-inference pass over
+    the files runs first (exactly what ``spark.read.json`` does); at
+    production scale pass the known schema to make the read single-pass."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
 
     if fmt == "jsonl":
-        df = spark.read.json(path)
-        # PERMISSIVE mode parks unparseable lines in _corrupt_record with
-        # every real field NULL — surface them under the package-wide
-        # quarantine convention (decode_error, like gunzip) instead of
-        # letting NULL-text ghost documents flow on silently. The raw
-        # line is kept for dead-letter replay; the rename also keeps
-        # callers clear of Spark's referencing restrictions on the
-        # internal column name. decode_error is ALWAYS present for jsonl
-        # (lit(False) on a clean corpus) so pipelines filtering on it
-        # don't break schema-dependently on the first clean input — and,
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if schema is None:
+            inferred = spark.read.json(path).schema  # inference pass only
+        elif isinstance(schema, StructType):
+            inferred = schema
+        else:
+            inferred = StructType.fromDDL(schema)
+        data_fields = [f for f in inferred.fields if f.name != "_corrupt_record"]
         # per this function's no-silent-clobber rule, upstream fields
-        # already named decode_error/corrupt_record are an error.
-        clash = {"decode_error", "corrupt_record"} & set(df.columns)
+        # already named decode_error/corrupt_record are an error
+        clash = {"decode_error", "corrupt_record"} & {f.name for f in data_fields}
         if clash:
             raise ValueError(
                 f"corpus already has quarantine column(s) {sorted(clash)}; rename "
                 "them upstream (read_corpus reserves these names for its own flags)"
             )
-        if "_corrupt_record" in df.columns:
-            df = df.withColumn(
-                "decode_error", F.col("_corrupt_record").isNotNull()
-            ).withColumnRenamed("_corrupt_record", "corrupt_record")
-        else:
-            df = df.withColumn("decode_error", F.lit(False))
+        # Lines are parsed HERE (splittable text scan + from_json with a
+        # corrupt-record field) rather than by spark.read.json: the json
+        # source forbids any query whose pruned scan schema is only the
+        # corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+        # COLUMN), which breaks the documented quarantine patterns —
+        # filter('decode_error').count() alerts and corrupt_record
+        # dead-letter replay. from_json carries no such restriction, and
+        # input_file_name() provenance still works on the text scan.
+        # Unparseable lines surface under the package-wide quarantine
+        # convention (decode_error, like gunzip) instead of flowing on as
+        # NULL-text ghost documents; both quarantine columns are ALWAYS
+        # present (decode_error=false, corrupt_record=NULL on a clean
+        # corpus) so pipelines filtering on them don't break
+        # schema-dependently on the first clean input.
+        parse_schema = StructType(
+            data_fields + [StructField("corrupt_record", StringType())]
+        )
+        df = (
+            spark.read.text(path)
+            # the json source skips whitespace-only lines; match it
+            .filter(F.trim(F.col("value")) != "")
+            .select(
+                F.from_json(
+                    "value",
+                    parse_schema,
+                    {"columnNameOfCorruptRecord": "corrupt_record", "mode": "PERMISSIVE"},
+                ).alias("_parsed")
+            )
+            .select("_parsed.*")
+            .withColumn("decode_error", F.col("corrupt_record").isNotNull())
+        )
     elif fmt == "csv":
         reader = spark.read.option("header", "true")
         if multiline_csv:

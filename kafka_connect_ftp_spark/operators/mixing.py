@@ -147,4 +147,9 @@ def rates_for_token_budgets(
         total = totals[name] or 0
         rate = (budget / total) if total else 0.0
         rates[name] = rate if allow_epochs else min(1.0, rate)
+    # the documented contract: corpus sources with no budget entry are
+    # dropped via an explicit 0.0 rate, so callers can wire the result
+    # straight into mix_corpora over ALL sources without a KeyError
+    for name in totals:
+        rates.setdefault(name, 0.0)
     return rates

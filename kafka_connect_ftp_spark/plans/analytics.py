@@ -77,7 +77,7 @@ def status_profile(spark, sf_dir):
         "carrying the statistical aggregates (stddev/variance/corr/covar) "
         "per cell — round 1's stats_aggregates folded into the cube. "
         "ROLLUP is the subset of these grouping sets without the "
-        "(linestatus)-only cell; grouping_sets_status_priority covers the "
+        "(linestatus)-only cell; order_rollup_family covers the "
         "explicit GROUPING SETS form."
     ),
 )

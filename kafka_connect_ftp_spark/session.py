@@ -70,7 +70,8 @@ def balanced(df, spark: SparkSession, *keys: str):
     stack = [jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
-        if node.nodeName() in _SHUFFLE_NODE_NAMES:
+        name = node.nodeName()
+        if any(tok in name for tok in _SHUFFLE_NODE_TOKENS):
             return df
         children = node.children()
         for i in range(children.size()):
@@ -81,23 +82,26 @@ def balanced(df, spark: SparkSession, *keys: str):
     return df.repartition(target, *keys) if keys else df.repartition(target)
 
 
-# logical-plan node types whose presence means parallelism is governed by
-# spark.sql.shuffle.partitions (or an explicit repartition), not by input
-# file splits — balanced() must not add a shuffle on top of these
-_SHUFFLE_NODE_NAMES = frozenset(
-    {
-        "Join",
-        "Aggregate",
-        "Sort",
-        "Window",
-        "Repartition",
-        "RepartitionByExpression",
-        "RebalancePartitions",
-        "Distinct",
-        "Deduplicate",
-        "Intersect",
-        "Except",
-    }
+# Logical-plan node-name TOKENS whose presence means parallelism is
+# governed by spark.sql.shuffle.partitions (or an explicit repartition),
+# not by input file splits — balanced() must not add a shuffle on top of
+# these. Matched as substrings of NODE CLASS NAMES (never the rendered
+# plan string, which would false-positive on column aliases like
+# "SortKey"), so the whole node family is covered: "Join" catches Join,
+# AsOfJoin and LateralJoin; "Group" catches the applyInPandas/cogroup
+# family (FlatMapGroupsInPandas, FlatMapCoGroupsInPandas, MapGroups, …).
+_SHUFFLE_NODE_TOKENS = (
+    "Join",
+    "Aggregate",
+    "Sort",
+    "Window",
+    "Repartition",
+    "Rebalance",
+    "Distinct",
+    "Deduplicate",
+    "Intersect",
+    "Except",
+    "Group",
 )
 
 

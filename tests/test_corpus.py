@@ -153,6 +153,34 @@ def test_corrupt_jsonl_lines_quarantined_not_silent(spark, tmp_path):
     assert len({r.doc_id for r in bad}) == 2
 
 
+def test_quarantine_only_projections_dont_crash(spark, tmp_path):
+    # regression: with spark.read.json, pruning a query down to only the
+    # corrupt-record column throws AnalysisException (UNSUPPORTED_FEATURE.
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN) — which is exactly the shape of
+    # the documented alerting (filter count) and dead-letter (raw-line
+    # select) patterns. The from_json-based reader must support both.
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"text": "good"}\n{broken json!!\n')
+    df = read_corpus(spark, str(p), "jsonl")
+    assert df.filter("decode_error").count() == 1  # alerting pattern
+    dead = df.filter("decode_error").select("corrupt_record").collect()
+    assert [r.corrupt_record for r in dead] == ["{broken json!!"]  # replay pattern
+
+
+def test_jsonl_explicit_schema_skips_inference(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"text": "doc", "lang": "en"}\n{nope\n\n   \n')
+    df = read_corpus(spark, str(p), "jsonl", schema="text string, lang string")
+    rows = df.collect()
+    assert len(rows) == 2  # blank/whitespace lines skipped like spark.read.json
+    good = [r for r in rows if not r.decode_error]
+    assert [(r.text, r.lang) for r in good] == [("doc", "en")]
+    bad = [r for r in rows if r.decode_error]
+    assert [r.corrupt_record for r in bad] == ["{nope"]
+
+
 def test_clean_jsonl_still_carries_decode_error_column(spark, jsonl_dir):
     # the quarantine flag is schema-stable: filters on it must not break
     # on the first corpus that happens to be clean

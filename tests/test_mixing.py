@@ -84,6 +84,11 @@ def test_rates_for_token_budgets_bridge(spark):
     )
     assert capped == {"web": 0.5, "code": 1.0}
 
+    # documented contract: corpus sources with no budget entry are dropped
+    # via an explicit 0.0 rate (not omitted — callers index the dict)
+    partial = rates_for_token_budgets(docs2, {"web": 250.0})
+    assert partial == {"web": 0.5, "code": 0.0}
+
     # the rates feed mix_corpora; the sampled token mass tracks the budget
     mixed = mix_corpora(
         {
