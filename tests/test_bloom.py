@@ -1,0 +1,119 @@
+"""Bloom-filter membership (operators/bloom.py).
+
+Evidence for the three contracts: no false negatives ever, false-positive
+rate near the sized target, and the bloom-prefiltered semi/anti joins
+byte-identical to the plain exact joins (the production composition).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_prefilter_join,
+    optimal_num_bits,
+    optimal_num_hashes,
+)
+
+
+@pytest.fixture(scope="module")
+def member_keys(spark):
+    return spark.range(0, 2000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("k")
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, member_keys):
+    m = optimal_num_bits(2000, 0.01)
+    k = optimal_num_hashes(2000, m)
+    return bloom_build(member_keys, "k", num_bits=m, num_hashes=k), m, k
+
+
+def test_sizing_formulas():
+    m = optimal_num_bits(1000, 0.01)
+    assert m % 64 == 0
+    assert 9_000 <= m <= 10_100  # ~9.6 bits/key at 1% fpp
+    assert optimal_num_hashes(1000, m) == 7
+
+
+def test_build_shape(built):
+    bloom, m, k = built
+    [row] = bloom.collect()
+    assert len(row.bits) == m // 64
+    assert row.num_bits == m and row.num_hashes == k
+    assert any(w != 0 for w in row.bits)
+
+
+def test_no_false_negatives(spark, member_keys, built):
+    bloom, m, k = built
+    flagged = bloom_might_contain(member_keys, "k", bloom, num_bits=m, num_hashes=k)
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
+def test_false_positive_rate_near_target(spark, built):
+    bloom, m, k = built
+    others = spark.range(0, 5000).select(
+        F.concat(F.lit("outsider-"), F.col("id")).alias("k")
+    )
+    flagged = bloom_might_contain(others, "k", bloom, num_bits=m, num_hashes=k)
+    fp = flagged.filter("might_contain").count()
+    # sized for 1%; allow generous headroom for hash variance
+    assert fp / 5000 < 0.05
+
+
+def test_null_keys_flag_false_and_skip_build(spark, built):
+    bloom, m, k = built
+    with_null = spark.createDataFrame([("member-1",), (None,)], "k string")
+    rows = {
+        r.k: r.might_contain
+        for r in bloom_might_contain(
+            with_null, "k", bloom, num_bits=m, num_hashes=k
+        ).collect()
+    }
+    assert rows["member-1"] is True
+    assert rows[None] is False
+
+
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_prefilter_join_identical_to_exact(spark, member_keys, how):
+    big = spark.range(0, 4000).select(
+        F.concat(
+            F.when(F.col("id") % 2 == 0, "member-").otherwise("outsider-"),
+            F.col("id"),
+        ).alias("k"),
+        (F.col("id") * 10).alias("payload"),
+    )
+    exact = sorted(
+        (r.k, r.payload) for r in big.join(member_keys, "k", how).collect()
+    )
+    pre = sorted(
+        (r.k, r.payload)
+        for r in bloom_prefilter_join(big, member_keys, "k", fpp=0.01, how=how).collect()
+    )
+    assert pre == exact
+    # sanity: the predicate actually splits the data both ways
+    assert 0 < len(exact) < 4000
+
+
+def test_prefilter_join_empty_reference(spark, member_keys):
+    empty = member_keys.filter(F.lit(False))
+    big = spark.range(5).select(F.concat(F.lit("x-"), F.col("id")).alias("k"))
+    assert bloom_prefilter_join(big, empty, "k", how="left_semi").count() == 0
+    assert bloom_prefilter_join(big, empty, "k", how="left_anti").count() == 5
+
+
+def test_probe_stays_jvm_side(spark, member_keys, built):
+    # the probe must be codegen-able column expressions over a broadcast
+    # single-row join — no Python evaluation nodes in the plan
+    bloom, m, k = built
+    plan = (
+        bloom_might_contain(member_keys, "k", bloom, num_bits=m, num_hashes=k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert bad not in plan
