@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.operators.bloom import bloom_prefilter_join
 from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import balanced, load_tables
 
@@ -86,6 +87,7 @@ _BENCH_DOCS = 5  # the first N doc_ids play the "benchmark" set
       GROUP BY g.doc_id
     )
     SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) AS n_hits_bloom,
            COALESCE(h.n_hits, 0) > 0 AS contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id >= {_BENCH_DOCS}) d
     LEFT JOIN hits h ON d.doc_id = h.doc_id
@@ -94,8 +96,15 @@ _BENCH_DOCS = 5  # the first N doc_ids play the "benchmark" set
     doc=(
         f"Benchmark decontamination: flag corpus documents sharing any "
         f"{_CONTAM_N}-gram with the benchmark set (stand-in: doc_id < "
-        f"{_BENCH_DOCS}). The benchmark gram set is tiny → broadcast "
-        "semi-join against it; corpus grams stream map-side."
+        f"{_BENCH_DOCS}). n_hits comes from the right plan for a small "
+        "reference set — broadcast semi-join, corpus grams map-side. "
+        "n_hits_bloom recomputes it through bloom_prefilter_join "
+        "(operators/bloom.py): bloom-sketch prune + exact confirm join, "
+        "the path for reference sets too big to broadcast (prior-crawl "
+        "fingerprints). The oracle derives both columns from ONE exact "
+        "join, so the driver's hash compare is a standing proof that the "
+        "bloom path is byte-identical to the exact join — bloom errors "
+        "are one-sided and the confirm join removes them."
     ),
 )
 def decontamination_flags(spark, sf_dir):
@@ -111,19 +120,28 @@ def decontamination_flags(spark, sf_dir):
             )
         ).alias("g"),
     ).filter(F.size("tk") >= _CONTAM_N)
-    bench = grams.filter(F.col("doc_id") < _BENCH_DOCS).select("g").distinct()
+    # the bench gram set is distinct-ed once and reused by the exact
+    # join, the bloom build, the confirm join, and the n_keys count
+    bench = grams.filter(F.col("doc_id") < _BENCH_DOCS).select("g").distinct().cache()
     corpus = grams.filter(F.col("doc_id") >= _BENCH_DOCS)
     hits = (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    hits_bloom = (
+        bloom_prefilter_join(corpus, bench, "g", fpp=0.01, how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits_bloom"))
+    )
     base = df.select("doc_id").filter(F.col("doc_id") >= _BENCH_DOCS)
     return (
         base.join(hits, "doc_id", "left")
+        .join(hits_bloom, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("n_hits_bloom"), F.lit(0)).cast("long").alias("n_hits_bloom"),
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
         .orderBy("doc_id")
