@@ -99,3 +99,29 @@ def test_heavy_hitters_counts_are_true_counts_even_under_eviction(spark, texts):
     got = heavy_hitter_ngrams(df, n=2, top_k=5, candidates_per_partition=5).collect()
     for r in got:
         assert exact[r.ngram] == r["count"]
+
+
+# --- bloom prefilter join: identity with the exact join on random key sets ---
+
+key = st.text(alphabet="abcdefgh0123456789-", min_size=0, max_size=12)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    big_keys=st.lists(key, min_size=1, max_size=40),
+    ref_keys=st.lists(key, min_size=0, max_size=25),
+    fpp=st.sampled_from([0.5, 0.05, 0.01]),  # high fpp stresses FP removal
+    how=st.sampled_from(["left_semi", "left_anti"]),
+)
+def test_bloom_prefilter_join_identity_property(spark, big_keys, ref_keys, fpp, how):
+    from kafka_connect_ftp_spark.operators.bloom import bloom_prefilter_join
+
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(big_keys)], "k string, i long")
+    ref = spark.createDataFrame([(k,) for k in ref_keys] or [(None,)], "k string").filter(
+        "k is not null"
+    )
+    exact = sorted((r.k, r.i) for r in big.join(ref, "k", how).collect())
+    pre = sorted(
+        (r.k, r.i) for r in bloom_prefilter_join(big, ref, "k", fpp=fpp, how=how).collect()
+    )
+    assert pre == exact
