@@ -226,6 +226,10 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.ann import build_ivf, ivf_search
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # training per invocation is deliberate HERE: the trained pipeline is
+    # the thing under the oracle gate (run at nprobe=k it is provably
+    # exact). Production reuses a materialized, cell-partitioned index —
+    # operators/ann.py write_ivf_index — and never retrains per query.
     index = build_ivf(emb, k=8, seed=42)
     query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
     # cell is training-state-dependent (not oracle-derivable) — project it
