@@ -132,9 +132,12 @@ def bloom_might_contain(
     must match ``bloom_build``'s) so the probe positions fold into the
     projection instead of being row-dependent expressions.
     """
+    bits_col = "_bloom_bits"
+    while bits_col in df.columns:  # collision-proof scratch name
+        bits_col += "_"
     probes = [
         (
-            F.element_at("_bloom_bits", (p / 64).cast("int") + 1).bitwiseAND(
+            F.element_at(bits_col, (p / 64).cast("int") + 1).bitwiseAND(
                 _bit_mask(p % 64)
             )
             != 0
@@ -147,9 +150,9 @@ def bloom_might_contain(
     # NULL key → NULL flag under SQL semantics; make it an explicit false
     flag = F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(flag)
     return (
-        df.crossJoin(F.broadcast(bloom.select(F.col("bits").alias("_bloom_bits"))))
+        df.crossJoin(F.broadcast(bloom.select(F.col("bits").alias(bits_col))))
         .withColumn(flag_col, flag)
-        .drop("_bloom_bits")
+        .drop(bits_col)
     )
 
 
@@ -184,17 +187,27 @@ def bloom_prefilter_join(
     num_bits = optimal_num_bits(n_keys, fpp)
     num_hashes = optimal_num_hashes(n_keys, num_bits)
     bloom = bloom_build(keys, on, num_bits=num_bits, num_hashes=num_hashes)
+    # collision-proof scratch column name (the caller's frame may have _bf)
+    flag = "_bf"
+    while flag in big.columns:
+        flag += "_"
     flagged = bloom_might_contain(
-        big, on, bloom, num_bits=num_bits, num_hashes=num_hashes, flag_col="_bf"
+        big, on, bloom, num_bits=num_bits, num_hashes=num_hashes, flag_col=flag
     )
     if how == "left_semi":
         # bloom-positive rows are candidates; exact join confirms
-        return flagged.filter("_bf").drop("_bf").join(keys.select(on).distinct(), on, "left_semi")
+        return (
+            flagged.filter(F.col(flag))
+            .drop(flag)
+            .join(keys.select(on).distinct(), on, "left_semi")
+        )
     # anti: bloom-NEGATIVE rows are definite non-members (no false
     # negatives) and pass through without touching the join at all; only
     # bloom-positive rows need the exact anti-join to weed out FPs
-    negatives = flagged.filter(~F.col("_bf")).drop("_bf")
+    negatives = flagged.filter(~F.col(flag)).drop(flag)
     positives = (
-        flagged.filter("_bf").drop("_bf").join(keys.select(on).distinct(), on, "left_anti")
+        flagged.filter(F.col(flag))
+        .drop(flag)
+        .join(keys.select(on).distinct(), on, "left_anti")
     )
     return negatives.unionByName(positives)
