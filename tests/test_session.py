@@ -31,6 +31,15 @@ def test_aggregate_and_window_untouched(spark, tmp_path):
     assert balanced(win, spark) is win
 
 
+def test_group_family_frames_untouched(spark, tmp_path):
+    # applyInPandas compiles to FlatMapGroupsInPandas — a shuffle-governed
+    # node the old exact-name allowlist missed; the family-token match
+    # must leave it alone instead of stacking a repartition on top
+    df = _tiny_parquet(spark, tmp_path)
+    out = df.groupBy("id").applyInPandas(lambda p: p, "id long")
+    assert balanced(out, spark) is out
+
+
 def test_shuffle_words_in_column_names_do_not_false_positive(spark, tmp_path):
     # the old string-matching guard saw "Join"/"Sort"/"Window" in the plan
     # text and skipped the rebalance; aliases containing those words must
