@@ -42,11 +42,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .cache()
     )
+    # Initialization FOLDS the would-be first propagation round into one
+    # aggregation: with identity labels, round 0's neighbor-min is just
+    # min(neighbor doc_id) and the pointer-jump hop is the identity, so
+    # labels₀ = min(self, min neighbor) — computed with a single
+    # map-side-combined groupBy instead of the distinct + two joins +
+    # checkpoint a loop round costs. (Every node appears as src because
+    # edges carry both directions.)
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster", F.col("doc_id"))
-        .cache()
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("_m"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("_m")).alias("cluster"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
