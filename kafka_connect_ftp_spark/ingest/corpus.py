@@ -116,8 +116,10 @@ def read_corpus(
         )
         df = (
             spark.read.text(path)
-            # the json source skips whitespace-only lines; match it
-            .filter(F.trim(F.col("value")) != "")
+            # the json source skips whitespace-only lines; match it.
+            # rlike(\S), not trim() != '' — trim strips only ASCII spaces,
+            # so a tab-only line would slip through as a NULL-text ghost
+            .filter(F.col("value").rlike(r"\S"))
             .select(
                 F.from_json(
                     "value",

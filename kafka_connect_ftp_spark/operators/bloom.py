@@ -130,7 +130,11 @@ def bloom_might_contain(
 
     ``num_bits``/``num_hashes`` are passed as plan-time literals (they
     must match ``bloom_build``'s) so the probe positions fold into the
-    projection instead of being row-dependent expressions.
+    projection instead of being row-dependent expressions. A mismatch
+    with the sketch's recorded sizing raises at execution time — without
+    the guard an oversized probe would index past the bits array, which
+    under non-ANSI Spark silently NULLs the flag (rows then vanish from
+    BOTH the semi and the anti result).
     """
     bits_col = "_bloom_bits"
     while bits_col in df.columns:  # collision-proof scratch name
@@ -149,10 +153,33 @@ def bloom_might_contain(
         flag = flag & p
     # NULL key → NULL flag under SQL semantics; make it an explicit false
     flag = F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(flag)
+    meta_col = bits_col + "_meta"
+    # fail loudly on a sketch/probe sizing mismatch instead of silently
+    # mis-probing; the broadcast row carries the build-time sizing
+    sized = F.when(
+        (F.col(meta_col)["num_bits"] != F.lit(num_bits))
+        | (F.col(meta_col)["num_hashes"] != F.lit(num_hashes)),
+        F.raise_error(
+            F.concat(
+                F.lit("bloom sketch/probe sizing mismatch: sketch built with (num_bits, num_hashes)=("),
+                F.col(meta_col)["num_bits"],
+                F.lit(", "),
+                F.col(meta_col)["num_hashes"],
+                F.lit(f"), probed with ({num_bits}, {num_hashes})"),
+            )
+        ).cast("boolean"),
+    ).otherwise(flag)
     return (
-        df.crossJoin(F.broadcast(bloom.select(F.col("bits").alias(bits_col))))
-        .withColumn(flag_col, flag)
-        .drop(bits_col)
+        df.crossJoin(
+            F.broadcast(
+                bloom.select(
+                    F.col("bits").alias(bits_col),
+                    F.struct("num_bits", "num_hashes").alias(meta_col),
+                )
+            )
+        )
+        .withColumn(flag_col, sized)
+        .drop(bits_col, meta_col)
     )
 
 
@@ -172,10 +199,20 @@ def bloom_prefilter_join(
     result stays byte-identical to the plain join.
 
     ``n_keys`` sizes the sketch; when omitted it is counted with one
-    aggregation over ``keys`` (pass it when known to keep the build
-    single-pass). Only ``left_semi``/``left_anti`` are supported — those
-    are the shapes where the prune is sound: a bloom false positive is
-    removed by the exact join (semi) or survives it (anti).
+    EAGER aggregation over ``keys`` at plan-construction time (pass it —
+    an upper bound is fine, it only oversizes the sketch — to keep plan
+    construction lazy and the build single-pass). Only ``left_semi``/
+    ``left_anti`` are supported — those are the shapes where the prune is
+    sound: a bloom false positive is removed by the exact join (semi) or
+    survives it (anti).
+
+    Cost envelope: the semi path scans ``big`` once. The anti path scans
+    ``big`` TWICE (the bloom-negative pass-through and the confirm
+    branch both re-read it — Spark reuses exchanges, not arbitrary
+    subtrees), trading a second columnar scan for not shuffling the
+    ~(1 - selectivity) negative rows at all; at the target scale local
+    scan I/O is the cheaper currency, but cache/checkpoint ``big`` first
+    if it is itself an expensive derived frame.
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
@@ -194,20 +231,15 @@ def bloom_prefilter_join(
     flagged = bloom_might_contain(
         big, on, bloom, num_bits=num_bits, num_hashes=num_hashes, flag_col=flag
     )
+    # no distinct() on the confirm side: semi/anti joins never duplicate
+    # left rows, so deduplicating the reference set would only add a full
+    # shuffle-aggregate of every key
     if how == "left_semi":
         # bloom-positive rows are candidates; exact join confirms
-        return (
-            flagged.filter(F.col(flag))
-            .drop(flag)
-            .join(keys.select(on).distinct(), on, "left_semi")
-        )
+        return flagged.filter(F.col(flag)).drop(flag).join(keys.select(on), on, "left_semi")
     # anti: bloom-NEGATIVE rows are definite non-members (no false
     # negatives) and pass through without touching the join at all; only
     # bloom-positive rows need the exact anti-join to weed out FPs
     negatives = flagged.filter(~F.col(flag)).drop(flag)
-    positives = (
-        flagged.filter(F.col(flag))
-        .drop(flag)
-        .join(keys.select(on).distinct(), on, "left_anti")
-    )
+    positives = flagged.filter(F.col(flag)).drop(flag).join(keys.select(on), on, "left_anti")
     return negatives.unionByName(positives)

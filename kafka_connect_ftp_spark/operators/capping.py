@@ -36,8 +36,11 @@ def cap_per_group(
         raise ValueError(f"n must be >= 1, got {n}")
     order = F.col(order_col).desc() if descending else F.col(order_col).asc()
     w = Window.partitionBy(group_col).orderBy(order, F.col(tiebreak_col).asc())
+    rn = "_rn"
+    while rn in df.columns:  # collision-proof scratch name
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n)
+        .drop(rn)
     )

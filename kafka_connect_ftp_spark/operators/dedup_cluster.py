@@ -49,11 +49,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # map-side-combined groupBy instead of the distinct + two joins +
     # checkpoint a loop round costs. (Every node appears as src because
     # edges carry both directions.)
+    # cache(), not localCheckpoint: the lineage is one agg over the cached
+    # edges (no truncation needed yet), and round 1's labels.unpersist()
+    # actually frees a CACHE entry — DataFrame.unpersist is a no-op for
+    # localCheckpoint blocks, which only ContextCleaner reclaims on GC
     labels = (
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.min("dst").alias("_m"))
         .select("doc_id", F.least(F.col("doc_id"), F.col("_m")).alias("cluster"))
-        .localCheckpoint(eager=True)
+        .cache()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -90,9 +94,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("_changed").count()
-        # release the superseded round's blocks eagerly: without this,
-        # up to max_iter label-set copies pile up in storage memory
-        # (the initial cache on round 1, checkpoint blocks afterwards)
+        # Release the superseded round's blocks: unpersist frees the
+        # round-1 CACHE entry eagerly; for the checkpointed frames of
+        # later rounds it is a no-op — their RDD blocks are reclaimed by
+        # ContextCleaner once this (the only) reference is dropped, so
+        # at most a few label-set copies are ever live between GCs.
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -120,17 +120,21 @@ def decontamination_flags(spark, sf_dir):
             )
         ).alias("g"),
     ).filter(F.size("tk") >= _CONTAM_N)
-    # the bench gram set is distinct-ed once and reused by the exact
-    # join, the bloom build, the confirm join, and the n_keys count
-    bench = grams.filter(F.col("doc_id") < _BENCH_DOCS).select("g").distinct().cache()
+    bench = grams.filter(F.col("doc_id") < _BENCH_DOCS).select("g").distinct()
     corpus = grams.filter(F.col("doc_id") >= _BENCH_DOCS)
     hits = (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # n_keys is a static upper bound (≤ 512 positions per doc in the
+    # oracle's generate_series, _BENCH_DOCS docs) so plan construction
+    # stays lazy — no eager count job; an overestimate only oversizes
+    # the sketch, never changes the (exact) result
     hits_bloom = (
-        bloom_prefilter_join(corpus, bench, "g", fpp=0.01, how="left_semi")
+        bloom_prefilter_join(
+            corpus, bench, "g", fpp=0.01, n_keys=512 * _BENCH_DOCS, how="left_semi"
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits_bloom"))
     )

@@ -104,6 +104,19 @@ def test_prefilter_join_empty_reference(spark, member_keys):
     assert bloom_prefilter_join(big, empty, "k", how="left_anti").count() == 5
 
 
+def test_sizing_mismatch_raises_not_silent(spark, member_keys, built):
+    # probing with the wrong plan-time sizing must fail loudly: without
+    # the guard an oversized probe indexes past the bits array, which
+    # under non-ANSI Spark NULLs the flag and rows vanish from BOTH the
+    # semi and anti results
+    bloom, m, k = built
+    wrong = bloom_might_contain(
+        member_keys, "k", bloom, num_bits=m * 2, num_hashes=k
+    )
+    with pytest.raises(Exception, match="sizing mismatch"):
+        wrong.collect()
+
+
 def test_probe_stays_jvm_side(spark, member_keys, built):
     # the probe must be codegen-able column expressions over a broadcast
     # single-row join — no Python evaluation nodes in the plan
@@ -115,5 +128,10 @@ def test_probe_stays_jvm_side(spark, member_keys, built):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan
-    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
         assert bad not in plan

@@ -60,6 +60,15 @@ def test_small_and_null_groups(docs):
     assert cap_per_group(docs, "domain", 2).filter("domain is null").count() == 2
 
 
+def test_preexisting_rn_column_survives(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 99), (2, "a", 88)], "doc_id long, domain string, _rn long"
+    )
+    out = cap_per_group(df, "domain", 5)
+    assert "_rn" in out.columns
+    assert sorted(r._rn for r in out.collect()) == [88, 99]
+
+
 def test_rejects_bad_cap(docs):
     with pytest.raises(ValueError, match="n must be"):
         cap_per_group(docs, "domain", 0)

@@ -171,7 +171,9 @@ def test_quarantine_only_projections_dont_crash(spark, tmp_path):
 def test_jsonl_explicit_schema_skips_inference(spark, tmp_path):
     p = tmp_path / "c"
     p.mkdir()
-    (p / "a.jsonl").write_text('{"text": "doc", "lang": "en"}\n{nope\n\n   \n')
+    # the whitespace-only lines include a tab-only one: trim() would miss
+    # it (strips only spaces) and it would become a NULL-text ghost row
+    (p / "a.jsonl").write_text('{"text": "doc", "lang": "en"}\n{nope\n\n   \n\t\n')
     df = read_corpus(spark, str(p), "jsonl", schema="text string, lang string")
     rows = df.collect()
     assert len(rows) == 2  # blank/whitespace lines skipped like spark.read.json
