@@ -1,0 +1,108 @@
+"""Cross-corpus overlap estimation: "how much of the new crawl is
+already in the old one?" — answered with k-minimum-values (KMV) sketches
+instead of a corpus×corpus join.
+
+Each group's sketch is its k smallest document-hash values (hashes are
+uniform in [0,1), so the k-th smallest value also encodes the group's
+distinct count: D ≈ (k-1)/u_k). Jaccard between two groups is estimated
+from the merged sketch: take the k smallest of the union, count how many
+of those sit in BOTH input sketches — that fraction IS the standard KMV
+Jaccard estimator, with error ~1/sqrt(k). With k at or above a group's
+true distinct count the sketch degenerates to the full hash set and the
+estimate becomes EXACT — the regime the tests pin.
+
+Scale design:
+- one distinct per (group, hash) — duplicate documents inside a group
+  must count once — then ``row_number() <= k`` per group, which compiles
+  to WindowGroupLimit: every map task pre-prunes to its local k minima,
+  so a group with a billion docs ships k rows per mapper, never a hot
+  reducer (same shape as ``operators/capping.py``);
+- the surviving sketch is ≤ groups×k rows — the RESULT of the bounded
+  aggregation, collected like any metrics frame (this is a deliberate,
+  size-bounded collect, not a driver-side loop over data);
+- pairwise estimates are O(groups² · k) driver arithmetic on that
+  bounded sketch, returned as a small DataFrame for composition.
+
+xxhash64 keys the documents: deterministic across runs/partitionings,
+64-bit collisions (~n²/2⁶⁵) negligible for overlap ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+def _u() -> "F.Column":
+    # map xxhash64's signed-long range onto [0, 1): u = h/2^64 + 0.5
+    # (built lazily — Column construction needs an active session)
+    return (F.xxhash64("_key").cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+
+
+def kmv_sketches(
+    docs: DataFrame, group_col: str = "source", k: int = 256, *, key_col: str = "text"
+) -> DataFrame:
+    """``(group, u)`` rows: each group's k smallest normalized hashes of
+    DISTINCT ``key_col`` values. NULL keys are excluded (a NULL document
+    is not content)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    w = Window.partitionBy("group").orderBy("u")
+    return (
+        docs.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("group"),
+            F.col(key_col).alias("_key"),
+        )
+        .select("group", _u().alias("u"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def corpus_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 256,
+    *,
+    key_col: str = "text",
+) -> DataFrame:
+    """Pairwise overlap report between every pair of ``group_col``
+    values: ``(group_a, group_b, est_jaccard, est_distinct_a,
+    est_distinct_b, est_common)`` with ``group_a < group_b``.
+
+    ``est_common`` is the estimated number of distinct documents shared
+    (J/(1+J) × (Da+Db) via inclusion–exclusion on the estimates).
+    """
+    spark = docs.sparkSession
+    rows = kmv_sketches(docs, group_col, k, key_col=key_col).collect()
+    by_group: dict[str, list[float]] = {}
+    for r in rows:
+        by_group.setdefault(r.group, []).append(r.u)
+    for vals in by_group.values():
+        vals.sort()
+
+    def est_distinct(vals: list[float]) -> float:
+        # full-set regime (fewer than k distinct): the sketch IS the set
+        if len(vals) < k:
+            return float(len(vals))
+        return (k - 1) / vals[-1]
+
+    out = []
+    for ga in sorted(by_group):
+        for gb in sorted(by_group):
+            if ga >= gb:
+                continue
+            sa, sb = set(by_group[ga]), set(by_group[gb])
+            merged = sorted(sa | sb)[:k]
+            both = sum(1 for u in merged if u in sa and u in sb)
+            j = both / len(merged) if merged else 0.0
+            da, db = est_distinct(by_group[ga]), est_distinct(by_group[gb])
+            common = j / (1.0 + j) * (da + db) if j > 0 else 0.0
+            out.append((ga, gb, round(j, 4), round(da), round(db), round(common)))
+    return spark.createDataFrame(
+        out,
+        "group_a string, group_b string, est_jaccard double, "
+        "est_distinct_a bigint, est_distinct_b bigint, est_common bigint",
+    )
