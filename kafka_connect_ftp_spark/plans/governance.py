@@ -24,7 +24,11 @@ satisfied (space-delimited, no adjacent digits or dashes): on THIS text
 the Java lookaround pattern and the oracle's lookaround-free RE2 twin
 ``\\(\\d{3}\\) \\d{3}-\\d{4}`` provably match the identical spans, so
 n_phone and the scrub fingerprint are hash-checked non-vacuously.
-ipv4 remains provably zero (no dotted digit runs survive).
+ipv4 (doc_id%17, ``10.x.0.y`` with every segment <= 3 digits so the
+Java phone pattern's ``\\d{4}`` tail can never claim part of it) is
+lookaround-free in both engines, so the operator's own regex is the
+oracle's regex and n_ipv4 is hash-checked non-vacuously too — every
+PII category the operator ships is now exercised by the gate.
 
 Scale design (100 TB): fingerprints/split/mix-key/PII are pure map-side
 projections that pipeline with the scan; the LM columns add one
@@ -81,7 +85,9 @@ _AUG_SPARK = (
     "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
     " CASE WHEN doc_id % 13 = 0 THEN concat(' call (', CAST(200 + doc_id % 700 AS STRING), ') ',"
     "      lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',"
-    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now') ELSE '' END)"
+    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now') ELSE '' END,"
+    " CASE WHEN doc_id % 17 = 0 THEN concat(' ip 10.', CAST(doc_id % 256 AS STRING), '.0.',"
+    "      CAST(doc_id % 250 AS STRING), ' ok') ELSE '' END)"
 )
 _AUG_DUCK = (
     "text ||"
@@ -92,16 +98,20 @@ _AUG_DUCK = (
     "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
     " CASE WHEN doc_id % 13 = 0 THEN ' call (' || CAST(200 + doc_id % 700 AS VARCHAR) || ') '"
     "      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
-    "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END"
+    "      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END ||"
+    " CASE WHEN doc_id % 17 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    "      || CAST(doc_id % 250 AS VARCHAR) || ' ok' ELSE '' END"
 )
 
 # RE2-compatible scrub chain for the oracle: email -> pan -> ssn ->
-# phone, each counted on the progressively-scrubbed text exactly like
-# operators/pii.py. The operator's phone pattern needs lookaround (not
-# RE2); on the space-delimited augmented phone injection its matches
-# coincide exactly with this lookaround-free twin (module doc). ipv4 has
-# no dotted digit runs left — provably zero, chain ends at the phone
-# scrub.
+# phone -> ipv4, each counted on the progressively-scrubbed text exactly
+# like operators/pii.py. The operator's phone pattern needs lookaround
+# (not RE2); on the space-delimited augmented phone injection its
+# matches coincide exactly with this lookaround-free twin (module doc).
+# The ipv4 pattern is lookaround-free, so the operator's own regex runs
+# verbatim on both engines; the injected address keeps every segment
+# <= 3 digits, so no 4-digit run exists for the Java phone pattern to
+# claim before the ipv4 count sees it.
 _RX = {name: pattern for name, pattern, _ in PII_PATTERNS}
 _REPL = {name: repl for name, _, repl in PII_PATTERNS}
 _PHONE_RE2 = r"\(\d{3}\) \d{3}-\d{4}"
@@ -113,13 +123,15 @@ def _duck_pii() -> str:
     t2 = f"regexp_replace({t1}, '{_RX['pan']}', '{_REPL['pan']}', 'g')"
     t3 = f"regexp_replace({t2}, '{_RX['ssn']}', '{_REPL['ssn']}', 'g')"
     t4 = f"regexp_replace({t3}, '{_PHONE_RE2}', '{_REPL['phone']}', 'g')"
+    t5 = f"regexp_replace({t4}, '{_RX['ipv4']}', '{_REPL['ipv4']}', 'g')"
     return f"""
       SELECT doc_id,
              CAST(len(regexp_extract_all({t0}, '{_RX['email']}')) AS INT) AS n_email,
              CAST(len(regexp_extract_all({t1}, '{_RX['pan']}')) AS INT) AS n_pan,
              CAST(len(regexp_extract_all({t2}, '{_RX['ssn']}')) AS INT) AS n_ssn,
              CAST(len(regexp_extract_all({t3}, '{_PHONE_RE2}')) AS INT) AS n_phone,
-             md5({t4}) AS scrub_fp
+             CAST(len(regexp_extract_all({t4}, '{_RX['ipv4']}')) AS INT) AS n_ipv4,
+             md5({t5}) AS scrub_fp
       FROM (SELECT doc_id, {_AUG_DUCK} AS aug FROM documents)
     """
 
@@ -164,8 +176,8 @@ def _oracle() -> str:
     )
     SELECT b.doc_id, b.fp_md5, b.fp_sha256, b.n_bytes, b.roll_hash,
            b.split, b.es_key, b.mix_keep,
-           p.n_email, p.n_pan, p.n_ssn, p.n_phone,
-           (p.n_email + p.n_pan + p.n_ssn + p.n_phone) > 0 AS has_pii,
+           p.n_email, p.n_pan, p.n_ssn, p.n_phone, p.n_ipv4,
+           (p.n_email + p.n_pan + p.n_ssn + p.n_phone + p.n_ipv4) > 0 AS has_pii,
            p.scrub_fp,
            CAST(COALESCE(l.n_tokens, 0) AS BIGINT) AS n_tokens,
            ROUND(l.avg_logprob, 4) AS avg_logprob,
@@ -211,12 +223,14 @@ def governance_profile(spark, sf_dir):
     )
 
     # pii_counts returns its count columns in PII_PATTERNS order
-    # (email, pan, ssn, phone, ipv4); ipv4 is provably zero on the
-    # augmented text (module doc) and not emitted
+    # (email, pan, ssn, phone, ipv4) — all five categories are injected
+    # and hash-checked (module doc)
     counts, scrubbed = pii_counts(F.expr(_AUG_SPARK))
-    n_email, n_pan, n_ssn, n_phone = counts[0], counts[1], counts[2], counts[3]
+    n_email, n_pan, n_ssn, n_phone, n_ipv4 = counts
     has_pii = (
-        F.col("n_email") + F.col("n_pan") + F.col("n_ssn") + F.col("n_phone") > 0
+        F.col("n_email") + F.col("n_pan") + F.col("n_ssn") + F.col("n_phone")
+        + F.col("n_ipv4")
+        > 0
     )
 
     mapside = docs.withColumn("_ch", F.expr(chars)).select(
@@ -239,6 +253,7 @@ def governance_profile(spark, sf_dir):
         n_pan,
         n_ssn,
         n_phone,
+        n_ipv4,
         F.md5(scrubbed.cast("binary")).alias("scrub_fp"),
     )
 
@@ -254,7 +269,7 @@ def governance_profile(spark, sf_dir):
         .select(
             "doc_id", "fp_md5", "fp_sha256", "n_bytes", "roll_hash",
             "split", "es_key", "mix_keep",
-            "n_email", "n_pan", "n_ssn", "n_phone",
+            "n_email", "n_pan", "n_ssn", "n_phone", "n_ipv4",
             has_pii.alias("has_pii"),
             "scrub_fp",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
