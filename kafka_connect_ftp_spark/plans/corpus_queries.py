@@ -19,10 +19,12 @@ reconstruction); the oracle re-derives the same decision with a window
 rank over the span text itself (equivalent to the operator's xxhash64
 partition key modulo 64-bit collisions, absent at test SF).
 
-Corpus report note: composition rows (per-source + ``__all__`` rollup)
-and the top-k boilerplate n-grams are two sections of ONE tagged report
-frame — the "know your data" card a mixture designer reads, and one
-row-budget slot. The stats section runs ``corpus_stats`` with
+Corpus report note: composition rows (per-source + ``__all__`` rollup),
+the top-k boilerplate n-grams, the per-source anti-dominance cap result
+(operators/capping.py) and the pairwise KMV overlap estimates
+(operators/overlap.py, exact full-set regime, integer columns only) are
+FOUR sections of ONE tagged report frame — the "know your data" card a
+mixture designer reads, and one row-budget slot. The stats section runs ``corpus_stats`` with
 ``exact_quantiles=True`` so Spark's interpolated ``percentile`` matches
 DuckDB's ``quantile_cont`` bit-for-bit after rounding (the default
 t-digest sketch is the 100 TB path and stays pytest-covered); the
@@ -35,8 +37,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.operators.capping import cap_per_group
 from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
 from kafka_connect_ftp_spark.operators.heavy_hitters import heavy_hitter_ngrams
+from kafka_connect_ftp_spark.operators.overlap import corpus_overlap
 from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans
 from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import load_tables
@@ -64,9 +68,24 @@ _ORACLE_MAX_TOKENS = 512
 # production deployment on skewed data lowers this to ~10x k and keeps
 # the same plan shape.
 _HH_CAP = 1 << 18
+# 'capped' section: per-source cap — below every source's doc count at
+# every SF (25 at sf<=0.01) so the cap actually bites
+_CAP_N = 10
+# 'overlap' section: KMV k far above any source's distinct key count
+# (<= 250 at sf0.1), so the sketches run in their provably-exact
+# full-set regime and the integer estimates are hash-gateable
+_KMV_K = 8192
 
 _TOKS = "filter(split(text, ' '), x -> x <> '')"
 _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# overlap key: the document's first three tokens — whole-text overlap is
+# vacuously zero below sf0.1 (the generator never duplicates documents
+# across sources), while the small shared vocabulary makes 3-token
+# prefixes collide across sources at every SF (same precedent as the
+# span-dedup paragraphizer: derive the structure deterministically in
+# BOTH engines)
+_PFX_SPARK = "array_join(slice(filter(split(text, ' '), x -> x <> ''), 1, 3), ' ')"
+_PFX_DUCK = "array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:3], ' ')"
 
 
 @register(
@@ -170,18 +189,59 @@ def span_dedup_decision(spark, sf_dir):
              CAST(NULL AS DOUBLE) AS len_p99, CAST(NULL AS DOUBLE) AS dup_ratio,
              CAST(NULL AS DOUBLE) AS share
       FROM grams GROUP BY ngram ORDER BY n DESC, key LIMIT {_HH_K}
+    ),
+    capped AS (
+      SELECT 'capped' AS section, source AS key, COUNT(*) AS n,
+             SUM(bytes) AS n_bytes, CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(NULL AS DOUBLE) AS len_p50, CAST(NULL AS DOUBLE) AS len_p90,
+             CAST(NULL AS DOUBLE) AS len_p99, CAST(NULL AS DOUBLE) AS dup_ratio,
+             CAST(NULL AS DOUBLE) AS share
+      FROM (
+        SELECT source, CAST(strlen(text) AS BIGINT) AS bytes,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id, doc_id) AS rn
+        FROM documents
+      ) WHERE rn <= {_CAP_N} GROUP BY source
+    ),
+    pk AS (
+      SELECT DISTINCT source, {_PFX_DUCK} AS k
+      FROM documents WHERE text IS NOT NULL
+    ),
+    srcs AS (SELECT DISTINCT source FROM pk),
+    cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM pk GROUP BY source),
+    com AS (
+      SELECT x.source AS ga, y.source AS gb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pk x JOIN pk y ON x.k = y.k AND x.source < y.source GROUP BY 1, 2
+    ),
+    ov AS (
+      SELECT 'overlap' AS section, a.source || '|' || b.source AS key,
+             COALESCE(com.c, 0) AS n, ca.c AS n_bytes, cb.c AS n_tokens,
+             CAST(NULL AS DOUBLE) AS len_p50, CAST(NULL AS DOUBLE) AS len_p90,
+             CAST(NULL AS DOUBLE) AS len_p99, CAST(NULL AS DOUBLE) AS dup_ratio,
+             CAST(NULL AS DOUBLE) AS share
+      FROM srcs a JOIN srcs b ON a.source < b.source
+      LEFT JOIN com ON com.ga = a.source AND com.gb = b.source
+      JOIN cnt ca ON ca.source = a.source
+      JOIN cnt cb ON cb.source = b.source
     )
-    SELECT * FROM comp UNION ALL SELECT * FROM hh ORDER BY section, key
+    SELECT * FROM comp UNION ALL SELECT * FROM hh
+    UNION ALL SELECT * FROM capped UNION ALL SELECT * FROM ov
+    ORDER BY section, key
     """,
     doc=(
-        "The corpus data card in one frame, two tagged sections: "
+        "The corpus data card in one frame, four tagged sections: "
         "'composition' — per-source + __all__ rollup rows from the real "
         "corpus_stats cube (doc/byte/token counts, exact interpolated "
         "token-length quantiles, exact-duplicate ratio, byte share); "
         "'boilerplate' — the exact counts of the top-20 word-3-grams from "
         "the real two-phase heavy_hitter_ngrams (bounded per-partition "
         "Misra-Gries candidates → broadcast exact rescore; the shuffle "
-        "carries candidates, never the distinct n-gram key space)."
+        "carries candidates, never the distinct n-gram key space); "
+        "'capped' — per-source kept-count and kept-bytes after the real "
+        "cap_per_group anti-dominance cap (WindowGroupLimit pre-prune, "
+        "n=10 so the cap bites at every SF); 'overlap' — per-source-pair "
+        "shared/distinct counts from the real KMV corpus_overlap run in "
+        "its provably-exact full-set regime over 3-token-prefix keys "
+        "(integer estimates only, so the hash gate is float-free)."
     ),
 )
 def corpus_report(spark, sf_dir):
@@ -213,4 +273,39 @@ def corpus_report(spark, sf_dir):
         F.lit(None).cast("double").alias("dup_ratio"),
         F.lit(None).cast("double").alias("share"),
     )
-    return comp.unionByName(hh).orderBy("section", "key")
+    nulls = [
+        F.lit(None).cast("double").alias(c)
+        for c in ("len_p50", "len_p90", "len_p99", "dup_ratio", "share")
+    ]
+    capped = (
+        cap_per_group(docs, "source", _CAP_N, order_col="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        )
+        .select(
+            F.lit("capped").alias("section"),
+            F.col("source").alias("key"),
+            "n",
+            "n_bytes",
+            F.lit(None).cast("long").alias("n_tokens"),
+            *nulls,
+        )
+    )
+    # exact regime: _KMV_K far exceeds every source's distinct key count,
+    # so the integer estimates equal the true set arithmetic (operator
+    # module doc) and hash-match the oracle's joins
+    ov = corpus_overlap(
+        docs.withColumn("_pfx", F.expr(_PFX_SPARK)), "source", _KMV_K, key_col="_pfx"
+    ).select(
+        F.lit("overlap").alias("section"),
+        F.concat("group_a", F.lit("|"), "group_b").alias("key"),
+        F.col("est_common").alias("n"),
+        F.col("est_distinct_a").alias("n_bytes"),
+        F.col("est_distinct_b").alias("n_tokens"),
+        *nulls,
+    )
+    return comp.unionByName(hh).unionByName(capped).unionByName(ov).orderBy(
+        "section", "key"
+    )
