@@ -1,0 +1,114 @@
+"""BPE training/tokenization (operators/bpe.py) vs a pure-Python
+reference implementation: identical merge sequences (deterministic
+tie-break), round-trip of tokenization, JVM-only training loop."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.bpe import apply_bpe, train_bpe, word_counts
+
+
+def _ref_bpe(texts, num_merges):
+    """Textbook reference: word-frequency table, best pair by (count
+    desc, pair asc), left-to-right greedy merge within each word."""
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest",
+    "low newer low",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_merges_match_reference(docs):
+    got = train_bpe(docs, 12)
+    want, _ = _ref_bpe(TEXTS, 12)
+    assert got == want
+
+
+def test_early_stop_when_no_pairs_left(spark):
+    docs = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    merges = train_bpe(docs, 50)  # single-char words: nothing to merge
+    assert merges == []
+
+
+def test_apply_matches_training_segmentation(docs):
+    # tokenizing the TRAINING corpus with the learned ranks must produce
+    # exactly the training loop's final word segmentation
+    merges = train_bpe(docs, 12)
+    _, vocab = _ref_bpe(TEXTS, 12)
+    out = {r.doc_id: r.bpe_tokens for r in apply_bpe(docs, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        want = [tok for w in t.split(" ") if w for tok in vocab[w]]
+        assert out[i] == want, f"doc {i}"
+
+
+def test_apply_round_trips_text(docs):
+    merges = train_bpe(docs, 5)
+    rows = apply_bpe(docs, merges).collect()
+    for r in rows:
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+
+
+def test_apply_handles_null_and_unseen(spark, docs):
+    merges = train_bpe(docs, 5)
+    extra = spark.createDataFrame(
+        [(100, None), (101, "zzz unseen")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.bpe_tokens for r in apply_bpe(extra, merges).collect()}
+    assert out[100] == []
+    assert "".join(out[101]) == "zzzunseen"
+
+
+def test_word_counts_bounded_by_vocab(docs):
+    rows = {(r.word, r["count"]) for r in word_counts(docs).collect()}
+    assert ("low", 5) in rows and ("newest", 1) in rows
+
+
+def test_training_loop_is_jvm_side(docs):
+    # the per-round plan (pair explode + agg + fold rewrite) must contain
+    # no Python evaluation — only apply_bpe is allowed a pandas UDF
+    words = word_counts(docs).select(
+        F.expr("filter(split(word, ''), c -> c <> '')").alias("syms"), "count"
+    )
+    plan = (
+        words.filter(F.size("syms") >= 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
