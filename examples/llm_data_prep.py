@@ -2,7 +2,7 @@
 the full pipeline a pretraining corpus goes through, composed from the
 engine's operators:
 
-    corpus composition report (know-your-data)
+    corpus composition report (know-your-data) + cross-source overlap
       → span-level (C4-style) boilerplate dedup
       → quality gate (incl. Gopher repetition metric)
       → unigram-LM fluency scoring (CCNet-style; worst tail cut)
@@ -10,8 +10,10 @@ engine's operators:
       → near-dup removal (minhash LSH → connected components → keepers)
       → benchmark decontamination (5-gram overlap)
       → PII scrub
+      → per-source anti-dominance cap (WindowGroupLimit pre-prune)
       → curriculum mix (per-source epoch rates) + stable train/val/test split
-      → token counting + sequence packing (budget fill)
+      → BPE tokenizer training on the train split + tokenization
+      → BPE-token counting + sequence packing (budget fill)
       → shard assembly (deterministic hash shuffle, split-partitioned,
         size-bounded files)
 
@@ -36,8 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.operators.bpe import apply_bpe, train_bpe
+from kafka_connect_ftp_spark.operators.capping import cap_per_group
 from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
 from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+from kafka_connect_ftp_spark.operators.overlap import corpus_overlap
 from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans
 from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
 from kafka_connect_ftp_spark.operators.mixing import mix_corpora
@@ -62,9 +67,18 @@ def main() -> int:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     n0 = docs.count()
 
-    # 1. quality gate (the oracle-checked query, reused as a library call)
-    # 0. know your data: per-source composition report before any filter
+    # 0. know your data: per-source composition report before any filter,
+    # plus the cross-source overlap card (3-token-prefix keys — see
+    # plans/corpus_queries.py for why whole-text overlap is vacuous here)
     corpus_stats(docs).show(5, truncate=False)
+    corpus_overlap(
+        docs.withColumn(
+            "_pfx", F.expr("array_join(slice(filter(split(text, ' '), x -> x <> ''), 1, 3), ' ')")
+        ),
+        "source",
+        k=1024,
+        key_col="_pfx",
+    ).orderBy(F.desc("est_common")).show(3, truncate=False)
 
     # 0b. C4-style span dedup: strip corpus-wide repeated lines before
     # document-level filtering (boilerplate distorts quality signals)
@@ -113,6 +127,12 @@ def main() -> int:
     docs = scrub(docs, "text")
     n_pii = docs.filter("has_pii").count()
 
+    # 5b. anti-dominance: no source may contribute more than CAP docs
+    # (WindowGroupLimit pre-prunes map-side, so a hot domain never
+    # funnels into one reducer)
+    docs = cap_per_group(docs, "source", 20, order_col="doc_id")
+    n_capped = docs.count()
+
     # 6. curriculum mix: upweight the first sources, then a train/val/test
     # split that stays stable as the corpus grows
     rates = {"src0": 1.5, "src1": 1.0}
@@ -123,9 +143,13 @@ def main() -> int:
     docs = assign_splits(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
     split_counts = {r.split: r["count"] for r in docs.groupBy("split").count().collect()}
 
-    # 7. pack the train split into fixed-budget training sequences
-    counted = docs.filter("split = 'train'").select(
-        "doc_id", F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_tokens")
+    # 7. train the tokenizer ON the train split (never val/test — that
+    # would leak), tokenize, and pack fixed-budget training sequences
+    # denominated in REAL BPE tokens rather than whitespace words
+    train = docs.filter("split = 'train'")
+    merges = train_bpe(train, num_merges=30)
+    counted = apply_bpe(train, merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n_tokens")
     )
     packed = pack_sequences(counted, max_tokens=SEQ_BUDGET, n_shards=8)
     stats = packing_stats(packed, max_tokens=SEQ_BUDGET).collect()[0]
@@ -147,11 +171,13 @@ def main() -> int:
     print(f"near-deduped:  {n3}")
     print(f"decontam-kept: {n4}")
     print(f"pii-flagged:   {n_pii}")
+    print(f"domain-capped: {n_capped}")
     print(f"mix demo:      {rates} -> {n_mixed} rows")
     print(f"splits:        {split_counts}")
+    print(f"bpe merges:    {len(merges)} learned, first {merges[:3]}")
     print(
         f"packed(train): {stats.n_documents} docs -> {stats.n_sequences} sequences "
-        f"of <= {SEQ_BUDGET} tokens, mean fill {stats.mean_fill_ratio}"
+        f"of <= {SEQ_BUDGET} BPE tokens, mean fill {stats.mean_fill_ratio}"
     )
     print(f"shards:        {shard_counts} -> {shard_dir}")
     return 0
