@@ -48,21 +48,49 @@ def word_counts(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_fold(a_col: str, b_col: str) -> str:
-    """SQL fold: rewrite a symbol array replacing adjacent (a, b) with
-    a||b, left-to-right greedy (overlaps resolve like the reference
-    implementation: 'aaa' with merge (a,a) -> ['aa', 'a'])."""
-    return f"""
-      aggregate(
+def _best_pair_frame(words: DataFrame) -> DataFrame:
+    """One round's candidate aggregation: adjacent symbol pairs weighted
+    by word count, best first (count desc, then lexicographic — the
+    deterministic tie-break the reference tests pin)."""
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) as a,"
+                    "             element_at(syms, i + 1) as b))"
+                )
+            ).alias("p"),
+            "count",
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("count").alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+    )
+
+
+def _apply_merge(words: DataFrame, a_val: str, b_val: str) -> DataFrame:
+    """Rewrite only the words containing (a, b), replacing adjacent
+    occurrences left-to-right greedily ('aaa' with merge (a,a) ->
+    ['aa', 'a'], like the reference implementation). Pure Column API —
+    the symbol values ride as literals, never as injected SQL text, so
+    quotes/backslashes in corpus symbols cannot break or skew the plan."""
+    a, b = F.lit(a_val), F.lit(b_val)
+    syms = F.col("syms")
+    contains = (F.size(syms) >= 2) & F.exists(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: (F.element_at(syms, i) == a) & (F.element_at(syms, i + 1) == b),
+    )
+    fold = F.aggregate(
         syms,
-        cast(array() as array<string>),
-        (acc, s) -> case
-          when size(acc) > 0 and element_at(acc, -1) = {a_col} and s = {b_col}
-            then concat(slice(acc, 1, size(acc) - 1), array(concat({a_col}, {b_col})))
-          else concat(acc, array(s))
-        end
-      )
-    """
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, F.lit(-1)) == a) & (s == b),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.concat(a, b))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return words.withColumn("syms", F.when(contains, fold).otherwise(syms))
 
 
 def train_bpe(
@@ -85,49 +113,19 @@ def train_bpe(
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        pairs = (
-            words.filter(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(element_at(syms, i) as a,"
-                        "             element_at(syms, i + 1) as b))"
-                    )
-                ).alias("p"),
-                "count",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("count").alias("n"))
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .collect()
-        )
+        pairs = _best_pair_frame(words).limit(1).collect()
         if not pairs:
             break
         best = pairs[0]
         merges.append((best.a, best.b))
-        # rewrite ONLY the words containing the pair; the fold is JVM-side
-        contains = (F.size("syms") >= 2) & F.expr(
-            "exists(sequence(1, size(syms) - 1),"
-            f" i -> element_at(syms, i) = {_sql_str(best.a)}"
-            f"      and element_at(syms, i + 1) = {_sql_str(best.b)})"
-        )
-        new_words = words.withColumn(
-            "syms",
-            F.when(
-                contains,
-                F.expr(_merge_fold(_sql_str(best.a), _sql_str(best.b))),
-            ).otherwise(F.col("syms")),
-        ).localCheckpoint(eager=True)
-        words.unpersist()
+        new_words = _apply_merge(words, best.a, best.b).localCheckpoint(eager=True)
+        # Drop the superseded table's reference: localCheckpoint blocks
+        # are reclaimed by ContextCleaner on GC once unreferenced
+        # (DataFrame.unpersist is a no-op for them — see
+        # operators/dedup_cluster.py), so at most a few word-table
+        # copies are live between GCs.
         words = new_words
-    words.unpersist()
     return merges
-
-
-def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 def apply_bpe(

@@ -7,9 +7,12 @@ uniform in [0,1), so the k-th smallest value also encodes the group's
 distinct count: D ≈ (k-1)/u_k). Jaccard between two groups is estimated
 from the merged sketch: take the k smallest of the union, count how many
 of those sit in BOTH input sketches — that fraction IS the standard KMV
-Jaccard estimator, with error ~1/sqrt(k). With k at or above a group's
-true distinct count the sketch degenerates to the full hash set and the
-estimate becomes EXACT — the regime the tests pin.
+Jaccard estimator, with error ~1/sqrt(k). With k STRICTLY GREATER than
+a group's true distinct count the sketch degenerates to the full hash
+set and the estimate becomes EXACT — the regime the tests pin. (At
+exactly k distinct keys a full set is indistinguishable from a
+truncated sketch, so the (k-1)/u_k estimator applies — size k with
+headroom when exactness matters.)
 
 Scale design:
 - one distinct per (group, hash) — duplicate documents inside a group
@@ -77,11 +80,14 @@ def corpus_overlap(
     """
     spark = docs.sparkSession
     rows = kmv_sketches(docs, group_col, k, key_col=key_col).collect()
-    by_group: dict[str, list[float]] = {}
+    by_group: dict[str | None, list[float]] = {}
     for r in rows:
         by_group.setdefault(r.group, []).append(r.u)
     for vals in by_group.values():
         vals.sort()
+    # a NULL group is its own group (matching cap_per_group's contract);
+    # it sorts first so pair enumeration tolerates the None key
+    groups = sorted(by_group, key=lambda g: (g is not None, g))
 
     def est_distinct(vals: list[float]) -> float:
         # full-set regime (fewer than k distinct): the sketch IS the set
@@ -90,10 +96,8 @@ def corpus_overlap(
         return (k - 1) / vals[-1]
 
     out = []
-    for ga in sorted(by_group):
-        for gb in sorted(by_group):
-            if ga >= gb:
-                continue
+    for ia, ga in enumerate(groups):
+        for gb in groups[ia + 1 :]:
             sa, sb = set(by_group[ga]), set(by_group[gb])
             merged = sorted(sa | sb)[:k]
             both = sum(1 for u in merged if u in sa and u in sb)

@@ -99,16 +99,31 @@ def test_word_counts_bounded_by_vocab(docs):
 
 
 def test_training_loop_is_jvm_side(docs):
-    # the per-round plan (pair explode + agg + fold rewrite) must contain
-    # no Python evaluation — only apply_bpe is allowed a pandas UDF
+    # the REAL per-round frames — the pair aggregation and the merge
+    # rewrite — must contain no Python evaluation; only apply_bpe is
+    # allowed a pandas UDF
+    from kafka_connect_ftp_spark.operators.bpe import _apply_merge, _best_pair_frame
+
     words = word_counts(docs).select(
         F.expr("filter(split(word, ''), c -> c <> '')").alias("syms"), "count"
     )
-    plan = (
-        words.filter(F.size("syms") >= 2)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    for frame in (_best_pair_frame(words), _apply_merge(words, "l", "o")):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in plan
+
+
+def test_symbols_with_quotes_and_backslashes(spark):
+    # merge symbols ride as Column literals, never injected SQL text —
+    # quote/backslash-heavy corpora (code, Windows paths, LaTeX) must
+    # train and tokenize without ParseExceptions or silently skipped
+    # rewrites
+    texts = ["a\\b a\\b a\\b", "it's it's o'k"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
-        assert bad not in plan
+    merges = train_bpe(docs, 4)
+    want, _ = _ref_bpe(texts, 4)
+    assert merges == want
+    for r in apply_bpe(docs, merges).collect():
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")

@@ -59,6 +59,18 @@ def test_disjoint_and_multiway(spark):
     assert rows[("a", "c")].est_jaccard == round(1 / 3, 4)
 
 
+def test_null_group_is_its_own_group(spark):
+    # matches cap_per_group's contract; a missing source must not crash
+    # the whole report
+    docs = _corpus(spark, {"a": ["x", "y"]}).union(
+        spark.createDataFrame([(None, "x"), (None, "z")], "source string, text string")
+    )
+    rows = {(r.group_a, r.group_b): r for r in corpus_overlap(docs, "source", k=64).collect()}
+    [(pair, row)] = rows.items()
+    assert None in pair and "a" in pair
+    assert row.est_common == 1  # shared "x"
+
+
 def test_sketch_plan_uses_window_group_limit(spark):
     docs = _corpus(spark, {"a": ["1", "2"], "b": ["3"]})
     plan = (
