@@ -125,3 +125,31 @@ def test_bloom_prefilter_join_identity_property(spark, big_keys, ref_keys, fpp, 
         (r.k, r.i) for r in bloom_prefilter_join(big, ref, "k", fpp=fpp, how=how).collect()
     )
     assert pre == exact
+
+
+# --- jsonl reader: round-trip arbitrary document text through the
+# text-scan + from_json path (quotes, backslashes, unicode, emptiness) ---
+
+doc_text = st.text(
+    alphabet=st.characters(blacklist_categories=["Cs"], blacklist_characters="\n\r"),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(doc_text, min_size=1, max_size=8))
+def test_jsonl_roundtrip_property(spark, tmp_path_factory, texts):
+    import json as _json
+
+    from kafka_connect_ftp_spark.ingest.corpus import read_corpus
+
+    p = tmp_path_factory.mktemp("jl")
+    (p / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"text": t, "i": i}) for i, t in enumerate(texts)),
+        encoding="utf-8",
+    )
+    df = read_corpus(spark, str(p), "jsonl")
+    rows = sorted(df.collect(), key=lambda r: r.i)
+    assert [r.text for r in rows] == list(texts)
+    assert not any(r.decode_error for r in rows)
