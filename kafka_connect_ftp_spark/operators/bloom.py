@@ -23,12 +23,13 @@ below; the same pattern Spark's own runtime row-group bloom pushdown
 uses, applied at operator level where the reference set is a DataFrame,
 not a parquet file).
 
-Everything is built from DataFrame ops — no Python UDFs, no driver-side
-bitmap construction: the bit array is assembled by a distributed
-word-index aggregation, carried as ONE row with an ``array<bigint>``
-column, and probed through a broadcast single-row cross join (the same
-shape as the ANN query-vector join, ``plans/similarity.py``), so probes
-stay inside whole-stage codegen.
+No Python runs in the probe path: the bit array is aggregated
+per-64-bit-word distributedly, staged on the driver (where a broadcast
+payload lives by definition — ``bloom_build`` is EAGER, like Spark's
+own ``df.stat.bloomFilter``), carried as ONE row with an
+``array<bigint>`` column, and probed through a broadcast single-row
+cross join (the same shape as the ANN query-vector join,
+``plans/similarity.py``), so probes stay inside whole-stage codegen.
 
 Sizing: ``optimal_num_bits(n, fpp)`` gives m = -n·ln(fpp)/ln(2)²,
 ``optimal_num_hashes`` gives k = (m/n)·ln(2). Beyond ~2 GB of bits,
@@ -81,16 +82,22 @@ def bloom_build(
     Distributed construction: each key expands to its k bit positions
     map-side; positions aggregate per 64-bit WORD with ``bit_or`` (at
     most m/64 groups reach the shuffle regardless of key count, with
-    map-side partial combine); the dense word array is assembled from
-    the sparse (word, bits) map in one final single-row aggregation —
-    the only driver-adjacent object is the finished sketch itself, which
-    is the thing that must fit in memory by design. NULL keys are
+    map-side partial combine). The surviving sparse (word, bits) rows —
+    at most m/64 of them, i.e. the sketch itself — are collected and
+    scattered into the dense array with numpy on the driver: the sketch
+    must be driver-resident before it can broadcast anyway, so this
+    collect IS the broadcast staging, not a design compromise. (A prior
+    in-plan assembly via a single-row map + per-index element_at was
+    O((m/64)²) — Spark map lookups are linear scans — and took minutes
+    at 1M keys; the numpy scatter is milliseconds.) NULL keys are
     skipped (a NULL can never equal a probe key under SQL semantics).
     """
     if num_bits < 64 or num_bits % 64 != 0:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    import numpy as np
+
     n_words = num_bits // 64
     key = F.col(key_col)
     pos = (
@@ -101,16 +108,13 @@ def bloom_build(
             _bit_mask(F.col("p") % 64).alias("mask"),
         )
     )
-    words = pos.groupBy("word").agg(F.bit_or("mask").alias("bits"))
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("_wm")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.element_at("_wm", i.cast("int")), F.lit(0).cast("long")),
-        ).alias("bits"),
-        F.lit(num_bits).cast("long").alias("num_bits"),
-        F.lit(num_hashes).cast("long").alias("num_hashes"),
+    words = pos.groupBy("word").agg(F.bit_or("mask").alias("bits")).collect()
+    dense = np.zeros(n_words, dtype=np.int64)
+    for r in words:
+        dense[r["word"]] = r["bits"]
+    return keys.sparkSession.createDataFrame(
+        [(dense.tolist(), num_bits, num_hashes)],
+        "bits array<bigint>, num_bits bigint, num_hashes bigint",
     )
 
 
@@ -199,9 +203,9 @@ def bloom_prefilter_join(
     result stays byte-identical to the plain join.
 
     ``n_keys`` sizes the sketch; when omitted it is counted with one
-    EAGER aggregation over ``keys`` at plan-construction time (pass it —
-    an upper bound is fine, it only oversizes the sketch — to keep plan
-    construction lazy and the build single-pass). Only ``left_semi``/
+    extra aggregation over ``keys`` (pass it — an upper bound is fine,
+    it only oversizes the sketch — to keep the build single-pass; the
+    build itself is eager either way). Only ``left_semi``/
     ``left_anti`` are supported — those are the shapes where the prune is
     sound: a bloom false positive is removed by the exact join (semi) or
     survives it (anti).
