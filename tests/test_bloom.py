@@ -117,6 +117,21 @@ def test_sizing_mismatch_raises_not_silent(spark, member_keys, built):
         wrong.collect()
 
 
+def test_build_scales_to_100k_keys(spark):
+    # regression for the O((m/64)^2) in-plan dense-array assembly: at
+    # 100k keys (~15k words) the quadratic form took tens of seconds and
+    # at 1M keys minutes; the numpy scatter build finishes in seconds —
+    # a hang here is the bug coming back
+    n = 100_000
+    m = optimal_num_bits(n, 0.01)
+    k = optimal_num_hashes(n, m)
+    keys = spark.range(n).select(F.concat(F.lit("s-"), F.col("id")).alias("k"))
+    bloom = bloom_build(keys, "k", num_bits=m, num_hashes=k)
+    sample = keys.sample(0.01, seed=7)
+    flagged = bloom_might_contain(sample, "k", bloom, num_bits=m, num_hashes=k)
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
 def test_probe_stays_jvm_side(spark, member_keys, built):
     # the probe must be codegen-able column expressions over a broadcast
     # single-row join — no Python evaluation nodes in the plan
