@@ -47,6 +47,27 @@ HEADLINE = [
     "corpus_report",
 ]
 
+# the 15 queries benched every round since round 1 — the cross-round
+# apples-to-apples subtotal. FROZEN: never reorder/extend this list (add
+# new queries to HEADLINE instead).
+R1_R3_COMPARABLE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "window_rank_family",
+    "changelog_latest_state",
+    "asof_join_click_purchase",
+    "sessionize_events",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_near_dup_pairs",
+    "text_profile",
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,8 +110,13 @@ def main() -> int:
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # the headline set grew 15 -> 21 queries in round 4; this subtotal is
-    # the apples-to-apples number against rounds 1-3 (`value` is not)
-    r3_subset = [q for q in HEADLINE[:15] if q in times]
+    # the apples-to-apples number against rounds 1-3 (`value` is not).
+    # The comparable set is pinned BY NAME (not positionally) so future
+    # HEADLINE insertions/reorderings can never silently change what the
+    # cross-round comparison covers.
+    missing = [q for q in R1_R3_COMPARABLE if q not in times]
+    assert not missing, f"comparable queries missing from HEADLINE run: {missing}"
+    r3_subset = list(R1_R3_COMPARABLE)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),

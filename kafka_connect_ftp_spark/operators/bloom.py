@@ -32,9 +32,16 @@ cross join (the same shape as the ANN query-vector join,
 ``plans/similarity.py``), so probes stay inside whole-stage codegen.
 
 Sizing: ``optimal_num_bits(n, fpp)`` gives m = -n·ln(fpp)/ln(2)²,
-``optimal_num_hashes`` gives k = (m/n)·ln(2). Beyond ~2 GB of bits,
-shard the reference set and chain ``bloom_might_contain`` probes, or
-fall back to the shuffle join — the envelope is documented, not hidden.
+``optimal_num_hashes`` gives k = (m/n)·ln(2). Beyond ~2 GB of bits
+(≥ ~1.5B keys at 1% fpp) a single ``array<bigint>`` row hits JVM
+array/row limits: ``bloom_build_sharded`` splits the key space by an
+independent hash into ``n_shards`` sub-filters — one row each, same
+total bits, same fpp — and ``bloom_might_contain_sharded`` probes the
+matching shard through a broadcast HASH join on the shard id (still
+single-row-per-probe, still codegen). ``bloom_prefilter_join`` picks
+the sharded build automatically past the single-row envelope. Beyond
+~8 GB of TOTAL bits (Spark's broadcast ceiling) fall back to the plain
+shuffle join — that envelope is documented, not hidden.
 """
 
 from __future__ import annotations
@@ -73,6 +80,16 @@ def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
     ]
 
 
+# independent hash seed for shard selection — outside the 0..k-1 seed
+# range the bit-position hashes use, so shard id and positions are
+# independent hash functions of the key
+_SHARD_SEED = 0x5BD1E995
+
+# one array<bigint> row per sub-filter; 2^34 bits = 2 GiB of payload per
+# row, comfortably under the JVM array / single-row limits
+_MAX_BITS_PER_SHARD = 1 << 34
+
+
 def bloom_build(
     keys: DataFrame, key_col: str, *, num_bits: int, num_hashes: int
 ) -> DataFrame:
@@ -83,39 +100,131 @@ def bloom_build(
     map-side; positions aggregate per 64-bit WORD with ``bit_or`` (at
     most m/64 groups reach the shuffle regardless of key count, with
     map-side partial combine). The surviving sparse (word, bits) rows —
-    at most m/64 of them, i.e. the sketch itself — are collected and
-    scattered into the dense array with numpy on the driver: the sketch
-    must be driver-resident before it can broadcast anyway, so this
-    collect IS the broadcast staging, not a design compromise. (A prior
-    in-plan assembly via a single-row map + per-index element_at was
-    O((m/64)²) — Spark map lookups are linear scans — and took minutes
-    at 1M keys; the numpy scatter is milliseconds.) NULL keys are
-    skipped (a NULL can never equal a probe key under SQL semantics).
+    at most m/64 of them, i.e. the sketch itself — are staged to the
+    driver COLUMNAR (one Arrow ``toPandas`` transfer of two int64
+    columns — never a ``collect()`` of per-word Row objects, whose
+    ~50-100 B/row overhead would cost tens of GB of driver heap at the
+    billion-key scale this operator exists for) and scattered into the
+    dense array with one vectorized numpy assignment: the sketch must be
+    driver-resident before it can broadcast anyway, so this transfer IS
+    the broadcast staging, not a design compromise. (A prior in-plan
+    assembly via a single-row map + per-index element_at was O((m/64)²)
+    — Spark map lookups are linear scans — and took minutes at 1M keys;
+    the numpy scatter is milliseconds.) NULL keys are skipped (a NULL
+    can never equal a probe key under SQL semantics).
     """
     if num_bits < 64 or num_bits % 64 != 0:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
-    import numpy as np
-
-    n_words = num_bits // 64
     key = F.col(key_col)
     pos = (
         keys.filter(key.isNotNull())
         .select(F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("p"))
         .select(
-            (F.col("p") / 64).cast("int").alias("word"),
+            (F.col("p") / 64).cast("long").alias("word"),
             _bit_mask(F.col("p") % 64).alias("mask"),
         )
     )
-    words = pos.groupBy("word").agg(F.bit_or("mask").alias("bits")).collect()
-    dense = np.zeros(n_words, dtype=np.int64)
-    for r in words:
-        dense[r["word"]] = r["bits"]
+    words = pos.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    [dense] = _stage_dense(words, n_shards=1, shard_words=num_bits // 64)
     return keys.sparkSession.createDataFrame(
         [(dense.tolist(), num_bits, num_hashes)],
         "bits array<bigint>, num_bits bigint, num_hashes bigint",
     )
+
+
+def _stage_dense(words: DataFrame, *, n_shards: int, shard_words: int):
+    """Columnar driver staging shared by the flat and sharded builds:
+    one Arrow transfer of the sparse ``(word, bits)`` agg (``word`` is
+    the GLOBAL word index = shard * shard_words + local word), then one
+    vectorized scatter per shard. Returns a list of ``n_shards`` numpy
+    int64 arrays of ``shard_words`` words each."""
+    import numpy as np
+
+    pdf = words.toPandas()
+    w = pdf["word"].to_numpy(dtype=np.int64, copy=False)
+    b = pdf["bits"].to_numpy(dtype=np.int64, copy=False)
+    out = []
+    for s in range(n_shards):
+        dense = np.zeros(shard_words, dtype=np.int64)
+        in_shard = (w >= s * shard_words) & (w < (s + 1) * shard_words)
+        dense[w[in_shard] - s * shard_words] = b[in_shard]
+        out.append(dense)
+    return out
+
+
+def bloom_build_sharded(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int,
+    num_hashes: int,
+    n_shards: int,
+) -> DataFrame:
+    """Build ``n_shards`` independent sub-filters in ONE distributed
+    pass: row s holds the bits for the keys whose
+    ``pmod(xxhash64(key, _SHARD_SEED), n_shards)`` is s. ``num_bits``
+    is the TOTAL bit budget, split evenly (each shard gets
+    ``num_bits / n_shards`` bits, a multiple of 64); with an evenly
+    hashed key split, bits-per-key — hence fpp — matches the flat build.
+    Output: ``(shard int, bits array<bigint>, num_bits bigint,
+    num_hashes bigint, n_shards int)`` with per-SHARD ``num_bits``.
+
+    This is the > ~2 GB envelope (``_MAX_BITS_PER_SHARD``): a flat
+    ``array<bigint>`` row would hit JVM array/row limits, while n
+    bounded rows broadcast fine up to Spark's ~8 GB total ceiling.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if num_bits % (64 * n_shards) != 0:
+        raise ValueError(
+            f"num_bits must be a multiple of 64*n_shards, got {num_bits} / {n_shards}"
+        )
+    shard_bits = num_bits // n_shards
+    shard_words = shard_bits // 64
+    key = F.col(key_col)
+    shard = F.pmod(F.xxhash64(key, F.lit(_SHARD_SEED)), F.lit(n_shards))
+    pos = (
+        keys.filter(key.isNotNull())
+        .select(
+            shard.alias("shard"),
+            F.explode(F.array(*_positions(key, shard_bits, num_hashes))).alias("p"),
+        )
+        .select(
+            # global word index: one agg keyed by a single long, so the
+            # columnar staging is one transfer for all shards
+            (F.col("shard") * shard_words + (F.col("p") / 64).cast("long")).alias(
+                "word"
+            ),
+            _bit_mask(F.col("p") % 64).alias("mask"),
+        )
+    )
+    words = pos.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    dense = _stage_dense(words, n_shards=n_shards, shard_words=shard_words)
+    return keys.sparkSession.createDataFrame(
+        [(s, d.tolist(), shard_bits, num_hashes, n_shards) for s, d in enumerate(dense)],
+        "shard int, bits array<bigint>, num_bits bigint, num_hashes bigint, n_shards int",
+    )
+
+
+def _probe_flag(key_col: str, bits_col: str, num_bits: int, num_hashes: int) -> Column:
+    """The k bit probes as one codegen-able boolean column over the
+    joined-in ``bits_col`` array (NULL key → explicit false)."""
+    probes = [
+        (
+            F.element_at(bits_col, (p / 64).cast("int") + 1).bitwiseAND(
+                _bit_mask(p % 64)
+            )
+            != 0
+        )
+        for p in _positions(F.col(key_col), num_bits, num_hashes)
+    ]
+    flag = probes[0]
+    for p in probes[1:]:
+        flag = flag & p
+    # NULL key → NULL flag under SQL semantics; make it an explicit false
+    return F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(flag)
 
 
 def bloom_might_contain(
@@ -141,22 +250,13 @@ def bloom_might_contain(
     BOTH the semi and the anti result).
     """
     bits_col = "_bloom_bits"
-    while bits_col in df.columns:  # collision-proof scratch name
+    # collision-proof scratch names: the DERIVED meta name must be absent
+    # too — a caller frame already holding "_bloom_bits_meta" (but not
+    # "_bloom_bits") would otherwise make the post-join meta reference
+    # ambiguous and fail with AnalysisException
+    while bits_col in df.columns or bits_col + "_meta" in df.columns:
         bits_col += "_"
-    probes = [
-        (
-            F.element_at(bits_col, (p / 64).cast("int") + 1).bitwiseAND(
-                _bit_mask(p % 64)
-            )
-            != 0
-        )
-        for p in _positions(F.col(key_col), num_bits, num_hashes)
-    ]
-    flag = probes[0]
-    for p in probes[1:]:
-        flag = flag & p
-    # NULL key → NULL flag under SQL semantics; make it an explicit false
-    flag = F.when(F.col(key_col).isNull(), F.lit(False)).otherwise(flag)
+    flag = _probe_flag(key_col, bits_col, num_bits, num_hashes)
     meta_col = bits_col + "_meta"
     # fail loudly on a sketch/probe sizing mismatch instead of silently
     # mis-probing; the broadcast row carries the build-time sizing
@@ -187,6 +287,69 @@ def bloom_might_contain(
     )
 
 
+def bloom_might_contain_sharded(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    num_bits: int,
+    num_hashes: int,
+    n_shards: int,
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Sharded twin of :func:`bloom_might_contain` over a
+    :func:`bloom_build_sharded` sketch (``num_bits`` is the TOTAL
+    budget, as passed to the build). Each probe row computes its shard
+    id with the same independent hash the build used and picks up that
+    shard's bits through a broadcast HASH join on the shard id — one
+    sketch row per probe row, pure codegen, no Python."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard_bits = num_bits // n_shards
+    bits_col = "_bloom_bits"
+    shard_col_suffixes = ("", "_meta", "_shard")
+    while any(bits_col + s in df.columns for s in shard_col_suffixes):
+        bits_col += "_"
+    shard_col = bits_col + "_shard"
+    meta_col = bits_col + "_meta"
+    flag = _probe_flag(key_col, bits_col, shard_bits, num_hashes)
+    sized = F.when(
+        (F.col(meta_col)["num_bits"] != F.lit(shard_bits))
+        | (F.col(meta_col)["num_hashes"] != F.lit(num_hashes))
+        | (F.col(meta_col)["n_shards"] != F.lit(n_shards)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bloom sketch/probe sizing mismatch: sketch built with "
+                    "(shard_bits, num_hashes, n_shards)=("
+                ),
+                F.col(meta_col)["num_bits"],
+                F.lit(", "),
+                F.col(meta_col)["num_hashes"],
+                F.lit(", "),
+                F.col(meta_col)["n_shards"],
+                F.lit(f"), probed with ({shard_bits}, {num_hashes}, {n_shards})"),
+            )
+        ).cast("boolean"),
+    ).otherwise(flag)
+    sketch = bloom.select(
+        F.col("shard").alias(shard_col),
+        F.col("bits").alias(bits_col),
+        F.struct("num_bits", "num_hashes", "n_shards").alias(meta_col),
+    )
+    probe_shard = F.pmod(
+        F.xxhash64(F.col(key_col), F.lit(_SHARD_SEED)), F.lit(n_shards)
+    ).cast("int")
+    return (
+        # NULL keys have no shard; coalesce to shard 0 so the inner join
+        # keeps the row (the flag is forced false for NULL keys anyway)
+        df.withColumn(shard_col, F.coalesce(probe_shard, F.lit(0)))
+        .join(F.broadcast(sketch), shard_col, "inner")
+        .withColumn(flag_col, sized)
+        .drop(shard_col, bits_col, meta_col)
+    )
+
+
 def bloom_prefilter_join(
     big: DataFrame,
     keys: DataFrame,
@@ -195,6 +358,7 @@ def bloom_prefilter_join(
     fpp: float = 0.01,
     n_keys: int | None = None,
     how: str = "left_semi",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """EXACT semi/anti join of ``big`` against ``keys`` with a bloom
     pre-prune of the big side: only bloom-positive rows (true matches +
@@ -210,13 +374,26 @@ def bloom_prefilter_join(
     sound: a bloom false positive is removed by the exact join (semi) or
     survives it (anti).
 
+    ``n_shards`` picks the sharded sub-filter layout
+    (:func:`bloom_build_sharded`); when None it is sized automatically —
+    1 (flat single-row sketch) until the bit budget crosses
+    ``_MAX_BITS_PER_SHARD`` (~2 GiB, where a single ``array<bigint>``
+    row hits JVM limits), then the minimal shard count that keeps every
+    row under it. Results are identical either way.
+
     Cost envelope: the semi path scans ``big`` once. The anti path scans
     ``big`` TWICE (the bloom-negative pass-through and the confirm
     branch both re-read it — Spark reuses exchanges, not arbitrary
     subtrees), trading a second columnar scan for not shuffling the
     ~(1 - selectivity) negative rows at all; at the target scale local
     scan I/O is the cheaper currency, but cache/checkpoint ``big`` first
-    if it is itself an expensive derived frame.
+    if it is itself an expensive derived frame. DETERMINISM: because of
+    that double scan, the anti path requires ``big``'s plan to be
+    deterministic — a frame built on ``rand()``, ``sample()`` or
+    ``monotonically_increasing_id()`` can evaluate differently on the
+    two branches, breaking the byte-identical-to-exact-join guarantee
+    (rows dropped or duplicated). Cache or ``localCheckpoint`` such a
+    frame before calling with ``how="left_anti"``.
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
@@ -227,14 +404,27 @@ def bloom_prefilter_join(
         return big.filter(F.lit(False)) if how == "left_semi" else big
     num_bits = optimal_num_bits(n_keys, fpp)
     num_hashes = optimal_num_hashes(n_keys, num_bits)
-    bloom = bloom_build(keys, on, num_bits=num_bits, num_hashes=num_hashes)
+    if n_shards is None:
+        n_shards = -(-num_bits // _MAX_BITS_PER_SHARD)
+    # round the total budget up so it splits into 64-bit-aligned shards
+    num_bits = ((num_bits + 64 * n_shards - 1) // (64 * n_shards)) * 64 * n_shards
     # collision-proof scratch column name (the caller's frame may have _bf)
     flag = "_bf"
     while flag in big.columns:
         flag += "_"
-    flagged = bloom_might_contain(
-        big, on, bloom, num_bits=num_bits, num_hashes=num_hashes, flag_col=flag
-    )
+    if n_shards > 1:
+        bloom = bloom_build_sharded(
+            keys, on, num_bits=num_bits, num_hashes=num_hashes, n_shards=n_shards
+        )
+        flagged = bloom_might_contain_sharded(
+            big, on, bloom, num_bits=num_bits, num_hashes=num_hashes,
+            n_shards=n_shards, flag_col=flag,
+        )
+    else:
+        bloom = bloom_build(keys, on, num_bits=num_bits, num_hashes=num_hashes)
+        flagged = bloom_might_contain(
+            big, on, bloom, num_bits=num_bits, num_hashes=num_hashes, flag_col=flag
+        )
     # no distinct() on the confirm side: semi/anti joins never duplicate
     # left rows, so deduplicating the reference set would only add a full
     # shuffle-aggregate of every key

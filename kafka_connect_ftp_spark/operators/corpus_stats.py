@@ -17,7 +17,7 @@ style sketch), which is what makes them computable in one pass at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TOKS = "size(filter(split(text, ' '), x -> x <> ''))"
@@ -95,13 +95,17 @@ def corpus_stats(
         )
     )
     # share = group bytes / corpus bytes; the rollup row itself is the
-    # denominator, read via an empty-frame window (the agg output is tiny
-    # — one row per group — so the single-partition window is free)
-    total = F.max(F.when(F.col("_is_total") == 1, F.col("n_bytes"))).over(
-        Window.partitionBy()
+    # denominator, read back via a broadcast cross join against the
+    # one-row total (NOT an empty-frame window, whose "No Partition
+    # Defined" WARN would fire on every run; both agg subtrees are the
+    # same plan, so ReuseExchange materializes the cube shuffle once and
+    # the corpus is still scanned exactly once)
+    total_row = agg.filter(F.col("_is_total") == 1).select(
+        F.col("n_bytes").alias("_corpus_bytes")
     )
     return (
-        agg.withColumn("share", F.round(F.col("n_bytes") / total, 4))
-        .drop("_is_total")
+        agg.crossJoin(F.broadcast(total_row))
+        .withColumn("share", F.round(F.col("n_bytes") / F.col("_corpus_bytes"), 4))
+        .drop("_is_total", "_corpus_bytes")
         .orderBy(group_col)
     )

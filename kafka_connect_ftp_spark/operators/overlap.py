@@ -7,12 +7,17 @@ uniform in [0,1), so the k-th smallest value also encodes the group's
 distinct count: D ≈ (k-1)/u_k). Jaccard between two groups is estimated
 from the merged sketch: take the k smallest of the union, count how many
 of those sit in BOTH input sketches — that fraction IS the standard KMV
-Jaccard estimator, with error ~1/sqrt(k). With k STRICTLY GREATER than
-a group's true distinct count the sketch degenerates to the full hash
-set and the estimate becomes EXACT — the regime the tests pin. (At
-exactly k distinct keys a full set is indistinguishable from a
-truncated sketch, so the (k-1)/u_k estimator applies — size k with
-headroom when exactness matters.)
+Jaccard estimator, with error ~1/sqrt(k). EXACTNESS regime: the
+Jaccard/est_common for a PAIR is exact only when k >= the size of that
+pair's UNION of distinct keys (then ``sorted(sa|sb)[:k]`` truncates
+nothing) — k merely exceeding each group's own distinct count is NOT
+enough, since two full sets of size < k can still union past k, leaving
+~1/sqrt(k) estimator error. ``est_distinct`` for a single group is exact
+whenever that group has STRICTLY FEWER than k distinct keys (at exactly
+k a full set is indistinguishable from a truncated sketch, so the
+(k-1)/u_k estimator applies). Size k with headroom over the largest
+expected pairwise union when exactness matters — the regime the tests
+and the corpus_report gate pin.
 
 Scale design:
 - one distinct per (group, hash) — duplicate documents inside a group

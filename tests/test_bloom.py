@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.operators.bloom import (
     bloom_build,
+    bloom_build_sharded,
     bloom_might_contain,
+    bloom_might_contain_sharded,
     bloom_prefilter_join,
     optimal_num_bits,
     optimal_num_hashes,
@@ -130,6 +132,123 @@ def test_build_scales_to_100k_keys(spark):
     sample = keys.sample(0.01, seed=7)
     flagged = bloom_might_contain(sample, "k", bloom, num_bits=m, num_hashes=k)
     assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, member_keys):
+    # total budget rounded up to a multiple of 64*n_shards
+    n_shards = 4
+    m = optimal_num_bits(2000, 0.01)
+    m = ((m + 64 * n_shards - 1) // (64 * n_shards)) * 64 * n_shards
+    k = optimal_num_hashes(2000, m)
+    sk = bloom_build_sharded(member_keys, "k", num_bits=m, num_hashes=k, n_shards=n_shards)
+    return sk, m, k, n_shards
+
+
+def test_sharded_build_shape(sharded):
+    sk, m, k, n = sharded
+    rows = sorted(sk.collect(), key=lambda r: r.shard)
+    assert [r.shard for r in rows] == list(range(n))
+    for r in rows:
+        assert r.num_bits == m // n and r.num_hashes == k and r.n_shards == n
+        assert len(r.bits) == m // n // 64
+    # keys are hash-split, so every shard should have set bits
+    assert all(any(w != 0 for w in r.bits) for r in rows)
+
+
+def test_sharded_no_false_negatives(member_keys, sharded):
+    sk, m, k, n = sharded
+    flagged = bloom_might_contain_sharded(
+        member_keys, "k", sk, num_bits=m, num_hashes=k, n_shards=n
+    )
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
+def test_sharded_fp_rate_near_target(spark, sharded):
+    sk, m, k, n = sharded
+    others = spark.range(0, 5000).select(
+        F.concat(F.lit("outsider-"), F.col("id")).alias("k")
+    )
+    flagged = bloom_might_contain_sharded(
+        others, "k", sk, num_bits=m, num_hashes=k, n_shards=n
+    )
+    assert flagged.filter("might_contain").count() / 5000 < 0.05
+
+
+def test_sharded_null_key_flags_false(spark, sharded):
+    sk, m, k, n = sharded
+    with_null = spark.createDataFrame([("member-1",), (None,)], "k string")
+    rows = {
+        r.k: r.might_contain
+        for r in bloom_might_contain_sharded(
+            with_null, "k", sk, num_bits=m, num_hashes=k, n_shards=n
+        ).collect()
+    }
+    assert rows["member-1"] is True
+    assert rows[None] is False
+
+
+def test_sharded_mismatch_raises(member_keys, sharded):
+    sk, m, k, n = sharded
+    wrong = bloom_might_contain_sharded(
+        member_keys, "k", sk, num_bits=m, num_hashes=k, n_shards=n * 2
+    )
+    with pytest.raises(Exception, match="sizing mismatch"):
+        wrong.collect()
+
+
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_sharded_prefilter_join_identical_to_exact(spark, member_keys, how):
+    # the documented >2 GB envelope exercised at test scale: explicit
+    # n_shards routes through the sharded build+probe, and the result
+    # must stay byte-identical to the plain exact join
+    big = spark.range(0, 4000).select(
+        F.concat(
+            F.when(F.col("id") % 2 == 0, "member-").otherwise("outsider-"),
+            F.col("id"),
+        ).alias("k"),
+        (F.col("id") * 10).alias("payload"),
+    )
+    exact = sorted((r.k, r.payload) for r in big.join(member_keys, "k", how).collect())
+    pre = sorted(
+        (r.k, r.payload)
+        for r in bloom_prefilter_join(
+            big, member_keys, "k", fpp=0.01, how=how, n_shards=4
+        ).collect()
+    )
+    assert pre == exact
+    assert 0 < len(exact) < 4000
+
+
+def test_sharded_probe_stays_jvm_side(member_keys, sharded):
+    # the sharded probe is a broadcast HASH join on the shard id — still
+    # codegen column expressions, no Python evaluation nodes
+    sk, m, k, n = sharded
+    plan = (
+        bloom_might_contain_sharded(
+            member_keys, "k", sk, num_bits=m, num_hashes=k, n_shards=n
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    for bad in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert bad not in plan
+
+
+def test_meta_col_collision_proof(spark, built):
+    # a caller frame already holding "_bloom_bits_meta" (but NOT
+    # "_bloom_bits") must not make the probe's meta reference ambiguous
+    bloom, m, k = built
+    df = spark.createDataFrame([("member-1", "x")], "k string, _bloom_bits_meta string")
+    [row] = bloom_might_contain(df, "k", bloom, num_bits=m, num_hashes=k).collect()
+    assert row.might_contain is True and row._bloom_bits_meta == "x"
 
 
 def test_probe_stays_jvm_side(spark, member_keys, built):
