@@ -10,11 +10,13 @@ is that it operates on the WORD-FREQUENCY table, not the corpus:
   rows), not corpus size (~trillions of tokens). The 100 TB of text is
   read exactly once;
 - each training round runs on that small table: explode adjacent symbol
-  pairs weighted by word count, aggregate, take the global best pair
-  (one tiny driver scalar per round, like connected_components'
-  convergence count), and apply the merge with a JVM-side left-to-right
-  ``aggregate`` fold over each word's symbol array — no Python in the
-  loop;
+  pairs weighted by word count, aggregate, take the top
+  PAIRWISE-NON-CONFLICTING pairs (``batch_size`` of them — one tiny
+  driver collect per round, like connected_components' convergence
+  count), and apply the whole batch with JVM-side left-to-right
+  ``aggregate`` folds over each word's symbol array in ONE rewrite — no
+  Python in the loop, and a 50k-merge production vocabulary costs
+  ~50k/batch_size rounds instead of 50k sequential jobs;
 - the word table is localCheckpoint-ed per round (same lineage-
   truncation discipline as ``operators/dedup_cluster.py``) and only
   words CONTAINING the merged pair are rewritten.
@@ -93,32 +95,85 @@ def _apply_merge(words: DataFrame, a_val: str, b_val: str) -> DataFrame:
     return words.withColumn("syms", F.when(contains, fold).otherwise(syms))
 
 
+def _select_batch(
+    candidates: list, batch_size: int
+) -> list[tuple[str, str]]:
+    """Greedy conflict-free batch selection from count-ordered candidate
+    pairs. Pair q conflicts with an already-accepted pair p when applying
+    p could change q's occurrences (or vice versa): they share a symbol,
+    or one pair's MERGED symbol (a+b) equals a symbol of the other — the
+    "ab" case where merging (a,b) mints new tokens an existing ("ab", c)
+    pair would then see. Disjoint pairs' counts are provably unaffected
+    by each other's application, so applying the whole batch in one
+    rewrite equals applying its members sequentially in rank order."""
+    accepted: list[tuple[str, str]] = []
+    symbols: set[str] = set()
+    merged: set[str] = set()
+    for row in candidates:
+        if len(accepted) >= batch_size:
+            break
+        a, b, ab = row.a, row.b, row.a + row.b
+        if (
+            a in symbols
+            or b in symbols
+            or ab in symbols
+            or a in merged
+            or b in merged
+            or ab in merged
+        ):
+            continue
+        accepted.append((a, b))
+        symbols.update((a, b))
+        merged.add(ab)
+    return accepted
+
+
 def train_bpe(
-    docs: DataFrame, num_merges: int, *, text_col: str = "text"
+    docs: DataFrame, num_merges: int, *, text_col: str = "text", batch_size: int = 1
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merge rules. Returns them in rank order.
 
-    Each round costs two small jobs over the word table (best-pair agg +
+    Each round costs two small jobs over the word table (pair agg +
     checkpoint of the rewritten table); training stops early when no
-    adjacent pair is left. For production vocab sizes, note that rounds
-    are inherently sequential — this is the algorithm, not a plan
-    artifact; batching non-conflicting merges per round is the standard
-    large-scale variant and composes with this table layout.
+    adjacent pair is left.
+
+    ``batch_size`` is the production-vocab knob: per round, up to that
+    many PAIRWISE NON-CONFLICTING pairs (no shared symbol, no
+    merged-symbol aliasing — see ``_select_batch``) are taken from the
+    count-ordered candidates and applied in ONE rewrite + ONE
+    checkpoint, so a 50k-merge vocabulary costs ~50k/batch_size rounds
+    of driver-coordinated jobs instead of 50k — the standard large-scale
+    BPE variant. ``batch_size=1`` (default) is EXACTLY the sequential
+    Sennrich algorithm (pinned against the pure-Python reference).
+    Larger batches can deviate from the sequential merge ORDER when a
+    merge mints a new pair whose count would have outranked a
+    later-accepted candidate — the accepted trade of every batched BPE
+    trainer; within a conflict-free batch the applied result is
+    identical to applying its members sequentially.
     """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     words = word_counts(docs, text_col=text_col).select(
         F.expr("filter(split(word, ''), c -> c <> '')").alias("syms"), "count"
     )
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs = _best_pair_frame(words).limit(1).collect()
-        if not pairs:
+    while len(merges) < num_merges:
+        want = min(batch_size, num_merges - len(merges))
+        # over-fetch so conflicting candidates can be skipped without a
+        # second agg; 4x is a heuristic — a fully-conflicting candidate
+        # list just yields a smaller batch this round, never wrongness
+        candidates = _best_pair_frame(words).limit(max(4 * want, 8)).collect()
+        if not candidates:
             break
-        best = pairs[0]
-        merges.append((best.a, best.b))
-        new_words = _apply_merge(words, best.a, best.b).localCheckpoint(eager=True)
+        batch = _select_batch(candidates, want)
+        merges.extend(batch)
+        rewritten = words
+        for a, b in batch:
+            rewritten = _apply_merge(rewritten, a, b)
+        new_words = rewritten.localCheckpoint(eager=True)
         # Drop the superseded table's reference: localCheckpoint blocks
         # are reclaimed by ContextCleaner on GC once unreferenced
         # (DataFrame.unpersist is a no-op for them — see

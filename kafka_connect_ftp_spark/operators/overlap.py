@@ -20,11 +20,17 @@ expected pairwise union when exactness matters — the regime the tests
 and the corpus_report gate pin.
 
 Scale design:
-- one distinct per (group, hash) — duplicate documents inside a group
-  must count once — then ``row_number() <= k`` per group, which compiles
-  to WindowGroupLimit: every map task pre-prunes to its local k minima,
-  so a group with a billion docs ships k rows per mapper, never a hot
-  reducer (same shape as ``operators/capping.py``);
+- partition-LOCAL dedup + k-min first (an Arrow-batched ``mapInPandas``
+  over the two narrow ``(group, u)`` columns — the text itself never
+  leaves the JVM): every input partition emits at most groups×k rows
+  BEFORE any exchange, so a group with a billion docs ships k rows per
+  mapper and no shuffle ever carries the corpus-wide distinct key space
+  (a previous version ran a global ``distinct()`` first, whose exchange
+  moved every distinct (group, hash) pair — the dominant cost at scale);
+- the global step then runs on the bounded intermediate: ``distinct()``
+  collapses cross-partition duplicate minima and ``row_number() <= k``
+  (compiled to WindowGroupLimit, same shape as ``operators/capping.py``)
+  takes the true per-group k minima;
 - the surviving sketch is ≤ groups×k rows — the RESULT of the bounded
   aggregation, collected like any metrics frame (this is a deliberate,
   size-bounded collect, not a driver-side loop over data);
@@ -51,18 +57,49 @@ def kmv_sketches(
 ) -> DataFrame:
     """``(group, u)`` rows: each group's k smallest normalized hashes of
     DISTINCT ``key_col`` values. NULL keys are excluded (a NULL document
-    is not content)."""
+    is not content).
+
+    Plan shape (see module doc): hash + normalize in the JVM, then a
+    partition-local dedup + k-min ``mapInPandas`` over just the two
+    narrow output columns — Python is the point here: Spark has no
+    partial top-k-distinct aggregate, and without the local prune the
+    first exchange would carry the corpus-wide distinct key space. The
+    global ``distinct()`` + WindowGroupLimit then run on ≤ partitions ×
+    groups × k rows."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    w = Window.partitionBy("group").orderBy("u")
-    return (
+    hashed = (
         docs.filter(F.col(key_col).isNotNull())
         .select(
             F.col(group_col).cast("string").alias("group"),
             F.col(key_col).alias("_key"),
         )
         .select("group", _u().alias("u"))
-        .distinct()
+    )
+
+    def local_kmin(batches):
+        import pandas as pd
+
+        # fold batches into a running per-group k-min of distinct u's so
+        # memory stays bounded at groups×k + one Arrow batch; doubles
+        # round-trip Arrow bit-exactly, so local minima equal the values
+        # the global distinct sees
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            acc = (
+                acc.drop_duplicates()
+                .sort_values("u", kind="mergesort")
+                .groupby("group", sort=False, dropna=False)
+                .head(k)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = hashed.mapInPandas(local_kmin, "group string, u double")
+    w = Window.partitionBy("group").orderBy("u")
+    return (
+        pruned.distinct()
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")

@@ -4,13 +4,15 @@ context is filled with several short documents instead of padding).
 
 Bin packing is inherently sequential, so the distributed design packs
 PARTITION-LOCALLY: documents are hash-distributed across partitions, each
-partition runs first-fit-decreasing (FFD) over its share inside one
-Arrow-batched ``applyInPandas`` call, and sequence ids are made globally
-unique by prefixing the partition key. This is the standard trade-off at
-scale — a 1000-executor cluster packs 1000 shards independently, and the
-fill-ratio loss vs a (impossible) global FFD is bounded because every
-partition sees a representative sample of the length distribution under
-hash partitioning.
+partition runs best-fit-decreasing (BFD, via a bisect on a sorted
+remaining-capacity list — O(n log n) comparisons even on a pathological
+all-open-bins shard, where a first-fit linear scan is O(n·bins)) over
+its share inside one Arrow-batched ``applyInPandas`` call, and sequence
+ids are made globally unique by prefixing the partition key. This is the
+standard trade-off at scale — a 1000-executor cluster packs 1000 shards
+independently, and the fill-ratio loss vs a (impossible) global packing
+is bounded because every partition sees a representative sample of the
+length distribution under hash partitioning.
 
 Determinism: partition assignment is ``pmod(hash(id), n_shards)`` (stable
 across runs for fixed ``n_shards``) and the in-partition order is
@@ -68,27 +70,33 @@ def pack_sequences(
     )
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bisect import bisect_left, insort
+
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        # FFD with a simple open-bin list; bins stay open until the end
-        # (shard sizes are bounded by the hash distribution, so the list
-        # stays small relative to the shard)
-        bins: list[list] = []  # [remaining, [(doc_id, n_tokens), ...]]
+        # best-fit-decreasing with a SORTED remaining-capacity list: the
+        # bisect finds the tightest bin that still fits in O(log bins),
+        # so even a pathological shard where every bin stays open is
+        # O(n log n) comparisons, not the O(n·bins) of a first-fit scan.
+        # Deterministic: capacity ties break on bin creation index.
+        bins: list[list] = []  # creation order: [(doc_id, n_tokens), ...]
+        caps: list[tuple] = []  # sorted (remaining, bin_index)
         oversize: list[tuple] = []
         for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
             n = int(n)
             if n > max_tokens:  # exactly max_tokens is a perfect fit
                 oversize.append((doc_id, n))
                 continue
-            for b in bins:
-                if b[0] >= n:
-                    b[0] -= n
-                    b[1].append((doc_id, n))
-                    break
+            i = bisect_left(caps, (n, -1))
+            if i < len(caps):
+                remaining, bin_idx = caps.pop(i)
+                bins[bin_idx].append((doc_id, n))
+                insort(caps, (remaining - n, bin_idx))
             else:
-                bins.append([max_tokens - n, [(doc_id, n)]])
+                bins.append([(doc_id, n)])
+                insort(caps, (max_tokens - n, len(bins) - 1))
         rows = []
-        for i, (_, members) in enumerate(bins):
+        for i, members in enumerate(bins):
             for pos, (doc_id, n) in enumerate(members):
                 rows.append((f"{shard}-{i}", doc_id, pos, n, False))
         for j, (doc_id, n) in enumerate(oversize):

@@ -113,6 +113,84 @@ def test_training_loop_is_jvm_side(docs):
             assert bad not in plan
 
 
+def test_batched_equals_sequential_on_disjoint_corpus(spark):
+    # alphabet segments never share symbols, so every batch is
+    # conflict-free and the batched merge SET/order must equal the
+    # sequential reference exactly
+    texts = ["ab ab ab ab", "cd cd cd", "ef ef", "gh"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want, _ = _ref_bpe(texts, 4)
+    got = train_bpe(docs, 4, batch_size=4)
+    assert got == want == [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
+
+
+def test_batched_skips_conflicting_candidates(spark):
+    # "ab" repeated: round-1 candidates (a,b) and (b,a) share symbols, so
+    # a batch of 2 must accept only (a,b) in round 1 and pick up the rest
+    # in later rounds — never apply two conflicting merges in one rewrite
+    texts = ["abab abab abab"]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    want, _ = _ref_bpe(texts, 3)
+    got = train_bpe(docs, 3, batch_size=2)
+    # sequential: (a,b) -> ab; then (ab,ab) -> abab; batched must reach
+    # the same merges because every round's batch degenerates to size 1
+    assert got == want
+
+
+def test_batched_tokenization_round_trips(docs):
+    merges = train_bpe(docs, 12, batch_size=4)
+    assert len(merges) == 12
+    for r in apply_bpe(docs, merges).collect():
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+
+
+def test_batched_select_batch_merged_symbol_aliasing():
+    # unit pin for the "ab" case: candidate ("ab", "c") conflicts with
+    # accepted ("a", "b") because applying (a,b) mints new "ab" tokens
+    from collections import namedtuple
+
+    from kafka_connect_ftp_spark.operators.bpe import _select_batch
+
+    Cand = namedtuple("Cand", "a b")
+    batch = _select_batch([Cand("a", "b"), Cand("ab", "c"), Cand("x", "y")], 3)
+    assert batch == [("a", "b"), ("x", "y")]
+    # and the mirror: accepted ("ab", "c") blocks later ("a", "b")
+    batch = _select_batch([Cand("ab", "c"), Cand("a", "b"), Cand("x", "y")], 3)
+    assert batch == [("ab", "c"), ("x", "y")]
+
+
+def test_thousand_merges_in_bounded_time(spark):
+    # the production-vocab demonstration the batched variant exists for:
+    # >= 1000 merges must complete in a bounded number of rounds and
+    # bounded wall time (the sequential loop would need 1000 driver
+    # round-trips; batch_size=32 needs ~1000/accepted-per-round)
+    import random
+    import time
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 12)))
+        for _ in range(400)
+    ]
+    texts = [" ".join(words[i : i + 20]) for i in range(0, 400, 20)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    t0 = time.time()
+    merges = train_bpe(docs, 1000, batch_size=32)
+    elapsed = time.time() - t0
+    assert len(merges) == 1000
+    assert len(set(merges)) == 1000  # no merge learned twice
+    assert elapsed < 240, f"1000 merges took {elapsed:.0f}s"
+    # the learned ranks must still tokenize coherently
+    rows = apply_bpe(docs, merges).collect()
+    for r in rows:
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+
+
 def test_symbols_with_quotes_and_backslashes(spark):
     # merge symbols ride as Column literals, never injected SQL text —
     # quote/backslash-heavy corpora (code, Windows paths, LaTeX) must

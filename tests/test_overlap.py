@@ -83,6 +83,23 @@ def test_sketch_plan_uses_window_group_limit(spark):
     assert "Partial" in plan.split("WindowGroupLimit", 1)[1]
 
 
+def test_no_exchange_below_local_prune(spark):
+    # the scale claim: the partition-local dedup+k-min (MapInPandas)
+    # runs BEFORE any exchange, so no shuffle ever carries the
+    # corpus-wide distinct key space. The plan string prints top-down,
+    # so every Exchange must appear ABOVE the MapInPandas node.
+    docs = _corpus(spark, {"a": ["1", "2"], "b": ["3"]})
+    plan = (
+        kmv_sketches(docs, "source", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    below_prune = plan.split("MapInPandas", 1)[1]
+    assert "Exchange" not in below_prune
+
+
 def test_rejects_bad_k(spark):
     docs = _corpus(spark, {"a": ["1"]})
     with pytest.raises(ValueError, match="k must be"):

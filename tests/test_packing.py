@@ -85,6 +85,26 @@ def test_fill_ratio_beats_naive(packed_docs):
     assert stats.mean_fill_ratio > 0.7
 
 
+def test_hot_shard_all_bins_open_stays_fast(spark):
+    # pathological single shard: every doc is over half the budget, so no
+    # two share a bin and ALL bins stay open — the first-fit linear scan
+    # was O(n·bins)=O(n²) interpreted Python here (minutes at this size);
+    # the bisect best-fit must finish comfortably inside the bound
+    import time
+
+    n = 60_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(130) + F.pmod(F.col("id"), F.lit(120))).cast("long").alias("n_tokens"),
+    )
+    t0 = time.time()
+    packed = pack_sequences(df, max_tokens=256, n_shards=1)
+    assert packed.count() == n
+    assert time.time() - t0 < 60
+    # every sequence holds exactly one doc (nothing fits together)
+    assert packed.select("seq_id").distinct().count() == n
+
+
 def test_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):

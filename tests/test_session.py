@@ -81,3 +81,15 @@ def test_already_parallel_scan_untouched(spark, tmp_path):
     df = spark.read.parquet(path)
     if df.rdd.getNumPartitions() >= target:
         assert balanced(df, spark) is df
+
+
+def test_connect_fallback_is_untouched_noop(spark):
+    # under Spark Connect there is no _jdf handle; balanced() must return
+    # the frame unchanged rather than raising (documented in README —
+    # "Scale design notes"). Simulated with a minimal stand-in object so
+    # the test doesn't need a Connect server.
+    class FakeConnectFrame:
+        pass  # no _jdf attribute, like pyspark.sql.connect.DataFrame
+
+    fake = FakeConnectFrame()
+    assert balanced(fake, spark) is fake
