@@ -212,14 +212,19 @@ def governance_profile(spark, sf_dir):
     docs = load_tables(spark, sf_dir, "documents")["documents"]
 
     # the char array is materialized once (_ch) — inlining the
-    # filter(split(text, '')) tokenizer at each of its three references
-    # would split a ~1.5k-char doc three times per row
+    # filter(split(text, '')) tokenizer at each of its references would
+    # split a ~1.5k-char doc multiple times per row
     chars = "filter(split(text, ''), c -> c <> '')"
+    # single HOF pass: folding from a 0 accumulator equals folding from
+    # the first char ((0*B + c1) = c1), which is exactly the oracle's
+    # list_reduce, so the transform+slice+element_at preamble (a second
+    # interpreted per-char pass) is unnecessary. Empty text stays NULL
+    # (the oracle's list_reduce has no empty-list value either).
     fold = (
-        "aggregate(transform(slice(_ch, 2, size(_ch) - 1),"
-        " c -> cast(ascii(c) as bigint)),"
-        " cast(ascii(element_at(_ch, 1)) as bigint),"
-        f" (a, b) -> (a * {_ROLL_B} + b) % {_ROLL_M})"
+        "CASE WHEN size(_ch) = 0 THEN NULL ELSE"
+        " aggregate(_ch, cast(0 as bigint),"
+        f" (a, c) -> (a * {_ROLL_B} + cast(ascii(c) as bigint)) % {_ROLL_M})"
+        " END"
     )
 
     # pii_counts returns its count columns in PII_PATTERNS order
@@ -275,5 +280,14 @@ def governance_profile(spark, sf_dir):
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             "avg_logprob", "perplexity",
         )
+        # the hash repartition is a deliberate materialization boundary:
+        # the LM join broadcasts, so without it the global sort's RANGE
+        # SAMPLING pass re-executes the whole regex/fold chain a second
+        # time (no shuffle below the sort to read back); with it, the
+        # chain runs once and sampling reads the materialized shuffle.
+        # Measured 2.3x on the full query; the same trade holds at scale,
+        # where re-running the CPU-bound scrub chain over every row costs
+        # more than one extra exchange of the output.
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
