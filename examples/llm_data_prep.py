@@ -147,7 +147,10 @@ def main() -> int:
     # would leak), tokenize, and pack fixed-budget training sequences
     # denominated in REAL BPE tokens rather than whitespace words
     train = docs.filter("split = 'train'")
-    merges = train_bpe(train, num_merges=30)
+    # batch_size: several non-conflicting merges per round — the knob
+    # that makes a 50k-merge production vocabulary feasible (one driver
+    # round-trip per batch, not per merge)
+    merges = train_bpe(train, num_merges=30, batch_size=8)
     counted = apply_bpe(train, merges).select(
         "doc_id", F.size("bpe_tokens").alias("n_tokens")
     )

@@ -109,6 +109,7 @@ def rates_for_token_budgets(
     source_col: str = "source",
     token_count_expr: Column | None = None,
     allow_epochs: bool = True,
+    totals: dict[str, int] | None = None,
 ) -> dict[str, float]:
     """Turn per-source TOKEN budgets ("50B tokens of web, 10B of code")
     into the sampling rates ``mix_corpora`` consumes.
@@ -125,18 +126,23 @@ def rates_for_token_budgets(
 
     ``allow_epochs=False`` caps rates at 1.0 (never repeat data);
     sources without a budget entry get rate 0.0 (dropped).
+
+    ``totals`` short-circuits the aggregation with precomputed per-source
+    token totals (e.g. from a corpus_stats pass the caller already ran),
+    so the bridge costs zero extra jobs when composed into a report.
     """
-    toks = (
-        token_count_expr
-        if token_count_expr is not None
-        else F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
-    )
-    totals = {
-        r["src"]: r["total"]
-        for r in docs.groupBy(F.col(source_col).alias("src"))
-        .agg(F.sum(toks.cast("long")).alias("total"))
-        .collect()
-    }
+    if totals is None:
+        toks = (
+            token_count_expr
+            if token_count_expr is not None
+            else F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        )
+        totals = {
+            r["src"]: r["total"]
+            for r in docs.groupBy(F.col(source_col).alias("src"))
+            .agg(F.sum(toks.cast("long")).alias("total"))
+            .collect()
+        }
     unknown = set(budgets) - set(totals)
     if unknown:
         raise ValueError(f"budgets name sources absent from the corpus: {sorted(unknown)}")

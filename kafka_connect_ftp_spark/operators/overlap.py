@@ -80,21 +80,30 @@ def kmv_sketches(
     def local_kmin(batches):
         import pandas as pd
 
-        # fold batches into a running per-group k-min of distinct u's so
-        # memory stays bounded at groups×k + one Arrow batch; doubles
-        # round-trip Arrow bit-exactly, so local minima equal the values
-        # the global distinct sees
-        acc = None
-        for pdf in batches:
-            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
-            acc = (
-                acc.drop_duplicates()
+        def prune(pdf):
+            return (
+                pdf.drop_duplicates()
                 .sort_values("u", kind="mergesort")
                 .groupby("group", sort=False, dropna=False)
                 .head(k)
             )
-        if acc is not None and len(acc):
-            yield acc
+
+        # fold batches into a running per-group k-min of distinct u's;
+        # the sort+groupby prune runs only when the accumulator crosses
+        # the bound (amortized O(n log n) per partition, not per batch),
+        # keeping memory at ~bound + one Arrow batch. Doubles round-trip
+        # Arrow bit-exactly, so local minima equal the values the global
+        # distinct sees.
+        acc, bound = None, 1_000_000
+        for pdf in batches:
+            pdf = pdf.drop_duplicates()
+            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            if len(acc) > bound:
+                acc = prune(acc)
+        if acc is not None:
+            acc = prune(acc)
+            if len(acc):
+                yield acc
 
     pruned = hashed.mapInPandas(local_kmin, "group string, u double")
     w = Window.partitionBy("group").orderBy("u")

@@ -21,9 +21,10 @@ partition key modulo 64-bit collisions, absent at test SF).
 
 Corpus report note: composition rows (per-source + ``__all__`` rollup),
 the top-k boilerplate n-grams, the per-source anti-dominance cap result
-(operators/capping.py) and the pairwise KMV overlap estimates
-(operators/overlap.py, exact full-set regime, integer columns only) are
-FOUR sections of ONE tagged report frame — the "know your data" card a
+(operators/capping.py), the pairwise KMV overlap estimates
+(operators/overlap.py, exact full-set regime, integer columns only) and
+the token-budget → sampling-rate bridge (operators/mixing.py) are FIVE
+sections of ONE tagged report frame — the "know your data" card a
 mixture designer reads, and one row-budget slot. The stats section runs ``corpus_stats`` with
 ``exact_quantiles=True`` so Spark's interpolated ``percentile`` matches
 DuckDB's ``quantile_cont`` bit-for-bit after rounding (the default
@@ -40,6 +41,7 @@ from pyspark.sql import functions as F
 from kafka_connect_ftp_spark.operators.capping import cap_per_group
 from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
 from kafka_connect_ftp_spark.operators.heavy_hitters import heavy_hitter_ngrams
+from kafka_connect_ftp_spark.operators.mixing import rates_for_token_budgets
 from kafka_connect_ftp_spark.operators.overlap import corpus_overlap
 from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans
 from kafka_connect_ftp_spark.plans import register
@@ -75,6 +77,12 @@ _CAP_N = 10
 # (<= 250 at sf0.1), so the sketches run in their provably-exact
 # full-set regime and the integer estimates are hash-gateable
 _KMV_K = 8192
+# 'rates' section: the fixed per-source token budget fed to the real
+# rates_for_token_budgets bridge; small enough that rates vary by source
+# (and exceed 1.0 at low SF, exercising the epoch regime). The rate is
+# emitted UNROUNDED: both engines divide the same exact integers in IEEE
+# double, so the values are bit-identical without a rounding-mode risk.
+_RATE_BUDGET = 20_000
 
 _TOKS = "filter(split(text, ' '), x -> x <> '')"
 _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -222,9 +230,19 @@ def span_dedup_decision(spark, sf_dir):
       LEFT JOIN com ON com.ga = a.source AND com.gb = b.source
       JOIN cnt ca ON ca.source = a.source
       JOIN cnt cb ON cb.source = b.source
+    ),
+    rates AS (
+      SELECT 'rates' AS section, source AS key,
+             CAST({_RATE_BUDGET} AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS n_bytes, SUM(toks) AS n_tokens,
+             CAST(NULL AS DOUBLE) AS len_p50, CAST(NULL AS DOUBLE) AS len_p90,
+             CAST(NULL AS DOUBLE) AS len_p99, CAST(NULL AS DOUBLE) AS dup_ratio,
+             CAST({_RATE_BUDGET} AS DOUBLE) / SUM(toks) AS share
+      FROM base GROUP BY source
     )
     SELECT * FROM comp UNION ALL SELECT * FROM hh
     UNION ALL SELECT * FROM capped UNION ALL SELECT * FROM ov
+    UNION ALL SELECT * FROM rates
     ORDER BY section, key
     """,
     doc=(
@@ -241,7 +259,12 @@ def span_dedup_decision(spark, sf_dir):
         "n=10 so the cap bites at every SF); 'overlap' — per-source-pair "
         "shared/distinct counts from the real KMV corpus_overlap run in "
         "its provably-exact full-set regime over 3-token-prefix keys "
-        "(integer estimates only, so the hash gate is float-free)."
+        "(integer estimates only, so the hash gate is float-free); "
+        "'rates' — the real rates_for_token_budgets bridge turning a "
+        "fixed 20k-token budget per source into mix_corpora sampling "
+        "rates (n = the budget, n_tokens = the source's total tokens, "
+        "share = the unrounded rate; exceeds 1.0 at low SF, exercising "
+        "the epoch regime)."
     ),
 )
 def corpus_report(spark, sf_dir):
@@ -306,6 +329,39 @@ def corpus_report(spark, sf_dir):
         F.col("est_distinct_b").alias("n_tokens"),
         *nulls,
     )
-    return comp.unionByName(hh).unionByName(capped).unionByName(ov).orderBy(
-        "section", "key"
+    # 'rates': the real token-budget -> sampling-rate bridge. Both the
+    # totals agg here and the bridge's own agg are map-side-combined and
+    # return one tiny row per source — deliberate bounded collects, like
+    # the KMV sketch. The rate rides UNROUNDED (module comment on
+    # _RATE_BUDGET).
+    totals = {
+        r["src"]: r["total"]
+        for r in docs.groupBy(F.col("source").alias("src"))
+        .agg(F.sum(F.size(F.expr(_TOKS)).cast("long")).alias("total"))
+        .collect()
+    }
+    rate_map = rates_for_token_budgets(
+        docs, {s: float(_RATE_BUDGET) for s in totals}, totals=totals
+    )
+    rates = spark.createDataFrame(
+        [
+            (s, totals[s], rate_map[s])
+            for s in sorted(totals, key=lambda s: (s is None, s))
+        ],
+        "key string, total bigint, rate double",
+    ).select(
+        F.lit("rates").alias("section"),
+        "key",
+        F.lit(_RATE_BUDGET).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.col("total").alias("n_tokens"),
+        *nulls[:4],
+        F.col("rate").alias("share"),
+    )
+    return (
+        comp.unionByName(hh)
+        .unionByName(capped)
+        .unionByName(ov)
+        .unionByName(rates)
+        .orderBy("section", "key")
     )
