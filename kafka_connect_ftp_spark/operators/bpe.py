@@ -183,6 +183,23 @@ def train_bpe(
     return merges
 
 
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge table as rank-ordered parquet — the
+    tokenizer artifact a separate tokenization job (or a serving stack)
+    loads; one tiny file, written once from the driver."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by :func:`save_merges`, in rank order."""
+    return [
+        (r.a, r.b) for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str]],

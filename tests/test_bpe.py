@@ -191,6 +191,21 @@ def test_thousand_merges_in_bounded_time(spark):
         assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
 
 
+def test_merge_table_round_trips_through_parquet(spark, docs, tmp_path):
+    # the trained vocabulary is an artifact: a separate tokenization job
+    # must load it and produce identical tokenization
+    from kafka_connect_ftp_spark.operators.bpe import load_merges, save_merges
+
+    merges = train_bpe(docs, 12)
+    path = str(tmp_path / "merges.parquet")
+    save_merges(spark, merges, path)
+    loaded = load_merges(spark, path)
+    assert loaded == merges
+    before = [tuple(r.bpe_tokens) for r in apply_bpe(docs, merges).orderBy("doc_id").collect()]
+    after = [tuple(r.bpe_tokens) for r in apply_bpe(docs, loaded).orderBy("doc_id").collect()]
+    assert before == after
+
+
 def test_symbols_with_quotes_and_backslashes(spark):
     # merge symbols ride as Column literals, never injected SQL text —
     # quote/backslash-heavy corpora (code, Windows paths, LaTeX) must

@@ -65,3 +65,46 @@ def test_mixed_all_categories(scrubbed):
     assert r.has_pii
     for tok in ("<EMAIL>", "<IP>", "<PHONE>"):
         assert tok in r.text
+
+
+def test_split_formulation_equals_count_replace_pair(spark):
+    """pii_counts computes each category with ONE regex pass (split →
+    size-1 counts, array_join replaces). Property: on adversarial text —
+    PII at string edges, back-to-back matches, near-miss shapes, empty
+    and NULL — it must be value-identical to the naive regexp_count +
+    regexp_replace pair it replaced."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_ftp_spark.operators.pii import PII_PATTERNS, pii_counts
+
+    texts = [
+        "a@b.io",                                # match IS the whole string
+        "a@b.io x@y.org",                        # two matches, one space
+        "a@b.ioa@b.io",                          # no space: one greedy email
+        "1.2.3.4",                               # leading/trailing match
+        "10.0.0.1 10.0.0.2",                     # back-to-back ips
+        "078-05-1120078-05-1120",                # ssn then glued digits
+        "4111 1111 1111 1111 4111 1111 1111 1111",  # adjacent pans
+        "(212) 555-0142(212) 555-0143",          # adjacent phones, no space
+        "555-12-3456x",                          # ssn then letter
+        "1.2.3.4.5",                             # 5 octets: leftmost ip wins
+        "",                                      # empty text
+        None,                                    # NULL text
+        "no pii at all",
+        "edge@case.com 999-99-9999 8.8.8.8 (303) 555-0100 "
+        "4242 4242 4242 4242 trailing@end.io",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts, scrubbed = pii_counts("text")
+    got = df.select("doc_id", *counts, scrubbed.alias("s")).orderBy("doc_id").collect()
+
+    naive_cols, remaining = [], F.col("text")
+    for name, pattern, repl in PII_PATTERNS:
+        naive_cols.append(F.regexp_count(remaining, F.lit(pattern)).alias(f"n_{name}"))
+        remaining = F.regexp_replace(remaining, pattern, repl)
+    want = (
+        df.select("doc_id", *naive_cols, remaining.alias("s")).orderBy("doc_id").collect()
+    )
+    assert got == want
