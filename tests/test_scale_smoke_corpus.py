@@ -39,6 +39,51 @@ def test_span_dedup_hot_span_smoke(spark):
     assert later.n_dropped == 1 and "boilerplate" not in later.text
 
 
+def test_kmv_hot_group_smoke(spark):
+    """500k docs in one group but only 200 distinct texts: the
+    partition-local dedup + k-min must collapse the duplication BEFORE
+    any exchange (the shuffle carries at most groups x k rows per
+    partition), and the full-set regime estimates stay exact."""
+    from kafka_connect_ftp_spark.operators.overlap import corpus_overlap
+
+    n, distinct = 500_000, 200
+    docs = spark.range(n).select(
+        F.when(F.col("id") < n // 2, "hot").otherwise("cold").alias("source"),
+        F.concat(F.lit("text-"), (F.col("id") % distinct).cast("string")).alias(
+            "text"
+        ),
+    )
+    [row] = corpus_overlap(docs, "source", k=1024).collect()
+    # both halves see all 200 distinct texts -> identical sets
+    assert row.est_distinct_a == distinct and row.est_distinct_b == distinct
+    assert row.est_jaccard == 1.0
+    assert row.est_common == distinct
+
+
+def test_sharded_bloom_scales_to_100k_keys(spark):
+    """Sibling of test_bloom.py::test_build_scales_to_100k_keys for the
+    sharded layout: one distributed pass builds all shards, columnar
+    staging scatters them, and membership stays false-negative-free."""
+    from kafka_connect_ftp_spark.operators.bloom import (
+        bloom_build_sharded,
+        bloom_might_contain_sharded,
+        optimal_num_bits,
+        optimal_num_hashes,
+    )
+
+    n, shards = 100_000, 8
+    m = optimal_num_bits(n, 0.01)
+    m = ((m + 64 * shards - 1) // (64 * shards)) * 64 * shards
+    k = optimal_num_hashes(n, m)
+    keys = spark.range(n).select(F.concat(F.lit("s-"), F.col("id")).alias("k"))
+    sk = bloom_build_sharded(keys, "k", num_bits=m, num_hashes=k, n_shards=shards)
+    sample = keys.sample(0.01, seed=7)
+    flagged = bloom_might_contain_sharded(
+        sample, "k", sk, num_bits=m, num_hashes=k, n_shards=shards
+    )
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
 def test_lsh_hot_bucket_smoke(spark):
     """A 2000-document identical-text clique lands in one LSH bucket per
     band; under bucket_cap=256 the tiler must still emit the exact
