@@ -87,5 +87,18 @@ def test_embedding_topk_zero_shuffles(plans):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_governance_sort_reads_materialized_shuffle(plans):
+    # the hash repartition before the final sort is a deliberate
+    # materialization boundary: the LM join broadcasts, so without it the
+    # range sampler re-executes the whole PII/fold chain a second time
+    # (measured 2.3x on the full query). The hashpartitioning exchange
+    # must sit BELOW the rangepartitioning exchange in the plan.
+    plan = plans("governance_profile")
+    assert "rangepartitioning(doc_id" in plan  # the global output sort
+    # the explicit repartition(doc_id) shows as REPARTITION_BY_COL — the
+    # marker Catalyst never inserts on its own (ENSURE_REQUIREMENTS)
+    assert "REPARTITION_BY_COL" in plan
+
+
 def test_decontamination_bench_set_broadcast(plans):
     assert "BroadcastHashJoin" in plans("decontamination_flags")
