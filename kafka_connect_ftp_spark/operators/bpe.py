@@ -95,6 +95,56 @@ def _apply_merge(words: DataFrame, a_val: str, b_val: str) -> DataFrame:
     return words.withColumn("syms", F.when(contains, fold).otherwise(syms))
 
 
+def _apply_merge_batch(
+    words: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a CONFLICT-FREE batch of merges in ONE left-to-right fold.
+
+    The pair set rides as a constant-folded nested map literal
+    (outer[a][b] = a+b) probed with ``try_element_at`` (ANSI-safe NULL
+    on a miss), so the rewrite is a single O(len) pass whose expression
+    DEPTH is constant in the batch size — chaining one fold per merge
+    would nest the expression tree batch-deep and fall out of codegen at
+    production batch sizes. For symbol-disjoint, non-aliasing pairs
+    (what ``_select_batch`` guarantees) one greedy pass equals applying
+    the members sequentially in any order: a merge can never create or
+    destroy another accepted pair's adjacency."""
+    inner_maps = {}
+    for a, b in pairs:
+        inner_maps.setdefault(a, {})[b] = a + b
+    m = F.map_from_arrays(
+        F.array(*[F.lit(a) for a in inner_maps]),
+        F.array(
+            *[
+                F.map_from_arrays(
+                    F.array(*[F.lit(b) for b in bs]),
+                    F.array(*[F.lit(v) for v in bs.values()]),
+                )
+                for bs in inner_maps.values()
+            ]
+        ),
+    )
+    syms = F.col("syms")
+
+    def merged(last, s):
+        # try_element_at is NULL-tolerant: a miss on the outer map gives
+        # NULL, and the inner lookup on NULL propagates NULL
+        return F.try_element_at(F.try_element_at(m, last), s)
+
+    fold = F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & merged(F.element_at(acc, F.lit(-1)), s).isNotNull(),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(merged(F.element_at(acc, F.lit(-1)), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return words.withColumn("syms", fold)
+
+
 def _select_batch(
     candidates: list, batch_size: int
 ) -> list[tuple[str, str]]:
@@ -170,10 +220,7 @@ def train_bpe(
             break
         batch = _select_batch(candidates, want)
         merges.extend(batch)
-        rewritten = words
-        for a, b in batch:
-            rewritten = _apply_merge(rewritten, a, b)
-        new_words = rewritten.localCheckpoint(eager=True)
+        new_words = _apply_merge_batch(words, batch).localCheckpoint(eager=True)
         # Drop the superseded table's reference: localCheckpoint blocks
         # are reclaimed by ContextCleaner on GC once unreferenced
         # (DataFrame.unpersist is a no-op for them — see

@@ -99,18 +99,46 @@ def test_word_counts_bounded_by_vocab(docs):
 
 
 def test_training_loop_is_jvm_side(docs):
-    # the REAL per-round frames — the pair aggregation and the merge
-    # rewrite — must contain no Python evaluation; only apply_bpe is
-    # allowed a pandas UDF
-    from kafka_connect_ftp_spark.operators.bpe import _apply_merge, _best_pair_frame
+    # the REAL per-round frames — the pair aggregation and the batch
+    # merge rewrite — must contain no Python evaluation; only apply_bpe
+    # is allowed a pandas UDF
+    from kafka_connect_ftp_spark.operators.bpe import (
+        _apply_merge,
+        _apply_merge_batch,
+        _best_pair_frame,
+    )
 
     words = word_counts(docs).select(
         F.expr("filter(split(word, ''), c -> c <> '')").alias("syms"), "count"
     )
-    for frame in (_best_pair_frame(words), _apply_merge(words, "l", "o")):
+    for frame in (
+        _best_pair_frame(words),
+        _apply_merge(words, "l", "o"),
+        _apply_merge_batch(words, [("l", "o"), ("n", "e")]),
+    ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert bad not in plan
+
+
+def test_batch_apply_equals_chained_single_applies(spark):
+    # one greedy fold with the nested-map literal must equal chaining
+    # _apply_merge per pair — the equivalence that lets the batch path
+    # keep constant expression depth
+    from kafka_connect_ftp_spark.operators.bpe import _apply_merge, _apply_merge_batch
+
+    words = spark.createDataFrame(
+        [(list("lowlow"), 3), (list("newer"), 2), (list("aaa"), 1), (list("xy"), 1)],
+        "syms array<string>, count long",
+    )
+    pairs = [("l", "o"), ("n", "e"), ("a", "a")]
+    chained = words
+    for a, b in pairs:
+        chained = _apply_merge(chained, a, b)
+    got = sorted(tuple(r.syms) for r in _apply_merge_batch(words, pairs).collect())
+    want = sorted(tuple(r.syms) for r in chained.collect())
+    assert got == want
+    assert ("aa", "a") in {tuple(s) for s in (r.syms for r in _apply_merge_batch(words, pairs).collect())}
 
 
 def test_batched_equals_sequential_on_disjoint_corpus(spark):
