@@ -189,6 +189,45 @@ def test_batched_select_batch_merged_symbol_aliasing():
     assert batch == [("ab", "c"), ("x", "y")]
 
 
+def test_select_batch_invariants_property():
+    # pure-Python property: whatever the candidate stream, the accepted
+    # batch is (a) a subsequence of the candidates, (b) pairwise
+    # symbol-disjoint, (c) free of merged-symbol aliasing, (d) bounded
+    from collections import namedtuple
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_ftp_spark.operators.bpe import _select_batch
+
+    Cand = namedtuple("Cand", "a b")
+    sym = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.tuples(sym, sym), max_size=30),
+        st.integers(min_value=1, max_value=10),
+    )
+    def check(pairs, size):
+        cands = [Cand(a, b) for a, b in pairs]
+        batch = _select_batch(cands, size)
+        assert len(batch) <= size
+        # subsequence of the candidate order
+        it = iter([(c.a, c.b) for c in cands])
+        assert all(p in it for p in [tuple(p) for p in batch])
+        seen: set[str] = set()
+        merged: set[str] = set()
+        for a, b in batch:
+            assert a not in seen and b not in seen  # symbol-disjoint
+            assert a + b not in seen  # no accepted symbol equals my merge
+            assert a not in merged and b not in merged  # no aliasing
+            assert a + b not in merged  # no duplicate merge outputs
+            seen.update((a, b))
+            merged.add(a + b)
+
+    check()
+
+
 def test_thousand_merges_in_bounded_time(spark):
     # the production-vocab demonstration the batched variant exists for:
     # >= 1000 merges must complete in a bounded number of rounds and
