@@ -14,6 +14,19 @@ O(log n) convergence on any component shape. Each round is two joins +
 one aggregation, all shuffles on doc_id; convergence is a flag column
 computed during the update and filter-counted off the checkpointed
 blocks (no old-vs-new join), so the driver only sees a scalar per round.
+
+Path selection: the deduped edge count is known up front (the count that
+materializes the edge cache). At or below ``driver_threshold`` edges
+the components are solved with a driver union-find instead — a near-dup
+candidate graph is usually TINY relative to its corpus (pairs survive
+banding + verification), and at that size the distributed loop's cost
+is pure scheduling: O(log n) whole-cluster rounds of two joins plus a
+checkpoint to relabel a few thousand rows. The default threshold (1M
+directed edges ≈ 16 MB columnar) is the same bounded-collect class as
+the KMV sketch staging; union-by-min-root with path compression yields
+byte-identical (min-reachable-id) labels. Above the threshold — the
+100 TB regime where the pair graph itself is huge — the pointer-jumping
+loop runs exactly as before (tests force it with ``driver_threshold=0``).
 """
 
 from __future__ import annotations
@@ -22,9 +35,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Solve components on the driver for a bounded edge set: columnar
+    collect (Arrow, not Row objects), union by MIN root with path
+    compression — the component root is provably its minimum id, so
+    labels match the distributed loop exactly."""
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # larger root under smaller: root stays the min
+    nodes = pdf["src"].drop_duplicates()  # both directions present
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"doc_id": nodes.astype("int64"), "cluster": [find(int(n)) for n in nodes]}
+    )
+    return edges.sparkSession.createDataFrame(out, "doc_id long, cluster long")
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, *, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """``pairs``: (doc_a, doc_b) undirected edges. Returns (doc_id, cluster)
-    where cluster = min doc_id reachable."""
+    where cluster = min doc_id reachable. ``driver_threshold``: directed
+    edge count at or below which the driver union-find path is taken
+    (module doc); 0 forces the distributed loop."""
     # both edge directions from ONE pass over pairs (map-side explode):
     # a union of two selects would evaluate the pairs lineage — often an
     # expensive minhash/LSH plan — once per branch before the cache
@@ -42,6 +90,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .cache()
     )
+    # this count materializes the cache (the init aggregation would have
+    # anyway) AND decides the path — no extra scan of the pairs lineage
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        out = _driver_union_find(edges)
+        edges.unpersist()
+        return out
     # Initialization FOLDS the would-be first propagation round into one
     # aggregation: with identity labels, round 0's neighbor-min is just
     # min(neighbor doc_id) and the pointer-jump hop is the identity, so

@@ -1,17 +1,35 @@
-"""Connected-components dedup clustering tests."""
+"""Connected-components dedup clustering tests.
+
+Every semantic case runs BOTH paths: the driver union-find (default for
+bounded edge sets) and the distributed pointer-jumping loop (forced via
+driver_threshold=0) — the two must be label-identical.
+"""
 
 from __future__ import annotations
 
-from kafka_connect_ftp_spark.operators.dedup_cluster import connected_components, dedup_decision
+import pytest
+
+from kafka_connect_ftp_spark.operators.dedup_cluster import (
+    connected_components,
+    dedup_decision,
+)
+
+BOTH_PATHS = pytest.mark.parametrize(
+    "threshold", [1_000_000, 0], ids=["driver_union_find", "distributed_loop"]
+)
 
 
-def test_chain_and_triangle_merge(spark):
+@BOTH_PATHS
+def test_chain_and_triangle_merge(spark, threshold):
     # chain 1-2-3-4 and triangle 10-11-12 plus isolated pair 20-21
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "doc_a long, doc_b long",
     )
-    comps = {r.doc_id: r.cluster for r in connected_components(pairs).collect()}
+    comps = {
+        r.doc_id: r.cluster
+        for r in connected_components(pairs, driver_threshold=threshold).collect()
+    }
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
@@ -20,6 +38,28 @@ def test_dedup_decision_keeps_min_and_singletons(spark):
     corpus = spark.createDataFrame([(i,) for i in [1, 5, 7, 9]], "doc_id long")
     rows = {r.doc_id: (r.cluster, r.keep) for r in dedup_decision(pairs, corpus).collect()}
     assert rows == {1: (1, True), 5: (5, True), 7: (5, False), 9: (5, False)}
+
+
+def test_paths_agree_on_long_chain(spark):
+    # a 300-node chain: the shape that forced pointer jumping — both
+    # paths must produce the identical min-label clustering
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long"
+    )
+    fast = {
+        r.doc_id: r.cluster for r in connected_components(pairs).collect()
+    }
+    slow = {
+        r.doc_id: r.cluster
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert set(fast.values()) == {0}
+
+
+def test_empty_pair_set(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
 
 
 def test_on_real_minhash_pairs(spark):
