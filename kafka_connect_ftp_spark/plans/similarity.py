@@ -268,12 +268,15 @@ def _dedup_cluster_oracle() -> str:
     _dedup_cluster_oracle(),
     doc=(
         "Full dedup decision over the minhash-LSH candidate graph: "
-        "connected components (iterative min-label propagation with "
-        "per-round localCheckpoint, operators/dedup_cluster.py) + keeper "
-        "selection. One row per document with its cluster id and keep "
-        "flag. The oracle re-derives the same components with a DuckDB "
-        "recursive reachability CTE, so this iterative operator sits "
-        "inside the full hash-comparison gate (round 1 had rows-only)."
+        "connected components (operators/dedup_cluster.py — size-"
+        "adaptive: driver union-find for bounded edge sets, iterative "
+        "min-label propagation with pointer jumping and per-round "
+        "localCheckpoint above the threshold; label-identical, both "
+        "paths test-pinned) + keeper selection. One row per document "
+        "with its cluster id and keep flag. The oracle re-derives the "
+        "same components with a DuckDB recursive reachability CTE, so "
+        "this operator sits inside the full hash-comparison gate "
+        "(round 1 had rows-only)."
     ),
 )
 def dedup_cluster_decision(spark, sf_dir):
