@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.operators.bpe import apply_bpe, train_bpe
 from kafka_connect_ftp_spark.operators.capping import cap_per_group
 from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
 from kafka_connect_ftp_spark.operators.heavy_hitters import heavy_hitter_ngrams
@@ -365,3 +366,39 @@ def corpus_report(spark, sf_dir):
         .unionByName(rates)
         .orderBy("section", "key")
     )
+
+
+# BPE training knobs for the rows-only driver entry: enough merges that
+# multi-symbol tokens dominate the output, batched so the driver pays
+# ~merges/batch rounds, deterministic end to end (count-desc +
+# lexicographic tie-break, see operators/bpe.py)
+_BPE_MERGES = 24
+_BPE_BATCH = 8
+
+
+@register(
+    "bpe_train_tokenize",
+    None,  # inherently iterative — the contract's documented non-SQL category
+    doc=(
+        "Distributed BPE end-to-end under the driver's rows-only check: "
+        "train _BPE_MERGES merge rules on the documents table "
+        "(vocabulary-bounded word table, batched non-conflicting merges, "
+        "JVM-side rewrite loop) and tokenize the same corpus with them. "
+        "One row per document: BPE token count, whitespace token count, "
+        "and the first 8 tokens re-joined. Fully deterministic (training "
+        "tie-breaks are count-desc then lexicographic; the apply path "
+        "reproduces training's segmentation), so row count AND values "
+        "are stable across runs even though no SQL oracle can express "
+        "the training loop."
+    ),
+)
+def bpe_train_tokenize(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    merges = train_bpe(docs, _BPE_MERGES, batch_size=_BPE_BATCH)
+    out = apply_bpe(docs.select("doc_id", "text"), merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.size(F.expr(_TOKS)).cast("long").alias("n_ws_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_tokens"),
+    ).orderBy("doc_id")

@@ -273,6 +273,22 @@ def test_merge_table_round_trips_through_parquet(spark, docs, tmp_path):
     assert before == after
 
 
+def test_registry_rows_only_entry(spark):
+    # the driver-facing rows-only query: deterministic, docs-grain, no
+    # SQL oracle (inherently iterative — the documented category)
+    from kafka_connect_ftp_spark.plans import registry
+
+    spec = registry()["bpe_train_tokenize"]
+    assert spec.oracle is None
+    out = spec.fn(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    docs_n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert len(rows) == docs_n
+    # with only 24 merges most words stay multi-token: BPE count strictly
+    # exceeds the whitespace count on every non-empty doc
+    assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in rows)
+
+
 def test_symbols_with_quotes_and_backslashes(spark):
     # merge symbols ride as Column literals, never injected SQL text —
     # quote/backslash-heavy corpora (code, Windows paths, LaTeX) must
