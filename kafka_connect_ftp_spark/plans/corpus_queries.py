@@ -402,3 +402,37 @@ def bpe_train_tokenize(spark, sf_dir):
         F.size(F.expr(_TOKS)).cast("long").alias("n_ws_tokens"),
         F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_tokens"),
     ).orderBy("doc_id")
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+_PACK_SHARDS = 8
+
+
+@register(
+    "sequence_packing",
+    None,  # greedy sequential bin packing — no SQL oracle can express it
+    doc=(
+        "Sequence packing under the driver's rows-only check: whitespace "
+        "token counts feed the real pack_sequences operator "
+        "(hash-sharded best-fit-decreasing, operators/packing.py), one "
+        "row per document with its packed sequence id, position, token "
+        "count and truncation flag, plus the deterministic shard-shuffle "
+        "key (operators/sharding.py's xxhash64 form). Deterministic end "
+        "to end: shard assignment is pmod(hash(id)), in-shard order is "
+        "(tokens desc, id), ties in the capacity list break on bin "
+        "creation index."
+    ),
+)
+def sequence_packing(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.packing import pack_sequences
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    counted = docs.select(
+        "doc_id", F.size(F.expr(_TOKS)).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        counted, max_tokens=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    return packed.withColumn(
+        "shuffle_key", F.xxhash64(F.lit("v1"), F.col("doc_id"))
+    ).orderBy("doc_id")
