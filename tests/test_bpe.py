@@ -273,6 +273,30 @@ def test_merge_table_round_trips_through_parquet(spark, docs, tmp_path):
     assert before == after
 
 
+def test_unicode_and_astral_plane_corpora(spark):
+    # training splits words JVM-side (split(word, '')), apply splits
+    # Python-side (list(w)); both are CODEPOINT-level — Java regex never
+    # matches inside a surrogate pair, so astral-plane emoji stay whole
+    # and the two sides learn/apply the identical symbol alphabet
+    texts = ["🙂x 🙂x 🙂x", "héllo héllo wörld", "日本語 トーク 日本語"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, 6)  # batch_size=1: exact sequential equality
+    want, _ = _ref_bpe(texts, 6)
+    assert merges == want
+    for r in apply_bpe(docs, merges).collect():
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+    # the emoji word must actually have merged (proves surrogate safety)
+    out = {r.doc_id: r.bpe_tokens for r in apply_bpe(docs, merges).collect()}
+    assert "🙂x" in out[0]
+    # the batched path must also round-trip unicode (merge ORDER may
+    # legitimately deviate from sequential — the documented trade)
+    batched = train_bpe(docs, 6, batch_size=3)
+    for r in apply_bpe(docs, batched).collect():
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+
+
 def test_registry_rows_only_entry(spark):
     # the driver-facing rows-only query: deterministic, docs-grain, no
     # SQL oracle (inherently iterative — the documented category)
