@@ -126,3 +126,46 @@ def test_streaming_ingest_survives_poll_failure(spark, tmp_path):
     # the query kept running (several ticks), failures recorded, not raised
     assert len(ingest.errors) >= 2
     assert boom["n"] == len(ingest.errors)
+
+
+def test_kafka_sink_writer_contract_via_capture(spark, monkeypatch):
+    """The Kafka jar is absent in this environment (module-doc waiver),
+    but the sink's writer contract is still pinnable: intercept the
+    DataFrameWriter chain and assert kafka_sink sets format 'kafka', the
+    'kafka.bootstrap.servers' option verbatim (a typo here would fail
+    only at deploy time), and feeds the to_kafka_frame projection
+    (per-row topic, binary key/value)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from kafka_connect_ftp_spark.streaming.ingest_stream import kafka_sink
+
+    captured: dict = {}
+    orig_format = DataFrameWriter.format
+    orig_option = DataFrameWriter.option
+
+    def fake_format(self, fmt):
+        captured["format"] = fmt
+        return orig_format(self, fmt)
+
+    def fake_option(self, k, v):
+        captured.setdefault("options", {})[k] = v
+        return orig_option(self, k, v)
+
+    def fake_save(self, path=None):
+        captured["schema"] = {f.name: f.dataType.simpleString() for f in self._df.schema.fields}
+
+    monkeypatch.setattr(DataFrameWriter, "format", fake_format)
+    monkeypatch.setattr(DataFrameWriter, "option", fake_option)
+    monkeypatch.setattr(DataFrameWriter, "save", fake_save)
+
+    records = spark.createDataFrame(
+        [("t-a", "f.txt", 0, bytearray(b"body"))],
+        "topic string, key_name string, key_offset long, value binary",
+    )
+    kafka_sink("broker1:9092,broker2:9092")(records, epoch=0)
+
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {"kafka.bootstrap.servers": "broker1:9092,broker2:9092"}
+    assert captured["schema"]["topic"] == "string"
+    assert captured["schema"]["key"] == "binary"
+    assert captured["schema"]["value"] == "binary"
