@@ -403,11 +403,12 @@ def bloom_prefilter_join(
         # empty reference set: semi keeps nothing, anti keeps everything
         return big.filter(F.lit(False)) if how == "left_semi" else big
     num_bits = optimal_num_bits(n_keys, fpp)
-    num_hashes = optimal_num_hashes(n_keys, num_bits)
     if n_shards is None:
         n_shards = -(-num_bits // _MAX_BITS_PER_SHARD)
-    # round the total budget up so it splits into 64-bit-aligned shards
+    # round the total budget up so it splits into 64-bit-aligned shards,
+    # THEN size k from the final budget
     num_bits = ((num_bits + 64 * n_shards - 1) // (64 * n_shards)) * 64 * n_shards
+    num_hashes = optimal_num_hashes(n_keys, num_bits)
     # collision-proof scratch column name (the caller's frame may have _bf)
     flag = "_bf"
     while flag in big.columns:
