@@ -332,19 +332,35 @@ def bloom_might_contain_sharded(
             )
         ).cast("boolean"),
     ).otherwise(flag)
+    # a probe shard id with NO sketch row (probing with a larger n_shards
+    # than the build used, or a truncated sketch frame) must raise, not
+    # silently drop the row — an inner join would filter such rows out
+    # BEFORE the meta guard could evaluate, losing them from semi AND
+    # anti results. LEFT join + NULL-bits check turns that into an error.
+    sized = F.when(
+        F.col(bits_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("bloom sketch has no row for probe shard "),
+                F.col(shard_col).cast("string"),
+                F.lit(f" (probed with n_shards={n_shards}; sketch built smaller or truncated)"),
+            )
+        ).cast("boolean"),
+    ).otherwise(sized)
     sketch = bloom.select(
         F.col("shard").alias(shard_col),
         F.col("bits").alias(bits_col),
         F.struct("num_bits", "num_hashes", "n_shards").alias(meta_col),
     )
+    # NULL keys still get a real shard (xxhash64 treats a NULL argument
+    # as absent and hashes the seed alone), so every probe row finds a
+    # sketch row; the flag itself is forced false for NULL keys.
     probe_shard = F.pmod(
         F.xxhash64(F.col(key_col), F.lit(_SHARD_SEED)), F.lit(n_shards)
     ).cast("int")
     return (
-        # NULL keys have no shard; coalesce to shard 0 so the inner join
-        # keeps the row (the flag is forced false for NULL keys anyway)
-        df.withColumn(shard_col, F.coalesce(probe_shard, F.lit(0)))
-        .join(F.broadcast(sketch), shard_col, "inner")
+        df.withColumn(shard_col, probe_shard)
+        .join(F.broadcast(sketch), shard_col, "left")
         .withColumn(flag_col, sized)
         .drop(shard_col, bits_col, meta_col)
     )
@@ -397,6 +413,8 @@ def bloom_prefilter_join(
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
+    if n_shards is not None and n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if n_keys is None:
         n_keys = keys.filter(F.col(on).isNotNull()).count()
     if n_keys == 0:

@@ -131,6 +131,16 @@ def _apply_merge_batch(
         # NULL, and the inner lookup on NULL propagates NULL
         return F.try_element_at(F.try_element_at(m, last), s)
 
+    # rewrite only words containing some batch pair (same cheap exists()
+    # pre-check _apply_merge uses): untouched words — the vast majority
+    # of the vocabulary each round at production sizes — skip the
+    # array-reallocating fold entirely
+    contains = (F.size(syms) >= 2) & F.exists(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: merged(
+            F.element_at(syms, i), F.element_at(syms, i + 1)
+        ).isNotNull(),
+    )
     fold = F.aggregate(
         syms,
         F.expr("cast(array() as array<string>)"),
@@ -142,7 +152,7 @@ def _apply_merge_batch(
             ),
         ).otherwise(F.concat(acc, F.array(s))),
     )
-    return words.withColumn("syms", fold)
+    return words.withColumn("syms", F.when(contains, fold).otherwise(syms))
 
 
 def _select_batch(

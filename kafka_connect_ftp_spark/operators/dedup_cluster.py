@@ -39,11 +39,17 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Solve components on the driver for a bounded edge set: columnar
     collect (Arrow, not Row objects), union by MIN root with path
     compression — the component root is provably its minimum id, so
-    labels match the distributed loop exactly."""
-    pdf = edges.toPandas()
-    parent: dict[int, int] = {}
+    labels match the distributed loop exactly. Id-TYPE-agnostic like the
+    distributed loop (its F.least/F.min work on any orderable type):
+    values are compared with Python ``<``, which for ints and strings
+    orders identically to Spark's comparators (UTF-8 strings compare by
+    code point in both)."""
+    from pyspark.sql.types import StructField, StructType
 
-    def find(x: int) -> int:
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
         root = x
         while parent.get(root, root) != root:
             root = parent[root]
@@ -52,7 +58,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         return root
 
     for a, b in zip(pdf["src"], pdf["dst"]):
-        ra, rb = find(int(a)), find(int(b))
+        ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
@@ -60,10 +66,14 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     nodes = pdf["src"].drop_duplicates()  # both directions present
     import pandas as pd
 
-    out = pd.DataFrame(
-        {"doc_id": nodes.astype("int64"), "cluster": [find(int(n)) for n in nodes]}
+    out = pd.DataFrame({"doc_id": nodes, "cluster": [find(n) for n in nodes]})
+    id_type = edges.schema["src"].dataType
+    return edges.sparkSession.createDataFrame(
+        out,
+        StructType(
+            [StructField("doc_id", id_type), StructField("cluster", id_type)]
+        ),
     )
-    return edges.sparkSession.createDataFrame(out, "doc_id long, cluster long")
 
 
 def connected_components(

@@ -247,7 +247,7 @@ def span_dedup_decision(spark, sf_dir):
     ORDER BY section, key
     """,
     doc=(
-        "The corpus data card in one frame, four tagged sections: "
+        "The corpus data card in one frame, five tagged sections: "
         "'composition' — per-source + __all__ rollup rows from the real "
         "corpus_stats cube (doc/byte/token counts, exact interpolated "
         "token-length quantiles, exact-duplicate ratio, byte share); "

@@ -188,12 +188,35 @@ def test_sharded_null_key_flags_false(spark, sharded):
     assert rows[None] is False
 
 
+def test_sharded_probe_missing_shard_raises_not_drops(member_keys, sharded):
+    # a probe row whose shard has NO sketch row (truncated sketch, or a
+    # larger probe n_shards than built) must raise loudly — an inner
+    # join would silently drop the row before any guard could fire,
+    # vanishing it from semi AND anti results
+    sk, m, k, n = sharded
+    truncated = sk.filter("shard <> 1")
+    flagged = bloom_might_contain_sharded(
+        member_keys, "k", truncated, num_bits=m, num_hashes=k, n_shards=n
+    )
+    with pytest.raises(Exception, match="no row for probe shard"):
+        flagged.collect()
+
+
+def test_prefilter_rejects_bad_n_shards(spark, member_keys):
+    big = spark.range(5).select(F.concat(F.lit("x-"), F.col("id")).alias("k"))
+    with pytest.raises(ValueError, match="n_shards must be >= 1"):
+        bloom_prefilter_join(big, member_keys, "k", n_shards=0)
+
+
 def test_sharded_mismatch_raises(member_keys, sharded):
+    # probing with the wrong n_shards fails loudly on whichever guard a
+    # row hits first: the meta sizing check (shard exists, sizing
+    # differs) or the missing-shard check (shard id beyond the sketch)
     sk, m, k, n = sharded
     wrong = bloom_might_contain_sharded(
         member_keys, "k", sk, num_bits=m, num_hashes=k, n_shards=n * 2
     )
-    with pytest.raises(Exception, match="sizing mismatch"):
+    with pytest.raises(Exception, match="sizing mismatch|no row for probe shard"):
         wrong.collect()
 
 

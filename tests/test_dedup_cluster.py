@@ -57,6 +57,21 @@ def test_paths_agree_on_long_chain(spark):
     assert set(fast.values()) == {0}
 
 
+@BOTH_PATHS
+def test_string_doc_ids(spark, threshold):
+    # content-hash ids are strings; both paths must handle any orderable
+    # id type (the union-find compares with Python <, which orders UTF-8
+    # strings identically to Spark's comparator)
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    comps = {
+        r.doc_id: r.cluster
+        for r in connected_components(pairs, driver_threshold=threshold).collect()
+    }
+    assert comps == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_empty_pair_set(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(pairs).count() == 0
