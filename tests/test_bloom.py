@@ -99,6 +99,25 @@ def test_prefilter_join_identical_to_exact(spark, member_keys, how):
     assert 0 < len(exact) < 4000
 
 
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_prefilter_join_unicode_and_empty_keys(spark, how):
+    # membership is pure hashing — empty strings, astral-plane emoji and
+    # duplicate keys must all behave byte-identically to the exact join
+    keys = spark.createDataFrame(
+        [("",), ("🙂",), ("héllo",), ("日本語",), ("héllo",)], "k string"
+    )
+    big = spark.createDataFrame(
+        [("",), ("🙂",), ("outsider",), ("héllo",), ("🙃",), (None,)], "k string"
+    )
+    canon = lambda rows: sorted((r.k is None, r.k or "") for r in rows)
+    exact = canon(big.join(keys, "k", how).collect())
+    pre = canon(bloom_prefilter_join(big, keys, "k", how=how).collect())
+    assert pre == exact
+    if how == "left_anti":
+        # the NULL-key row never matches and must survive the anti join
+        assert (True, "") in pre
+
+
 def test_prefilter_join_empty_reference(spark, member_keys):
     empty = member_keys.filter(F.lit(False))
     big = spark.range(5).select(F.concat(F.lit("x-"), F.col("id")).alias("k"))
