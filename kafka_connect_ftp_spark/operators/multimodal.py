@@ -66,6 +66,9 @@ class Codec:
     def sample_frames(self, content: bytes, every_n: int) -> list[bytes]:
         raise NotImplementedError("media codecs are not available in this build")
 
+    def resize(self, content: bytes, width: int, height: int) -> bytes:
+        raise NotImplementedError("media codecs are not available in this build")
+
 
 class HeaderCodec(Codec):
     """REAL image-dimension extraction from format headers with stdlib
@@ -117,6 +120,12 @@ class FakeCodec(Codec):
 
     def sample_frames(self, content: bytes, every_n: int) -> list[bytes]:
         return [content[i : i + 16] for i in range(0, len(content), 16 * every_n)]
+
+    def resize(self, content: bytes, width: int, height: int) -> bytes:
+        # deterministic fake: a stamped header (magic, target dims) over a
+        # digest of the source — re-running reproduces the exact bytes
+        d = hashlib.sha256(content).digest()[:16]
+        return b"FAKEIMG1" + struct.pack(">II", width, height) + d
 
 
 def image_features(media: DataFrame, codec: Codec | None = None) -> DataFrame:
@@ -183,6 +192,61 @@ def sample_frames(media: DataFrame, every_n: int = 10, codec: Codec | None = Non
         media.filter(F.col("kind") == "video")
         .select("media_id", "content")
         .mapInPandas(explode_frames, FRAME_SCHEMA)
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("resize_error", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: Codec | None = None
+) -> DataFrame:
+    """Batch image resize to a fixed target (the normalization step before
+    a vision encoder). Same per-row quarantine discipline as
+    ``image_features`` — a corrupt blob yields a NULL output and its error
+    message, never a task failure — and the bytes stay in executor-side
+    Arrow batches end to end."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
+    codec = codec or FakeCodec()
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[bytes | None] = []
+            errs: list[str | None] = []
+            for b in pdf["content"]:
+                if b is None:
+                    out.append(None)
+                    errs.append("null content")
+                    continue
+                try:
+                    out.append(codec.resize(bytes(b), width, height))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — row-level quarantine
+                    out.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                    "resize_error": errs,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(do, RESIZED_SCHEMA)
     )
 
 

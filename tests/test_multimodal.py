@@ -145,3 +145,44 @@ def test_image_features_with_header_codec(spark):
     assert set(rows) == {10, 11}
     assert (rows[10].width, rows[10].height) == (320, 200)
     assert (rows[11].width, rows[11].height) == (800, 600)
+
+
+def test_resize_deterministic_and_quarantined(spark, media):
+    from kafka_connect_ftp_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    # only image rows, each resized deterministically
+    assert set(out) == {1, 2}
+    again = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    for mid in out:
+        assert out[mid].resized == again[mid].resized  # byte-stable
+        assert out[mid].width == 224 and out[mid].height == 224
+        assert out[mid].resize_error is None
+        assert bytes(out[mid].resized)[:8] == b"FAKEIMG1"
+    # different targets give different bytes
+    other = {r.media_id: r for r in resize_images(media, 64, 64).collect()}
+    assert bytes(other[1].resized) != bytes(out[1].resized)
+
+
+def test_resize_null_content_and_failures_per_row(spark):
+    from kafka_connect_ftp_spark.operators.multimodal import Codec, resize_images
+
+    class ExplodingCodec(Codec):
+        def resize(self, content, width, height):
+            if content == b"bad":
+                raise ValueError("boom")
+            return b"ok"
+
+    rows = [(1, "image", None, b"good"), (2, "image", None, b"bad"), (3, "image", None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, 8, 8, ExplodingCodec()).collect()}
+    assert bytes(out[1].resized) == b"ok" and out[1].resize_error is None
+    assert out[2].resized is None and "boom" in out[2].resize_error
+    assert out[3].resized is None and out[3].resize_error == "null content"
+
+
+def test_resize_rejects_bad_dims(spark, media):
+    from kafka_connect_ftp_spark.operators.multimodal import resize_images
+
+    with pytest.raises(ValueError, match="target dims"):
+        resize_images(media, 0, 224)
