@@ -41,6 +41,8 @@ HEADLINE = [
     # added round 4 (first tracked round; compare r4+ numbers only)
     "chunk_documents",
     "quality_filter_flags",
+    # added round 5 (first tracked round; compare r5+ numbers only)
+    "repetition_profile",
     "governance_profile",
     "dedup_cluster_decision",
     "span_dedup_decision",

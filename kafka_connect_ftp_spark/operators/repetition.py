@@ -1,0 +1,142 @@
+"""Intra-document repetition signals — the Gopher/MassiveText repetition
+rules (Rae et al. 2021, §A1.1) that catch boilerplate loops, scraper
+artifacts and keyword-stuffed pages which pass simple length/diversity
+gates: a page whose most frequent 2-gram covers a third of its characters
+is navigation chrome, not prose.
+
+Per document, over whitespace tokens:
+
+- ``dup_token_frac`` — fraction of token OCCURRENCES that are repeats of
+  an earlier token (``(n - n_distinct) / n``);
+- ``top_{n}gram_frac`` (n ∈ ``top_ns``, Gopher uses 2-4) — fraction of
+  the document's characters covered by the single most frequent word
+  n-gram (``count * chars(ngram) / chars(doc)``);
+- ``dup_{n}gram_frac`` (n ∈ ``dup_ns``, Gopher uses 5-10) — fraction of
+  n-gram occurrences that are duplicates (``(occurrences - distinct) /
+  occurrences``). Gopher's original counts duplicated CHARACTER
+  positions; the occurrence-fraction variant used here needs no
+  position-coverage bookkeeping, is monotone in the same signal, and is
+  exactly SQL-expressible — which keeps the whole profile inside the
+  driver's hash gate.
+
+Tie-break: "the most frequent n-gram" is deterministic up to the
+reported fraction — among count-ties the LARGEST character mass
+(``count * chars``) wins, so two engines never disagree on the output
+even when they pick different equally-frequent grams.
+
+Scale design (100 TB): one map-side explode emits ``(doc_id, n, gram)``
+for all requested widths in a single pass over the corpus — the
+document text itself never shuffles, only bounded gram strings. The
+per-``(doc_id, n, gram)`` count hash-aggregates with map-side partial
+combine (each document's gram stream originates on one mapper, so
+within-doc duplicates collapse BEFORE the exchange and the shuffle
+carries at most the distinct grams of each document). The two follow-up
+aggregations run on the already-tiny ``(doc_id, n)`` grain. doc_id keys
+every exchange — no skew (documents are length-bounded), no Python
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKS = "filter(split({col}, ' '), x -> x <> '')"
+
+
+def repetition_signals(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    decimals: int = 6,
+) -> DataFrame:
+    """One row per input row: ``(id_col, n_tokens, dup_token_frac,
+    top_{n}gram_frac..., dup_{n}gram_frac...)``, fractions rounded to
+    ``decimals``. Documents too short for a width get 0.0 for that
+    width's signal (nothing repeats in an empty stream)."""
+    if not top_ns and not dup_ns:
+        raise ValueError("at least one of top_ns/dup_ns must be non-empty")
+    if any(n < 1 for n in (*top_ns, *dup_ns)):
+        raise ValueError(f"n-gram widths must be >= 1, got {top_ns} / {dup_ns}")
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = _TOKS.format(col=text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("_n_chars"),
+        F.expr(toks).alias("_tk"),
+    )
+
+    # one pass, all widths: arrays of (n, gram) structs flattened into a
+    # single explode (the token array is a materialized column — inlining
+    # the tokenizer in the lambdas would re-split per gram position)
+    per_n_arrays = [
+        F.expr(
+            f"case when size(_tk) >= {n} then"
+            f" transform(sequence(1, size(_tk) - {n - 1}),"
+            f"  i -> struct({n} as n, concat_ws(' ', slice(_tk, i, {n})) as g))"
+            f" else array() end"
+        )
+        for n in all_ns
+    ]
+    grams = base.select(
+        id_col, F.explode(F.flatten(F.array(*per_n_arrays))).alias("_g")
+    ).select(id_col, F.col("_g.n").alias("n"), F.col("_g.g").alias("g"))
+
+    counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy(id_col, "n").agg(
+        # struct max = (count, char-mass) lexicographic: max count first,
+        # then max mass among count-ties — the deterministic tie-break
+        F.max(
+            F.struct(
+                F.col("c"), (F.col("c") * F.length("g")).cast("long").alias("mass")
+            )
+        )["mass"].alias("top_mass"),
+        F.sum("c").alias("occ"),
+        F.count(F.lit(1)).alias("dist"),
+    )
+    wide = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_mass"))).alias(f"_tm{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    (F.col("occ") - F.col("dist")).cast("double") / F.col("occ"),
+                )
+            ).alias(f"_df{n}")
+            for n in dup_ns
+        ],
+    )
+
+    n_tok = F.size("_tk")
+    dup_tok = F.when(n_tok <= 0, F.lit(0.0)).otherwise(
+        (n_tok - F.size(F.array_distinct("_tk"))).cast("double") / n_tok
+    )
+    return (
+        base.join(wide, id_col, "left")
+        .select(
+            id_col,
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(dup_tok, decimals).alias("dup_token_frac"),
+            *[
+                F.round(
+                    F.coalesce(
+                        F.col(f"_tm{n}").cast("double") / F.col("_n_chars"), F.lit(0.0)
+                    ),
+                    decimals,
+                ).alias(f"top_{n}gram_frac")
+                for n in top_ns
+            ],
+            *[
+                F.round(F.coalesce(F.col(f"_df{n}"), F.lit(0.0)), decimals).alias(
+                    f"dup_{n}gram_frac"
+                )
+                for n in dup_ns
+            ],
+        )
+    )

@@ -1,6 +1,7 @@
 """Training-data pipeline operators: fixed-size chunking with overlap,
-benchmark decontamination, and rule-based quality filtering — the standard
-pre-training corpus steps (C4/Gopher-style), all as oracle-checked plans.
+benchmark decontamination, rule-based quality filtering, and the full
+Gopher repetition-signal profile — the standard pre-training corpus
+steps (C4/Gopher-style), all as oracle-checked plans.
 """
 
 from __future__ import annotations
@@ -8,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.operators.bloom import bloom_prefilter_join
+from kafka_connect_ftp_spark.operators.repetition import repetition_signals
 from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import balanced, load_tables
 
@@ -150,6 +152,81 @@ def decontamination_flags(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "repetition_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, {_DUCK_TOKS} AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT t.doc_id, ns.n,
+             array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + ns.n - 1], ' ') AS gram
+      FROM t, (VALUES (2), (3), (4), (5), (10)) AS ns(n), generate_series(1, 512) AS s(i)
+      WHERE i <= LEN(tk) - ns.n + 1
+    ),
+    ct AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),
+    mx AS (SELECT doc_id, n, MAX(c) AS cmax FROM ct GROUP BY 1, 2),
+    tm AS (
+      SELECT ct.doc_id, ct.n, MAX(ct.c * LENGTH(ct.gram)) AS mass
+      FROM ct JOIN mx ON ct.doc_id = mx.doc_id AND ct.n = mx.n AND ct.c = mx.cmax
+      GROUP BY 1, 2
+    ),
+    du AS (
+      SELECT doc_id, n, SUM(c) AS occ, CAST(COUNT(*) AS BIGINT) AS dist
+      FROM ct GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT tm.doc_id,
+             MAX(CASE WHEN tm.n = 2 THEN tm.mass END) AS tm2,
+             MAX(CASE WHEN tm.n = 3 THEN tm.mass END) AS tm3,
+             MAX(CASE WHEN tm.n = 4 THEN tm.mass END) AS tm4
+      FROM tm GROUP BY 1
+    ),
+    pivd AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 5 THEN CAST(occ - dist AS DOUBLE) / occ END) AS df5,
+             MAX(CASE WHEN n = 10 THEN CAST(occ - dist AS DOUBLE) / occ END) AS df10
+      FROM du GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(LEN(tk) AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN LEN(tk) = 0 THEN 0.0
+                      ELSE CAST(LEN(tk) - LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)
+                 END, 6) AS dup_token_frac,
+           ROUND(COALESCE(CAST(tm2 AS DOUBLE) / n_chars, 0.0), 6) AS top_2gram_frac,
+           ROUND(COALESCE(CAST(tm3 AS DOUBLE) / n_chars, 0.0), 6) AS top_3gram_frac,
+           ROUND(COALESCE(CAST(tm4 AS DOUBLE) / n_chars, 0.0), 6) AS top_4gram_frac,
+           ROUND(COALESCE(df5, 0.0), 6) AS dup_5gram_frac,
+           ROUND(COALESCE(df10, 0.0), 6) AS dup_10gram_frac
+    FROM t LEFT JOIN piv ON piv.doc_id = t.doc_id
+    LEFT JOIN pivd ON pivd.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc=(
+        "The full Gopher repetition-rule profile (Rae et al. 2021 §A1.1) "
+        "per document, from the real operators/repetition.py path: "
+        "duplicate-token fraction, the character share of the single most "
+        "frequent word {2,3,4}-gram, and the duplicate-occurrence "
+        "fraction of {5,10}-grams (the occurrence-fraction variant of "
+        "Gopher's duplicated-character metric — SQL-expressible, so the "
+        "whole profile sits inside the hash gate; module doc). One "
+        "map-side explode for all five widths; the per-(doc, n, gram) "
+        "count collapses map-side before its doc_id-keyed shuffle — the "
+        "text never leaves the scan stage. Tie-break: count-maximal grams "
+        "resolve to the largest character mass, so the reported fraction "
+        "is engine-independent."
+    ),
+)
+def repetition_profile(spark, sf_dir):
+    docs = balanced(
+        load_tables(spark, sf_dir, "documents")["documents"], spark, "doc_id"
+    )
+    return repetition_signals(
+        docs, top_ns=(2, 3, 4), dup_ns=(5, 10), decimals=6
+    ).orderBy("doc_id")
 
 
 @register(
