@@ -43,6 +43,7 @@ HEADLINE = [
     "quality_filter_flags",
     # added round 5 (first tracked round; compare r5+ numbers only)
     "repetition_profile",
+    "pq_adc_topk",
     "governance_profile",
     "dedup_cluster_decision",
     "span_dedup_decision",

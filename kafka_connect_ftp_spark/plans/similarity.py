@@ -239,6 +239,118 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+# ---- product quantization (operators/pq.py) under the hash gate ----
+# m subspaces of dsub dims over the 64-dim embeddings; ksub centroids
+# from the deterministic first-ids codebook so DuckDB can re-derive the
+# ENTIRE encode -> ADC -> top-k pipeline (the trained-KMeans codebook
+# path is pinned by tests/test_pq.py recall/equality instead — the same
+# split as ann_ivf_label vs ann_ivf_kmeans).
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 4, 8, 16
+_PQ_JS = ", ".join(f"({j})" for j in range(_PQ_M))
+# the SAME left-to-right (x-y)^2 fold operators/pq.py uses, so encode
+# argmins and ADC sums are bit-identical across engines
+_PQ_SQD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2]))),"
+    " (acc, x) -> acc + x)"
+)
+# ADC total as an explicit j0+j1+...: a bare SUM() would leave the
+# float addition order to the engine
+_PQ_ADC_SUM = " + ".join(
+    f"MAX(CASE WHEN enc.j = {j} THEN qdist.d END)" for j in range(_PQ_M)
+)
+
+
+@register(
+    "pq_adc_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+      FROM e ORDER BY vec_id LIMIT {_PQ_KSUB}
+    ),
+    js AS (SELECT j FROM (VALUES {_PQ_JS}) AS t(j)),
+    sub AS (
+      SELECT e.vec_id, js.j, e.v[(js.j*{_PQ_DSUB}+1):(js.j*{_PQ_DSUB}+{_PQ_DSUB})] AS s
+      FROM e, js
+    ),
+    csub AS (
+      SELECT cb.c, js.j, cb.v[(js.j*{_PQ_DSUB}+1):(js.j*{_PQ_DSUB}+{_PQ_DSUB})] AS s
+      FROM cb, js
+    ),
+    dist AS (
+      SELECT sub.vec_id, sub.j, csub.c, {_PQ_SQD.format(a="sub.s", b="csub.s")} AS d
+      FROM sub JOIN csub ON sub.j = csub.j
+    ),
+    enc AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT js.j, q.v[(js.j*{_PQ_DSUB}+1):(js.j*{_PQ_DSUB}+{_PQ_DSUB})] AS s
+      FROM (SELECT v FROM e ORDER BY vec_id LIMIT 1) q, js
+    ),
+    qdist AS (
+      SELECT qsub.j, csub.c, {_PQ_SQD.format(a="qsub.s", b="csub.s")} AS d
+      FROM qsub JOIN csub ON qsub.j = csub.j
+    ),
+    adc AS (
+      SELECT enc.vec_id,
+             string_agg(enc.c::VARCHAR, '-' ORDER BY enc.j) AS code_str,
+             {_PQ_ADC_SUM} AS adc_raw
+      FROM enc JOIN qdist ON enc.j = qdist.j AND enc.c = qdist.c
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id, code_str, ROUND(adc_raw, 4) AS adc_dist
+    FROM adc WHERE vec_id <> {_QID}
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    doc=(
+        "Product-quantization ADC search (operators/pq.py) under the "
+        f"full hash gate: m={_PQ_M} subspaces x ksub={_PQ_KSUB} centroids "
+        "from the deterministic first-ids codebook, every vector encoded "
+        "to its per-subspace argmin code (JVM folded expressions, "
+        "lowest-index tie-break), and the top-10 by asymmetric distance "
+        "— the query's precomputed m x ksub table summed at the code "
+        "positions, so search never touches the original vectors. The "
+        "oracle re-derives codebook, codes (window-rank argmin), ADC "
+        "table and the funnel's ordering; code_str makes the per-vector "
+        "ENCODING itself part of the hash, not just the ranking. Encode "
+        "and search are both pure map-side projections + "
+        "TakeOrderedAndProject: at 100 TB nothing shuffles but the "
+        "top-k, and the scanned bytes are the ~16x-compressed codes, "
+        "not the vectors."
+    ),
+)
+def pq_adc_topk(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.pq import (
+        adc_dist_col,
+        codebook_from_first_ids,
+        pq_encode,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    cb = codebook_from_first_ids(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    first = emb.orderBy("vec_id").first()
+    query = [float(x) for x in first.embedding]
+    enc = pq_encode(emb, cb)
+    return (
+        enc.filter(F.col("vec_id") != F.lit(first.vec_id))
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("code", lambda c: c.cast("string")), "-"
+            ).alias("code_str"),
+            F.round(adc_dist_col(cb, query), 4).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
 def _dedup_cluster_oracle() -> str:
     # DuckDB computes the same connected components with a recursive
     # reachability CTE over the minhash pair graph: walk = every (doc,

@@ -1,0 +1,179 @@
+"""Product-quantization tests (operators/pq.py): hand-checked encode
+argmins, expression-path == BLAS-path equality, the zero-error exactness
+regime (every vector is a centroid), trained-codebook recall vs brute
+force, the provably-exact IVF-PQ configuration, and a plan assertion
+that the ADC search path is Python-free."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.pq import (
+    PqCodebook,
+    adc_dist_col,
+    adc_table,
+    codebook_from_first_ids,
+    ivf_pq_search,
+    pq_adc_search,
+    pq_encode,
+    pq_encode_arrow,
+    train_pq,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    return _vecs(spark, rows), rows
+
+
+def test_encode_picks_nearest_centroid_hand_checked(spark):
+    # 2 subspaces of 2 dims, centroids = first 2 vectors' subvectors
+    df = _vecs(
+        spark,
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [5.0, 5.0, 0.0, 0.0]),
+            (2, [0.1, 0.2, 0.3, 0.1]),  # near c0 in sub0, near c1 in sub1
+            (3, [4.0, 6.0, 9.0, 9.0]),  # near c1 in sub0, near c0 in sub1
+        ],
+    )
+    cb = codebook_from_first_ids(df, m=2, ksub=2)
+    got = {r.vec_id: list(r.code) for r in pq_encode(df, cb).collect()}
+    assert got[2] == [0, 1]
+    assert got[3] == [1, 0]
+    # the codebook vectors themselves encode to their own index
+    assert got[0] == [0, 0] and got[1] == [1, 1]
+
+
+def test_encode_tie_breaks_to_lowest_centroid_index(spark):
+    # duplicate centroid subvectors: c0 == c1 in subspace 0 -> code 0
+    df = _vecs(
+        spark,
+        [(0, [1.0, 1.0, 0.0, 0.0]), (1, [1.0, 1.0, 9.0, 9.0]), (2, [1.0, 1.0, 8.0, 8.0])],
+    )
+    cb = codebook_from_first_ids(df, m=2, ksub=2)
+    got = {r.vec_id: list(r.code) for r in pq_encode(df, cb).collect()}
+    assert got[2][0] == 0
+
+
+def test_expression_and_arrow_paths_agree(spark, emb):
+    df, _ = emb
+    cb = codebook_from_first_ids(df, m=4, ksub=8)
+    a = {r.vec_id: list(r.code) for r in pq_encode(df, cb).collect()}
+    b = {r.vec_id: list(r.code) for r in pq_encode_arrow(df, cb).collect()}
+    assert a == b
+
+
+def test_adc_exact_when_vectors_are_centroids(spark):
+    # every vector IS a centroid -> zero quantization error -> ADC
+    # distance equals the true squared distance for every row
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(4)]
+    df = _vecs(spark, rows)
+    cb = codebook_from_first_ids(df, m=3, ksub=4)
+    query = [0.25, -0.5, 0.75, 0.1, -0.2, 0.3]
+    got = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_search(pq_encode(df, cb), cb, query, top_k=4).collect()
+    }
+    for i, v in rows:
+        true = sum((q - x) ** 2 for q, x in zip(query, v))
+        assert got[i] == pytest.approx(true, rel=1e-12)
+
+
+def test_adc_table_matches_column_path(spark, emb):
+    df, rows = emb
+    cb = codebook_from_first_ids(df, m=2, ksub=4)
+    query = rows[7][1]
+    table = adc_table(cb, query)
+    enc = {r.vec_id: list(r.code) for r in pq_encode(df, cb).collect()}
+    got = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_search(pq_encode(df, cb), cb, query, top_k=120).collect()
+    }
+    for i, code in enc.items():
+        want = sum(table[j][c] for j, c in enumerate(code))
+        assert got[i] == pytest.approx(want, rel=1e-12)
+
+
+def _recall(df, rows, cb, query_idx, top_k=10):
+    query = rows[query_idx][1]
+    got = {
+        r.vec_id
+        for r in pq_adc_search(pq_encode(df, cb), cb, query, top_k=top_k).collect()
+    }
+    truth = sorted(
+        (sum((q - x) ** 2 for q, x in zip(query, v)), i) for i, v in rows
+    )[:top_k]
+    return len(got & {i for _, i in truth}) / top_k
+
+
+def test_trained_codebook_recall_improves_with_ksub(spark, emb):
+    df, rows = emb
+    coarse = train_pq(df, m=2, ksub=2, seed=1)
+    fine = train_pq(df, m=2, ksub=32, seed=1)
+    r_coarse = _recall(df, rows, coarse, query_idx=3)
+    r_fine = _recall(df, rows, fine, query_idx=3)
+    assert r_fine >= r_coarse
+    assert r_fine >= 0.5  # 32 centroids over 120 vectors finds most of top-10
+
+
+def test_ivf_pq_exact_in_exhaustive_regime(spark, emb):
+    # nprobe = n_cells and rerank >= corpus: both funnel stages are
+    # exhaustive and the exact rerank makes the result equal brute force
+    from kafka_connect_ftp_spark.operators.ann import brute_force_topk, build_ivf
+
+    df, rows = emb
+    index = build_ivf(df, vec_col="embedding", k=4, seed=42)
+    cb = train_pq(df, m=2, ksub=4, seed=7)
+    codes = pq_encode(df, cb)
+    assigned = index.assigned.join(codes, "vec_id")
+    query = rows[11][1]
+    got = ivf_pq_search(
+        assigned, index.centroids, cb, query, top_k=5, nprobe=4, rerank=200
+    ).select("vec_id", F.round("cos_sim", 9).alias("c")).collect()
+    want = brute_force_topk(df, query, top_k=5).select(
+        "vec_id", F.round("cos_sim", 9).alias("c")
+    ).collect()
+    assert [(r.vec_id, r.c) for r in got] == [(r.vec_id, r.c) for r in want]
+
+
+def test_adc_search_plan_is_python_free(spark, emb):
+    df, _ = emb
+    cb = codebook_from_first_ids(df, m=2, ksub=4)
+    enc = pq_encode(df, cb)
+    plan = (
+        pq_adc_search(enc, cb, [0.0] * 8, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dimension_and_size_validation(spark):
+    df = _vecs(spark, [(0, [1.0, 2.0, 3.0]), (1, [1.0, 1.0, 1.0])])
+    with pytest.raises(ValueError):
+        codebook_from_first_ids(df, m=2, ksub=2)  # 3 % 2 != 0
+    with pytest.raises(ValueError):
+        codebook_from_first_ids(df, m=3, ksub=5)  # only 2 vectors
+    cb = PqCodebook(m=1, dsub=3, centroids=[[[0.0, 0.0, 0.0]]])
+    with pytest.raises(ValueError):
+        adc_table(cb, [1.0, 2.0])  # query dim mismatch
