@@ -5,6 +5,8 @@ engine's operators:
     corpus composition report (know-your-data) + cross-source overlap
       → span-level (C4-style) boilerplate dedup
       → quality gate (incl. Gopher repetition metric)
+      → full Gopher repetition-signal gate (top-n-gram char share,
+        duplicate n-gram occurrence fractions)
       → unigram-LM fluency scoring (CCNet-style; worst tail cut)
       → exact dedup (md5 group)
       → near-dup removal (minhash LSH → connected components → keepers)
@@ -16,6 +18,10 @@ engine's operators:
       → BPE-token counting + sequence packing (budget fill)
       → shard assembly (deterministic hash shuffle, split-partitioned,
         size-bounded files)
+
+plus the retrieval-side coda over the embeddings table: IVF coarse
+quantizer + per-subspace PQ codebooks + BLAS encoding + the
+probe → ADC-shortlist → exact-rerank search funnel (IVF-PQ).
 
 Every stage is a DataFrame transform — one lazily-composed plan per
 stage boundary, shuffles only where the algorithm demands them (dedup
@@ -48,6 +54,7 @@ from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
 from kafka_connect_ftp_spark.operators.mixing import mix_corpora
 from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
 from kafka_connect_ftp_spark.operators.pii import scrub
+from kafka_connect_ftp_spark.operators.repetition import repetition_signals
 from kafka_connect_ftp_spark.operators.sharding import write_training_shards
 from kafka_connect_ftp_spark.operators.splits import assign_splits
 from kafka_connect_ftp_spark.operators.text_dedup import (
@@ -88,6 +95,19 @@ def main() -> int:
     quality = registry()["quality_filter_flags"].fn(spark, sf_dir)
     docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
     n1 = docs.count()
+
+    # 1a. full Gopher repetition gate on what survived: a page whose top
+    # 2-gram covers >20% of its characters, or whose 5-grams are >50%
+    # repeats, is loop/boilerplate text the scalar gate can miss
+    rep = repetition_signals(docs, top_ns=(2, 3, 4), dup_ns=(5, 10))
+    docs = docs.join(
+        rep.filter(
+            (F.col("top_2gram_frac") <= 0.2) & (F.col("dup_5gram_frac") <= 0.5)
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n1a = docs.count()
 
     # 1b. LM fluency: drop the worst-perplexity 5% tail (corpus-trained
     # unigram model — the CCNet signal with an in-engine LM)
@@ -167,8 +187,29 @@ def main() -> int:
     )
     shard_counts = {r.split: r.n_rows for r in manifest.collect()}
 
+    # 9. retrieval-side coda: compress + index the embeddings table with
+    # the faiss-style IVF-PQ funnel (coarse cells prune WHAT is scanned,
+    # PQ codes shrink what the scan reads, exact rerank restores
+    # precision on the shortlist)
+    from kafka_connect_ftp_spark.operators.ann import build_ivf
+    from kafka_connect_ftp_spark.operators.pq import (
+        ivf_pq_search,
+        pq_encode_arrow,
+        train_pq,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    index = build_ivf(emb, k=8, seed=42)
+    codebook = train_pq(emb, m=4, ksub=16, seed=42)
+    encoded = index.assigned.join(pq_encode_arrow(emb, codebook), "vec_id")
+    qvec = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    hits = ivf_pq_search(
+        encoded, index.centroids, codebook, qvec, top_k=5, nprobe=2, rerank=50
+    ).collect()
+
     print(f"corpus:        {n0}")
     print(f"quality-kept:  {n1}")
+    print(f"repetition-kept: {n1a}")
     print(f"lm-kept:       {n1b}")
     print(f"exact-deduped: {n2}")
     print(f"near-deduped:  {n3}")
@@ -183,6 +224,10 @@ def main() -> int:
         f"of <= {SEQ_BUDGET} BPE tokens, mean fill {stats.mean_fill_ratio}"
     )
     print(f"shards:        {shard_counts} -> {shard_dir}")
+    print(
+        "ivf-pq top-5:  "
+        + ", ".join(f"{r.vec_id}@{r.cos_sim:.3f}" for r in hits)
+    )
     return 0
 
 
