@@ -41,13 +41,13 @@ HEADLINE = [
     # added round 4 (first tracked round; compare r4+ numbers only)
     "chunk_documents",
     "quality_filter_flags",
-    # added round 5 (first tracked round; compare r5+ numbers only)
-    "repetition_profile",
-    "pq_adc_topk",
     "governance_profile",
     "dedup_cluster_decision",
     "span_dedup_decision",
     "corpus_report",
+    # added round 5 (first tracked round; compare r5+ numbers only)
+    "repetition_profile",
+    "pq_adc_topk",
 ]
 
 # the 15 queries benched every round since round 1 — the cross-round

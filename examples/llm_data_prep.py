@@ -96,10 +96,12 @@ def main() -> int:
     docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
     n1 = docs.count()
 
-    # 1a. full Gopher repetition gate on what survived: a page whose top
+    # 1a. Gopher repetition gate on what survived: a page whose top
     # 2-gram covers >20% of its characters, or whose 5-grams are >50%
-    # repeats, is loop/boilerplate text the scalar gate can miss
-    rep = repetition_signals(docs, top_ns=(2, 3, 4), dup_ns=(5, 10))
+    # repeats, is loop/boilerplate text the scalar gate can miss. Only
+    # the widths the gate consumes are computed — each extra width is
+    # another exploded gram stream over the corpus
+    rep = repetition_signals(docs, top_ns=(2,), dup_ns=(5,))
     docs = docs.join(
         rep.filter(
             (F.col("top_2gram_frac") <= 0.2) & (F.col("dup_5gram_frac") <= 0.5)

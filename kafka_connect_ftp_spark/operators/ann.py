@@ -22,6 +22,41 @@ from pyspark.sql import functions as F
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
+def probe_nearest_cells(
+    centroids: list[list[float]], query: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query by L2, driver-side (k
+    centroids is tiny); distance ties break on cell id. Shared by
+    ``ivf_search`` and the IVF-PQ funnel (operators/pq.py) so the probe
+    rule can never drift between them."""
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, query))
+
+    return sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
+
+
+def query_literals(query: list[float]):
+    """``(q_arr, qnorm)``: the query as a literal array column and its
+    precomputed norm (driver-side — one vector, never per row)."""
+    import math
+
+    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
+    return F.array(*[F.lit(float(x)) for x in query]), qnorm
+
+
+def cosine_col(vec: str, qvec: str, *, qnorm: float):
+    """Cosine of ``vec`` against the joined-in query column, guarded: a
+    zero-norm DATABASE vector scores 0.0 — the raw 0/0 is NaN, and Spark
+    sorts NaN ABOVE every real double, so an unguarded ``desc`` ranking
+    would return garbage vectors as top hits. (A zero QUERY makes every
+    dot product 0, so the ``or 1.0`` in ``query_literals`` already
+    yields 0.0 everywhere.)"""
+    dot = F.expr(_DOT.format(a=vec, b=qvec))
+    vnorm = F.sqrt(F.expr(_DOT.format(a=vec, b=vec)))
+    return F.when(vnorm == 0.0, F.lit(0.0)).otherwise(dot / (vnorm * F.lit(qnorm)))
+
+
 @dataclass
 class IvfIndex:
     assigned: DataFrame  # vec_id, v (array<double>), cell (int)
@@ -46,21 +81,13 @@ def build_ivf(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
 def ivf_search(index: IvfIndex, query: list[float], top_k: int = 10, nprobe: int = 2) -> DataFrame:
     """Probe the ``nprobe`` cells nearest to ``query``; exact cosine top-k
     within them. Returns (vec_id, cell, cos_sim) ordered best-first."""
-    import math
-
-    def dist2(c):
-        return sum((a - b) ** 2 for a, b in zip(c, query))
-
-    probe_cells = sorted(range(len(index.centroids)), key=lambda i: (dist2(index.centroids[i]), i))[:nprobe]
-
-    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
-    q_arr = F.array(*[F.lit(float(x)) for x in query])
+    probe_cells = probe_nearest_cells(index.centroids, query, nprobe)
+    q_arr, qnorm = query_literals(query)
     candidates = index.assigned.filter(F.col("cell").isin(probe_cells)).withColumn("qv", q_arr)
-    cos = F.expr(_DOT.format(a="v", b="qv")) / (
-        F.sqrt(F.expr(_DOT.format(a="v", b="v"))) * F.lit(qnorm)
-    )
     return (
-        candidates.select("vec_id", "cell", cos.alias("cos_sim"))
+        candidates.select(
+            "vec_id", "cell", cosine_col("v", "qv", qnorm=qnorm).alias("cos_sim")
+        )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(top_k)
     )
@@ -154,7 +181,6 @@ def lsh_search(
     probe is a sub-scan (same scale argument as IVF nprobe).
     """
     import itertools
-    import math
 
     n = len(planes)
     qbits = sum(
@@ -166,14 +192,12 @@ def lsh_search(
         for h in range(max_hamming + 1)
         for flips in itertools.combinations(range(n), h)
     ]
-    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
-    q_arr = F.array(*[F.lit(float(x)) for x in query])
+    q_arr, qnorm = query_literals(query)
     cand = bucketed.filter(F.col("bucket").isin(probe)).withColumn("qv", q_arr)
-    cos = F.expr(_DOT.format(a="v", b="qv")) / (
-        F.sqrt(F.expr(_DOT.format(a="v", b="v"))) * F.lit(qnorm)
-    )
     return (
-        cand.select("vec_id", "bucket", cos.alias("cos_sim"))
+        cand.select(
+            "vec_id", "bucket", cosine_col("v", "qv", qnorm=qnorm).alias("cos_sim")
+        )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(top_k)
     )
@@ -181,14 +205,12 @@ def lsh_search(
 
 def brute_force_topk(df: DataFrame, query: list[float], vec_col: str = "embedding", id_col: str = "vec_id", top_k: int = 10) -> DataFrame:
     """Exact baseline for recall measurement."""
-    import math
-
-    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
-    q_arr = F.array(*[F.lit(float(x)) for x in query])
+    q_arr, qnorm = query_literals(query)
     base = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("qv", q_arr)
-    cos = F.expr(_DOT.format(a="v", b="qv")) / (
-        F.sqrt(F.expr(_DOT.format(a="v", b="v"))) * F.lit(qnorm)
+    return (
+        base.select("vec_id", cosine_col("v", "qv", qnorm=qnorm).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(top_k)
     )
-    return base.select("vec_id", cos.alias("cos_sim")).orderBy(F.desc("cos_sim"), "vec_id").limit(top_k)

@@ -50,13 +50,16 @@ independent.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_connect_ftp_spark.operators.ann import _DOT
+from kafka_connect_ftp_spark.operators.ann import (
+    cosine_col,
+    probe_nearest_cells,
+    query_literals,
+)
 
 
 @dataclass
@@ -287,26 +290,22 @@ def ivf_pq_search(
     Returns ``(vec_id, cell, cos_sim)`` best-first. At nprobe = n_cells
     and rerank >= the candidate count this is provably exact — the
     regime the equality test pins; production trades both knobs for
-    scan volume."""
-
-    def d2(c):
-        return sum((a - b) ** 2 for a, b in zip(c, query))
-
-    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
+    scan volume. Probe selection and the NaN-guarded cosine are the
+    SHARED ann.py helpers, so the funnel can never drift from
+    ``ivf_search``."""
+    probe = probe_nearest_cells(centroids, query, nprobe)
     shortlist = (
         assigned_encoded.filter(F.col("cell").isin(probe))
         .select("vec_id", "v", "cell", adc_dist_col(codebook, query).alias("_adc"))
         .orderBy("_adc", "vec_id")
         .limit(rerank)
     )
-    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
-    q_arr = F.array(*[F.lit(float(x)) for x in query])
-    cos = F.expr(_DOT.format(a="v", b="qv")) / (
-        F.sqrt(F.expr(_DOT.format(a="v", b="v"))) * F.lit(qnorm)
-    )
+    q_arr, qnorm = query_literals(query)
     return (
         shortlist.withColumn("qv", q_arr)
-        .select("vec_id", "cell", cos.alias("cos_sim"))
+        .select(
+            "vec_id", "cell", cosine_col("v", "qv", qnorm=qnorm).alias("cos_sim")
+        )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(top_k)
     )

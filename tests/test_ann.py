@@ -152,3 +152,17 @@ def test_lsh_bucket_is_map_side_partition_column(emb, lsh):
     # pure projection: no Exchange in the plan
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_zero_norm_vector_scores_zero_not_nan(spark):
+    # a zero database vector has undefined cosine; the guarded helper
+    # scores it 0.0 — the raw 0/0 is NaN, which Spark sorts ABOVE every
+    # real double, so an unguarded desc ranking returned garbage first
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = brute_force_topk(df, [1.0, 0.0], top_k=3).collect()
+    assert [r.vec_id for r in got] == [1, 2, 0]
+    by_id = {r.vec_id: r.cos_sim for r in got}
+    assert by_id[0] == 0.0

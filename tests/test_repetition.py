@@ -39,10 +39,11 @@ def test_dup_ngram_fraction_counts_repeat_occurrences(spark):
 
 
 def test_count_tie_breaks_to_larger_char_mass(spark):
-    # "aa b cc b": 2-grams "aa b", "b cc", "cc b" all count 1 — the tie
-    # must resolve to the largest character mass (4), never a smaller one
-    got = _profile(spark, [(1, "aa b cc b")], top_ns=(2,), dup_ns=(5,))
-    assert got[1]["top_2gram_frac"] == pytest.approx(4 / 9, abs=1e-6)
+    # "aaa bbb c d": 2-grams "aaa bbb" (mass 7), "bbb c" (5), "c d" (3)
+    # all count 1 — the tie MUST resolve to the largest character mass
+    # (7/11), so a smallest-mass or arbitrary tie-break fails here
+    got = _profile(spark, [(1, "aaa bbb c d")], top_ns=(2,), dup_ns=(5,))
+    assert got[1]["top_2gram_frac"] == pytest.approx(7 / 11, abs=1e-6)
 
 
 def test_short_and_empty_documents_get_zeros(spark):
