@@ -1,0 +1,121 @@
+"""Model-based document quality scoring — the classifier stage of the
+GPT-3 / CCNet / LLaMA data pipelines: train a linear classifier to
+separate a trusted reference corpus (positive class) from raw crawl
+(negative class), score every document with the probability it "looks
+like" the reference, and keep documents by score — optionally through
+the GPT-3-style Pareto acceptance rule, which keeps most high-scoring
+documents while still admitting a long tail of low scorers instead of
+hard-thresholding (Brown et al. 2020, Appendix A).
+
+Rule-based gates (plans/llm_pipeline.py quality_filter_flags,
+operators/repetition.py) catch mechanical junk; the classifier catches
+what rules can't express — "this passes every length/repetition check
+but doesn't read like the reference distribution".
+
+Spark mapping:
+- features are hashed token counts (``HashingTF`` over the engine's
+  whitespace tokenizer — the fasttext-style bag-of-words surrogate;
+  hashing keeps the feature space FIXED-WIDTH so no vocabulary is
+  collected or broadcast, exactly what makes the featurizer viable on
+  an unbounded corpus);
+- training (``LogisticRegression``) is the one iterative step and runs
+  once per pipeline build over the labeled sample, never per document;
+- scoring is ``model.transform`` — JVM-side (no Python UDF: pyspark.ml
+  featurizers and LR prediction execute as JVM expressions over the
+  batch), one map-side pass over the corpus, zero shuffles;
+- the Pareto acceptance rule is a pure column expression seeded by
+  ``xxhash64(id)``: deterministic per document, reproducible across
+  runs/partitionings — ``np.random.pareto`` in the original is replaced
+  by the inverse-CDF transform of a hash-uniform, so the decision needs
+  no RNG state and re-runs byte-identically (same convention as
+  operators/splits.py's hash-keyed splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKS = "filter(split({col}, ' '), x -> x <> '')"
+
+
+def _featurize(docs: DataFrame, text_col: str, n_features: int) -> DataFrame:
+    from pyspark.ml.feature import HashingTF
+
+    toks = docs.withColumn("_tokens", F.expr(_TOKS.format(col=text_col)))
+    tf = HashingTF(
+        inputCol="_tokens", outputCol="features", numFeatures=n_features
+    )
+    return tf.transform(toks).drop("_tokens")
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    *,
+    text_col: str = "text",
+    n_features: int = 1 << 18,
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+):
+    """Fit the reference-vs-crawl classifier. ``positive`` is the
+    trusted corpus sample, ``negative`` the raw one; both only need
+    ``text_col``. Returns the fitted LogisticRegressionModel (plus the
+    feature width rides on the model params). Training is deterministic
+    for a fixed input + partitioning (LBFGS from a zero start)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    labeled = _featurize(
+        positive.select(F.col(text_col)).withColumn("label", F.lit(1.0)).unionByName(
+            negative.select(F.col(text_col)).withColumn("label", F.lit(0.0))
+        ),
+        text_col,
+        n_features,
+    )
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, featuresCol="features", labelCol="label"
+    )
+    return lr.fit(labeled)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """One row per document: every input column plus ``score_col`` — the
+    model's P(reference | doc). Featurize + transform are one map-side
+    JVM pass; nothing shuffles."""
+    n_features = model.numFeatures
+    feats = _featurize(docs, text_col, n_features)
+    scored = model.transform(feats)
+    # probability is a 2-class ml Vector; element 1 is P(label=1)
+    from pyspark.ml.functions import vector_to_array
+
+    return scored.withColumn(
+        score_col, vector_to_array("probability")[1]
+    ).drop("features", "rawPrediction", "probability", "prediction")
+
+
+def pareto_keep(
+    score_col: str = "quality_score",
+    *,
+    id_col: str = "doc_id",
+    alpha: float = 9.0,
+    salt: str = "quality-pareto-v1",
+) -> Column:
+    """The GPT-3 acceptance rule as a deterministic column: keep a
+    document iff ``score > 1 - pareto_draw`` where the draw is the
+    inverse-CDF transform ``(1 - u)^(-1/alpha) - 1`` of a hash-uniform
+    ``u`` in [0, 1) keyed on (salt, id). High scores almost always pass;
+    low scores pass with probability ~ the Pareto tail, preserving
+    diversity a hard threshold would destroy. Deterministic per id —
+    identical across runs, partitionings and engines."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    u = (F.xxhash64(F.lit(salt), F.col(id_col)).cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return F.col(score_col) > (F.lit(1.0) - draw)

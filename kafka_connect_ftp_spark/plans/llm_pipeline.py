@@ -230,6 +230,48 @@ def repetition_profile(spark, sf_dir):
 
 
 @register(
+    "quality_model_flags",
+    None,  # iterative LR training — the contract's documented non-SQL category
+    doc=(
+        "Model-based quality scoring (operators/quality_model.py) under "
+        "the driver's rows-only check — the GPT-3/CCNet classifier "
+        "stage: a logistic regression over hashed token counts is "
+        "trained to separate a trusted reference sample (stand-in: "
+        "sources src0-src4) from the rest of the crawl, every document "
+        "is scored with P(reference), and the GPT-3 Pareto acceptance "
+        "rule (hash-seeded inverse-CDF draw, deterministic per doc_id) "
+        "decides keep/drop. One row per document; training is the one "
+        "iterative step (once per build), scoring + acceptance are a "
+        "single map-side JVM pass. No SQL oracle can express LBFGS, so "
+        "this joins bpe_train_tokenize and sequence_packing in the "
+        "rows-only category."
+    ),
+)
+def quality_model_flags(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.quality_model import (
+        pareto_keep,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    trusted = F.col("source").isin(*[f"src{i}" for i in range(5)])
+    model = train_quality_classifier(
+        docs.filter(trusted), docs.filter(~trusted), n_features=1 << 14
+    )
+    scored = score_quality(docs, model)
+    # alpha=2, not GPT-3's 9: their tail assumes a well-separated
+    # classifier scoring real reference docs near 1.0; the synthetic
+    # sources overlap heavily (scores top out ~0.8), so the heavier
+    # tail keeps the flag non-vacuous (splits both ways at every SF)
+    return scored.select(
+        "doc_id",
+        F.round("quality_score", 4).alias("quality_score"),
+        pareto_keep(alpha=2.0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
     "quality_filter_flags",
     f"""
     WITH t AS (

@@ -1,0 +1,119 @@
+"""Model-based quality scoring tests (operators/quality_model.py):
+classifier separation on vocabulary-disjoint corpora, score sanity,
+the deterministic Pareto acceptance rule's monotonicity + exact
+inverse-CDF math, and a JVM-only plan assertion for the scoring pass."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.quality_model import (
+    pareto_keep,
+    score_quality,
+    train_quality_classifier,
+)
+
+_GOOD = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+_JUNK = ["zzz", "qqq", "xxx", "kkk", "www", "jjj", "vvv", "ppp"]
+
+
+def _corpus(spark, vocab, n, start_id, seed):
+    rng = random.Random(seed)
+    rows = [
+        (start_id + i, " ".join(rng.choice(vocab) for _ in range(20)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def model_and_corpora(spark):
+    pos = _corpus(spark, _GOOD, 40, 0, seed=1)
+    neg = _corpus(spark, _JUNK, 40, 1000, seed=2)
+    model = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=25)
+    return model, pos, neg
+
+
+def test_classifier_separates_disjoint_vocabularies(spark, model_and_corpora):
+    model, _, _ = model_and_corpora
+    held_pos = _corpus(spark, _GOOD, 10, 5000, seed=3)
+    held_neg = _corpus(spark, _JUNK, 10, 6000, seed=4)
+    sp = [r.quality_score for r in score_quality(held_pos, model).collect()]
+    sn = [r.quality_score for r in score_quality(held_neg, model).collect()]
+    assert all(0.0 <= s <= 1.0 for s in sp + sn)
+    assert min(sp) > max(sn)  # disjoint vocab -> clean separation
+
+
+def test_score_preserves_rows_and_columns(spark, model_and_corpora):
+    model, pos, _ = model_and_corpora
+    scored = score_quality(pos, model)
+    assert scored.count() == pos.count()
+    assert set(scored.columns) == {"doc_id", "text", "quality_score"}
+
+
+def test_pareto_keep_matches_inverse_cdf_by_hand(spark):
+    # the rule is pure arithmetic on xxhash64 — recompute it row by row
+    df = spark.createDataFrame(
+        [(i, 0.1 + 0.8 * (i % 10) / 10) for i in range(200)],
+        "doc_id bigint, quality_score double",
+    )
+    got = {
+        r.doc_id: r.keep
+        for r in df.withColumn("keep", pareto_keep(alpha=3.0)).collect()
+    }
+    hashes = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", F.xxhash64(F.lit("quality-pareto-v1"), F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    scores = {r.doc_id: r.quality_score for r in df.collect()}
+    for i, h in hashes.items():
+        u = h / float(2**64) + 0.5
+        draw = (1.0 - u) ** (-1.0 / 3.0) - 1.0
+        assert got[i] == (scores[i] > 1.0 - draw), i
+
+
+def test_pareto_keep_rate_monotone_in_score(spark):
+    ids = list(range(4000))
+    lo = spark.createDataFrame(
+        [(i, 0.2) for i in ids], "doc_id bigint, quality_score double"
+    )
+    hi = spark.createDataFrame(
+        [(i, 0.9) for i in ids], "doc_id bigint, quality_score double"
+    )
+    rate = lambda df: df.filter(pareto_keep(alpha=2.0)).count() / len(ids)
+    r_lo, r_hi = rate(lo), rate(hi)
+    # P(keep | s) = (2 - s)^-2 under alpha=2: ~0.31 at 0.2, ~0.83 at 0.9
+    assert r_hi > r_lo
+    assert r_lo == pytest.approx((2 - 0.2) ** -2, abs=0.03)
+    assert r_hi == pytest.approx((2 - 0.9) ** -2, abs=0.03)
+
+
+def test_pareto_keep_deterministic_across_runs(spark):
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(500)], "doc_id bigint, quality_score double"
+    )
+    a = {r.doc_id for r in df.filter(pareto_keep()).collect()}
+    b = {r.doc_id for r in df.filter(pareto_keep()).collect()}
+    assert a == b and 0 < len(a) < 500
+
+
+def test_pareto_alpha_validation():
+    with pytest.raises(ValueError):
+        pareto_keep(alpha=0.0)
+
+
+def test_scoring_plan_is_jvm_side(spark, model_and_corpora):
+    model, pos, _ = model_and_corpora
+    plan = (
+        score_quality(pos, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
