@@ -7,6 +7,8 @@ engine's operators:
       → quality gate (incl. Gopher repetition metric)
       → full Gopher repetition-signal gate (top-n-gram char share,
         duplicate n-gram occurrence fractions)
+      → trained quality classifier (GPT-3-style LR over hashed token
+        counts; deterministic Pareto acceptance)
       → unigram-LM fluency scoring (CCNet-style; worst tail cut)
       → exact dedup (md5 group)
       → near-dup removal (minhash LSH → connected components → keepers)
@@ -54,6 +56,11 @@ from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
 from kafka_connect_ftp_spark.operators.mixing import mix_corpora
 from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
 from kafka_connect_ftp_spark.operators.pii import scrub
+from kafka_connect_ftp_spark.operators.quality_model import (
+    pareto_keep,
+    score_quality,
+    train_quality_classifier,
+)
 from kafka_connect_ftp_spark.operators.repetition import repetition_signals
 from kafka_connect_ftp_spark.operators.sharding import write_training_shards
 from kafka_connect_ftp_spark.operators.splits import assign_splits
@@ -110,6 +117,21 @@ def main() -> int:
         "left_semi",
     )
     n1a = docs.count()
+
+    # 1b'. model-based quality: train the GPT-3/CCNet-style classifier
+    # (reference sample = src0-4 stand-in vs the rest), score every doc
+    # in one map-side pass, keep by the deterministic Pareto rule —
+    # admits a long tail of low scorers instead of hard-thresholding
+    trusted = F.col("source").isin(*[f"src{i}" for i in range(5)])
+    clf = train_quality_classifier(
+        docs.filter(trusted), docs.filter(~trusted), n_features=1 << 14
+    )
+    docs = (
+        score_quality(docs, clf)
+        .filter(pareto_keep(alpha=2.0))
+        .drop("quality_score")
+    )
+    n1c = docs.count()
 
     # 1b. LM fluency: drop the worst-perplexity 5% tail (corpus-trained
     # unigram model — the CCNet signal with an in-engine LM)
@@ -212,6 +234,7 @@ def main() -> int:
     print(f"corpus:        {n0}")
     print(f"quality-kept:  {n1}")
     print(f"repetition-kept: {n1a}")
+    print(f"classifier-kept: {n1c}")
     print(f"lm-kept:       {n1b}")
     print(f"exact-deduped: {n2}")
     print(f"near-deduped:  {n3}")

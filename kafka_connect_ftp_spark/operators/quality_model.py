@@ -39,9 +39,21 @@ from pyspark.sql import functions as F
 _TOKS = "filter(split({col}, ' '), x -> x <> '')"
 
 
+# pyspark.ml's fixed pipeline column names; score_quality drops them
+# from its output, so a caller frame must not already use them — fail
+# loudly instead of silently clobbering a user column
+_RESERVED = ("_tokens", "features", "rawPrediction", "probability", "prediction")
+
+
 def _featurize(docs: DataFrame, text_col: str, n_features: int) -> DataFrame:
     from pyspark.ml.feature import HashingTF
 
+    clashes = [c for c in _RESERVED if c in docs.columns]
+    if clashes:
+        raise ValueError(
+            f"input columns {clashes} collide with the ml pipeline's "
+            f"reserved names {_RESERVED}; rename them before scoring"
+        )
     toks = docs.withColumn("_tokens", F.expr(_TOKS.format(col=text_col)))
     tf = HashingTF(
         inputCol="_tokens", outputCol="features", numFeatures=n_features

@@ -117,3 +117,10 @@ def test_scoring_plan_is_jvm_side(spark, model_and_corpora):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_reserved_column_collision_raises(spark, model_and_corpora):
+    model, pos, _ = model_and_corpora
+    bad = pos.withColumn("prediction", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        score_quality(bad, model)
