@@ -309,3 +309,100 @@ def ivf_pq_search(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(top_k)
     )
+
+
+def write_ivf_pq_index(index, codebook: PqCodebook, path: str) -> None:
+    """Materialize the IVF-PQ index as TWO cell-partitioned parquet
+    tables under ``path`` plus a JSON meta sidecar:
+
+    - ``codes/``: ``(vec_id, code)`` partitioned by ``cell`` — the
+      narrow table the ADC phase scans. Keeping the codes PHYSICALLY
+      separate from the vectors (not just a column next to them) is the
+      point: the ADC scan's I/O is the ~16-100x-compressed codes and
+      nothing else, and nprobe turns into partition pruning exactly as
+      in ``ann.write_ivf_index``.
+    - ``vectors/``: ``(vec_id, v)`` partitioned by ``cell`` — read only
+      by the exact-rerank phase, which joins the tiny ADC shortlist
+      back against the probed cells' vectors.
+
+    ``index`` is an :class:`~.ann.IvfIndex`; encoding uses the BLAS
+    Arrow path (production codebook sizes). The sidecar is written
+    THROUGH Spark like ann.py's, so distributed filesystems work."""
+    import json
+
+    enc = pq_encode_arrow(index.assigned, codebook, vec_col="v")
+    codes = index.assigned.select("vec_id", "cell").join(enc, "vec_id")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    index.assigned.select("vec_id", "v", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    spark = index.assigned.sparkSession
+    meta = json.dumps(
+        {
+            "centroids": index.centroids,
+            "m": codebook.m,
+            "dsub": codebook.dsub,
+            "codebook": codebook.centroids,
+        }
+    )
+    spark.createDataFrame([(meta,)], "c string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/_meta")
+
+
+def read_ivf_pq_index(spark, path: str):
+    """Open a materialized index: ``(codes_df, vectors_df, centroids,
+    codebook)``. Both frames are the partitioned tables — searches over
+    them prune to the probed cells."""
+    import json
+
+    meta = json.loads(spark.read.text(f"{path}/_meta").first().value)
+    codebook = PqCodebook(
+        m=meta["m"], dsub=meta["dsub"], centroids=meta["codebook"]
+    )
+    codes = spark.read.parquet(f"{path}/codes").select("vec_id", "code", "cell")
+    vectors = spark.read.parquet(f"{path}/vectors").select("vec_id", "v", "cell")
+    return codes, vectors, meta["centroids"], codebook
+
+
+def ivf_pq_search_indexed(
+    codes: DataFrame,
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebook: PqCodebook,
+    query: list[float],
+    *,
+    top_k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 100,
+) -> DataFrame:
+    """The funnel over a materialized index (``write_ivf_pq_index``
+    layout): phase 1 scans ONLY the codes table of the probed cells
+    (partition-pruned, vector-free — the compressed-scan win PQ exists
+    for) and takes the ``rerank``-row ADC shortlist; phase 2 joins that
+    tiny shortlist (broadcast) against the probed cells' vectors for
+    the exact cosine top-k. Same result as :func:`ivf_pq_search` over
+    the equivalent in-memory frame (test-pinned); the in-memory variant
+    reads vectors alongside codes in one pass, which is fine for an
+    already-materialized narrow frame but wastes scan I/O on a 100 TB
+    on-disk index."""
+    probe = probe_nearest_cells(centroids, query, nprobe)
+    shortlist = (
+        codes.filter(F.col("cell").isin(probe))
+        .select("vec_id", adc_dist_col(codebook, query).alias("_adc"))
+        .orderBy("_adc", "vec_id")
+        .limit(rerank)
+        .select("vec_id")
+    )
+    cand = vectors.filter(F.col("cell").isin(probe)).join(
+        F.broadcast(shortlist), "vec_id", "left_semi"
+    )
+    q_arr, qnorm = query_literals(query)
+    return (
+        cand.withColumn("qv", q_arr)
+        .select(
+            "vec_id", "cell", cosine_col("v", "qv", qnorm=qnorm).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(top_k)
+    )

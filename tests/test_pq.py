@@ -177,3 +177,52 @@ def test_dimension_and_size_validation(spark):
     cb = PqCodebook(m=1, dsub=3, centroids=[[[0.0, 0.0, 0.0]]])
     with pytest.raises(ValueError):
         adc_table(cb, [1.0, 2.0])  # query dim mismatch
+
+
+def test_materialized_index_round_trip_and_pruning(spark, emb, tmp_path_factory):
+    from kafka_connect_ftp_spark.operators.ann import build_ivf
+    from kafka_connect_ftp_spark.operators.pq import (
+        ivf_pq_search_indexed,
+        read_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    df, rows = emb
+    index = build_ivf(df, vec_col="embedding", k=4, seed=42)
+    cb = train_pq(df, m=2, ksub=8, seed=3)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    write_ivf_pq_index(index, cb, path)
+    codes, vectors, centroids, cb2 = read_ivf_pq_index(spark, path)
+
+    # round trip: codebook and centroids survive json exactly
+    assert cb2.m == cb.m and cb2.dsub == cb.dsub
+    assert cb2.centroids == cb.centroids and centroids == index.centroids
+
+    # search over the opened index == search over the in-memory frame
+    query = rows[11][1]
+    assigned = index.assigned.join(pq_encode(df, cb), "vec_id")
+    want = ivf_pq_search(
+        assigned, index.centroids, cb, query, top_k=5, nprobe=2, rerank=50
+    ).collect()
+    got = ivf_pq_search_indexed(
+        codes, vectors, centroids, cb2, query, top_k=5, nprobe=2, rerank=50
+    ).collect()
+    assert [(r.vec_id, round(r.cos_sim, 9)) for r in got] == [
+        (r.vec_id, round(r.cos_sim, 9)) for r in want
+    ]
+
+    # the ADC phase's scan is partition-pruned to the probed cells and
+    # its ReadSchema carries codes only — never the vector column
+    plan = (
+        ivf_pq_search_indexed(
+            codes, vectors, centroids, cb2, query, top_k=5, nprobe=2, rerank=50
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("PartitionFilters: [") >= 2  # codes AND vectors scans
+    codes_scan = [
+        seg for seg in plan.split("FileScan parquet")[1:] if "/codes" in seg[:2000]
+    ]
+    assert codes_scan and all("v:" not in seg[:500] for seg in codes_scan)
