@@ -183,13 +183,18 @@ def pq_encode_arrow(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Same output as :func:`pq_encode`, argmin as one BLAS matmul per
-    Arrow batch per subspace — the path for ksub in the hundreds, where
-    m*ksub folded expressions would overwhelm codegen. numpy argmin
-    returns the first minimum, preserving the lowest-index tie rule."""
+    """Same output as :func:`pq_encode` (+ any ``passthrough`` columns
+    carried verbatim), argmin as one BLAS matmul per Arrow batch per
+    subspace — the path for ksub in the hundreds, where m*ksub folded
+    expressions would overwhelm codegen. numpy argmin returns the first
+    minimum, preserving the lowest-index tie rule. ``passthrough`` is
+    what lets the index writer keep the cell id alongside the code in
+    ONE map-side pass instead of re-joining on vec_id afterwards."""
     cents = [[list(c) for c in sub] for sub in codebook.centroids]
     m, dsub = codebook.m, codebook.dsub
+    extra = list(passthrough)
 
     def encode(batches):
         import numpy as np
@@ -208,14 +213,18 @@ def pq_encode_arrow(
                 # per row and never changes the argmin — dropped
                 d = cb_sq[j][None, :] - 2.0 * (sub @ cb[j].T)
                 out[:, j] = np.argmin(d, axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": list(out)})
+            cols = {"vec_id": pdf["vec_id"], "code": list(out)}
+            cols.update({c: pdf[c] for c in extra})
+            yield pd.DataFrame(cols)
 
     base = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        *extra,
     )
-    schema = f"vec_id {base.schema['vec_id'].dataType.simpleString()}, code array<int>"
-    return base.mapInPandas(encode, schema)
+    fields = [f"vec_id {base.schema['vec_id'].dataType.simpleString()}", "code array<int>"]
+    fields += [f"{c} {base.schema[c].dataType.simpleString()}" for c in extra]
+    return base.mapInPandas(encode, ", ".join(fields))
 
 
 def adc_table(codebook: PqCodebook, query: list[float]) -> list[list[float]]:
@@ -330,8 +339,10 @@ def write_ivf_pq_index(index, codebook: PqCodebook, path: str) -> None:
     THROUGH Spark like ann.py's, so distributed filesystems work."""
     import json
 
-    enc = pq_encode_arrow(index.assigned, codebook, vec_col="v")
-    codes = index.assigned.select("vec_id", "cell").join(enc, "vec_id")
+    # cell rides THROUGH the encode pass — a vec_id re-join of the codes
+    # against the assigned frame would shuffle the whole corpus twice
+    # for a column the mapper already had in hand
+    codes = pq_encode_arrow(index.assigned, codebook, vec_col="v", passthrough=("cell",))
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     index.assigned.select("vec_id", "v", "cell").write.mode("overwrite").partitionBy(
         "cell"

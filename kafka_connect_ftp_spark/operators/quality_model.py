@@ -95,7 +95,6 @@ def score_quality(
     model,
     *,
     text_col: str = "text",
-    id_col: str = "doc_id",
     score_col: str = "quality_score",
 ) -> DataFrame:
     """One row per document: every input column plus ``score_col`` — the
@@ -121,13 +120,23 @@ def pareto_keep(
 ) -> Column:
     """The GPT-3 acceptance rule as a deterministic column: keep a
     document iff ``score > 1 - pareto_draw`` where the draw is the
-    inverse-CDF transform ``(1 - u)^(-1/alpha) - 1`` of a hash-uniform
-    ``u`` in [0, 1) keyed on (salt, id). High scores almost always pass;
-    low scores pass with probability ~ the Pareto tail, preserving
-    diversity a hard threshold would destroy. Deterministic per id —
-    identical across runs, partitionings and engines."""
+    inverse-CDF transform ``u^(-1/alpha) - 1`` of a hash-uniform ``u``
+    keyed on (salt, id) — P(keep | score s) = (2 - s)^(-alpha), the
+    exact acceptance probability of the original
+    ``np.random.pareto(alpha) > 1 - score`` rule. High scores almost
+    always pass; low scores pass with probability ~ the Pareto tail,
+    preserving diversity a hard threshold would destroy. Deterministic
+    per id — identical across runs, partitionings and engines.
+
+    The uniform is ``mixing.uniform_hash`` (the engine's ONE
+    hash-to-uniform definition): its (0, 1] range maps to a draw in
+    [0, inf) with no boundary blow-up — a raw [0, 1) uniform fed
+    through ``(1-u)^(-1/alpha)`` can hit u→1 and yield an Infinity draw
+    that keeps a document regardless of score."""
+    from kafka_connect_ftp_spark.operators.mixing import uniform_hash
+
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    u = (F.xxhash64(F.lit(salt), F.col(id_col)).cast("double") / F.lit(float(2**64))) + F.lit(0.5)
-    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    u = uniform_hash(F.col(id_col), salt)
+    draw = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return F.col(score_col) > (F.lit(1.0) - draw)

@@ -263,12 +263,17 @@ def quality_model_flags(spark, sf_dir):
     # alpha=2, not GPT-3's 9: their tail assumes a well-separated
     # classifier scoring real reference docs near 1.0; the synthetic
     # sources overlap heavily (scores top out ~0.8), so the heavier
-    # tail keeps the flag non-vacuous (splits both ways at every SF)
-    return scored.select(
-        "doc_id",
-        F.round("quality_score", 4).alias("quality_score"),
-        pareto_keep(alpha=2.0).alias("keep"),
-    ).orderBy("doc_id")
+    # tail keeps the flag non-vacuous (splits both ways at every SF).
+    # keep is computed from the ROUNDED score the row carries, so the
+    # emitted (score, keep) pair is self-consistent — re-deriving the
+    # rule from the row's own columns reproduces the flag exactly
+    return (
+        scored.select(
+            "doc_id", F.round("quality_score", 4).alias("quality_score")
+        )
+        .withColumn("keep", pareto_keep(alpha=2.0))
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -55,7 +55,10 @@ def test_score_preserves_rows_and_columns(spark, model_and_corpora):
 
 
 def test_pareto_keep_matches_inverse_cdf_by_hand(spark):
-    # the rule is pure arithmetic on xxhash64 — recompute it row by row
+    # the rule is pure arithmetic on the engine's md5 uniform
+    # (mixing.uniform_hash) — recompute it row by row in plain Python
+    import hashlib
+
     df = spark.createDataFrame(
         [(i, 0.1 + 0.8 * (i % 10) / 10) for i in range(200)],
         "doc_id bigint, quality_score double",
@@ -64,17 +67,13 @@ def test_pareto_keep_matches_inverse_cdf_by_hand(spark):
         r.doc_id: r.keep
         for r in df.withColumn("keep", pareto_keep(alpha=3.0)).collect()
     }
-    hashes = {
-        r.doc_id: r.h
-        for r in df.select(
-            "doc_id", F.xxhash64(F.lit("quality-pareto-v1"), F.col("doc_id")).alias("h")
-        ).collect()
-    }
-    scores = {r.doc_id: r.quality_score for r in df.collect()}
-    for i, h in hashes.items():
-        u = h / float(2**64) + 0.5
-        draw = (1.0 - u) ** (-1.0 / 3.0) - 1.0
-        assert got[i] == (scores[i] > 1.0 - draw), i
+    denom = float(1 << 52)
+    for i in range(200):
+        h = hashlib.md5(f"quality-pareto-v1:{i}".encode()).hexdigest()[:13]
+        u = int(h, 16) / denom + 1.0 / denom
+        draw = u ** (-1.0 / 3.0) - 1.0
+        score = 0.1 + 0.8 * (i % 10) / 10
+        assert got[i] == (score > 1.0 - draw), i
 
 
 def test_pareto_keep_rate_monotone_in_score(spark):
