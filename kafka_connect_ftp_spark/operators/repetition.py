@@ -69,21 +69,35 @@ def repetition_signals(
         F.expr(toks).alias("_tk"),
     )
 
-    # one pass, all widths: arrays of (n, gram) structs flattened into a
-    # single explode (the token array is a materialized column — inlining
-    # the tokenizer in the lambdas would re-split per gram position)
-    per_n_arrays = [
-        F.expr(
-            f"case when size(_tk) >= {n} then"
-            f" transform(sequence(1, size(_tk) - {n - 1}),"
-            f"  i -> struct({n} as n, concat_ws(' ', slice(_tk, i, {n})) as g))"
-            f" else array() end"
-        )
+    # one pass, all widths: explode token POSITIONS once, then stack()
+    # the per-width grams off each position (the token array is a
+    # materialized column — inlining the tokenizer in the lambdas would
+    # re-split per gram position). Positions past a width's last start
+    # emit NULL and are filtered. This form profiled ~3x faster than
+    # building per-width arrays of (n, gram) structs and flattening
+    # them (the struct arrays were materialized per doc row before the
+    # explode) while still reading the corpus ONCE — a per-width union
+    # is just as fast at bench scale but pays one full text scan per
+    # width at 100 TB. The size >= 1 guard matters: Spark's
+    # sequence(1, 0) auto-steps DOWN to [1, 0], which would fabricate
+    # two phantom positions for an empty document.
+    pos = base.select(
+        id_col,
+        "_tk",
+        F.explode(
+            F.expr(
+                "case when size(_tk) >= 1 then sequence(1, size(_tk)) else array() end"
+            )
+        ).alias("_i"),
+    )
+    stack_args = ", ".join(
+        f"{n}, case when _i <= size(_tk) - {n - 1} then"
+        f" concat_ws(' ', slice(_tk, _i, {n})) end"
         for n in all_ns
-    ]
-    grams = base.select(
-        id_col, F.explode(F.flatten(F.array(*per_n_arrays))).alias("_g")
-    ).select(id_col, F.col("_g.n").alias("n"), F.col("_g.g").alias("g"))
+    )
+    grams = pos.select(
+        id_col, F.expr(f"stack({len(all_ns)}, {stack_args})").alias("n", "g")
+    ).filter(F.col("g").isNotNull())
 
     counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
     per_n = counts.groupBy(id_col, "n").agg(
