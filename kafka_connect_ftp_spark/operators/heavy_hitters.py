@@ -54,24 +54,28 @@ def ngram_stream(docs: DataFrame, n: int = 3, *, text_col: str = "text") -> Data
     """One row per n-gram occurrence: ``(ngram)``. Map-side explode.
 
     The token array is materialized as a column FIRST: inlining the
-    ``filter(split(...))`` tokenizer inside the ``transform`` lambda
+    ``filter(split(...))`` tokenizer inside the position expression
     would re-tokenize the document once per n-gram position (O(tokens²)
-    per doc — measured 2x wall on the corpus_report bench)."""
+    per doc — measured 2x wall on the corpus_report bench). Positions
+    are exploded and each gram string built per exploded row — building
+    the per-doc gram ARRAY first and exploding that materializes every
+    document's grams twice and profiled ~1.5x slower (the same finding
+    as operators/repetition.py's gram stage)."""
     if n < 1:
         raise ValueError("n must be >= 1")
     toks = _TOKS.format(col=text_col)
     return (
         docs.select(F.expr(toks).alias("_tk"))
         .select(
+            "_tk",
             F.explode(
                 F.expr(
                     f"case when size(_tk) >= {n} then"
-                    f" transform(sequence(1, size(_tk) - {n - 1}),"
-                    f"   i -> concat_ws(' ', slice(_tk, i, {n})))"
-                    f" else array() end"
+                    f" sequence(1, size(_tk) - {n - 1}) else array() end"
                 )
-            ).alias("ngram")
+            ).alias("_i"),
         )
+        .select(F.expr(f"concat_ws(' ', slice(_tk, _i, {n}))").alias("ngram"))
     )
 
 
