@@ -34,6 +34,12 @@ carries at most the distinct grams of each document). The two follow-up
 aggregations run on the already-tiny ``(doc_id, n)`` grain. doc_id keys
 every exchange — no skew (documents are length-bounded), no Python
 anywhere.
+
+The tie-break max is a struct max, which Spark plans as a
+SortAggregate (struct buffers don't hash-aggregate): its sort runs on
+the already-count-collapsed ``(doc_id, n, gram)`` grain — bounded by
+each document's distinct grams, never corpus size — the same accepted
+shape as span_dedup's min-struct decision aggregate.
 """
 
 from __future__ import annotations

@@ -153,3 +153,44 @@ def test_jsonl_roundtrip_property(spark, tmp_path_factory, texts):
     rows = sorted(df.collect(), key=lambda r: r.i)
     assert [r.text for r in rows] == list(texts)
     assert not any(r.decode_error for r in rows)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "b", "ccc", "dd"]), min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_repetition_signals_match_pure_python(spark, token_lists):
+    """repetition_signals equals an independent pure-Python computation
+    on arbitrary small corpora (hypothesis-shrunk counterexamples)."""
+    from kafka_connect_ftp_spark.operators.repetition import repetition_signals
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in repetition_signals(df, top_ns=(2,), dup_ns=(3,)).collect()
+    }
+    for i, toks in enumerate(token_lists):
+        n_chars = len(" ".join(toks))
+        want_dup_tok = (len(toks) - len(set(toks))) / len(toks) if toks else 0.0
+        assert abs(got[i]["dup_token_frac"] - want_dup_tok) < 1e-6
+        for n, col in ((2, "top_2gram_frac"), (3, "dup_3gram_frac")):
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            counts: dict[str, int] = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            if col.startswith("top"):
+                if counts:
+                    cmax = max(counts.values())
+                    want = max(
+                        c * len(g) for g, c in counts.items() if c == cmax
+                    ) / n_chars
+                else:
+                    want = 0.0
+            else:
+                want = (len(grams) - len(counts)) / len(grams) if grams else 0.0
+            assert abs(got[i][col] - want) < 1e-6, (i, col, toks)

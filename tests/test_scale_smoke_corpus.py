@@ -96,3 +96,32 @@ def test_lsh_hot_bucket_smoke(spark):
     sig = minhash_signatures(docs, "doc_id", "text", n_hashes=8)
     pairs = lsh_candidate_pairs(sig, band_size=4, bucket_cap=256)
     assert pairs.count() == n * (n - 1) // 2
+
+
+def test_repetition_hot_document_smoke(spark):
+    """One pathological 100k-token document next to normal ones: the
+    gram stream for that doc is ~500k rows, but every aggregation keys
+    on doc_id so the hot doc's work collapses map-side and the profile
+    still comes back with exact fractions (the doc is 'a b' repeated, so
+    its duplicate fractions are known in closed form)."""
+    from kafka_connect_ftp_spark.operators.repetition import repetition_signals
+
+    big = " ".join(["a", "b"] * 50_000)
+    docs = spark.createDataFrame(
+        [(0, big), (1, "c d e f g h"), (2, "x y x y")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in repetition_signals(docs, top_ns=(2,), dup_ns=(5,)).collect()
+    }
+    r = got[0]
+    assert r["n_tokens"] == 100_000
+    # 100k tokens, 2 distinct -> (100000-2)/100000
+    assert abs(r["dup_token_frac"] - 0.99998) < 1e-6
+    # 5-grams: 99996 occurrences, 2 distinct patterns -> ~all duplicates
+    assert r["dup_5gram_frac"] > 0.9999
+    # top 2-gram "a b" covers half the bigram slots: count 50000, len 3,
+    # chars = 199999 -> 150000/199999
+    assert abs(r["top_2gram_frac"] - 150000 / 199999) < 1e-5
+    assert got[1]["dup_5gram_frac"] == 0.0
