@@ -67,6 +67,11 @@ def repetition_signals(
         raise ValueError("at least one of top_ns/dup_ns must be non-empty")
     if any(n < 1 for n in (*top_ns, *dup_ns)):
         raise ValueError(f"n-gram widths must be >= 1, got {top_ns} / {dup_ns}")
+    # the gram frame's internal column names; an id_col named like one
+    # of them would make the (id, n, g) groupings ambiguous
+    reserved = {"n", "g", "_tk", "_i", "_n_chars"}
+    if id_col in reserved:
+        raise ValueError(f"id_col {id_col!r} collides with internal names {sorted(reserved)}")
     all_ns = sorted(set(top_ns) | set(dup_ns))
     toks = _TOKS.format(col=text_col)
     base = docs.select(

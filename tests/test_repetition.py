@@ -126,3 +126,9 @@ def test_width_validation(spark):
         repetition_signals(df, top_ns=(), dup_ns=())
     with pytest.raises(ValueError):
         repetition_signals(df, top_ns=(0,), dup_ns=(5,))
+
+
+def test_id_col_internal_name_collision_raises(spark):
+    df = spark.createDataFrame([(1, "a b")], "n bigint, text string")
+    with pytest.raises(ValueError, match="collides"):
+        repetition_signals(df, id_col="n")
