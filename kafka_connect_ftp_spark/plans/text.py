@@ -496,3 +496,81 @@ def simhash_fingerprint(spark, sf_dir):
     return bits.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
 
 
+
+# vocabulary size for the coverage diagnostic: the synthetic corpus
+# has only 31 distinct tokens, so top-16 leaves a real OOV tail in
+# every document at every SF (V=50 covered everything — vacuous)
+_VOCAB_V = 16
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tk FROM documents),
+    freq AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+    vocab AS (SELECT tk FROM freq ORDER BY c DESC, tk LIMIT {_VOCAB_V}),
+    per AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.tk = v.tk GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_tok, 0) AS n_tokens,
+           COALESCE(per.n_oov, 0) AS n_oov,
+           ROUND(CASE WHEN per.n_tok IS NULL THEN 0.0
+                      ELSE CAST(per.n_oov AS DOUBLE) / per.n_tok END, 6) AS oov_rate
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        f"Tokenizer-vocabulary coverage diagnostic: the top-{_VOCAB_V} "
+        "corpus tokens by frequency (count-desc, token-asc tie-break — "
+        "deterministic in both engines) play the vocabulary; each "
+        "document reports its token count, out-of-vocabulary count and "
+        "OOV rate — the check a pipeline runs before committing a "
+        "tokenizer (high OOV = the vocab was trained on the wrong "
+        "distribution). Plan: the vocab pass is a token-keyed aggregate "
+        "whose size is bounded by the VOCABULARY (not the corpus, the "
+        "lm_score pattern) + TakeOrdered top-V; the coverage pass "
+        "re-streams tokens map-side against the BROADCAST vocab and "
+        "aggregates per doc_id. Two corpus scans, no shuffle ever "
+        "carries raw text, and the only wide exchange is bounded by "
+        "distinct tokens."
+    ),
+)
+def vocab_coverage(spark, sf_dir):
+    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tk")
+        .limit(_VOCAB_V)
+        .select("tk", F.lit(1).alias("_in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    n_tok = F.coalesce(F.col("n_tok"), F.lit(0))
+    n_oov = F.coalesce(F.col("n_oov"), F.lit(0))
+    return (
+        df.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.round(
+                F.when(F.col("n_tok").isNull(), F.lit(0.0)).otherwise(
+                    n_oov.cast("double") / n_tok
+                ),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
