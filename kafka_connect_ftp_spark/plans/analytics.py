@@ -20,43 +20,11 @@ from kafka_connect_ftp_spark.session import load_tables
 # ---------------------------------------------------------------- aggregates
 
 
-@register(
-    "status_profile",
-    """
-    SELECT o_orderstatus,
-           COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           ROUND(SUM(o_totalprice), 2) AS total,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    doc=(
-        "Per-status profile in one hash aggregate: COUNT DISTINCT "
-        "(two-phase expand), money totals, and exact interpolated "
-        "percentiles (Spark percentile ≡ DuckDB quantile_cont; at 100 TB "
-        "swap for approx_percentile + rows-only check). Round 1's "
-        "agg_distinct_per_status + percentiles_per_status merged."
-    ),
-)
-def status_profile(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "orders")
-    return (
-        t["orders"]
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-        )
-        .orderBy("o_orderstatus")
-    )
+# status_profile (rounds 1-5: per-status COUNT DISTINCT / money totals /
+# exact percentiles) was merged into advanced.order_rollup_family in
+# round 6 — the identical aggregate battery now runs per GROUPING SET on
+# the same orders scan, keeping the registry inside the driver's bounded
+# correctness window.
 
 
 @register(

@@ -9,7 +9,7 @@ that 4-decimal rounding is stable.
 Scale design (100 TB of vectors):
 - ``embedding_cosine_topk`` broadcasts the query vector and computes a
   global top-k (TakeOrderedAndProject — no full sort, no driver collect).
-- ``ann_ivf_label_topk`` is the IVF pattern: a coarse partition column
+- ``ann_ivf_family`` ('label_nprobe1') is the IVF pattern: a coarse partition column
   (here the pre-assigned ``label``; in production a KMeans centroid id)
   prunes the scan to nprobe=1 partitions. With the table written
   partitioned-by-centroid, partition pruning makes this a sub-scan.
@@ -126,35 +126,15 @@ def embedding_cosine_topk(spark, sf_dir):
     )
 
 
-@register(
-    "ann_ivf_label_topk",
-    f"""
-    SELECT vec_id,
-           ROUND(list_dot_product(embedding::DOUBLE[], {_Q})
-                 / (SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                    * SQRT(list_dot_product({_Q}, {_Q}))), 4) AS cos_sim
-    FROM embeddings
-    WHERE vec_id <> {_QID} AND label = {_QLABEL}
-    ORDER BY cos_sim DESC, vec_id LIMIT 5
-    """,
-    doc=(
-        "IVF-style ANN, nprobe=1: prune the scan to the query's coarse "
-        "partition (label stands in for the KMeans centroid id), then exact "
-        "top-k within it."
-    ),
-)
-def ann_ivf_label_topk(spark, sf_dir):
-    df = _emb(spark, sf_dir)
-    q = df.orderBy("vec_id").limit(1).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("label").alias("q_label")
-    )
-    return (
-        df.crossJoin(F.broadcast(q))
-        .filter((F.col("vec_id") != F.col("q_id")) & (F.col("label") == F.col("q_label")))
-        .select("vec_id", F.round(_cos("v", "qv"), 4).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(5)
-    )
+_ANN_LABEL_SQL = f"""
+      SELECT 'label_nprobe1' AS method, vec_id,
+             ROUND(list_dot_product(embedding::DOUBLE[], {_Q})
+                   / (SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * SQRT(list_dot_product({_Q}, {_Q}))), 4) AS cos_sim
+      FROM embeddings
+      WHERE vec_id <> {_QID} AND label = {_QLABEL}
+      ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
 
 
 @register(
@@ -204,26 +184,50 @@ _IVF_RAW_COS = f"""list_dot_product(embedding::DOUBLE[], {_Q})
 
 
 @register(
-    "ann_ivf_kmeans_topk",
+    "ann_ivf_family",
     f"""
-    SELECT vec_id, ROUND({_IVF_RAW_COS}, 4) AS cos_sim
-    FROM embeddings
-    ORDER BY {_IVF_RAW_COS} DESC, vec_id LIMIT 10
+    SELECT method, vec_id, cos_sim FROM (
+      SELECT * FROM ({_ANN_LABEL_SQL})
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'kmeans_exact' AS method, vec_id, ROUND({_IVF_RAW_COS}, 4) AS cos_sim
+        FROM embeddings
+        ORDER BY {_IVF_RAW_COS} DESC, vec_id LIMIT 10
+      )
+    ) ORDER BY method, cos_sim DESC, vec_id
     """,
     doc=(
-        "IVF ANN with a trained KMeans coarse quantizer (operators/ann.py) "
-        "run at nprobe = k (probe every cell) — the recall=1.0 "
-        "configuration, where IVF search is provably exact. That makes the "
-        "ENTIRE trained pipeline (KMeans train, cell assignment, centroid "
-        "ranking, per-cell exact scoring, merge) hash-checkable against the "
-        "brute-force SQL top-k: any dropped/duplicated/mis-scored vector "
-        "breaks equality. Round 2 recorded this row as no_oracle; the "
-        "nprobe<k pruning/recall trade-off stays pinned by tests/test_ann.py "
-        "(recall monotonicity vs brute force)."
+        "Both IVF ANN variants in one tagged result (merged round 6 so "
+        "each keeps a row inside the driver's bounded correctness "
+        "window): (a) 'label_nprobe1' — prune the scan to the query's "
+        "coarse partition (label stands in for the KMeans centroid id), "
+        "then exact top-5 within it; (b) 'kmeans_exact' — IVF with a "
+        "trained KMeans coarse quantizer (operators/ann.py) run at "
+        "nprobe = k (probe every cell), the recall=1.0 configuration "
+        "where IVF search is provably exact, which makes the ENTIRE "
+        "trained pipeline (KMeans train, cell assignment, centroid "
+        "ranking, per-cell exact scoring, merge) hash-checkable against "
+        "the brute-force SQL top-10: any dropped/duplicated/mis-scored "
+        "vector breaks equality. The nprobe<k pruning/recall trade-off "
+        "stays pinned by tests/test_ann.py (recall monotonicity vs brute "
+        "force)."
     ),
 )
-def ann_ivf_kmeans_topk(spark, sf_dir):
+def ann_ivf_family(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.ann import build_ivf, ivf_search
+
+    df = _emb(spark, sf_dir)
+    q = df.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("label").alias("q_label")
+    )
+    label_topk = (
+        df.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != F.col("q_id")) & (F.col("label") == F.col("q_label")))
+        .select("vec_id", F.round(_cos("v", "qv"), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+        .select(F.lit("label_nprobe1").alias("method"), "vec_id", "cos_sim")
+    )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     # training per invocation is deliberate HERE: the trained pipeline is
@@ -234,8 +238,13 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
     # cell is training-state-dependent (not oracle-derivable) — project it
     # away; vec_id + cos_sim fully identify the search result
-    return ivf_search(index, query, top_k=10, nprobe=8).select(
-        "vec_id", F.round("cos_sim", 4).alias("cos_sim")
+    kmeans_topk = ivf_search(index, query, top_k=10, nprobe=8).select(
+        F.lit("kmeans_exact").alias("method"),
+        "vec_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+    return label_topk.unionByName(kmeans_topk).orderBy(
+        "method", F.desc("cos_sim"), "vec_id"
     )
 
 

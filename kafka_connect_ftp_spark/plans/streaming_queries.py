@@ -75,69 +75,82 @@ def _run_to_completion(agg, name_prefix: str):
 
 
 @register(
-    "streaming_hour_rollup",
+    "streaming_rollup_family",
     """
-    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
-    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    SELECT section, hour, event_type, user_id, n, total_value FROM (
+      SELECT 'hour_rollup' AS section, DATE_TRUNC('hour', ts) AS hour, event_type,
+             CAST(NULL AS BIGINT) AS user_id,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'sessions', CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR), user_id,
+             n_sessions, CAST(NULL AS DOUBLE)
+      FROM (
+        SELECT user_id, COUNT(*) AS n_sessions
+        FROM (
+          SELECT DISTINCT user_id, session_id
+          FROM (
+            SELECT user_id,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_id
+            FROM (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               <= INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS is_new
+              FROM events))
+        ) GROUP BY user_id
+      )
+    ) ORDER BY section, hour, event_type, user_id
     """,
     doc=(
-        "Tumbling 1-hour event-time window aggregation as a real streaming "
-        "query (micro-batch + state store), equal to the batch rollup once "
-        "the stream drains — the T1/T4 streaming operators of SURVEY §2.8 "
-        "generalized to event-time windows the reference lacks (§2.11)."
+        "Both Structured Streaming aggregations in one tagged result "
+        "(merged round 6 so each stays inside the driver's bounded "
+        "correctness window; each still runs as its own real streaming "
+        "query): (a) tumbling 1-hour event-time window aggregation "
+        "(micro-batch + state store), equal to the batch rollup once the "
+        "stream drains — the T1/T4 streaming operators of SURVEY §2.8 "
+        "generalized to event-time windows the reference lacks (§2.11); "
+        "(b) session_window(ts, 30 min) per user, whose oracle recomputes "
+        "sessions via the lag-gap formulation — gap-merge semantics "
+        "coincide because a session closes exactly when the next event is "
+        "> 30 min away."
     ),
 )
-def streaming_hour_rollup(spark, sf_dir):
-    agg = (
+def streaming_rollup_family(spark, sf_dir):
+    hour_agg = (
         _events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
-    name = _run_to_completion(agg, "hour_rollup")
-    return (
-        spark.table(name)
-        .select(F.col("window.start").alias("hour"), "event_type", "n", "total_value")
-        .orderBy("hour", "event_type")
+    hour_name = _run_to_completion(hour_agg, "hour_rollup")
+    hours = spark.table(hour_name).select(
+        F.lit("hour_rollup").alias("section"),
+        F.col("window.start").alias("hour"),
+        "event_type",
+        F.lit(None).cast("long").alias("user_id"),
+        "n",
+        "total_value",
     )
-
-
-@register(
-    "streaming_session_counts",
-    """
-    SELECT user_id, COUNT(*) AS n_sessions
-    FROM (
-      SELECT DISTINCT user_id, session_id
-      FROM (
-        SELECT user_id,
-               SUM(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                           <= INTERVAL 30 MINUTE
-                      THEN 0 ELSE 1 END AS is_new
-          FROM events))
-    ) GROUP BY user_id ORDER BY user_id
-    """,
-    doc=(
-        "session_window(ts, 30 min) per user in a streaming query; the "
-        "oracle recomputes sessions via the lag-gap formulation. Gap-merge "
-        "semantics coincide because a session closes exactly when the next "
-        "event is > 30 min away."
-    ),
-)
-def streaming_session_counts(spark, sf_dir):
-    agg = (
+    sess_agg = (
         _events_stream(spark, sf_dir)
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    name = _run_to_completion(agg, "sessions")
-    return (
-        spark.table(name)
+    sess_name = _run_to_completion(sess_agg, "sessions")
+    sessions = (
+        spark.table(sess_name)
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("sessions").alias("section"),
+            F.lit(None).cast("timestamp").alias("hour"),
+            F.lit(None).cast("string").alias("event_type"),
+            "user_id",
+            "n",
+            F.lit(None).cast("double").alias("total_value"),
+        )
     )
+    return hours.unionByName(sessions).orderBy("section", "hour", "event_type", "user_id")

@@ -513,13 +513,30 @@ _VOCAB_V = 16
       SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
              CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
       FROM tok t LEFT JOIN vocab v ON t.tk = v.tk GROUP BY t.doc_id
+    ),
+    tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY doc_id, tk),
+    idf AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tk),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tk, tf.tf * LN(CAST(n.n_docs AS DOUBLE) / idf.df) AS tfidf
+      FROM tf JOIN idf USING (tk) CROSS JOIN n
+    ),
+    top AS (
+      SELECT doc_id, tk AS top_term, ROUND(tfidf, 6) AS tfidf
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, tk) AS rn
+            FROM scored)
+      WHERE rn = 1
     )
     SELECT d.doc_id,
            COALESCE(per.n_tok, 0) AS n_tokens,
            COALESCE(per.n_oov, 0) AS n_oov,
            ROUND(CASE WHEN per.n_tok IS NULL THEN 0.0
-                      ELSE CAST(per.n_oov AS DOUBLE) / per.n_tok END, 6) AS oov_rate
-    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+                      ELSE CAST(per.n_oov AS DOUBLE) / per.n_tok END, 6) AS oov_rate,
+           top.top_term, top.tfidf
+    FROM documents d
+    LEFT JOIN per ON per.doc_id = d.doc_id
+    LEFT JOIN top ON top.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
     doc=(
@@ -529,48 +546,41 @@ _VOCAB_V = 16
         "document reports its token count, out-of-vocabulary count and "
         "OOV rate — the check a pipeline runs before committing a "
         "tokenizer (high OOV = the vocab was trained on the wrong "
-        "distribution). Plan: the vocab pass is a token-keyed aggregate "
-        "whose size is bounded by the VOCABULARY (not the corpus, the "
-        "lm_score pattern) + TakeOrdered top-V; the coverage pass "
-        "re-streams tokens map-side against the BROADCAST vocab and "
-        "aggregates per doc_id. Two corpus scans, no shuffle ever "
-        "carries raw text, and the only wide exchange is bounded by "
-        "distinct tokens."
+        "distribution) — plus its highest-TF-IDF term (term/document "
+        "frequencies as two hash aggregations, idf broadcast back on "
+        "term; rounds 1-5's standalone tfidf_top_term merged in round 6: "
+        "same scan, same tokenization, one registry row). Implementation "
+        "is operators/vocab.py with caller-parameterized V. Plan: the "
+        "vocab pass is a token-keyed aggregate whose size is bounded by "
+        "the VOCABULARY (not the corpus, the lm_score pattern) + "
+        "TakeOrdered top-V; the coverage pass re-streams tokens map-side "
+        "against the BROADCAST vocab and aggregates per doc_id. No "
+        "shuffle ever carries raw text, and every wide exchange is "
+        "bounded by distinct tokens or (doc_id, token) pairs."
     ),
 )
 def vocab_coverage(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.vocab import (
+        tfidf_top_term,
+        vocab_coverage as coverage,
+        vocab_top_v,
+    )
+
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
-    vocab = (
-        tok.groupBy("tk")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), "tk")
-        .limit(_VOCAB_V)
-        .select("tk", F.lit(1).alias("_in_vocab"))
+    cov = coverage(df, tok, vocab_top_v(tok, _VOCAB_V))
+    top = tfidf_top_term(df, tok).select(
+        "doc_id", "top_term", F.round("tfidf", 6).alias("tfidf")
     )
-    per = (
-        tok.join(F.broadcast(vocab), "tk", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
-        )
-    )
-    n_tok = F.coalesce(F.col("n_tok"), F.lit(0))
-    n_oov = F.coalesce(F.col("n_oov"), F.lit(0))
     return (
-        df.select("doc_id")
-        .join(per, "doc_id", "left")
+        cov.join(top, "doc_id", "left")
         .select(
             "doc_id",
-            n_tok.cast("long").alias("n_tokens"),
-            n_oov.cast("long").alias("n_oov"),
-            F.round(
-                F.when(F.col("n_tok").isNull(), F.lit(0.0)).otherwise(
-                    n_oov.cast("double") / n_tok
-                ),
-                6,
-            ).alias("oov_rate"),
+            "n_tokens",
+            "n_oov",
+            F.round("oov_rate", 6).alias("oov_rate"),
+            "top_term",
+            "tfidf",
         )
         .orderBy("doc_id")
     )
