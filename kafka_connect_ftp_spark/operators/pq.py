@@ -158,11 +158,24 @@ def pq_encode(
 ) -> DataFrame:
     """``(vec_id, code array<int>)``: per-subspace nearest-centroid ids,
     as folded JVM expressions (map-side, codegen). Use
-    :func:`pq_encode_arrow` for production ksub (see module doc)."""
+    :func:`pq_encode_arrow` for production ksub (see module doc).
+
+    NaN policy (shared with :func:`pq_encode_arrow`): a NULL vector or a
+    NaN/NULL element raises at execution time. Without the guard the two
+    encode paths would silently diverge — array_min/array_position yield
+    a NULL code on NaN distances while numpy argmin picks a real index —
+    and a NULL code would NULL the ADC distance, silently dropping the
+    row from the ascending top-k."""
     dsub, m = codebook.dsub, codebook.m
     base = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "v",
+        F.when(
+            F.expr("v is null or exists(v, x -> x is null or isnan(x))"),
+            F.raise_error(F.lit("pq_encode: NULL vector or NaN/NULL element")),
+        ).otherwise(F.col("v")),
     )
     codes = []
     for j in range(m):
@@ -191,7 +204,12 @@ def pq_encode_arrow(
     expressions would overwhelm codegen. numpy argmin returns the first
     minimum, preserving the lowest-index tie rule. ``passthrough`` is
     what lets the index writer keep the cell id alongside the code in
-    ONE map-side pass instead of re-joining on vec_id afterwards."""
+    ONE map-side pass instead of re-joining on vec_id afterwards.
+
+    NaN policy: identical to :func:`pq_encode` — NULL vectors / NaN or
+    NULL elements raise (numpy coerces None to NaN, so one isnan check
+    covers both), keeping the two test-pinned-equal paths equal on bad
+    input too."""
     cents = [[list(c) for c in sub] for sub in codebook.centroids]
     m, dsub = codebook.m, codebook.dsub
     extra = list(passthrough)
@@ -205,7 +223,11 @@ def pq_encode_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
+            if pdf["v"].isna().any():
+                raise ValueError("pq_encode_arrow: NULL vector")
             x = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (n, d)
+            if np.isnan(x).any():
+                raise ValueError("pq_encode_arrow: NaN/NULL vector element")
             out = np.empty((len(pdf), m), dtype=np.int32)
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]

@@ -62,7 +62,14 @@ def repetition_signals(
     """One row per input row: ``(id_col, n_tokens, dup_token_frac,
     top_{n}gram_frac..., dup_{n}gram_frac...)``, fractions rounded to
     ``decimals``. Documents too short for a width get 0.0 for that
-    width's signal (nothing repeats in an empty stream)."""
+    width's signal (nothing repeats in an empty stream).
+
+    CONTRACT: ``id_col`` must be unique and non-null. NULL ids fail
+    loudly at execution time (a null key would group its grams but be
+    dropped by the equi-join back onto the input, silently zeroing every
+    gram signal for that row); duplicate ids would fan out that join and
+    break one-row-per-input-row — uniqueness is the caller's contract
+    (checking it would cost an extra corpus-wide aggregate pass)."""
     if not top_ns and not dup_ns:
         raise ValueError("at least one of top_ns/dup_ns must be non-empty")
     if any(n < 1 for n in (*top_ns, *dup_ns)):
@@ -74,8 +81,14 @@ def repetition_signals(
         raise ValueError(f"id_col {id_col!r} collides with internal names {sorted(reserved)}")
     all_ns = sorted(set(top_ns) | set(dup_ns))
     toks = _TOKS.format(col=text_col)
+    # NULL-id guard, evaluated JVM-side per row (no extra job): see the
+    # CONTRACT note in the docstring
+    id_checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"repetition_signals: NULL {id_col} (ids must be unique non-null)")),
+    ).otherwise(F.col(id_col))
     base = docs.select(
-        F.col(id_col),
+        id_checked.alias(id_col),
         F.length(text_col).cast("long").alias("_n_chars"),
         F.expr(toks).alias("_tk"),
     )

@@ -43,6 +43,16 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
     return deco
 
 
+# Oracle-side token-position cap (shared by corpus_queries.py and
+# llm_pipeline.py): the DuckDB oracle twins enumerate token positions
+# with generate_series(1, ORACLE_MAX_TOKENS) while the Spark side
+# iterates the full token array. Testdata documents max out at 100
+# tokens, so the sides agree; if the documents table is ever regenerated
+# with longer texts, raise this alongside or the hash gate diverges (the
+# FAIL would be loud, not silent — but raise it here, don't chase
+# phantom span/ngram bugs).
+ORACLE_MAX_TOKENS = 512
+
 # The driver's correctness harness verifies a bounded window of ~50
 # registry rows per round (observed: CORRECTNESS_r05 recorded exactly 50
 # of 56). POLICY (round 6): the registry is kept at <= 50 entries so

@@ -51,14 +51,9 @@ from kafka_connect_ftp_spark.session import load_tables
 _SPAN_W = 8  # tokens per derived paragraph
 _HH_N = 3  # n-gram width for the boilerplate section
 _HH_K = 20  # top-k n-grams reported
-# Oracle-side token-position cap (repo convention, see llm_pipeline.py):
-# the DuckDB twins enumerate positions with generate_series(1, 512)
-# while the Spark side iterates the full token array. Testdata documents
-# max out at 100 tokens, so the sides agree; if the documents table is
-# ever regenerated with >512-token texts, raise this alongside or the
-# hash gate diverges (the FAIL would be loud, not silent — but raise it
-# here, don't chase phantom span/ngram bugs).
-_ORACLE_MAX_TOKENS = 512
+# Oracle-side token-position cap — ONE definition for the whole repo
+# (plans/__init__.py), shared with llm_pipeline.py's oracles.
+from kafka_connect_ftp_spark.plans import ORACLE_MAX_TOKENS as _ORACLE_MAX_TOKENS
 # Phase-1 candidate budget for the boilerplate section. The SpaceSaving
 # top-k guarantee needs the heavy hitters to be HEAVY (frequency above
 # ~N/cap per partition) — true for web boilerplate repeated millions of

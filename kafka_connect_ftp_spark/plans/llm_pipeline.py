@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.operators.bloom import bloom_prefilter_join
 from kafka_connect_ftp_spark.operators.repetition import repetition_signals
+from kafka_connect_ftp_spark.plans import ORACLE_MAX_TOKENS as _ORACLE_MAX_TOKENS
 from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import balanced, load_tables
 
@@ -26,7 +27,7 @@ _STRIDE = 24  # tokens between chunk starts (8-token overlap)
     WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
     starts AS (
       SELECT doc_id, tk, CAST(i AS BIGINT) AS start
-      FROM toks, generate_series(1, 512) AS t(i)
+      FROM toks, generate_series(1, {_ORACLE_MAX_TOKENS}) AS t(i)
       WHERE (i - 1) % {_STRIDE} = 0 AND i <= LEN(tk)
     )
     SELECT doc_id, CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_no,
@@ -78,7 +79,7 @@ _BENCH_DOCS = 5  # the first N doc_ids play the "benchmark" set
     grams AS (
       SELECT DISTINCT doc_id,
              array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_CONTAM_N - 1}], ' ') AS g
-      FROM toks, generate_series(1, 512) AS t(i)
+      FROM toks, generate_series(1, {_ORACLE_MAX_TOKENS}) AS t(i)
       WHERE i <= LEN(tk) - {_CONTAM_N - 1}
     ),
     bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {_BENCH_DOCS}),
@@ -129,13 +130,13 @@ def decontamination_flags(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    # n_keys is a static upper bound (≤ 512 positions per doc in the
+    # n_keys is a static upper bound (≤ _ORACLE_MAX_TOKENS positions per doc in the
     # oracle's generate_series, _BENCH_DOCS docs) so plan construction
     # stays lazy — no eager count job; an overestimate only oversizes
     # the sketch, never changes the (exact) result
     hits_bloom = (
         bloom_prefilter_join(
-            corpus, bench, "g", fpp=0.01, n_keys=512 * _BENCH_DOCS, how="left_semi"
+            corpus, bench, "g", fpp=0.01, n_keys=_ORACLE_MAX_TOKENS * _BENCH_DOCS, how="left_semi"
         )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits_bloom"))
@@ -164,7 +165,7 @@ def decontamination_flags(spark, sf_dir):
     g AS (
       SELECT t.doc_id, ns.n,
              array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + ns.n - 1], ' ') AS gram
-      FROM t, (VALUES (2), (3), (4), (5), (10)) AS ns(n), generate_series(1, 512) AS s(i)
+      FROM t, (VALUES (2), (3), (4), (5), (10)) AS ns(n), generate_series(1, {_ORACLE_MAX_TOKENS}) AS s(i)
       WHERE i <= LEN(tk) - ns.n + 1
     ),
     ct AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),

@@ -226,3 +226,32 @@ def test_materialized_index_round_trip_and_pruning(spark, emb, tmp_path_factory)
         seg for seg in plan.split("FileScan parquet")[1:] if "/codes" in seg[:2000]
     ]
     assert codes_scan and all("v:" not in seg[:500] for seg in codes_scan)
+
+
+def test_nan_and_null_inputs_raise_on_both_encode_paths(spark):
+    # ADVICE r5: without a shared NaN policy the expression path yields
+    # a NULL code on NaN (array_min/array_position) while numpy argmin
+    # picks a real index — the test-pinned-equal paths would diverge and
+    # a NULL code would silently drop the row from the ascending top-k.
+    # Policy: both paths raise on NULL vectors / NaN-NULL elements.
+    cb = PqCodebook(
+        m=2, dsub=2, centroids=[[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    )
+    bad_rows = [
+        [(1, [0.1, 0.2, float("nan"), 0.4])],  # NaN element
+        [(1, None)],  # NULL vector
+    ]
+    for rows in bad_rows:
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        with pytest.raises(Exception, match="(?i)pq_encode|null|nan"):
+            pq_encode(df, cb).collect()
+        with pytest.raises(Exception, match="(?i)pq_encode|null|nan"):
+            pq_encode_arrow(df, cb).collect()
+    # a NULL element inside the array also raises on both paths
+    df = spark.createDataFrame(
+        [(1, [0.1, None, 0.3, 0.4])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="(?i)pq_encode|null|nan"):
+        pq_encode(df, cb).collect()
+    with pytest.raises(Exception, match="(?i)pq_encode|null|nan"):
+        pq_encode_arrow(df, cb).collect()

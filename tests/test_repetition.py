@@ -132,3 +132,18 @@ def test_id_col_internal_name_collision_raises(spark):
     df = spark.createDataFrame([(1, "a b")], "n bigint, text string")
     with pytest.raises(ValueError, match="collides"):
         repetition_signals(df, id_col="n")
+
+
+def test_null_id_fails_loudly(spark):
+    # ADVICE r5: a NULL id would group its grams but be dropped by the
+    # equi-join back onto the input, silently zeroing every gram signal
+    # for that row — the contract is unique non-null ids, enforced with
+    # a JVM-side raise_error at execution time
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (None, "c d c d")], "doc_id bigint, text string"
+    )
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception), match="NULL doc_id"):
+        repetition_signals(df).collect()
