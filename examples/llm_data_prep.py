@@ -57,7 +57,9 @@ from kafka_connect_ftp_spark.operators.mixing import mix_corpora
 from kafka_connect_ftp_spark.operators.packing import pack_sequences, packing_stats
 from kafka_connect_ftp_spark.operators.pii import scrub
 from kafka_connect_ftp_spark.operators.quality_model import (
+    load_quality_model,
     pareto_keep,
+    save_quality_model,
     score_quality,
     train_quality_classifier,
 )
@@ -119,13 +121,23 @@ def main() -> int:
     n1a = docs.count()
 
     # 1b'. model-based quality: train the GPT-3/CCNet-style classifier
-    # (reference sample = src0-4 stand-in vs the rest), score every doc
-    # in one map-side pass, keep by the deterministic Pareto rule —
-    # admits a long tail of low scorers instead of hard-thresholding
+    # ONCE (reference sample = src0-4 stand-in vs the rest), persist the
+    # artifact, and score from the LOADED model — the production shape:
+    # LBFGS runs once per pipeline build, every corpus-scoring job after
+    # that is a pure map-side transform from the saved coefficients.
+    # Scoring is one pass; the Pareto rule keeps a long tail of low
+    # scorers instead of hard-thresholding
+    import tempfile as _tf
+
     trusted = F.col("source").isin(*[f"src{i}" for i in range(5)])
-    clf = train_quality_classifier(
-        docs.filter(trusted), docs.filter(~trusted), n_features=1 << 14
+    model_path = os.path.join(_tf.mkdtemp(prefix="llm_prep_"), "quality_lr")
+    save_quality_model(
+        train_quality_classifier(
+            docs.filter(trusted), docs.filter(~trusted), n_features=1 << 14
+        ),
+        model_path,
     )
+    clf = load_quality_model(spark, model_path)
     docs = (
         score_quality(docs, clf)
         .filter(pareto_keep(alpha=2.0))

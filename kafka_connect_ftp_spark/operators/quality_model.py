@@ -90,6 +90,26 @@ def train_quality_classifier(
     return lr.fit(labeled)
 
 
+def save_quality_model(model, path: str) -> None:
+    """Persist a trained classifier with Spark ML's native writer (a
+    metadata JSON + coefficients parquet directory) — the artifact
+    convention of :func:`bpe.save_merges` and the IVF index sidecars: a
+    production pipeline trains ONCE over the labeled sample and every
+    subsequent corpus-scoring job loads the artifact instead of
+    re-running LBFGS. Overwrites any prior artifact at ``path``."""
+    model.write().overwrite().save(path)
+
+
+def load_quality_model(spark, path: str):
+    """Load a classifier saved by :func:`save_quality_model`. ``spark``
+    pins the active session the ML reader resolves internally (and keeps
+    the signature parallel to :func:`bpe.load_merges`)."""
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    assert spark is not None  # the reader uses the active session
+    return LogisticRegressionModel.load(path)
+
+
 def score_quality(
     docs: DataFrame,
     model,

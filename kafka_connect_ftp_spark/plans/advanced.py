@@ -25,9 +25,11 @@ from kafka_connect_ftp_spark.session import load_tables
            CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
            CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
            CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
-           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           CAST((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) * 100
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS avg_price,
            ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
            ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
            ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
@@ -47,7 +49,13 @@ from kafka_connect_ftp_spark.session import load_tables
         "rollup and the (quarter, ISO day-of-week) distribution — round "
         "3's date_rollup_funcs merged in. Every grouping set also carries "
         "the full per-group profile battery — COUNT DISTINCT customers "
-        "(two-phase expand), AVG, and exact interpolated percentiles "
+        "(two-phase expand), SUM/AVG over DECIMAL(18,2) — exact and "
+        "summation-order-independent, so the 4-decimal round can't sit "
+        "on double noise (a real sf0.001/sf0.01 flake). Spark's decimal "
+        "division + ROUND is exact HALF_UP; DuckDB decimal division "
+        "degrades to DOUBLE, so the oracle computes the identical "
+        "half-up via a HUGEINT formula: (2*sum_cents*100 + n)//(2n). "
+        "Percentiles stay exact interpolated "
         "(Spark percentile ≡ DuckDB quantile_cont; at 100 TB swap for "
         "approx_percentile + rows-only check) — round 1-5's standalone "
         "status_profile folded in (round 6) so both operators ride one "
@@ -65,9 +73,10 @@ def order_rollup_family(spark, sf_dir):
                CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
                CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
                CAST(WEEKDAY(o_orderdate) + 1 AS BIGINT) AS iso_dow,
-               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-               ROUND(AVG(o_totalprice), 4) AS avg_price,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
                ROUND(PERCENTILE(o_totalprice, 0.5), 4) AS p50,
                ROUND(PERCENTILE(o_totalprice, 0.9), 4) AS p90,
                ROUND(PERCENTILE(o_totalprice, 0.99), 4) AS p99
