@@ -226,21 +226,27 @@ def main() -> int:
     # 9. retrieval-side coda: compress + index the embeddings table with
     # the faiss-style IVF-PQ funnel (coarse cells prune WHAT is scanned,
     # PQ codes shrink what the scan reads, exact rerank restores
-    # precision on the shortlist)
+    # precision on the shortlist) — through the MATERIALIZED index, the
+    # production shape: train + encode + write once, then every search
+    # scans only the probed cells' code partitions (vector-free) and
+    # joins the tiny ADC shortlist back for the exact rerank
     from kafka_connect_ftp_spark.operators.ann import build_ivf
     from kafka_connect_ftp_spark.operators.pq import (
-        ivf_pq_search,
-        pq_encode_arrow,
+        ivf_pq_search_indexed,
+        read_ivf_pq_index,
         train_pq,
+        write_ivf_pq_index,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     index = build_ivf(emb, k=8, seed=42)
     codebook = train_pq(emb, m=4, ksub=16, seed=42)
-    encoded = index.assigned.join(pq_encode_arrow(emb, codebook), "vec_id")
+    index_dir = os.path.join(tempfile.mkdtemp(prefix="llm_prep_"), "ivf_pq")
+    write_ivf_pq_index(index, codebook, index_dir)
+    codes, vectors, centroids, cb = read_ivf_pq_index(spark, index_dir)
     qvec = [float(x) for x in emb.orderBy("vec_id").first().embedding]
-    hits = ivf_pq_search(
-        encoded, index.centroids, codebook, qvec, top_k=5, nprobe=2, rerank=50
+    hits = ivf_pq_search_indexed(
+        codes, vectors, centroids, cb, qvec, top_k=5, nprobe=2, rerank=50
     ).collect()
 
     print(f"corpus:        {n0}")
