@@ -1,0 +1,105 @@
+"""Incremental LLM-data quality gating: the batch pipeline's document
+gates (Gopher repetition signals + the trained reference-vs-crawl
+classifier + the GPT-3 Pareto acceptance rule) applied to a STREAM of
+arriving documents, so a continuously-ingesting corpus is curated as it
+lands instead of in periodic full rescans.
+
+Composition (mirrors examples/llm_data_prep.py steps 1a/1b', but
+incremental):
+
+1. ``dropDuplicates`` on the document id — streaming state carries the
+   set of ids already admitted ACROSS micro-batches, so an upstream
+   re-delivery (the FTP ingest is at-least-once; SURVEY.md §2.8 T5)
+   can never pass the gate twice. Id spaces are bounded per corpus; for
+   unbounded keys swap in ``dedup_within_watermark``.
+2. ``foreachBatch``: per micro-batch, compute ``repetition_signals``
+   (per-document — needs no cross-document state, which is what makes
+   it streamable as-is), drop loop/boilerplate text, score survivors
+   with a PRE-TRAINED quality model (``load_quality_model`` — training
+   stays a batch job; the stream only does the map-side JVM transform)
+   and keep by the deterministic hash-seeded ``pareto_keep``, then
+   append to the curated sink. Every step inside the batch function is
+   the exact operator the batch pipeline runs, so stream and batch
+   curation can never disagree on a given document.
+
+Scale notes: the per-batch work is two bounded jobs over the
+micro-batch (the gram shuffle of repetition_signals at micro-batch
+size, and the map-side score/filter/append); the only cross-batch
+state is the dedup key set. The Pareto rule is seeded by id hash, not
+an RNG, so a document admitted by the stream is exactly the document
+the batch pipeline would have admitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.quality_model import (
+    pareto_keep,
+    score_quality,
+)
+from kafka_connect_ftp_spark.operators.repetition import repetition_signals
+
+
+def gate_micro_batch(
+    batch: DataFrame,
+    model,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = 0.2,
+    dup5_max: float = 0.5,
+    alpha: float = 9.0,
+) -> DataFrame:
+    """The per-batch gate, exposed separately so tests (and batch
+    backfills) can run the exact transformation the stream applies:
+    repetition gate → model score → Pareto keep. Returns the admitted
+    rows with their ``quality_score``."""
+    rep_ok = (
+        repetition_signals(batch, id_col=id_col, text_col=text_col, top_ns=(2,), dup_ns=(5,))
+        .filter(
+            (F.col("top_2gram_frac") <= top2_max)
+            & (F.col("dup_5gram_frac") <= dup5_max)
+        )
+        .select(id_col)
+    )
+    kept = batch.join(rep_ok, id_col, "left_semi")
+    scored = score_quality(kept, model, text_col=text_col)
+    return scored.filter(pareto_keep(id_col=id_col, alpha=alpha))
+
+
+def start_quality_gate(
+    stream: DataFrame,
+    model,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = 0.2,
+    dup5_max: float = 0.5,
+    alpha: float = 9.0,
+):
+    """Start the curation stream: dedup-by-id (state carried across
+    micro-batches) → :func:`gate_micro_batch` → parquet append to
+    ``out_dir``. Returns the StreamingQuery."""
+    deduped = stream.dropDuplicates([id_col])
+
+    def _gate(batch: DataFrame, _batch_id: int) -> None:
+        admitted = gate_micro_batch(
+            batch,
+            model,
+            id_col=id_col,
+            text_col=text_col,
+            top2_max=top2_max,
+            dup5_max=dup5_max,
+            alpha=alpha,
+        )
+        admitted.write.mode("append").parquet(out_dir)
+
+    return (
+        deduped.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
