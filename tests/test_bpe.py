@@ -2,6 +2,7 @@
 reference implementation: identical merge sequences (deterministic
 tie-break), round-trip of tokenization, JVM-only training loop."""
 
+import os
 from collections import Counter
 
 import pytest
@@ -326,4 +327,58 @@ def test_symbols_with_quotes_and_backslashes(spark):
     want, _ = _ref_bpe(texts, 4)
     assert merges == want
     for r in apply_bpe(docs, merges).collect():
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="production-scale BPE demo (~4 min); set SPARK_GRAFT_SLOW=1",
+)
+def test_ten_thousand_merges_production_shape(spark):
+    # VERDICT r5 #5: the production-shaped regime — batch_size=64 to a
+    # 10k-merge vocabulary on a 30k-distinct-word corpus — in bounded
+    # wall time, with a vocabulary-QUALITY checkpoint against the exact
+    # sequential reference: at the same merge count the batched
+    # trainer's segmentation must be nearly as short (batching can only
+    # reorder merge RANKS, not destroy compression). Measured on the
+    # round-6 dev host: 10k merges in ~192s (driver-recorded note in
+    # SURVEY.md §8).
+    import random
+    import time
+
+    rng = random.Random(3)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(8, 14)))
+        for _ in range(30_000)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=40))) for i in range(3_000)],
+        "doc_id bigint, text string",
+    )
+    sample = docs.limit(100).localCheckpoint(eager=True)
+
+    # quality checkpoint at 128 merges: batched vs the sequential
+    # reference on mean tokens-per-document over a fixed sample
+    seq = train_bpe(docs, 128, batch_size=1)
+    bat = train_bpe(docs, 128, batch_size=64)
+
+    def mean_tokens(merges):
+        return (
+            apply_bpe(sample, merges)
+            .agg(F.avg(F.size("bpe_tokens")))
+            .collect()[0][0]
+        )
+
+    m_seq, m_bat = mean_tokens(seq), mean_tokens(bat)
+    assert m_bat <= m_seq * 1.10, (m_seq, m_bat)
+
+    # the 10k-merge production run: completes, stays unique, bounded time
+    t0 = time.time()
+    merges = train_bpe(docs, 10_000, batch_size=64)
+    elapsed = time.time() - t0
+    assert len(merges) == 10_000 and len(set(merges)) == 10_000
+    assert elapsed < 600, f"10k merges took {elapsed:.0f}s"
+    # ranks tokenize coherently at full vocabulary
+    rows = apply_bpe(sample, merges).collect()
+    for r in rows:
         assert "".join(r.bpe_tokens) == r.text.replace(" ", "")

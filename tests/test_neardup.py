@@ -126,3 +126,136 @@ def test_pair_appears_in_exactly_one_tile(spark):
     n = pairs.count()
     assert n == 120 * 119 // 2
     assert pairs.select("vec_a", "vec_b").distinct().count() == n
+
+
+# ----------------------------------------------------------- SemDeDup
+
+
+def _clustered_emb(spark):
+    # 3 well-separated direction clusters; ids 0/1/2 are an exact-dup
+    # trio in cluster A (identical direction, slightly different
+    # magnitudes — close in L2 too, so the k-means coarse stage cannot
+    # scatter them across cells, the documented approximation), 10/11 a
+    # near-dup pair in cluster B, the rest distinct. Noise sigma is wide
+    # enough (3.0 on magnitude-10 bases) that no noise vector is within
+    # cos >= 0.99 of a dup group or another noise vector — the
+    # similarity here is DIRECTIONAL, so small per-dim noise would
+    # otherwise make everything in a cluster a "duplicate"
+    import random
+
+    rng = random.Random(8)
+    base_a = [10.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 10.0, 0.0, 0.0]
+    base_c = [0.0, 0.0, 10.0, 0.0]
+    rows = [
+        (0, base_a),
+        (1, [x * 1.05 for x in base_a]),
+        (2, [x * 1.1 for x in base_a]),
+        (10, [0.1, 10.0, 0.0, 0.0]),
+        (11, [0.1001, 10.0, 0.0, 0.0]),
+    ]
+    nid = 20
+    for base in (base_a, base_b, base_c):
+        for _ in range(6):
+            rows.append(
+                (nid, [x + rng.gauss(0.0, 3.0) for x in base])
+            )
+            nid += 1
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_semdedup_collapses_groups_keeps_singletons(spark):
+    from kafka_connect_ftp_spark.operators.neardup import semdedup_flags
+
+    emb = _clustered_emb(spark)
+    out = semdedup_flags(emb, n_clusters=3, eps=0.01, seed=42).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == emb.count()  # one row per vector
+    # the exact-dup trio is one group with exactly one keeper
+    trio = [by_id[i] for i in (0, 1, 2)]
+    assert len({r.group for r in trio}) == 1
+    assert sum(r.keep for r in trio) == 1
+    # the near-dup pair likewise
+    pair = [by_id[i] for i in (10, 11)]
+    assert len({r.group for r in pair}) == 1
+    assert sum(r.keep for r in pair) == 1
+    # singletons keep themselves
+    singles = [r for r in out if r.vec_id >= 20]
+    assert all(r.keep and r.group == r.vec_id for r in singles)
+
+
+def test_semdedup_keeper_is_least_centroid_similar(spark):
+    from kafka_connect_ftp_spark.operators.neardup import semdedup_flags
+
+    # one cluster; a dup trio where vec 3 is angled slightly AWAY from
+    # the centroid direction while still within eps of the others ->
+    # the paper's rule keeps the least prototypical member (vec 3),
+    # NOT the lowest id
+    rows = [
+        (1, [10.0, 0.0, 0.0, 0.0]),
+        (2, [10.0, 0.0, 0.0, 0.0]),
+        (3, [10.0, 0.9, 0.0, 0.0]),
+        (4, [9.0, -0.1, 0.3, 0.0]),  # a distinct singleton pulling the centroid
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semdedup_flags(emb, n_clusters=1, eps=0.05, seed=1).collect()}
+    trio = [out[i] for i in (1, 2, 3)]
+    assert len({r.group for r in trio}) == 1
+    keepers = [r.vec_id for r in trio if r.keep]
+    least = min(trio, key=lambda r: (r.centroid_sim, r.vec_id)).vec_id
+    assert keepers == [least]
+
+
+def test_semdedup_single_cluster_is_exact(spark):
+    # n_clusters=1 collapses to all-pairs: the keep set must match a
+    # pure-Python brute-force SemDeDup on the same vectors
+    import itertools
+    import math
+
+    from kafka_connect_ftp_spark.operators.neardup import semdedup_flags
+
+    emb = _clustered_emb(spark)
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    eps = 0.01
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    # brute-force union-find over >= 1-eps pairs
+    parent = {i: i for i in rows}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in itertools.combinations(sorted(rows), 2):
+        if cos(rows[a], rows[b]) >= 1 - eps:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    centroid = [
+        sum(v[j] for v in rows.values()) / len(rows) for j in range(4)
+    ]
+    groups = {}
+    for i in rows:
+        groups.setdefault(find(i), []).append(i)
+    expect_keep = set()
+    for members in groups.values():
+        expect_keep.add(
+            min(members, key=lambda i: (cos(rows[i], centroid), i))
+        )
+
+    got = semdedup_flags(emb, n_clusters=1, eps=eps, seed=42)
+    got_keep = {r.vec_id for r in got.filter("keep").collect()}
+    assert got_keep == expect_keep
