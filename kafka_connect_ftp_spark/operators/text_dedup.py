@@ -76,11 +76,20 @@ def lsh_candidate_pairs(
     out across the cluster. Buckets at or under the cap keep one tile
     and zero replication, so the common case pays only the bucket-size
     pre-aggregation (map-side combined, skew-safe)."""
+    if bucket_cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
+    exploded = band_signatures(sig, band_size=band_size)
+    return tiled_bucket_pairs(exploded, ["band", "bsig"], bucket_cap=bucket_cap)
+
+
+def band_signatures(sig: DataFrame, *, band_size: int = 4) -> DataFrame:
+    """``(doc_id, band, bsig)`` — each document's banded LSH keys, the
+    ONE banding definition shared by :func:`lsh_candidate_pairs` and the
+    streaming near-dup filter (`streaming/neardup_stream.py`), so batch
+    and stream can never disagree on what counts as a collision."""
     n_hashes = len([c for c in sig.columns if c.startswith("m")])
     if n_hashes % band_size:
         raise ValueError(f"n_hashes={n_hashes} not divisible by band_size={band_size}")
-    if bucket_cap < 2:
-        raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -88,10 +97,9 @@ def lsh_candidate_pairs(
         )
         for b in range(n_hashes // band_size)
     ]
-    exploded = sig.select("doc_id", F.explode(F.array(*bands)).alias("bs")).select(
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("bs")).select(
         "doc_id", "bs.band", "bs.bsig"
     )
-    return tiled_bucket_pairs(exploded, ["band", "bsig"], bucket_cap=bucket_cap)
 
 
 def tiled_bucket_pairs(

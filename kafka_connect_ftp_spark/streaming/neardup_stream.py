@@ -1,0 +1,152 @@
+"""Streaming NEAR-duplicate filtering: the batch MinHash+LSH dedup
+family applied incrementally, so a continuously-arriving corpus admits
+only documents that are near-duplicates of NOTHING admitted before —
+without ever rescanning the accumulated corpus text.
+
+Semantics per micro-batch (all via the batch operators, so stream and
+batch agree definitionally):
+
+1. sketch the batch (``minhash_signatures`` — one signature row per
+   document; the text itself never shuffles and never persists beyond
+   the sink write);
+2. drop documents whose banded LSH keys (``band_signatures`` — the SAME
+   banding as ``lsh_candidate_pairs``) collide with the state table of
+   previously-ADMITTED documents' keys;
+3. dedup the survivors WITHIN the batch exactly as batch mode would:
+   ``lsh_candidate_pairs`` + ``dedup_decision`` (keep = min doc_id per
+   connected candidate component);
+4. append the admitted documents to the sink and their band keys to the
+   state table.
+
+State = (band, bsig) keys of admitted documents only — ~n_bands rows
+per ADMITTED doc, the same footprint the batch pipeline's LSH stage
+shuffles, and strictly smaller than storing signatures (a band key is
+one long). At 100 TB the state table should be written bucketed on
+(band, bsig) so the per-batch anti-join prunes (the
+``PollPipeline(bucket_state=N)`` pattern in ingest/pipeline.py);
+a plain parquet append is used here and re-read per batch —
+stream-static join, re-planned every micro-batch, which is exactly
+Spark's documented pattern for slowly-growing side state.
+
+Delivery: at-least-once, like every foreachBatch sink here — a crash
+between the sink append and the state append re-admits that batch's
+documents on replay (never loses one). Wrap the sink write with
+``idempotent_parquet_sink`` (streaming/ingest_stream.py) for
+effectively-once output.
+
+Approximation boundary (inherited from LSH itself, not the streaming
+form): two near-duplicates that share NO band signature are both
+admitted — the standard (1/bands)^(1/rows_per_band) threshold curve.
+Additionally, order matters exactly as in any online dedup: the FIRST
+arrival of a duplicate group is the one admitted, whereas batch mode
+keeps the min doc_id; on id-ordered input the two coincide (what the
+parity test pins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+from kafka_connect_ftp_spark.operators.text_dedup import (
+    band_signatures,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+
+def filter_micro_batch(
+    batch: DataFrame,
+    seen_bands: DataFrame | None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_width: int = 8,
+    band_size: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One batch through the near-dup gate. Returns ``(admitted_docs,
+    admitted_band_keys)``; ``seen_bands`` is the accumulated (band,
+    bsig) state or None for the first batch. Exposed separately so
+    tests and batch backfills run the exact stream transformation."""
+    sig = minhash_signatures(
+        batch, id_col, text_col, n_hashes=n_hashes, shingle_width=shingle_width
+    )
+    bands = band_signatures(sig, band_size=band_size)
+    if seen_bands is not None:
+        collided = (
+            bands.join(seen_bands, ["band", "bsig"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        fresh_ids = (
+            sig.select("doc_id")
+            .join(collided, "doc_id", "left_anti")
+        )
+    else:
+        fresh_ids = sig.select("doc_id")
+    fresh_sig = sig.join(F.broadcast(fresh_ids), "doc_id", "left_semi")
+    pairs = lsh_candidate_pairs(fresh_sig, band_size=band_size)
+    keep_ids = (
+        dedup_decision(pairs, fresh_sig.select("doc_id"))
+        .filter("keep")
+        .select("doc_id")
+    )
+    admitted = batch.join(
+        F.broadcast(keep_ids.withColumnRenamed("doc_id", id_col)), id_col, "left_semi"
+    )
+    admitted_bands = bands.join(F.broadcast(keep_ids), "doc_id", "left_semi")
+    return admitted, admitted_bands
+
+
+def start_near_dup_filter(
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_width: int = 8,
+    band_size: int = 4,
+):
+    """Start the incremental near-dup filter: admitted documents append
+    to ``out_dir``, their band keys to ``state_dir``. Returns the
+    StreamingQuery."""
+    spark = stream.sparkSession
+
+    def _step(batch: DataFrame, _batch_id: int) -> None:
+        try:
+            seen = spark.read.parquet(state_dir)
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            seen = None
+        admitted, _ = filter_micro_batch(
+            batch,
+            seen,
+            id_col=id_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            shingle_width=shingle_width,
+            band_size=band_size,
+        )
+        # checkpoint the admitted set so the sketch/CC chain runs once,
+        # then RE-derive its band keys from the checkpointed frame —
+        # minhash/banding are deterministic, so these are byte-identical
+        # to the keys the filter computed, without dragging that plan's
+        # lineage into a second execution
+        admitted = admitted.localCheckpoint(eager=True)
+        admitted.write.mode("append").parquet(out_dir)
+        sig = minhash_signatures(
+            admitted, id_col, text_col, n_hashes=n_hashes, shingle_width=shingle_width
+        )
+        band_signatures(sig, band_size=band_size).write.mode("append").parquet(
+            state_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

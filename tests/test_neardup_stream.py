@@ -1,0 +1,124 @@
+"""Streaming near-dup filter (streaming/neardup_stream.py): cross-batch
+collisions dropped via the band-key state, in-batch duplicates resolved
+by the batch CC rule, and parity with batch-mode dedup on id-ordered
+arrival."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a slow waltz under the harvest moon and nobody minds the rain"
+)
+_OTHER = (
+    "completely different content about distributed query planning and "
+    "shuffle partitioning strategies for petabyte scale analytics jobs"
+)
+_THIRD = (
+    "yet another unrelated document concerning the migration habits of "
+    "arctic terns across two polar summers every single year"
+)
+
+
+def _mutate(s: str, i: int) -> str:
+    # one word appended: high jaccard on 8-char shingles -> near-dup
+    return s + f" v{i}"
+
+
+@pytest.fixture
+def feeder(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def feed(rows):
+        spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    return spark.readStream.schema(_SCHEMA).parquet(src), feed
+
+
+def test_cross_batch_and_in_batch_near_dups(spark, feeder, tmp_path):
+    from kafka_connect_ftp_spark.streaming.neardup_stream import (
+        start_near_dup_filter,
+    )
+
+    stream, feed = feeder
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_near_dup_filter(stream, out, state, ckpt)
+    try:
+        # batch 1: 1 and 2 are near-dups of each other; 10 distinct
+        feed([(1, _BASE), (2, _mutate(_BASE, 2)), (10, _OTHER)])
+        q.processAllAvailable()
+        # batch 2: 20 near-dups doc 1 (cross-batch -> dropped by state),
+        # 30 distinct (admitted), 40/41 in-batch near-dups (one admitted)
+        feed(
+            [
+                (20, _mutate(_BASE, 20)),
+                (30, _THIRD),
+                (40, _mutate(_OTHER, 40)),
+                (41, _mutate(_OTHER, 41)),
+            ]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # wait: 40/41 are near-dups of _OTHER which doc 10 already admitted
+    # in batch 1 -> BOTH dropped by the cross-batch state
+    assert admitted == {1, 10, 30}
+
+    # the state table carries band keys ONLY for admitted docs
+    state_docs = {r.doc_id for r in spark.read.parquet(state).collect()}
+    assert state_docs == admitted
+
+
+def test_stream_equals_batch_on_id_ordered_arrival(spark, feeder, tmp_path):
+    # on id-ordered arrival the stream's first-arrival-wins equals batch
+    # mode's keep-min-id: same admitted set
+    from kafka_connect_ftp_spark.operators.dedup_cluster import dedup_decision
+    from kafka_connect_ftp_spark.operators.text_dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kafka_connect_ftp_spark.streaming.neardup_stream import (
+        start_near_dup_filter,
+    )
+
+    rows_b1 = [(1, _BASE), (2, _mutate(_BASE, 2)), (3, _OTHER)]
+    rows_b2 = [(4, _mutate(_BASE, 4)), (5, _THIRD), (6, _mutate(_THIRD, 6))]
+
+    stream, feed = feeder
+    out = str(tmp_path / "out2")
+    state = str(tmp_path / "state2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = start_near_dup_filter(stream, out, state, ckpt)
+    try:
+        feed(rows_b1)
+        q.processAllAvailable()
+        feed(rows_b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    full = spark.createDataFrame(rows_b1 + rows_b2, _SCHEMA)
+    sig = minhash_signatures(full, "doc_id", "text")
+    keep = dedup_decision(lsh_candidate_pairs(sig), full.select("doc_id"))
+    batch_admitted = {r.doc_id for r in keep.filter("keep").collect()}
+
+    assert stream_admitted == batch_admitted
