@@ -2,21 +2,28 @@
 coverage/OOV diagnostics, and TF-IDF top-term extraction.
 
 Extracted from the inline ``plans/text.py`` logic in round 6 so the
-vocabulary size V and the token frame are caller-parameterized (the gate
+vocabulary size V and the term frame are caller-parameterized (the gate
 uses the synthetic-corpus V=16; a production run passes its tokenizer's
 vocabulary size or an externally trained vocabulary frame).
 
-Scale design (100 TB):
-- ``vocab_top_v``: one token-keyed aggregate whose state is bounded by the
+Scale design (100 TB) — everything derives from ONE corpus reduction:
+``term_frequencies`` collapses the raw token stream to the ``(doc_id,
+token, tf)`` table (map-side combined). A pipeline fanning that table
+out to several consumers should MATERIALIZE it first (persist /
+localCheckpoint / write) — exchange reuse across the consumers is not
+guaranteed (observed absent under AQE here), and an unmaterialized tf
+re-executes the corpus scan per consumer. Downstream of it:
+
+- ``vocab_top_v``: one token-keyed sum whose state is bounded by the
   number of DISTINCT tokens (not corpus size) + TakeOrdered top-V — the
   same shape as the lm_score vocabulary pass.
-- ``vocab_coverage``: re-streams tokens map-side against the BROADCAST
-  vocabulary (V rows — KBs even for a 100k-entry BPE vocab) and aggregates
-  per document; raw text never shuffles.
-- ``tfidf_top_term``: term frequencies and document frequencies as two
-  hash aggregations; the document-frequency side is vocabulary-bounded and
-  broadcast back onto the tf frame, so the only doc-keyed exchange carries
-  (doc_id, token, tf) triples.
+- ``vocab_coverage``: joins tf against the BROADCAST vocabulary (V rows
+  — KBs even for a 100k-entry BPE vocab) and aggregates per document;
+  raw text never shuffles.
+- ``tfidf_top_term``: document frequency is a count over the tf table
+  (each (doc, token) row is already distinct — no countDistinct
+  needed), vocabulary-bounded and broadcast back onto tf, so the only
+  doc-keyed exchange carries (doc_id, token, tf) triples.
 """
 
 from __future__ import annotations
@@ -26,13 +33,23 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def vocab_top_v(tok: DataFrame, v: int, token_col: str = "tk") -> DataFrame:
-    """Top-``v`` corpus tokens by frequency (count-desc, token-asc
+def term_frequencies(
+    tok: DataFrame, id_col: str = "doc_id", token_col: str = "tk"
+) -> DataFrame:
+    """``(id_col, token_col, tf)`` — the one corpus-wide reduction every
+    vocabulary operator consumes. Map-side combine collapses repeated
+    tokens before the exchange. Materialize before multi-consumer
+    fan-out (module doc)."""
+    return tok.groupBy(id_col, token_col).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def vocab_top_v(tf: DataFrame, v: int, token_col: str = "tk") -> DataFrame:
+    """Top-``v`` corpus tokens by total frequency (count-desc, token-asc
     tie-break — deterministic across engines). Returns ``(token_col,
     _in_vocab)`` suitable for a broadcast membership join."""
     return (
-        tok.groupBy(token_col)
-        .agg(F.count(F.lit(1)).alias("c"))
+        tf.groupBy(token_col)
+        .agg(F.sum("tf").alias("c"))
         .orderBy(F.desc("c"), token_col)
         .limit(v)
         .select(token_col, F.lit(1).alias("_in_vocab"))
@@ -41,7 +58,7 @@ def vocab_top_v(tok: DataFrame, v: int, token_col: str = "tk") -> DataFrame:
 
 def vocab_coverage(
     docs: DataFrame,
-    tok: DataFrame,
+    tf: DataFrame,
     vocab: DataFrame,
     id_col: str = "doc_id",
     token_col: str = "tk",
@@ -49,11 +66,13 @@ def vocab_coverage(
     """Per-document token count, out-of-vocabulary count and OOV rate
     against ``vocab`` (broadcast). Token-less documents report 0/0/0.0."""
     per = (
-        tok.join(F.broadcast(vocab), token_col, "left")
+        tf.join(F.broadcast(vocab), token_col, "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("tf")).otherwise(0)).alias(
+                "n_oov"
+            ),
         )
     )
     n_tok = F.coalesce(F.col("n_tok"), F.lit(0))
@@ -74,7 +93,7 @@ def vocab_coverage(
 
 def tfidf_top_term(
     docs: DataFrame,
-    tok: DataFrame,
+    tf: DataFrame,
     id_col: str = "doc_id",
     token_col: str = "tk",
 ) -> DataFrame:
@@ -84,8 +103,7 @@ def tfidf_top_term(
     appears, so the log argument is always finite. Documents with no
     tokens are absent from the result (callers LEFT-join if they need a
     row per document)."""
-    tf = tok.groupBy(id_col, token_col).agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy(token_col).agg(F.countDistinct(id_col).alias("df"))
+    dfreq = tf.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
     # n_docs as a broadcast 1-row frame, not an eager docs.count(): keeps
     # the IDF denominator inside the single job instead of a separate
     # driver-side scan per invocation

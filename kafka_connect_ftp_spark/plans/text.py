@@ -561,6 +561,7 @@ _VOCAB_V = 16
 )
 def vocab_coverage(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.vocab import (
+        term_frequencies,
         tfidf_top_term,
         vocab_coverage as coverage,
         vocab_top_v,
@@ -568,8 +569,11 @@ def vocab_coverage(spark, sf_dir):
 
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
-    cov = coverage(df, tok, vocab_top_v(tok, _VOCAB_V))
-    top = tfidf_top_term(df, tok).select(
+    # ONE corpus pass: every section below consumes the (doc, token, tf)
+    # reduction; its canonical exchange is reused across them
+    tf = term_frequencies(tok)
+    cov = coverage(df, tf, vocab_top_v(tf, _VOCAB_V))
+    top = tfidf_top_term(df, tf).select(
         "doc_id", "top_term", F.round("tfidf", 6).alias("tfidf")
     )
     return (
