@@ -1,0 +1,114 @@
+"""Incremental corpus curation: documents ARRIVE (a file-source stream
+standing in for the FTP ingest stream of sources/ftp_datasource.py) and
+flow through the two streaming gates as they land —
+
+    arriving docs
+      → near-dup filter   (streaming/neardup_stream.py: MinHash band
+                            keys of admitted docs as cross-batch state)
+      → quality gate      (streaming/quality_gate.py: id-dedup state →
+                            repetition gate → PRE-TRAINED classifier →
+                            deterministic Pareto keep)
+      → curated parquet
+
+Both gates run the BATCH operators inside foreachBatch, so a document
+admitted incrementally is exactly the document the batch pipeline
+(examples/llm_data_prep.py) would have admitted. The quality model is
+trained once up front (from the first sf_dir corpus slice, the
+train-once/score-many shape) and the stream scores from the saved
+artifact.
+
+Run: PYTHONPATH=. python examples/streaming_curation.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.quality_model import (
+    load_quality_model,
+    save_quality_model,
+    train_quality_classifier,
+)
+from kafka_connect_ftp_spark.session import get_spark, load_tables
+from kafka_connect_ftp_spark.streaming.neardup_stream import start_near_dup_filter
+from kafka_connect_ftp_spark.streaming.quality_gate import start_quality_gate
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("streaming_curation")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    work = tempfile.mkdtemp(prefix="stream_curation_")
+
+    # train the quality model ONCE from a labeled slice (sources 0-4
+    # play the trusted reference, as in llm_data_prep), persist, reload
+    trusted = F.col("source").isin(*[f"src{i}" for i in range(5)])
+    model_path = os.path.join(work, "quality_lr")
+    save_quality_model(
+        train_quality_classifier(
+            docs.filter(trusted), docs.filter(~trusted), n_features=1 << 14
+        ),
+        model_path,
+    )
+    model = load_quality_model(spark, model_path)
+
+    # stage the corpus as two "arriving" micro-batches, the second
+    # re-delivering a slice of the first (at-least-once upstream)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    half = docs.count() // 2
+    b1 = docs.filter(F.col("doc_id") < half)
+    b2 = docs.filter(F.col("doc_id") >= half).unionByName(b1.limit(20))
+
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    dedup_out = os.path.join(work, "neardup_admitted")
+    gate_out = os.path.join(work, "curated")
+    os.makedirs(dedup_out)  # stage-2 stream source must exist up front
+    q1 = start_near_dup_filter(
+        stream.select("doc_id", "text"),
+        dedup_out,
+        os.path.join(work, "band_state"),
+        os.path.join(work, "ckpt_neardup"),
+    )
+    # the second gate consumes the first gate's sink as ITS stream —
+    # the standard staged-topics/staged-tables composition
+    gated_stream = spark.readStream.schema(
+        "doc_id bigint, text string"
+    ).parquet(dedup_out)
+    q2 = start_quality_gate(
+        gated_stream,
+        model,
+        gate_out,
+        os.path.join(work, "ckpt_gate"),
+        alpha=2.0,  # llm_data_prep's keep-rate knob; 9.0 near-hard-thresholds
+    )
+
+    try:
+        for batch in (b1, b2):
+            batch.coalesce(1).write.mode("append").parquet(src)
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    n_in = docs.count()
+    n_nd = spark.read.parquet(dedup_out).count()
+    curated = spark.read.parquet(gate_out)
+    n_out = curated.count()
+    n_unique = curated.select("doc_id").distinct().count()
+    print(f"arrived:        {n_in} (+20 re-delivered)")
+    print(f"near-dup kept:  {n_nd}")
+    print(f"curated:        {n_out} (unique: {n_unique})")
+    assert n_out == n_unique, "re-delivered docs must not be admitted twice"
+    assert 0 < n_out <= n_nd <= n_in
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,3 +15,11 @@ def test_llm_data_prep_example_runs_end_to_end(spark, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["llm_data_prep"])
     # reuses the session fixture's JVM (get_spark getOrCreate)
     assert main() == 0
+
+
+def test_streaming_curation_example_runs_end_to_end(spark, monkeypatch):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__))))
+    from examples.streaming_curation import main
+
+    monkeypatch.setattr(sys, "argv", ["streaming_curation"])
+    assert main() == 0
