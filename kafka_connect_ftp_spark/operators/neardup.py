@@ -143,60 +143,84 @@ def semdedup_flags(
     block_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by embedding —
-    k-means the corpus, find within-cluster pairs with
+    cluster the corpus, find within-cluster pairs with
     ``cos >= 1 - eps``, and keep ONE representative per duplicate
     group: the member LEAST similar to its cluster centroid (the
     paper's choice — the least prototypical copy preserves the most
     diversity), ties broken by lowest id.
 
+    Clustering: k-means (``n_clusters``) by default; ``n_clusters=1``
+    is the exact all-pairs regime (corpus-mean centroid, no KMeans);
+    ``block_col`` names a PRECOMPUTED partition column instead (shard,
+    topic label, an earlier quantizer's cell) — deterministic, no
+    training step, centroids = per-block means. The block path is what
+    the oracle-gated plan uses.
+
     Returns one row per input vector: ``(vec_id, cell, group,
     centroid_sim, keep)`` — ``group`` is the duplicate-group id (min
     reachable vec_id; singletons group with themselves and are kept).
 
-    Scale shape (100 TB): k-means runs once at index-build cost;
-    within-cluster pair generation is the tiled/capped
-    :func:`blocked_near_dup_pairs` (no task ever materializes more
-    than ~block_cap² similarities, hot clusters fan out); the group
-    decision is the size-adaptive connected components of
-    ``operators/dedup_cluster.py``; the representative choice is one
-    min_by aggregation over (group, sim, id) triples. The vectors
-    themselves never shuffle after the pair stage. Approximation
-    boundary, per the paper: duplicates split across DIFFERENT k-means
-    cells are not compared — n_clusters trades that recall against
-    per-cluster pair cost (n_clusters=1 is exact and collapses to
-    all-pairs)."""
-    from kafka_connect_ftp_spark.operators.ann import build_ivf
+    Scale shape (100 TB): clustering runs once at index-build cost
+    (per-block means are one dim-bounded aggregate); within-cluster
+    pair generation is the tiled/capped :func:`blocked_near_dup_pairs`
+    (no task ever materializes more than ~block_cap² similarities, hot
+    clusters fan out); the group decision is the size-adaptive
+    connected components of ``operators/dedup_cluster.py``; the
+    representative choice is one min_by aggregation over (group, sim,
+    id) triples. The vectors themselves never shuffle after the pair
+    stage. Approximation boundary, per the paper: duplicates split
+    across DIFFERENT cells are not compared — cell granularity trades
+    that recall against per-cluster pair cost."""
     from kafka_connect_ftp_spark.operators.dedup_cluster import connected_components
 
     if not 0.0 < eps < 1.0:
         raise ValueError(f"eps must be in (0, 1), got {eps}")
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
-    if n_clusters == 1:
+    cent_df = None
+    if block_col is not None:
+        assigned = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col(block_col).alias("cell"),
+        )
+    elif n_clusters == 1:
         # the exact regime: no coarse stage (Spark ML KMeans needs k>=2)
         # — every vector in one cell whose centroid is the corpus mean
-        # (one dim-bounded aggregate, the same cost as a KMeans step)
-        from kafka_connect_ftp_spark.operators.ann import IvfIndex
-
         assigned = emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("v"),
             F.lit(0).alias("cell"),
         )
-        mean_rows = (
-            assigned.select(F.posexplode("v").alias("pos", "x"))
-            .groupBy("pos")
-            .agg(F.avg("x").alias("m"))
-            .orderBy("pos")
-            .collect()
-        )
-        index = IvfIndex(assigned=assigned, centroids=[[r.m for r in mean_rows]])
     else:
+        from kafka_connect_ftp_spark.operators.ann import build_ivf
+
         index = build_ivf(emb, vec_col=vec_col, id_col=id_col, k=n_clusters, seed=seed)
+        assigned = index.assigned
+        spark = emb.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+            "cell int, _c array<double>",
+        )
+    if cent_df is None:
+        # per-cell mean centroid from the data itself: one aggregate
+        # whose state is bounded by cells × dim (map-side combined)
+        cent_df = (
+            assigned.select("cell", F.posexplode("v").alias("_pos", "_x"))
+            .groupBy("cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_pos, _m))), s -> s._m)"
+                ).alias("_c")
+            )
+        )
     pairs = blocked_near_dup_pairs(
-        index.assigned,
+        assigned,
         block_col="cell",
         id_col="vec_id",
         vec_col="v",
@@ -206,27 +230,19 @@ def semdedup_flags(
     comps = connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), F.col("cluster").alias("group")
     )
-    # per-vector cosine to its own cell centroid, map-side: the k
-    # centroids ride as one array-of-arrays literal indexed by cell
-    # (k rows of floats — trivially broadcastable at any real k)
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c])
-            for c in index.centroids
-        ]
-    )
-    dot = "aggregate(zip_with(_v, _c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    # per-vector cosine to its own cell centroid, map-side against the
+    # BROADCAST centroid frame (cells × dim floats — tiny at any real k)
+    dot = "aggregate(zip_with(v, _c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
     nrm = "sqrt(aggregate(transform({0}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
     scored = (
-        index.assigned.withColumn("_c", F.element_at(cents, F.col("cell") + 1))
-        .withColumn("_v", F.col("v"))
+        assigned.join(F.broadcast(cent_df), "cell")
         .withColumn(
             "centroid_sim",
             F.when(
-                (F.expr(nrm.format("_v")) == 0.0) | (F.expr(nrm.format("_c")) == 0.0),
+                (F.expr(nrm.format("v")) == 0.0) | (F.expr(nrm.format("_c")) == 0.0),
                 F.lit(0.0),
             ).otherwise(
-                F.expr(dot) / (F.expr(nrm.format("_v")) * F.expr(nrm.format("_c")))
+                F.expr(dot) / (F.expr(nrm.format("v")) * F.expr(nrm.format("_c")))
             ),
         )
         .select("vec_id", "cell", "centroid_sim")

@@ -62,36 +62,101 @@ _LSH_BITS_DUCK = " + ".join(
 )
 
 
+# SemDeDup gate knobs: the synthetic embeddings are random (max in-label
+# cosine ~0.45-0.51 across SFs — no true near-dups), so the gate's eps
+# is set to exercise NON-TRIVIAL duplicate groups at every SF
+# (1-eps=0.42 -> 1/2/54 in-label pairs at sf0.001/0.01/0.1) rather than
+# to model production semantics (production eps ~0.03-0.05). The table's
+# embedding dim is pinned at 64 (all SFs) for the oracle's static series.
+_SD_EPS = 0.58
+_SD_DIM = 64
+
+
 @register(
     "embedding_norms",
     f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label
+      FROM embeddings
+    ),
+    sd_pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+            >= {1.0 - _SD_EPS}
+    ),
+    edges AS (
+      SELECT va AS a, vb AS b FROM sd_pairs
+      UNION ALL SELECT vb, va FROM sd_pairs
+    ),
+    walk(vec_id, reach) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT w.vec_id, ed.b FROM walk w JOIN edges ed ON ed.a = w.reach
+    ),
+    grp AS (SELECT vec_id, MIN(reach) AS sd_group FROM walk GROUP BY vec_id),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS c FROM (
+        SELECT label, CAST(i AS INTEGER) AS i, AVG(v[CAST(i AS INTEGER)]) AS m
+        FROM e, generate_series(1, {_SD_DIM}) AS t(i)
+        GROUP BY label, i
+      ) GROUP BY label
+    ),
+    sims AS (
+      SELECT e.vec_id, e.v, e.label,
+             list_dot_product(e.v, c.c)
+               / (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(c.c, c.c))) AS cs
+      FROM e JOIN cent c USING (label)
+    ),
+    dec AS (
+      SELECT s.vec_id, s.v, s.label, g.sd_group, s.cs,
+             ROW_NUMBER() OVER (PARTITION BY g.sd_group ORDER BY s.cs, s.vec_id) AS rn
+      FROM sims s JOIN grp g USING (vec_id)
+    )
     SELECT vec_id,
-           ROUND(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2_norm,
-           CAST(LEN(embedding) AS BIGINT) AS dim, CAST(label AS BIGINT) AS label,
-           CAST({_LSH_BITS_DUCK} AS BIGINT) AS lsh_bucket
-    FROM embeddings ORDER BY vec_id
+           ROUND(SQRT(list_dot_product(v, v)), 4) AS l2_norm,
+           CAST({_SD_DIM} AS BIGINT) AS dim, label,
+           CAST({_LSH_BITS_DUCK.replace("embedding::DOUBLE[]", "v")} AS BIGINT) AS lsh_bucket,
+           sd_group, ROUND(cs, 4) AS sd_centroid_sim, rn = 1 AS sd_keep
+    FROM dec ORDER BY vec_id
     """,
     doc=(
-        "Per-vector map-side profile in one scan: L2 norm + dim (the "
-        "normalization step of any vector pipeline) and the random-"
+        "Per-vector profile family on one embeddings scan: L2 norm + dim "
+        "(the normalization step of any vector pipeline), the random-"
         "hyperplane (SimHash-for-vectors) LSH bucket: 8 signed projections "
         "-> 256 buckets; near-dup search then compares only within buckets "
         "(multi-probe across hamming-adjacent buckets recovers recall). "
         "The bucket id is a pure projection, so at 100 TB it is a free "
         "partitioning column for the table. Round 1's embedding_lsh_buckets "
-        "is the lsh_bucket column."
+        "is the lsh_bucket column. Round 6 folds in the SemDeDup decision "
+        "(operators/neardup.py:semdedup_flags, block_col path — "
+        "deterministic per-label blocks and per-block mean centroids, no "
+        "KMeans): duplicate-group id, centroid cosine, and the "
+        "keep-least-prototypical flag, re-derived by the oracle with a "
+        "recursive reachability CTE (the dedup_cluster_decision pattern) "
+        "plus a per-label mean + row_number keeper rule."
     ),
 )
 def embedding_norms(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.neardup import semdedup_flags
+
     df = _emb(spark, sf_dir)
     bits = _lsh_bits(_PLANES)
-    return df.select(
+    base = df.select(
         "vec_id",
         F.round(F.sqrt(F.expr(_DOT.format(a="v", b="v"))), 4).alias("l2_norm"),
         F.size("embedding").cast("long").alias("dim"),
         F.col("label").cast("long").alias("label"),
         bits.cast("long").alias("lsh_bucket"),
-    ).orderBy("vec_id")
+    )
+    sd = semdedup_flags(df, eps=_SD_EPS, block_col="label").select(
+        "vec_id",
+        F.col("group").alias("sd_group"),
+        F.round("centroid_sim", 4).alias("sd_centroid_sim"),
+        F.col("keep").alias("sd_keep"),
+    )
+    return base.join(sd, "vec_id").orderBy("vec_id")
 
 
 _Q = "(SELECT embedding::DOUBLE[] FROM embeddings ORDER BY vec_id LIMIT 1)"
