@@ -101,6 +101,19 @@ def main() -> int:
     deduped_text = dedup_spans(docs, unit="line").select("doc_id", "text")
     docs = docs.drop("text").join(deduped_text, "doc_id")
 
+    # 0c. ExactSubstr masking (Lee et al. 2021): spans duplicated
+    # anywhere in the corpus at >= 10 tokens are removed even when the
+    # surrounding line is unique — the sentence-spliced boilerplate the
+    # line-grain pass above cannot see
+    from kafka_connect_ftp_spark.operators.substr_dedup import (
+        mask_duplicated_substrings,
+    )
+
+    masked = mask_duplicated_substrings(docs, l=10).select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    docs = docs.drop("text").join(masked, "doc_id")
+
     quality = registry()["quality_filter_flags"].fn(spark, sf_dir)
     docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
     n1 = docs.count()
