@@ -8,6 +8,15 @@
 
 The real implementations live in ``kafka_connect_ftp_spark/plans/``;
 this module only adapts the registry to the driver's interface.
+
+REGISTRY SIZE POLICY (round 6): the driver's correctness record covers
+a bounded window (~50 rows — CORRECTNESS_r05 recorded exactly 50 of
+56), so the registry is kept at <= 50 entries (see
+``plans/__init__.py:REGISTRY_WINDOW``). When a new operator needs a
+driver row, same-scan/same-grain families are MERGED (tagged union or
+added columns, each merged entry's doc naming what it absorbed) rather
+than appending past the window — nothing hash-gateable is ever left to
+ride on a stale round's evidence.
 """
 
 from __future__ import annotations
