@@ -235,7 +235,15 @@ def semdedup_flags(
     dot = "aggregate(zip_with(v, _c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
     nrm = "sqrt(aggregate(transform({0}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
     scored = (
-        assigned.join(F.broadcast(cent_df), "cell")
+        # null-safe: a NULL block (unassigned vectors) is a cell like any
+        # other — blocked_near_dup_pairs already pairs within it, and an
+        # inner equi-join here would silently DROP those rows from the
+        # one-row-per-vector output
+        assigned.join(
+            F.broadcast(cent_df.withColumnRenamed("cell", "_ccell")),
+            F.col("cell").eqNullSafe(F.col("_ccell")),
+        )
+        .drop("_ccell")
         .withColumn(
             "centroid_sim",
             F.when(

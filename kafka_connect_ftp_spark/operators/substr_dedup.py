@@ -57,7 +57,12 @@ def mask_duplicated_substrings(
         raise ValueError(f"l must be >= 1, got {l}")
     toks = docs.select(
         F.col(id_col),
-        F.expr(_TOKS.format(col=text_col)).alias("_tk"),
+        # NULL text tokenizes to the empty array (split(NULL) is NULL,
+        # and size(NULL) would report -1 tokens downstream)
+        F.coalesce(
+            F.expr(_TOKS.format(col=text_col)),
+            F.expr("cast(array() as array<string>)"),
+        ).alias("_tk"),
     )
     occ = toks.filter(F.size("_tk") >= l).select(
         id_col,

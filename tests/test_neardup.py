@@ -259,3 +259,24 @@ def test_semdedup_single_cluster_is_exact(spark):
     got = semdedup_flags(emb, n_clusters=1, eps=eps, seed=42)
     got_keep = {r.vec_id for r in got.filter("keep").collect()}
     assert got_keep == expect_keep
+
+
+def test_semdedup_null_block_rows_survive(spark):
+    # vectors with a NULL block value are a cell like any other — the
+    # centroid join must be null-safe or they vanish from the output
+    from kafka_connect_ftp_spark.operators.neardup import semdedup_flags
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], None),
+            (2, [1.0, 0.0001], None),
+            (3, [0.0, 1.0], 7),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    out = semdedup_flags(emb, eps=0.01, block_col="label").collect()
+    assert {r.vec_id for r in out} == {1, 2, 3}
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[1].group == by_id[2].group  # the NULL-block near-dup pair
+    assert sum(r.keep for r in (by_id[1], by_id[2])) == 1
+    assert by_id[3].keep

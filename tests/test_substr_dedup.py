@@ -99,3 +99,13 @@ def test_hot_gram_scale_smoke(spark):
     assert agg.n == n and agg.m == 10 * n
     one = out.filter("doc_id = 7").collect()[0]
     assert one.kept_text == "unique7"
+
+
+def test_null_text_yields_empty_not_negative(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_masked, r.kept_text) for r in
+           mask_duplicated_substrings(df, l=5).collect()}
+    assert got[1] == (0, 0, "")
+    assert got[2] == (2, 0, "a b")
