@@ -307,3 +307,68 @@ def apply_bpe(
             yield pdf
 
     return docs.mapInPandas(tokenize, schema)
+
+
+def build_token_vocab(
+    tokenized: DataFrame,
+    *,
+    token_col: str = "bpe_tokens",
+    reserved: tuple[str, ...] = ("<unk>",),
+) -> dict[str, int]:
+    """Assign contiguous integer ids to the corpus's tokens: reserved
+    specials first (id 0.. in the given order), then tokens by frequency
+    desc / token asc — deterministic across runs and partitionings. One
+    token-keyed aggregate (state bounded by DISTINCT tokens, the
+    lm_score/vocab_top_v shape) + a vocab-bounded collect, the same
+    artifact-build cost class as the merge table itself. Reserved
+    strings colliding with real corpus tokens raise (a silent remap
+    would corrupt every downstream id)."""
+    rows = (
+        tokenized.select(F.explode(token_col).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .collect()
+    )
+    clash = set(reserved) & {r.t for r in rows}
+    if clash:
+        raise ValueError(f"reserved tokens occur in the corpus: {sorted(clash)}")
+    vocab = {tok: i for i, tok in enumerate(reserved)}
+    for r in rows:
+        vocab[r.t] = len(vocab)
+    return vocab
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab: dict[str, int],
+    *,
+    token_col: str = "bpe_tokens",
+    out_col: str = "token_ids",
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Append ``out_col``: the token array mapped to ids under ``vocab``,
+    unknown tokens to ``vocab[unk]``. Arrow-batched with the vocab dict
+    riding the closure (broadcast once per executor) — the apply_bpe
+    pattern; a join-based mapping would explode and re-shuffle the token
+    stream for what is a per-row dictionary lookup. NULL token arrays
+    stay NULL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if unk not in vocab:
+        raise ValueError(f"vocab must contain the unk token {unk!r}")
+    unk_id = vocab[unk]
+
+    def _fn(col):
+        return col.map(
+            lambda toks: None
+            if toks is None
+            else [vocab.get(t, unk_id) for t in toks]
+        )
+
+    # real class objects, not strings: the module's `from __future__
+    # import annotations` would leave pandas_udf's type-hint inference
+    # with unresolvable 'pd.Series' strings (pd is function-local here)
+    _fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_fn, "array<int>")(F.col(token_col)))

@@ -159,3 +159,46 @@ def rates_for_token_budgets(
     for name in totals:
         rates.setdefault(name, 0.0)
     return rates
+
+
+def temperature_rates(
+    totals: dict[str, float],
+    *,
+    budget: float,
+    alpha: float = 0.3,
+    allow_epochs: bool = True,
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual-sampling rule
+    of mBERT/XLM-R and the source-weighting shape of the GPT-3 mixture):
+    source ``s`` with share ``p_s = n_s / N`` contributes ``q_s ∝
+    p_s^alpha`` of the ``budget``; ``alpha = 1`` is proportional
+    sampling (every source at the same rate — the corpus's natural
+    mix), ``alpha → 0`` approaches uniform-over-sources (rare sources
+    maximally upweighted). Returns per-source rates for
+    :func:`mix_corpora`: ``rate_s = budget * q_s / n_s``.
+
+    Driver-side arithmetic over the per-source totals (one tiny dict —
+    get it from the same aggregation :func:`rates_for_token_budgets`
+    uses, or a corpus_stats pass). ``allow_epochs=False`` caps each
+    rate at 1.0: a rare source whose temperature share exceeds its size
+    is then consumed whole rather than repeated, and the realized total
+    undershoots ``budget`` — the standard no-repeat trade."""
+    if not totals:
+        raise ValueError("totals must be non-empty")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if any(n < 0 for n in totals.values()):
+        raise ValueError("totals must be >= 0")
+    n_total = float(sum(totals.values()))
+    if n_total == 0:
+        return {name: 0.0 for name in totals}
+    shares = {name: (n / n_total) ** alpha for name, n in totals.items()}
+    z = sum(shares.values())
+    rates = {}
+    for name, n in totals.items():
+        want = budget * shares[name] / z
+        rate = (want / n) if n else 0.0
+        rates[name] = rate if allow_epochs else min(1.0, rate)
+    return rates

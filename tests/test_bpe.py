@@ -382,3 +382,50 @@ def test_ten_thousand_merges_production_shape(spark):
     rows = apply_bpe(sample, merges).collect()
     for r in rows:
         assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+
+
+def test_token_vocab_and_ids_round_trip(spark, docs):
+    from kafka_connect_ftp_spark.operators.bpe import (
+        build_token_vocab,
+        tokens_to_ids,
+    )
+
+    merges = train_bpe(docs, 8)
+    tokenized = apply_bpe(docs, merges)
+    vocab = build_token_vocab(tokenized)
+    assert vocab["<unk>"] == 0
+    assert len(set(vocab.values())) == len(vocab)  # ids contiguous+unique
+    ids = {v: k for k, v in vocab.items()}
+    out = tokens_to_ids(tokenized, vocab).collect()
+    for r in out:
+        assert [ids[i] for i in r.token_ids] == list(r.bpe_tokens)
+
+    # deterministic: same corpus -> same vocab
+    assert build_token_vocab(apply_bpe(docs, merges)) == vocab
+
+
+def test_tokens_to_ids_unknown_and_null(spark):
+    from kafka_connect_ftp_spark.operators.bpe import tokens_to_ids
+
+    df = spark.createDataFrame(
+        [(1, ["a", "zz", "b"]), (2, None)],
+        "doc_id bigint, bpe_tokens array<string>",
+    )
+    vocab = {"<unk>": 0, "a": 1, "b": 2}
+    got = {r.doc_id: r.token_ids for r in tokens_to_ids(df, vocab).collect()}
+    assert got[1] == [1, 0, 2]  # zz -> unk
+    assert got[2] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unk"):
+        tokens_to_ids(df, {"a": 1})
+
+
+def test_token_vocab_reserved_collision_raises(spark):
+    from kafka_connect_ftp_spark.operators.bpe import build_token_vocab
+
+    df = spark.createDataFrame(
+        [(1, ["<unk>", "x"])], "doc_id bigint, bpe_tokens array<string>"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        build_token_vocab(df)

@@ -111,3 +111,44 @@ def test_mix_rejects_bad_rates(docs):
         mix_corpora({"a": (docs, -0.5)})
     with pytest.raises(ValueError):
         mix_corpora({})
+
+
+def test_temperature_rates_alpha_one_is_proportional():
+    from kafka_connect_ftp_spark.operators.mixing import temperature_rates
+
+    totals = {"web": 8000, "code": 1500, "ref": 500}
+    rates = temperature_rates(totals, budget=5000, alpha=1.0)
+    # proportional sampling: every source at the same rate budget/N
+    assert all(abs(r - 0.5) < 1e-12 for r in rates.values())
+
+
+def test_temperature_rates_upweight_rare_sources():
+    from kafka_connect_ftp_spark.operators.mixing import temperature_rates
+
+    totals = {"web": 8000, "ref": 500}
+    r1 = temperature_rates(totals, budget=1000, alpha=1.0)
+    r3 = temperature_rates(totals, budget=1000, alpha=0.3)
+    # lower alpha shifts budget toward the rare source
+    assert r3["ref"] > r1["ref"] and r3["web"] < r1["web"]
+    # budget conserved: sum(rate * n) == budget
+    for rates in (r1, r3):
+        assert abs(sum(rates[s] * totals[s] for s in totals) - 1000) < 1e-6
+
+
+def test_temperature_rates_epoch_cap_and_validation():
+    import pytest as _pt
+
+    from kafka_connect_ftp_spark.operators.mixing import temperature_rates
+
+    totals = {"web": 10_000, "ref": 10}
+    capped = temperature_rates(totals, budget=9000, alpha=0.1, allow_epochs=False)
+    assert capped["ref"] == 1.0  # would repeat; consumed whole instead
+    uncapped = temperature_rates(totals, budget=9000, alpha=0.1)
+    assert uncapped["ref"] > 1.0
+    with _pt.raises(ValueError):
+        temperature_rates({}, budget=1)
+    with _pt.raises(ValueError):
+        temperature_rates(totals, budget=1, alpha=0.0)
+    with _pt.raises(ValueError):
+        temperature_rates(totals, budget=-1)
+    assert temperature_rates({"a": 0, "b": 0}, budget=5) == {"a": 0.0, "b": 0.0}
