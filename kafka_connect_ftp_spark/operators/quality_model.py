@@ -101,12 +101,13 @@ def save_quality_model(model, path: str) -> None:
 
 
 def load_quality_model(spark, path: str):
-    """Load a classifier saved by :func:`save_quality_model`. ``spark``
-    pins the active session the ML reader resolves internally (and keeps
-    the signature parallel to :func:`bpe.load_merges`)."""
+    """Load a classifier saved by :func:`save_quality_model`. The Spark
+    ML reader resolves the session internally; ``spark`` exists for
+    artifact-API symmetry with :func:`bpe.load_merges` and the IVF
+    sidecar readers, and is deliberately otherwise unused."""
+    del spark
     from pyspark.ml.classification import LogisticRegressionModel
 
-    assert spark is not None  # the reader uses the active session
     return LogisticRegressionModel.load(path)
 
 

@@ -52,11 +52,24 @@ def mask_duplicated_substrings(
     kept_text)`` — tokens covered by any corpus-duplicated ``l``-gram
     are dropped, the rest re-join with single spaces (the reference
     implementation's whitespace normalization). Documents shorter than
-    ``l`` tokens can never be masked."""
+    ``l`` tokens can never be masked.
+
+    CONTRACT (the repetition_signals convention): ``id_col`` must be
+    unique and non-null. NULL ids fail loudly at execution time (a null
+    key would count its grams into dup_grams but never match the mask
+    equi-join back — the document would return fully UNMASKED);
+    duplicate ids would union two documents' masks and fan out the
+    join, masking tokens unique within each individual doc."""
     if l < 1:
         raise ValueError(f"l must be >= 1, got {l}")
+    id_checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"mask_duplicated_substrings: NULL {id_col} (ids must be unique non-null)")
+        ),
+    ).otherwise(F.col(id_col))
     toks = docs.select(
-        F.col(id_col),
+        id_checked.alias(id_col),
         # NULL text tokenizes to the empty array (split(NULL) is NULL,
         # and size(NULL) would report -1 tokens downstream)
         F.coalesce(

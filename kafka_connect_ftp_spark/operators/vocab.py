@@ -64,7 +64,17 @@ def vocab_coverage(
     token_col: str = "tk",
 ) -> DataFrame:
     """Per-document token count, out-of-vocabulary count and OOV rate
-    against ``vocab`` (broadcast). Token-less documents report 0/0/0.0."""
+    against ``vocab`` (broadcast). Token-less documents report 0/0/0.0.
+
+    NULL ids in ``docs`` fail loudly (the repetition_signals
+    convention): a null key would aggregate its tokens in ``tf`` but
+    never match the per-doc left join, silently reporting a high-OOV
+    document as empty."""
+    id_checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"vocab_coverage: NULL {id_col} (ids must be non-null)")),
+    ).otherwise(F.col(id_col))
+    docs = docs.select(id_checked.alias(id_col))
     per = (
         tf.join(F.broadcast(vocab), token_col, "left")
         .groupBy(id_col)

@@ -84,4 +84,13 @@ def registry() -> dict[str, QuerySpec]:
         advanced,
     )
 
+    if len(_REGISTRY) > REGISTRY_WINDOW:
+        # self-enforcing policy: a 51st entry would silently fall
+        # outside the driver's bounded correctness window and ride
+        # stale evidence — merge a same-scan family instead (see the
+        # REGISTRY_WINDOW note above)
+        raise RuntimeError(
+            f"registry has {len(_REGISTRY)} entries > REGISTRY_WINDOW="
+            f"{REGISTRY_WINDOW}; merge same-scan families instead of appending"
+        )
     return dict(_REGISTRY)

@@ -570,8 +570,12 @@ def vocab_coverage(spark, sf_dir):
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
     # ONE corpus pass: every section below consumes the (doc, token, tf)
-    # reduction; its canonical exchange is reused across them
-    tf = term_frequencies(tok)
+    # reduction, MATERIALIZED (lazy localCheckpoint — computed on first
+    # use, reused by the other consumers) per operators/vocab.py's
+    # fan-out contract: exchange reuse across consumers is NOT
+    # guaranteed (observed absent under AQE), and an unmaterialized tf
+    # re-executes the corpus scan per section
+    tf = term_frequencies(tok).localCheckpoint(eager=False)
     cov = coverage(df, tf, vocab_top_v(tf, _VOCAB_V))
     top = tfidf_top_term(df, tf).select(
         "doc_id", "top_term", F.round("tfidf", 6).alias("tfidf")

@@ -118,9 +118,18 @@ def start_near_dup_filter(
     spark = stream.sparkSession
 
     def _step(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         try:
             seen = spark.read.parquet(state_dir)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        except AnalysisException as exc:
+            # ONLY the genuine first-batch case (state dir not written
+            # yet) may proceed stateless; any other read failure —
+            # corrupt footer, FS hiccup — must fail the batch, or every
+            # document would silently bypass the cross-batch collision
+            # check and near-dups of admitted docs reach the sink
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             seen = None
         admitted, _ = filter_micro_batch(
             batch,

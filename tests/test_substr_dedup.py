@@ -109,3 +109,14 @@ def test_null_text_yields_empty_not_negative(spark):
            mask_duplicated_substrings(df, l=5).collect()}
     assert got[1] == (0, 0, "")
     assert got[2] == (2, 0, "a b")
+
+
+def test_null_id_fails_loudly(spark):
+    # review finding: a NULL id's grams would count into dup_grams but
+    # never match the mask join back — the doc would return UNMASKED
+    df = spark.createDataFrame(
+        [(None, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        mask_duplicated_substrings(df, l=5).collect()
