@@ -120,3 +120,22 @@ def test_null_id_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL doc_id"):
         mask_duplicated_substrings(df, l=5).collect()
+
+
+def test_property_matches_reference_on_random_corpora(spark):
+    # hypothesis cross-check against the independent pure-Python twin:
+    # a tiny vocabulary makes duplicated grams actually occur
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "bb", "ccc", "d"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=corpus, l=st.integers(min_value=1, max_value=4))
+    def check(corpus, l):
+        texts = dict(enumerate(corpus))
+        assert _run(spark, texts, l) == _py_reference(texts, l)
+
+    check()
