@@ -100,24 +100,30 @@ def filter_micro_batch(
     return admitted, admitted_bands
 
 
-def start_near_dup_filter(
-    stream: DataFrame,
+def make_near_dup_step(
+    spark,
     out_dir: str,
     state_dir: str,
-    checkpoint_dir: str,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 16,
     shingle_width: int = 8,
     band_size: int = 4,
+    idempotent: bool = False,
 ):
-    """Start the incremental near-dup filter: admitted documents append
-    to ``out_dir``, their band keys to ``state_dir``. Returns the
-    StreamingQuery."""
-    spark = stream.sparkSession
+    """Build the foreachBatch function (exposed so tests can drive a
+    replayed batch directly). ``idempotent=True`` writes each batch to
+    its own ``epoch=N`` partition with overwrite — the
+    ``idempotent_parquet_sink`` pattern — which upgrades the sink to
+    effectively-once: a replay after a crash BETWEEN sink and state
+    writes rewrites the identical partition; a replay AFTER the state
+    write collides with its own band keys, admits nothing, and the
+    empty-skip leaves the original partition intact. State appends are
+    idempotent by semantics either way (duplicate band keys cannot
+    change a left_semi collision check)."""
 
-    def _step(batch: DataFrame, _batch_id: int) -> None:
+    def _step(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
         try:
@@ -146,7 +152,12 @@ def start_near_dup_filter(
         # to the keys the filter computed, without dragging that plan's
         # lineage into a second execution
         admitted = admitted.localCheckpoint(eager=True)
-        admitted.write.mode("append").parquet(out_dir)
+        if idempotent:
+            if admitted.isEmpty():
+                return
+            admitted.write.mode("overwrite").parquet(f"{out_dir}/epoch={batch_id}")
+        else:
+            admitted.write.mode("append").parquet(out_dir)
         sig = minhash_signatures(
             admitted, id_col, text_col, n_hashes=n_hashes, shingle_width=shingle_width
         )
@@ -154,8 +165,39 @@ def start_near_dup_filter(
             state_dir
         )
 
+    return _step
+
+
+def start_near_dup_filter(
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_width: int = 8,
+    band_size: int = 4,
+    idempotent: bool = False,
+):
+    """Start the incremental near-dup filter: admitted documents to
+    ``out_dir`` (epoch-partitioned effectively-once when ``idempotent``,
+    plain append otherwise), their band keys to ``state_dir``. Returns
+    the StreamingQuery."""
+    step = make_near_dup_step(
+        stream.sparkSession,
+        out_dir,
+        state_dir,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle_width=shingle_width,
+        band_size=band_size,
+        idempotent=idempotent,
+    )
     return (
-        stream.writeStream.foreachBatch(_step)
+        stream.writeStream.foreachBatch(step)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -69,6 +69,45 @@ def gate_micro_batch(
     return scored.filter(pareto_keep(id_col=id_col, alpha=alpha))
 
 
+def make_quality_gate_step(
+    model,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = 0.2,
+    dup5_max: float = 0.5,
+    alpha: float = 9.0,
+    idempotent: bool = False,
+):
+    """Build the foreachBatch function (exposed so tests can drive a
+    replayed batch directly). ``idempotent=True`` writes each batch to
+    its own ``epoch=N`` partition with overwrite — the
+    ``idempotent_parquet_sink`` pattern: the gate is a deterministic
+    function of the batch (hash-seeded Pareto, no RNG), so a crash
+    replay rewrites the identical partition instead of appending
+    duplicates."""
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        admitted = gate_micro_batch(
+            batch,
+            model,
+            id_col=id_col,
+            text_col=text_col,
+            top2_max=top2_max,
+            dup5_max=dup5_max,
+            alpha=alpha,
+        )
+        if idempotent:
+            if admitted.isEmpty():
+                return
+            admitted.write.mode("overwrite").parquet(f"{out_dir}/epoch={batch_id}")
+        else:
+            admitted.write.mode("append").parquet(out_dir)
+
+    return _gate
+
+
 def start_quality_gate(
     stream: DataFrame,
     model,
@@ -80,26 +119,25 @@ def start_quality_gate(
     top2_max: float = 0.2,
     dup5_max: float = 0.5,
     alpha: float = 9.0,
+    idempotent: bool = False,
 ):
     """Start the curation stream: dedup-by-id (state carried across
-    micro-batches) → :func:`gate_micro_batch` → parquet append to
-    ``out_dir``. Returns the StreamingQuery."""
+    micro-batches) → :func:`gate_micro_batch` → parquet to ``out_dir``
+    (epoch-partitioned effectively-once when ``idempotent``, plain
+    append otherwise). Returns the StreamingQuery."""
     deduped = stream.dropDuplicates([id_col])
-
-    def _gate(batch: DataFrame, _batch_id: int) -> None:
-        admitted = gate_micro_batch(
-            batch,
-            model,
-            id_col=id_col,
-            text_col=text_col,
-            top2_max=top2_max,
-            dup5_max=dup5_max,
-            alpha=alpha,
-        )
-        admitted.write.mode("append").parquet(out_dir)
-
+    gate = make_quality_gate_step(
+        model,
+        out_dir,
+        id_col=id_col,
+        text_col=text_col,
+        top2_max=top2_max,
+        dup5_max=dup5_max,
+        alpha=alpha,
+        idempotent=idempotent,
+    )
     return (
-        deduped.writeStream.foreachBatch(_gate)
+        deduped.writeStream.foreachBatch(gate)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

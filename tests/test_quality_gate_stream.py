@@ -121,3 +121,23 @@ def test_two_micro_batches_gate_and_carry_dedup_state(spark, model, tmp_path):
         r.doc_id for r in gate_micro_batch(allrows, model).select("doc_id").collect()
     }
     assert batch_ids == set(got)
+
+
+def test_idempotent_replay_rewrites_identically(spark, model, tmp_path):
+    from kafka_connect_ftp_spark.streaming.quality_gate import (
+        make_quality_gate_step,
+    )
+
+    out = str(tmp_path / "out_i")
+    gate = make_quality_gate_step(model, out, alpha=9.0, idempotent=True)
+    batch = spark.createDataFrame(
+        [(1, _text(_GOOD, 1)), (2, _text(_GOOD, 2)), (3, _text(_JUNK, 3))],
+        _SCHEMA,
+    )
+    gate(batch, 0)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+    # replay: the gate is deterministic, the epoch partition is
+    # rewritten with identical rows — never appended
+    gate(batch, 0)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == first
