@@ -74,18 +74,23 @@ def main() -> int:
         dedup_out,
         os.path.join(work, "band_state"),
         os.path.join(work, "ckpt_neardup"),
+        idempotent=True,  # epoch-partitioned effectively-once sinks
     )
     # the second gate consumes the first gate's sink as ITS stream —
     # the standard staged-topics/staged-tables composition
-    gated_stream = spark.readStream.schema(
-        "doc_id bigint, text string"
-    ).parquet(dedup_out)
+    # the idempotent sink partitions by epoch — declare it and drop it
+    gated_stream = (
+        spark.readStream.schema("doc_id bigint, text string, epoch int")
+        .parquet(dedup_out)
+        .drop("epoch")
+    )
     q2 = start_quality_gate(
         gated_stream,
         model,
         gate_out,
         os.path.join(work, "ckpt_gate"),
         alpha=2.0,  # llm_data_prep's keep-rate knob; 9.0 near-hard-thresholds
+        idempotent=True,
     )
 
     try:
