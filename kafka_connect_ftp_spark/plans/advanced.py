@@ -271,9 +271,13 @@ def lineitem_reshape_family(spark, sf_dir):
     """
     SELECT o_orderkey,
            CAST(ROW_NUMBER()   OVER w AS BIGINT) AS rn,
+           CAST(RANK()         OVER w AS BIGINT) AS rnk,
            CAST(DENSE_RANK()   OVER w AS BIGINT) AS drank,
            ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST()   OVER w, 6) AS cdist,
            CAST(NTILE(4)       OVER w AS BIGINT) AS quartile,
+           FIRST_VALUE(o_totalprice) OVER w AS status_min_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS status_2nd_price,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
@@ -283,11 +287,15 @@ def lineitem_reshape_family(spark, sf_dir):
     ORDER BY o_orderkey
     """,
     doc=(
-        "The window-function family over orders: row_number / dense_rank / "
-        "percent_rank / ntile on a rank window, plus the per-customer "
-        "cumulative sum (ROWS frame — same shuffle profile as the "
-        "state-merge) as a second window definition in the same pass. "
-        "Round 1's window_running_total merged in."
+        "The window-function family over orders: row_number / rank / "
+        "dense_rank / percent_rank / cume_dist / ntile / first_value / "
+        "nth_value on one rank window (the composite ordering is "
+        "tie-free, so the default RANGE frame is deterministic in both "
+        "engines), plus the per-customer cumulative sum (ROWS frame — "
+        "same shuffle profile as the state-merge) as a second window "
+        "definition in the same pass. Round 1's window_running_total "
+        "merged in; rank/cume_dist/value-position functions added "
+        "round 6."
     ),
 )
 def window_rank_family(spark, sf_dir):
@@ -303,9 +311,13 @@ def window_rank_family(spark, sf_dir):
         .select(
             "o_orderkey",
             F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
             F.dense_rank().over(w).cast("long").alias("drank"),
             F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
             F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.first("o_totalprice").over(w).alias("status_min_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("status_2nd_price"),
             F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
         )
         .orderBy("o_orderkey")
@@ -321,15 +333,19 @@ def window_rank_family(spark, sf_dir):
                                             AND CURRENT ROW), 4)
              AS sum_1h,
            ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
-             AS delta
+             AS delta,
+           ROUND(LEAD(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - value, 4) AS next_delta
     FROM events ORDER BY event_id
     """,
     doc=(
         "Event-time windows per user in one pass: the rolling 1-hour RANGE "
         "frame sum (a streaming deployment uses a sliding window "
-        "aggregation instead) and the LAG-based delta to the previous "
-        "event. Round 1's window_range_1h_sum + window_lag_value_delta "
-        "merged — both shuffle once on user_id."
+        "aggregation instead) and the LAG/LEAD deltas to the adjacent "
+        "events (LEAD with an explicit default — the last event per user "
+        "exercises the default, not NULL). Round 1's window_range_1h_sum "
+        "+ window_lag_value_delta merged — all three shuffle once on "
+        "user_id."
     ),
 )
 def window_events_range_lag(spark, sf_dir):
@@ -350,6 +366,9 @@ def window_events_range_lag(spark, sf_dir):
             "user_id",
             F.round(F.sum("value").over(w_range), 4).alias("sum_1h"),
             F.round(F.col("value") - F.lag("value").over(w_lag), 4).alias("delta"),
+            F.round(
+                F.lead("value", 1, 0.0).over(w_lag) - F.col("value"), 4
+            ).alias("next_delta"),
         )
         .orderBy("event_id")
     )
