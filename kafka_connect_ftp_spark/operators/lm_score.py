@@ -23,6 +23,8 @@ Everything is built-in expressions (split/explode/log/avg); no Python UDF.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 # same whitespace tokenization the text/dedup family uses (plans/text.py)
@@ -131,5 +133,140 @@ def unigram_scores(
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             "avg_logprob",
             F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )
+
+
+# --------------------------------------------------- bigram Stupid Backoff
+#
+# Brants et al. 2007 ("Large Language Models in Machine Translation"): an
+# inexpensive, un-normalized n-gram score that web-scale pipelines use in
+# place of a fully smoothed LM. Bigram form:
+#
+#   S(w_i | w_{i-1}) = count(w_{i-1} w_i) / count(w_{i-1})   if bigram seen
+#                    = lambda * S_uni(w_i)                    otherwise
+#
+# with lambda = 0.4 (the paper's constant) and S_uni the Lidstone-smoothed
+# unigram of train_unigram_lm — the floor that keeps OOV tokens finite
+# (plain Stupid Backoff leaves the unigram unsmoothed; on a corpus scored
+# against ITSELF the backoff never fires, so scoring against a REFERENCE
+# model is the operating regime and OOV handling is mandatory).
+#
+# Scale shape: both count tables are bounded by TYPE counts (vocab /
+# distinct bigrams), never corpus size; pair emission is a map-side
+# transform over each doc's token array; scoring is broadcast joins that
+# degrade gracefully to shuffled hash joins past the threshold; the
+# per-doc reduce is one doc_id-keyed aggregation. No Python anywhere.
+
+
+@dataclass
+class StupidBackoffLM:
+    bigrams: DataFrame  # w1, w2, nb
+    unigrams: DataFrame  # token, n
+    norm: DataFrame  # 1 row: _total, _vocab
+
+
+# pairs (toks[i-1], toks[i]) for i in 1..n-1, 0-based; the size guard
+# matters because Spark's sequence(1, 0) is DESCENDING ([1, 0]), not empty
+_PAIRS = (
+    "CASE WHEN size({t}) < 2 THEN array() ELSE"
+    " transform(sequence(1, size({t}) - 1),"
+    " i -> struct({t}[i - 1] AS w1, {t}[i] AS w2)) END"
+)
+
+
+def train_stupid_backoff(docs: DataFrame, *, text_col: str = "text") -> StupidBackoffLM:
+    """Count tables for :func:`stupid_backoff_scores`: bigram and unigram
+    frequencies plus the 1-row normalizer (total tokens, vocab size)."""
+    arrs = docs.select(F.expr(_TOKS.format(col=text_col)).alias("_toks"))
+    uni = (
+        arrs.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = (
+        arrs.select(F.explode(F.expr(_PAIRS.format(t="_toks"))).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    norm = uni.agg(F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_vocab"))
+    return StupidBackoffLM(bigrams=big, unigrams=uni, norm=norm)
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    model: StupidBackoffLM | None = None,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    lambda_: float = 0.4,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram Stupid Backoff fluency: ``doc_id``,
+    ``sb_n_tokens`` (positions scored — every token; the first is scored
+    by the unigram floor, the rest by the bigram/backoff rule),
+    ``sb_logscore`` (mean ln S), ``sb_backoff_n`` (bigram positions that
+    took the backoff branch — 0 when scoring the training corpus itself),
+    ``sb_ppl`` (= exp(-sb_logscore)). ``model`` defaults to training on
+    ``docs`` itself; token-less documents score NULL with sb_n_tokens=0.
+    """
+    if model is None:
+        model = train_stupid_backoff(docs, text_col=text_col)
+    base = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.expr(_TOKS.format(col=text_col)).alias("_toks"),
+    )
+    denom = F.col("_total") + alpha * (F.col("_vocab") + 1)
+    uni_floor = lambda n: F.log((F.coalesce(n, F.lit(0)) + F.lit(alpha)) / denom)  # noqa: E731
+
+    first = (
+        base.filter(F.size("_toks") >= 1)
+        .select("doc_id", F.col("_toks")[0].alias("token"))
+        .join(F.broadcast(model.unigrams), "token", "left")
+        .crossJoin(F.broadcast(model.norm))
+        .select("doc_id", uni_floor(F.col("n")).alias("logp"), F.lit(0).alias("backoff"))
+    )
+    pairs = (
+        base.select("doc_id", F.explode(F.expr(_PAIRS.format(t="_toks"))).alias("_p"))
+        .select("doc_id", "_p.w1", "_p.w2")
+        .join(F.broadcast(model.bigrams), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(model.unigrams.select(F.col("token").alias("w1"), F.col("n").alias("_n_w1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(model.unigrams.select(F.col("token").alias("w2"), F.col("n").alias("_n_w2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(model.norm))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("nb").isNotNull(), F.log(F.col("nb") / F.col("_n_w1"))
+            ).otherwise(F.log(F.lit(lambda_)) + uni_floor(F.col("_n_w2"))).alias("logp"),
+            F.when(F.col("nb").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("backoff"),
+        )
+    )
+    per_doc = (
+        first.unionByName(pairs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("sb_n_tokens"),
+            F.avg("logp").alias("sb_logscore"),
+            F.sum("backoff").alias("sb_backoff_n"),
+        )
+    )
+    return (
+        docs.select(F.col(doc_id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("sb_n_tokens", F.lit(0)).alias("sb_n_tokens"),
+            "sb_logscore",
+            F.coalesce("sb_backoff_n", F.lit(0)).alias("sb_backoff_n"),
+            F.exp(-F.col("sb_logscore")).alias("sb_ppl"),
         )
     )

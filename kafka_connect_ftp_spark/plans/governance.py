@@ -2,14 +2,16 @@
 covering the training-data bookkeeping operators that previously had
 pytest-only evidence — deterministic splits (operators/splits.py),
 mixing keys (operators/mixing.py), PII detection/scrubbing
-(operators/pii.py) and unigram-LM fluency scoring
-(operators/lm_score.py) — plus the document fingerprints absorbed from
-round 2's ``doc_fingerprint`` query (md5/sha256/rolling hash).
+(operators/pii.py), unigram-LM fluency scoring and bigram
+Stupid Backoff scoring (operators/lm_score.py, the Brants et al. 2007
+rule trained on a reference slice so the backoff branch is exercised)
+— plus the document fingerprints absorbed from round 2's
+``doc_fingerprint`` query (md5/sha256/rolling hash).
 
 The query calls the REAL operator code paths; the DuckDB oracle
 re-derives every column independently (md5-hex arithmetic, RE2 regexes,
-ln/avg), so all five operator families sit inside the driver's full
-hash-comparison gate in a single row-budget slot.
+ln/avg, bigram count tables), so all six operator families sit inside
+the driver's full hash-comparison gate in a single row-budget slot.
 
 PII note: the synthetic documents contain no digits at all, so counting
 PII on the raw text would be vacuously zero. The query therefore
@@ -40,7 +42,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kafka_connect_ftp_spark.operators.lm_score import unigram_scores
+from kafka_connect_ftp_spark.operators.lm_score import (
+    stupid_backoff_scores,
+    train_stupid_backoff,
+    unigram_scores,
+)
 from kafka_connect_ftp_spark.operators.mixing import es_key, uniform_hash
 from kafka_connect_ftp_spark.operators.pii import PII_PATTERNS, pii_counts
 from kafka_connect_ftp_spark.operators.splits import split_column
@@ -137,6 +143,7 @@ def _duck_pii() -> str:
 
 
 def _oracle() -> str:
+    from kafka_connect_ftp_spark.plans import ORACLE_MAX_TOKENS
     from kafka_connect_ftp_spark.plans.text import _DUCK_TOKS
 
     bounds = "".join(
@@ -160,6 +167,47 @@ def _oracle() -> str:
       SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(lp.log_prob) AS avg_logprob
       FROM lm_toks t JOIN lp USING (token) GROUP BY t.doc_id
     ),
+    sb_all AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    sb_ref AS (SELECT toks FROM sb_all WHERE doc_id % 13 = 0),
+    sb_uni AS (
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(toks) AS token FROM sb_ref) GROUP BY token
+    ),
+    sb_norm AS (SELECT SUM(n) AS total, COUNT(*) AS vsize FROM sb_uni),
+    sb_big AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS nb
+      FROM sb_ref, generate_series(1, {ORACLE_MAX_TOKENS}) AS t(i)
+      WHERE i < len(toks)
+      GROUP BY 1, 2
+    ),
+    sb_stream AS (
+      SELECT doc_id, toks[1] AS w1, CAST(NULL AS VARCHAR) AS w2, TRUE AS is_first
+      FROM sb_all WHERE len(toks) >= 1
+      UNION ALL
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, FALSE
+      FROM sb_all, generate_series(1, {ORACLE_MAX_TOKENS}) AS t(i)
+      WHERE i < len(toks)
+    ),
+    sb_scored AS (
+      SELECT s.doc_id,
+             CASE WHEN s.is_first
+                    THEN ln((COALESCE(u1.n, 0) + 0.5) / (n.total + 0.5 * (n.vsize + 1)))
+                  WHEN b.nb IS NOT NULL THEN ln(CAST(b.nb AS DOUBLE) / u1.n)
+                  ELSE ln(0.4) + ln((COALESCE(u2.n, 0) + 0.5) / (n.total + 0.5 * (n.vsize + 1)))
+             END AS logp,
+             CASE WHEN NOT s.is_first AND b.nb IS NULL THEN 1 ELSE 0 END AS backoff
+      FROM sb_stream s
+      LEFT JOIN sb_big b ON s.w1 = b.w1 AND s.w2 = b.w2
+      LEFT JOIN sb_uni u1 ON s.w1 = u1.token
+      LEFT JOIN sb_uni u2 ON s.w2 = u2.token
+      CROSS JOIN sb_norm n
+    ),
+    sb_doc AS (
+      SELECT doc_id, AVG(logp) AS sb_logscore, SUM(backoff) AS sb_backoff_n
+      FROM sb_scored GROUP BY doc_id
+    ),
     pii AS ({_duck_pii()}),
     base AS (
       SELECT doc_id,
@@ -181,10 +229,13 @@ def _oracle() -> str:
            p.scrub_fp,
            CAST(COALESCE(l.n_tokens, 0) AS BIGINT) AS n_tokens,
            ROUND(l.avg_logprob, 4) AS avg_logprob,
-           ROUND(EXP(-l.avg_logprob), 4) AS perplexity
+           ROUND(EXP(-l.avg_logprob), 4) AS perplexity,
+           ROUND(s.sb_logscore, 4) AS sb_logscore,
+           CAST(COALESCE(s.sb_backoff_n, 0) AS BIGINT) AS sb_backoff_n
     FROM base b
     JOIN pii p USING (doc_id)
     LEFT JOIN doc_lm l USING (doc_id)
+    LEFT JOIN sb_doc s USING (doc_id)
     ORDER BY doc_id
     """
 
@@ -197,8 +248,11 @@ def _oracle() -> str:
         "(md5/sha256/Rabin-Karp rolling hash — round 2's doc_fingerprint), "
         "deterministic train/val/test split, Efraimidis-Spirakis mixing "
         "key + per-source mix-keep decision, PII counts/scrub fingerprint "
-        "over deterministically-augmented text, and unigram-LM fluency "
-        "(token count, avg log-prob, perplexity). Every column runs the "
+        "over deterministically-augmented text, unigram-LM fluency "
+        "(token count, avg log-prob, perplexity), and bigram Stupid "
+        "Backoff fluency (mean log-score + backoff count; model trained "
+        "on the doc_id%13 slice so the unseen-bigram backoff branch is "
+        "non-vacuous at every SF). Every column runs the "
         "real operator code (operators/{splits,mixing,pii,lm_score}.py) "
         "and is independently re-derived by the DuckDB oracle."
     ),
@@ -269,8 +323,22 @@ def governance_profile(spark, sf_dir):
         F.round("perplexity", 4).alias("perplexity"),
     )
 
+    # bigram Stupid Backoff trained on the doc_id % 13 == 0 slice and
+    # scoring everything: out-of-slice documents contain unseen bigrams,
+    # so the backoff branch and the OOV floor are non-vacuous inside the
+    # hash AT EVERY SF (a 50% slice covers the small shared vocabulary's
+    # bigram space at sf0.1 — zero backoffs, vacuous; measured). Self-
+    # scoring would never back off at all (operators/lm_score.py).
+    sb_model = train_stupid_backoff(docs.filter(F.col("doc_id") % 13 == 0))
+    sb = stupid_backoff_scores(docs, sb_model).select(
+        "doc_id",
+        F.round("sb_logscore", 4).alias("sb_logscore"),
+        F.col("sb_backoff_n").cast("long").alias("sb_backoff_n"),
+    )
+
     return (
         mapside.join(lm, "doc_id", "left")
+        .join(sb, "doc_id", "left")
         .select(
             "doc_id", "fp_md5", "fp_sha256", "n_bytes", "roll_hash",
             "split", "es_key", "mix_keep",
@@ -279,6 +347,7 @@ def governance_profile(spark, sf_dir):
             "scrub_fp",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
             "avg_logprob", "perplexity",
+            "sb_logscore", "sb_backoff_n",
         )
         # the hash repartition is a deliberate materialization boundary:
         # the LM join broadcasts, so without it the global sort's RANGE

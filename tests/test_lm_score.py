@@ -57,3 +57,65 @@ def test_scoring_against_reference_lm_uses_oov_probability(spark):
     expect = (math.log((2 + ALPHA) / denom) + math.log(ALPHA / denom)) / 2
     assert out.avg_logprob == pytest.approx(expect)
     assert out.n_tokens == 2
+
+
+# --------------------------------------------------- bigram Stupid Backoff
+
+
+def test_stupid_backoff_hand_computed_against_reference_model(spark):
+    from kafka_connect_ftp_spark.operators.lm_score import (
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    ref = _docs(spark, [(1, "a b a"), (2, "a c")])
+    model = train_stupid_backoff(ref)
+    # counts: uni a=3,b=1,c=1 (total 5, vocab 3); bigrams (a,b),(b,a),(a,c)
+    assert {(r.w1, r.w2): r.nb for r in model.bigrams.collect()} == {
+        ("a", "b"): 1,
+        ("b", "a"): 1,
+        ("a", "c"): 1,
+    }
+    scored = _docs(spark, [(10, "a b a c d"), (11, "a"), (12, "")])
+    out = {r.doc_id: r for r in stupid_backoff_scores(scored, model).collect()}
+    denom = 5 + ALPHA * 4
+    expect_10 = (
+        math.log((3 + ALPHA) / denom)  # first token 'a': unigram floor
+        + math.log(1 / 3)  # (a,b) seen: nb=1 / n_a=3
+        + math.log(1 / 1)  # (b,a) seen
+        + math.log(1 / 3)  # (a,c) seen
+        + (math.log(0.4) + math.log((0 + ALPHA) / denom))  # (c,d): backoff, d OOV
+    ) / 5
+    assert out[10].sb_n_tokens == 5 and out[10].sb_backoff_n == 1
+    assert out[10].sb_logscore == pytest.approx(expect_10)
+    assert out[10].sb_ppl == pytest.approx(math.exp(-out[10].sb_logscore))
+    # single-token doc: unigram term only, no bigram positions
+    assert out[11].sb_n_tokens == 1 and out[11].sb_backoff_n == 0
+    assert out[11].sb_logscore == pytest.approx(math.log((3 + ALPHA) / denom))
+    # token-less doc survives with a NULL score (the unigram convention)
+    assert out[12].sb_n_tokens == 0 and out[12].sb_logscore is None
+
+
+def test_stupid_backoff_self_scoring_never_backs_off(spark):
+    from kafka_connect_ftp_spark.operators.lm_score import stupid_backoff_scores
+
+    docs = _docs(spark, [(1, "x y x z"), (2, "y z y"), (3, "x")])
+    out = stupid_backoff_scores(docs).collect()
+    # every bigram in the corpus is in the self-trained table by definition
+    assert {r.sb_backoff_n for r in out} == {0}
+    assert {r.doc_id: r.sb_n_tokens for r in out} == {1: 4, 2: 3, 3: 1}
+
+
+def test_stupid_backoff_prefers_fluent_order(spark):
+    from kafka_connect_ftp_spark.operators.lm_score import (
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    ref = _docs(spark, [(i, "the cat sat on the mat") for i in range(5)])
+    model = train_stupid_backoff(ref)
+    scored = _docs(spark, [(100, "the cat sat"), (101, "sat the mat cat")])
+    out = {r.doc_id: r for r in stupid_backoff_scores(scored, model).collect()}
+    # in-order trigram beats scrambled words: scrambled pairs back off
+    assert out[100].sb_logscore > out[101].sb_logscore
+    assert out[100].sb_backoff_n == 0 and out[101].sb_backoff_n > 0
