@@ -13,8 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.operators.layout import zorder_key, zorder_key_sql
 from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import load_tables
+
+# the Z-order key the scalar_funcs gate pins: exact-int dims only, so the
+# interleave is deterministic on both engines (no float bucket boundary)
+_Z_BITS = 8
+_Z_DUCK = zorder_key_sql(["(p_size)", "(p_partkey % 256)"], bits=_Z_BITS)
 
 
 # ---------------------------------------------------------------- aggregates
@@ -147,14 +153,19 @@ def setop_family(spark, sf_dir):
            CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
            CASE WHEN p_retailprice < 500  THEN 'cheap'
                 WHEN p_retailprice < 1500 THEN 'mid'
-                ELSE 'premium' END AS price_band
+                ELSE 'premium' END AS price_band,
+           CAST({zexpr} AS BIGINT) AS zval
     FROM part ORDER BY p_partkey
-    """,
+    """.format(zexpr=_Z_DUCK),
     doc=(
         "Scalar-function projection over one scan: string functions "
         "(upper/length/substr/replace/concat), math functions "
-        "(sqrt/ln/pow/abs/floor), and CASE WHEN banding — all codegen'd "
-        "JVM-side. Round 1's scalar_string_funcs + scalar_math_funcs + "
+        "(sqrt/ln/pow/abs/floor), CASE WHEN banding, and the Z-order "
+        "(Morton) layout key of (p_size, p_partkey%256) — all codegen'd "
+        "JVM-side. The zval column hash-pins operators/layout.py's bit "
+        "interleave against the oracle's explicit shift-and-mask sum "
+        "(exact integer inputs, so no float-boundary risk). Round 1's "
+        "scalar_string_funcs + scalar_math_funcs + "
         "case_when_price_buckets merged onto the part table."
     ),
 )
@@ -180,6 +191,9 @@ def scalar_funcs(spark, sf_dir):
             F.round(F.abs(F.col("p_retailprice") - 1000), 2).alias("price_dev"),
             F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bucket"),
             band.alias("price_band"),
+            zorder_key(
+                [F.col("p_size"), F.col("p_partkey") % 256], bits=_Z_BITS
+            ).alias("zval"),
         )
         .orderBy("p_partkey")
     )
