@@ -262,6 +262,26 @@ def main() -> int:
         codes, vectors, centroids, cb, qvec, top_k=5, nprobe=2, rerank=50
     ).collect()
 
+    # 10. batch retrieval — the knn JOIN shape (hard-negative mining /
+    # eval-set leakage checks run a query SET, not one vector): every
+    # query scores through one BLAS pass per corpus partition and only
+    # Q x k candidates per partition ever shuffle
+    from kafka_connect_ftp_spark.operators.knn import knn_join
+
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    corpus_vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    batch_hits = knn_join(corpus_vecs, queries, k=3).collect()
+    n_batch = len({(r.q_id, r.nn_rank) for r in batch_hits})
+
     print(f"corpus:        {n0}")
     print(f"quality-kept:  {n1}")
     print(f"repetition-kept: {n1a}")
@@ -284,6 +304,7 @@ def main() -> int:
         "ivf-pq top-5:  "
         + ", ".join(f"{r.vec_id}@{r.cos_sim:.3f}" for r in hits)
     )
+    print(f"knn join:      4 queries x top-3 -> {n_batch} hits")
     return 0
 
 
