@@ -201,15 +201,73 @@ def ivf_knn_join(
         for cell in probe_nearest_cells(index.centroids, list(qv), nprobe)
     ]
     probes = spark.createDataFrame(probe_rows, "q_id long, cell int, qv array<double>")
+    return _probe_topk(index.assigned, probes, k)
+
+
+def _probe_topk(
+    assigned: DataFrame, probes: DataFrame, k: int, *, force_broadcast: bool = True
+) -> DataFrame:
+    """Score a (q_id, cell, qv) probe frame against the cell-assigned
+    corpus: join on cell (broadcast-hinted when the probe side is known
+    driver-bounded; otherwise Catalyst/AQE picks — a small frame still
+    auto-broadcasts, a huge one becomes the co-partitioned hash join a
+    huge query set wants), JVM fold cosine, per-query top-k."""
     dot = F.expr(_DOT.format(a="v", b="qv"))
     vn = F.sqrt(F.expr(_DOT.format(a="v", b="v")))
     qn = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
     cos = F.when((vn == 0.0) | (qn == 0.0), F.lit(0.0)).otherwise(dot / (vn * qn))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        index.assigned.join(F.broadcast(probes), "cell")
+        assigned.join(F.broadcast(probes) if force_broadcast else probes, "cell")
         .select("q_id", "vec_id", cos.alias("cos_sim"))
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= k)
         .select("q_id", "vec_id", "cos_sim", F.col("nn_rank").cast("int").alias("nn_rank"))
     )
+
+
+def ivf_knn_join_frames(
+    index: IvfIndex,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qv",
+) -> DataFrame:
+    """:func:`ivf_knn_join` with NO driver-side query collect — the fully
+    distributed regime for query sets of arbitrary size (re-embedding a
+    whole corpus against an index, all-pairs contamination checks).
+
+    Cell probing happens IN THE PLAN: the k centroids ride as a broadcast
+    frame, every query scores all k cells with the same JVM L2 fold
+    ``probe_nearest_cells`` uses (ties to the lower cell id), and a
+    ``row_number <= nprobe`` filter — WindowGroupLimit pre-prunes map-side
+    — yields the (q_id, cell, qv) probe frame. From there the scoring path
+    is byte-identical to :func:`ivf_knn_join` (shared ``_probe_topk``).
+    The probe join stays broadcast only while the query set is small;
+    past the threshold Spark degrades it to a shuffled hash join on
+    ``cell`` — the same plan shape, no rewrite, which is exactly the
+    co-partitioned join a huge query set wants.
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    spark = index.assigned.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(index.centroids)],
+        "cell int, cv array<double>",
+    )
+    d2 = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    wq = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("cell"))
+    probes = (
+        queries.select(
+            F.col(q_id_col).cast("long").alias("q_id"),
+            F.col(q_vec_col).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d2", F.expr(d2))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "cell", "qv")
+    )
+    return _probe_topk(index.assigned, probes, k, force_broadcast=False)

@@ -148,3 +148,29 @@ def test_ivf_knn_join_plan_stays_jvm_side(emb, queries):
     plan = ivf_knn_join(index, queries, k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan  # mappers pre-prune to k per query
+
+
+def test_ivf_knn_join_frames_equals_collected_variant(emb, queries):
+    from kafka_connect_ftp_spark.operators.knn import ivf_knn_join_frames
+
+    index = build_ivf(emb.withColumnRenamed("v", "embedding"), k=8, seed=42)
+    for nprobe in (1, 3, 8):
+        a = ivf_knn_join(index, queries, k=5, nprobe=nprobe).collect()
+        b = ivf_knn_join_frames(index, queries, k=5, nprobe=nprobe).collect()
+        # identical probe rule (same left-to-right L2 fold, same lower-
+        # cell-id tie-break) -> identical results, rank for rank
+        assert sorted((r.q_id, r.vec_id, r.nn_rank) for r in a) == sorted(
+            (r.q_id, r.vec_id, r.nn_rank) for r in b
+        ), nprobe
+
+
+def test_ivf_knn_join_frames_plan_is_jvm_with_pruned_probes(emb, queries):
+    from kafka_connect_ftp_spark.operators.knn import ivf_knn_join_frames
+
+    index = build_ivf(emb.withColumnRenamed("v", "embedding"), k=4, seed=42)
+    plan = (
+        ivf_knn_join_frames(index, queries, k=3, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan  # both the probe rank and the top-k
