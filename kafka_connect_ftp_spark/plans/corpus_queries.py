@@ -42,7 +42,10 @@ from kafka_connect_ftp_spark.operators.bpe import apply_bpe, train_bpe
 from kafka_connect_ftp_spark.operators.capping import cap_per_group
 from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
 from kafka_connect_ftp_spark.operators.heavy_hitters import heavy_hitter_ngrams
-from kafka_connect_ftp_spark.operators.mixing import rates_for_token_budgets
+from kafka_connect_ftp_spark.operators.mixing import (
+    rates_for_token_budgets,
+    temperature_rates,
+)
 from kafka_connect_ftp_spark.operators.overlap import corpus_overlap
 from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans
 from kafka_connect_ftp_spark.plans import register
@@ -79,6 +82,9 @@ _KMV_K = 8192
 # emitted UNROUNDED: both engines divide the same exact integers in IEEE
 # double, so the values are bit-identical without a rounding-mode risk.
 _RATE_BUDGET = 20_000
+# temperature exponent for the temperature_rates twin in the same
+# section (mBERT/XLM-R rule; 0.3 upweights rare sources visibly)
+_TEMP_ALPHA = 0.3
 
 _TOKS = "filter(split(text, ' '), x -> x <> '')"
 _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -227,14 +233,24 @@ def span_dedup_decision(spark, sf_dir):
       JOIN cnt ca ON ca.source = a.source
       JOIN cnt cb ON cb.source = b.source
     ),
+    tsrc AS (
+      SELECT source, CAST(SUM(toks) AS DOUBLE) AS tn FROM base GROUP BY source
+    ),
+    tnorm AS (SELECT SUM(tn) AS nt, CAST(COUNT(*) AS DOUBLE) AS k FROM tsrc),
+    tz AS (
+      SELECT SUM(POW(tsrc.tn / tnorm.nt, {_TEMP_ALPHA!r})) AS z
+      FROM tsrc, tnorm
+    ),
     rates AS (
-      SELECT 'rates' AS section, source AS key,
+      SELECT 'rates' AS section, t.source AS key,
              CAST({_RATE_BUDGET} AS BIGINT) AS n,
-             CAST(NULL AS BIGINT) AS n_bytes, SUM(toks) AS n_tokens,
+             CAST(NULL AS BIGINT) AS n_bytes, CAST(t.tn AS BIGINT) AS n_tokens,
              CAST(NULL AS DOUBLE) AS len_p50, CAST(NULL AS DOUBLE) AS len_p90,
-             CAST(NULL AS DOUBLE) AS len_p99, CAST(NULL AS DOUBLE) AS dup_ratio,
-             CAST({_RATE_BUDGET} AS DOUBLE) / SUM(toks) AS share
-      FROM base GROUP BY source
+             CAST(NULL AS DOUBLE) AS len_p99,
+             ROUND({_RATE_BUDGET} * tn2.k * POW(t.tn / tn2.nt, {_TEMP_ALPHA!r})
+                   / tz.z / t.tn, 6) AS dup_ratio,
+             CAST({_RATE_BUDGET} AS DOUBLE) / t.tn AS share
+      FROM tsrc t, tnorm tn2, tz
     )
     SELECT * FROM comp UNION ALL SELECT * FROM hh
     UNION ALL SELECT * FROM capped UNION ALL SELECT * FROM ov
@@ -258,6 +274,9 @@ def span_dedup_decision(spark, sf_dir):
         "(integer estimates only, so the hash gate is float-free); "
         "'rates' — the real rates_for_token_budgets bridge turning a "
         "fixed 20k-token budget per source into mix_corpora sampling "
+        "rates, PLUS the real temperature_rates twin (mBERT/XLM-R "
+        "p^alpha rule over the same totals, alpha=0.3, global budget = "
+        "per-source budget x n_sources) riding the dup_ratio slot "
         "rates (n = the budget, n_tokens = the source's total tokens, "
         "share = the unrounded rate; exceeds 1.0 at low SF, exercising "
         "the epoch regime)."
@@ -339,19 +358,27 @@ def corpus_report(spark, sf_dir):
     rate_map = rates_for_token_budgets(
         docs, {s: float(_RATE_BUDGET) for s in totals}, totals=totals
     )
+    # the temperature twin over the SAME totals: global budget =
+    # per-source budget x n_sources, so both rate families are directly
+    # comparable in one section (temperature upweights rare sources,
+    # the fixed-budget bridge upweights them HARDER — 1/n_s vs n_s^(a-1))
+    temp_map = temperature_rates(
+        totals, budget=float(_RATE_BUDGET * len(totals)), alpha=_TEMP_ALPHA
+    )
     rates = spark.createDataFrame(
         [
-            (s, totals[s], rate_map[s])
+            (s, totals[s], rate_map[s], temp_map[s])
             for s in sorted(totals, key=lambda s: (s is None, s))
         ],
-        "key string, total bigint, rate double",
+        "key string, total bigint, rate double, trate double",
     ).select(
         F.lit("rates").alias("section"),
         "key",
         F.lit(_RATE_BUDGET).cast("long").alias("n"),
         F.lit(None).cast("long").alias("n_bytes"),
         F.col("total").alias("n_tokens"),
-        *nulls[:4],
+        *nulls[:3],
+        F.round("trate", 6).alias("dup_ratio"),
         F.col("rate").alias("share"),
     )
     return (
