@@ -220,22 +220,29 @@ def stupid_backoff_scores(
     denom = F.col("_total") + alpha * (F.col("_vocab") + 1)
     uni_floor = lambda n: F.log((F.coalesce(n, F.lit(0)) + F.lit(alpha)) / denom)  # noqa: E731
 
-    first = (
-        base.filter(F.size("_toks") >= 1)
-        .select("doc_id", F.col("_toks")[0].alias("token"))
-        .join(F.broadcast(model.unigrams), "token", "left")
-        .crossJoin(F.broadcast(model.norm))
-        .select("doc_id", uni_floor(F.col("n")).alias("logp"), F.lit(0).alias("backoff"))
-    )
-    pairs = (
-        base.select("doc_id", F.explode(F.expr(_PAIRS.format(t="_toks"))).alias("_p"))
-        .select("doc_id", "_p.w1", "_p.w2")
-        .join(F.broadcast(model.bigrams), ["w1", "w2"], "left")
-        .join(
-            F.broadcast(model.unigrams.select(F.col("token").alias("w1"), F.col("n").alias("_n_w1"))),
+    # ONE position stream per document: (NULL, t1) marks the first-token
+    # position, (t_{i-1}, t_i) the bigram positions — the corpus is
+    # tokenized and exploded once, not once per position class
+    positions = (
+        "CASE WHEN size({t}) = 0 THEN array() ELSE concat("
+        " array(struct(CAST(NULL AS STRING) AS w1, {t}[0] AS w2)),"
+        " {pairs}) END"
+    ).format(t="{t}", pairs=_PAIRS.format(t="{t}"))
+    # the MLE ratio divides ONCE PER BIGRAM TYPE at model cost (bounded
+    # by type counts), not once per corpus occurrence — identical
+    # operands, bit-identical ln(nb / n_w1), one fewer broadcast join on
+    # the corpus-sized stream
+    enriched = (
+        model.bigrams.join(
+            model.unigrams.select(F.col("token").alias("w1"), F.col("n").alias("_n1")),
             "w1",
-            "left",
         )
+        .select("w1", "w2", (F.col("nb") / F.col("_n1")).alias("_ratio"))
+    )
+    per_doc = (
+        base.select("doc_id", F.explode(F.expr(positions.format(t="_toks"))).alias("_p"))
+        .select("doc_id", "_p.w1", "_p.w2")
+        .join(F.broadcast(enriched), ["w1", "w2"], "left")  # NULL w1 never matches
         .join(
             F.broadcast(model.unigrams.select(F.col("token").alias("w2"), F.col("n").alias("_n_w2"))),
             "w2",
@@ -244,14 +251,14 @@ def stupid_backoff_scores(
         .crossJoin(F.broadcast(model.norm))
         .select(
             "doc_id",
+            F.when(F.col("w1").isNull(), uni_floor(F.col("_n_w2")))
+            .when(F.col("_ratio").isNotNull(), F.log(F.col("_ratio")))
+            .otherwise(F.log(F.lit(lambda_)) + uni_floor(F.col("_n_w2")))
+            .alias("logp"),
             F.when(
-                F.col("nb").isNotNull(), F.log(F.col("nb") / F.col("_n_w1"))
-            ).otherwise(F.log(F.lit(lambda_)) + uni_floor(F.col("_n_w2"))).alias("logp"),
-            F.when(F.col("nb").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("backoff"),
+                F.col("w1").isNotNull() & F.col("_ratio").isNull(), F.lit(1)
+            ).otherwise(F.lit(0)).alias("backoff"),
         )
-    )
-    per_doc = (
-        first.unionByName(pairs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("sb_n_tokens"),

@@ -81,14 +81,8 @@ def repetition_signals(
         raise ValueError(f"id_col {id_col!r} collides with internal names {sorted(reserved)}")
     all_ns = sorted(set(top_ns) | set(dup_ns))
     toks = _TOKS.format(col=text_col)
-    # NULL-id guard, evaluated JVM-side per row (no extra job): see the
-    # CONTRACT note in the docstring
-    id_checked = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(F.lit(f"repetition_signals: NULL {id_col} (ids must be unique non-null)")),
-    ).otherwise(F.col(id_col))
     base = docs.select(
-        id_checked.alias(id_col),
+        F.col(id_col),
         F.length(text_col).cast("long").alias("_n_chars"),
         F.expr(toks).alias("_tk"),
     )
@@ -155,10 +149,19 @@ def repetition_signals(
     dup_tok = F.when(n_tok <= 0, F.lit(0.0)).otherwise(
         (n_tok - F.size(F.array_distinct("_tk"))).cast("double") / n_tok
     )
+    # NULL-id guard on the DOCS-GRAIN join-back side only: every input
+    # row (null id included) reaches this branch, so the raise still
+    # fires on any null key — but the expression stays off the exploded
+    # gram stream, where CollapseProject would inline the CASE into
+    # every per-gram reference (measured ~20% on the whole operator)
+    id_checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"repetition_signals: NULL {id_col} (ids must be unique non-null)")),
+    ).otherwise(F.col(id_col))
     return (
         base.join(wide, id_col, "left")
         .select(
-            id_col,
+            id_checked.alias(id_col),
             n_tok.cast("long").alias("n_tokens"),
             F.round(dup_tok, decimals).alias("dup_token_frac"),
             *[

@@ -62,14 +62,8 @@ def mask_duplicated_substrings(
     join, masking tokens unique within each individual doc."""
     if l < 1:
         raise ValueError(f"l must be >= 1, got {l}")
-    id_checked = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(
-            F.lit(f"mask_duplicated_substrings: NULL {id_col} (ids must be unique non-null)")
-        ),
-    ).otherwise(F.col(id_col))
     toks = docs.select(
-        id_checked.alias(id_col),
+        F.col(id_col),
         # NULL text tokenizes to the empty array (split(NULL) is NULL,
         # and size(NULL) would report -1 tokens downstream)
         F.coalesce(
@@ -99,10 +93,20 @@ def mask_duplicated_substrings(
         .agg(F.sort_array(F.collect_set("_pos")).alias("_mask"))
     )
     kept = F.expr("filter(_tk, (x, i) -> NOT array_contains(_mask, i + 1))")
+    # NULL-id guard on the DOCS-GRAIN output branch only (every input
+    # row reaches it, so the raise still fires) — on the `toks` base it
+    # would be CollapseProject-inlined into every exploded occurrence
+    # row (the repetition_signals lesson, measured ~20% there)
+    id_checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"mask_duplicated_substrings: NULL {id_col} (ids must be unique non-null)")
+        ),
+    ).otherwise(F.col(id_col))
     return (
         toks.join(mask, id_col, "left")
         .select(
-            id_col,
+            id_checked.alias(id_col),
             F.size("_tk").cast("long").alias("n_tokens"),
             F.coalesce(F.size("_mask"), F.lit(0)).cast("long").alias("n_masked"),
             F.when(F.col("_mask").isNull(), F.array_join("_tk", " "))
