@@ -260,9 +260,14 @@ def _oracle() -> str:
 def governance_profile(spark, sf_dir):
     # Plan shape: fingerprints, split, mix key/keep and the whole PII
     # chain are pure column expressions — they live in ONE map-side
-    # projection over the scan, no join. The only shuffles are the LM
-    # model's token aggregation (vocabulary-bounded) and the final
-    # doc_id-keyed score aggregation, joined back once.
+    # projection over the scan, no join. The LM families add shuffles
+    # that are each bounded by TYPE counts (vocab / bigram types) or the
+    # docs grain, never corpus-row-proportional. The merged gate row
+    # scans the documents table once per family branch (docs/PLANS.md
+    # counts ~10 narrow 1-2 column scans) — the deliberate price of
+    # packing six operator families into one driver row-budget slot; a
+    # production pipeline composes only the stages it needs and a
+    # trained SB/unigram model is reused, not retrained per query.
     docs = load_tables(spark, sf_dir, "documents")["documents"]
 
     # the char array is materialized once (_ch) — inlining the
