@@ -174,3 +174,89 @@ def test_ivf_knn_join_frames_plan_is_jvm_with_pruned_probes(emb, queries):
     )
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan  # both the probe rank and the top-k
+
+
+# ------------------------------------------------- property + scale smoke
+
+
+def _np_knn(ids, vecs, q_ids, q_vecs, k):
+    """Independent numpy reference with the operator's exact tie-break:
+    (cos desc, vec_id asc); zero-norm vectors/queries score 0.0."""
+    import numpy as np
+
+    out = {}
+    m = np.asarray(vecs, dtype=np.float64)
+    vn = np.sqrt((m * m).sum(axis=1))
+    for qid, qv in zip(q_ids, q_vecs):
+        qv = np.asarray(qv, dtype=np.float64)
+        qn = np.sqrt((qv * qv).sum())
+        if qn == 0.0:
+            sims = np.zeros(len(ids))
+        else:
+            sims = m @ qv / (np.where(vn == 0.0, 1.0, vn) * qn)
+            sims[vn == 0.0] = 0.0
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:k]
+        out[qid] = [(ids[i], sims[i]) for i in order]
+    return out
+
+
+def test_knn_join_property_random_corpora(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vec = st.lists(
+        st.floats(-4, 4, allow_nan=False, width=32).map(float), min_size=3, max_size=3
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        vecs=st.lists(vec, min_size=1, max_size=24),
+        nq=st.integers(1, 4),
+        k=st.integers(1, 6),
+    )
+    def check(vecs, nq, k):
+        ids = list(range(len(vecs)))
+        nq = min(nq, len(vecs))
+        corpus = spark.createDataFrame(
+            list(zip(ids, vecs)), "vec_id long, v array<double>"
+        )
+        queries = spark.createDataFrame(
+            [(100 + i, vecs[i]) for i in range(nq)], "q_id long, qv array<double>"
+        )
+        got = {}
+        for r in knn_join(corpus.repartition(3), queries, k=k).collect():
+            got.setdefault(r.q_id, []).append((r.nn_rank, r.vec_id, r.cos_sim))
+        expect = _np_knn(ids, vecs, [100 + i for i in range(nq)], vecs[:nq], k)
+        assert set(got) == set(expect)
+        for qid, exp in expect.items():
+            rows = sorted(got[qid])
+            assert [v for _, v, _ in rows] == [v for v, _ in exp]
+            for (_, _, c), (_, ec) in zip(rows, exp):
+                assert c == pytest.approx(ec, abs=1e-9)
+
+    check()
+
+
+def test_knn_join_scale_smoke_bounded_shuffle(spark):
+    # 40k x 16-dim corpus, 16 queries: the candidate stream (and thus the
+    # one shuffle) stays at partitions x Q x k rows however big the scan
+    import numpy as np
+
+    n, dim, nq, k = 40_000, 16, 16, 10
+    rows = [
+        (i, [float(((i * 31 + j * 7) % 97) - 48) for j in range(dim)])
+        for i in range(n)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>").repartition(16)
+    queries = spark.createDataFrame(
+        [(i, rows[i * 17][1]) for i in range(nq)], "q_id long, qv array<double>"
+    )
+    got = knn_join(corpus, queries, k=k).collect()
+    assert len(got) == nq * k
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    # each query drawn from the corpus finds its own vector at cos 1.0
+    for i in range(nq):
+        best = min(by_q[i], key=lambda r: r.nn_rank)
+        assert best.cos_sim == pytest.approx(1.0, abs=1e-9)
