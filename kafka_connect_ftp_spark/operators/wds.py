@@ -1,0 +1,180 @@
+"""WebDataset-style tar-shard export: the delivery format multimodal
+training loaders stream (webdataset / torchdata tar archives — one tar
+per shard, one file-per-field per sample, samples grouped by key).
+
+``operators/sharding.py`` answers WHERE each document goes and in WHAT
+order (deterministic hash shuffle, split partitioning, bounded files);
+this module writes those shards in the tar layout instead of parquet:
+``shard-%05d.tar`` containing, per sample, ``<key>.<field-ext>`` members
+(e.g. ``000017.txt`` + ``000017.json`` + ``000017.jpg``), consecutive
+members of one sample adjacent — the contract webdataset loaders rely
+on for sequential streaming.
+
+Scale design:
+- routing reuses the sharding operator's ``xxhash64(salt, id)`` key —
+  deterministic (a crashed export re-runs to byte-identical shards),
+  uniform, one map-side column; each shard is ONE task's partition, so
+  the export is embarrassingly parallel and no executor ever holds more
+  than its stream position in memory (tarfile writes member-by-member);
+- tar members are written in the partition's deterministic hash order
+  with a FIXED mtime/uid/perm header, so shard bytes are reproducible
+  run to run (byte-identity is test-pinned) — the property object-store
+  dedup and resume logic want;
+- each task writes ``<name>.tmp`` then renames — a re-run or a
+  speculative duplicate task can never leave a torn tar visible. This
+  targets a shared POSIX filesystem (the webdataset convention; NFS /
+  lustre / fuse mounts); for object stores, point it at a local staging
+  dir and upload the closed shards.
+
+Binary fields (images/audio — the multimodal convention of
+``operators/multimodal.py``) pass through as raw bytes; text fields are
+UTF-8; ``json`` fields are already-JSON string columns (build them
+JVM-side with ``F.to_json``) written verbatim after parse-validation.
+NULL field values skip that member (webdataset's optional-field
+convention); a NULL id fails the export loudly (the repetition_signals
+convention).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EXT_TEXT = "txt"
+_EXT_JSON = "json"
+
+
+def _member_bytes(value, ext: str) -> bytes:
+    if ext == _EXT_TEXT:
+        return str(value).encode("utf-8")
+    if ext == _EXT_JSON:
+        # the column is an ALREADY-JSON string (build it JVM-side with
+        # F.to_json) written verbatim; parse-validate so a non-JSON
+        # string fails the export loudly instead of corrupting shards
+        data = str(value).encode("utf-8")
+        json.loads(data)
+        return data
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    raise ValueError(f"field with extension {ext!r} must be binary, got {type(value)}")
+
+
+def write_wds_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    fields: dict[str, str],
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "v1",
+) -> list[str]:
+    """Export ``df`` as ``n_shards`` webdataset tar shards under
+    ``out_dir``; returns the shard paths. ``fields`` maps column name →
+    member extension (``"txt"`` utf-8 text, ``"json"`` an already-JSON
+    string column — build it JVM-side with ``F.to_json``; validated at
+    write — anything else raw bytes from a binary column, e.g.
+    ``{"text": "txt", "meta": "json", "content": "jpg"}``). Sample keys are the zero-padded
+    ``id_col`` values; rows land in shards by ``xxhash64(salt, id)`` and
+    are tar'd in deterministic hash order (same corpus + salt →
+    byte-identical shards)."""
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    missing = [c for c in fields if c not in df.columns]
+    if missing:
+        raise ValueError(f"fields not in frame: {missing}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    key = F.xxhash64(F.lit(salt), F.col(id_col))
+    routed = (
+        df.select(id_col, *fields)
+        .withColumn("_k", key)
+        # hash partitioning on the deterministic key: same corpus + salt
+        # + n_shards -> same rows per shard, every run
+        .repartition(n_shards, F.col("_k"))
+        # id tie-break so a 64-bit hash collision can't make shard BYTES
+        # order-unstable across runs
+        .sortWithinPartitions("_k", id_col)
+    )
+    field_items = sorted(fields.items())  # deterministic member order
+
+    def write_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        tmp = path + f".tmp-{TaskContext.get().taskAttemptId()}"
+        n = 0
+        with tarfile.open(tmp, "w") as tar:
+            for row in rows:
+                rid = row[id_col]
+                if rid is None:
+                    raise ValueError(f"write_wds_shards: NULL {id_col}")
+                sample_key = f"{rid:012d}" if isinstance(rid, int) else str(rid)
+                for col, ext in field_items:
+                    val = row[col]
+                    if val is None:
+                        continue  # webdataset optional-field convention
+                    data = _member_bytes(val, ext)
+                    info = tarfile.TarInfo(f"{sample_key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    tar.addfile(info, io.BytesIO(data))
+                n += 1
+        os.replace(tmp, path)  # atomic publish; re-runs overwrite cleanly
+        return n
+
+    # foreachPartition-with-rename rather than a Spark writer: tar is not
+    # a splittable columnar sink, and the per-task temp+rename gives the
+    # same can't-observe-a-torn-file property the writer protocol does
+    routed.rdd.foreachPartition(lambda it: write_partition(it))
+    return [os.path.join(out_dir, f"shard-{i:05d}.tar") for i in range(n_shards)]
+
+
+def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame:
+    """Read an exported shard set back to a frame (verification / resume
+    tooling — loaders stream the tars directly). Returns one row per
+    sample: ``(sample_key, shard, <field columns>)``; text fields decode
+    utf-8, json fields parse, binary fields stay bytes."""
+    paths = sorted(
+        os.path.join(out_dir, p) for p in os.listdir(out_dir) if p.endswith(".tar")
+    )
+    field_items = sorted(fields.items())
+
+    def read_shard(path):
+        out = {}
+        with tarfile.open(path, "r") as tar:
+            for m in tar.getmembers():
+                keypart, ext = m.name.rsplit(".", 1)
+                data = tar.extractfile(m).read()
+                out.setdefault(keypart, {})["_shard"] = os.path.basename(path)
+                for col, fext in field_items:
+                    if fext == ext:
+                        if ext in (_EXT_TEXT, _EXT_JSON):
+                            out[keypart][col] = data.decode("utf-8")
+                        else:
+                            out[keypart][col] = data
+        for k, d in sorted(out.items()):
+            yield (k, d.get("_shard"), *[d.get(c) for c, _ in field_items])
+
+    rows = [r for p in paths for r in read_shard(p)]
+    schema_parts = []
+    for col, ext in field_items:
+        if ext == _EXT_TEXT:
+            schema_parts.append(f"{col} string")
+        elif ext == _EXT_JSON:
+            schema_parts.append(f"{col} string")
+        else:
+            schema_parts.append(f"{col} binary")
+    return spark.createDataFrame(
+        rows, "sample_key string, shard string, " + ", ".join(schema_parts)
+    )

@@ -1,0 +1,130 @@
+"""WebDataset tar-shard export (operators/wds.py): round trip, member
+layout, determinism (byte-identical re-runs), optional/NULL handling,
+and the loud contract failures."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.wds import read_wds_shards, write_wds_shards
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, f"text of doc {i}", json.dumps({"source": f"s{i % 3}"}), bytes([i % 251, 1, 2]))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, meta string, content binary"
+    )
+
+
+FIELDS = {"text": "txt", "meta": "json", "content": "bin"}
+
+
+def test_round_trip_preserves_every_sample_and_field(spark, docs, tmp_path):
+    out = str(tmp_path / "wds")
+    paths = write_wds_shards(docs, out, fields=FIELDS, n_shards=4)
+    assert len(paths) == 4
+    back = read_wds_shards(spark, out, fields=FIELDS)
+    got = {r.sample_key: r for r in back.collect()}
+    assert len(got) == 40
+    for i in range(40):
+        r = got[f"{i:012d}"]
+        assert r.text == f"text of doc {i}"
+        # json fields canonicalize (sort_keys) on both write and read-back
+        assert json.loads(r.meta) == {"source": f"s{i % 3}"}
+        assert bytes(r.content) == bytes([i % 251, 1, 2])
+        assert r.shard.startswith("shard-") and r.shard.endswith(".tar")
+
+
+def test_sample_members_are_adjacent_with_fixed_metadata(docs, tmp_path):
+    out = str(tmp_path / "wds")
+    write_wds_shards(docs, out, fields=FIELDS, n_shards=2)
+    with tarfile.open(f"{out}/shard-00000.tar") as tar:
+        members = tar.getmembers()
+        assert members, "shard 0 should not be empty at 40 rows"
+        # members of one sample are consecutive: names arrive grouped by key
+        keys = [m.name.rsplit(".", 1)[0] for m in members]
+        seen, prev = set(), None
+        for k in keys:
+            if k != prev:
+                assert k not in seen, f"sample {k} split across the tar"
+                seen.add(k)
+            prev = k
+        # reproducible headers (mtime/uid/mode pinned)
+        for m in members:
+            assert m.mtime == 0 and m.uid == 0 and m.mode == 0o644
+
+
+def test_export_is_byte_deterministic_across_runs(docs, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_wds_shards(docs, a, fields=FIELDS, n_shards=3)
+    write_wds_shards(docs.repartition(7), b, fields=FIELDS, n_shards=3)
+
+    def digests(d):
+        return {
+            i: hashlib.sha256(open(f"{d}/shard-{i:05d}.tar", "rb").read()).hexdigest()
+            for i in range(3)
+        }
+
+    assert digests(a) == digests(b)
+
+
+def test_different_salt_routes_differently(docs, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_wds_shards(docs, a, fields=FIELDS, n_shards=3, salt="v1")
+    write_wds_shards(docs, b, fields=FIELDS, n_shards=3, salt="v2")
+    sizes_a = [len(tarfile.open(f"{a}/shard-{i:05d}.tar").getmembers()) for i in range(3)]
+    sizes_b = [len(tarfile.open(f"{b}/shard-{i:05d}.tar").getmembers()) for i in range(3)]
+    assert sizes_a != sizes_b  # 40 docs over 3 shards: collision is ~impossible
+
+
+def test_null_field_skips_member_null_id_fails(spark, tmp_path):
+    rows = [(1, "a", b"\x01"), (2, None, b"\x02")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, content binary")
+    out = str(tmp_path / "wds")
+    write_wds_shards(df, out, fields={"text": "txt", "content": "bin"}, n_shards=1)
+    with tarfile.open(f"{out}/shard-00000.tar") as tar:
+        names = {m.name for m in tar.getmembers()}
+    assert f"{1:012d}.txt" in names and f"{2:012d}.bin" in names
+    assert f"{2:012d}.txt" not in names  # NULL text -> member skipped
+
+    bad = spark.createDataFrame([(None, "x", b"\x01")], "doc_id long, text string, content binary")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_wds_shards(bad, str(tmp_path / "bad"), fields={"text": "txt"}, n_shards=1)
+
+
+def test_contract_violations_raise(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="non-empty"):
+        write_wds_shards(docs, str(tmp_path / "x"), fields={}, n_shards=1)
+    with pytest.raises(ValueError, match="not in frame"):
+        write_wds_shards(docs, str(tmp_path / "x"), fields={"nope": "txt"}, n_shards=1)
+    with pytest.raises(ValueError, match="n_shards"):
+        write_wds_shards(docs, str(tmp_path / "x"), fields=FIELDS, n_shards=0)
+    # a non-binary column under a binary extension fails loudly
+    with pytest.raises(Exception, match="must be binary"):
+        write_wds_shards(
+            docs, str(tmp_path / "x"), fields={"text": "jpg"}, n_shards=1
+        )
+
+
+def test_real_documents_table_exports(spark, tmp_path):
+    from kafka_connect_ftp_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", "documents")["documents"]
+    out = str(tmp_path / "wds")
+    write_wds_shards(
+        docs.withColumn("meta", F.to_json(F.struct("source", "n_chars"))),
+        out,
+        fields={"text": "txt", "meta": "json"},
+        n_shards=4,
+    )
+    back = read_wds_shards(spark, out, fields={"text": "txt", "meta": "json"})
+    assert back.count() == docs.count()
