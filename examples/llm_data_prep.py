@@ -236,6 +236,19 @@ def main() -> int:
     )
     shard_counts = {r.split: r.n_rows for r in manifest.collect()}
 
+    # the same curated corpus in the webdataset tar layout (the delivery
+    # format multimodal loaders stream) — deterministic byte-identical
+    # shards, metadata JSON built JVM-side
+    from kafka_connect_ftp_spark.operators.wds import write_wds_shards
+
+    wds_dir = os.path.join(tempfile.mkdtemp(prefix="llm_prep_"), "wds")
+    wds_paths = write_wds_shards(
+        docs.withColumn("meta", F.to_json(F.struct("source", "split"))),
+        wds_dir,
+        fields={"text": "txt", "meta": "json"},
+        n_shards=4,
+    )
+
     # 9. retrieval-side coda: compress + index the embeddings table with
     # the faiss-style IVF-PQ funnel (coarse cells prune WHAT is scanned,
     # PQ codes shrink what the scan reads, exact rerank restores
@@ -300,6 +313,7 @@ def main() -> int:
         f"of <= {SEQ_BUDGET} BPE tokens, mean fill {stats.mean_fill_ratio}"
     )
     print(f"shards:        {shard_counts} -> {shard_dir}")
+    print(f"wds shards:    {len(wds_paths)} tars -> {wds_dir}")
     print(
         "ivf-pq top-5:  "
         + ", ".join(f"{r.vec_id}@{r.cos_sim:.3f}" for r in hits)

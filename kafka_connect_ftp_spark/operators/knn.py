@@ -82,6 +82,8 @@ def _collect_queries(
     if any(r.qv is None for r in rows):
         raise ValueError(f"{q_vec_col} must be non-null for every query")
     qm = np.array([r.qv for r in rows], dtype=np.float64)
+    if not np.isfinite(qm).all():
+        raise ValueError(f"{q_vec_col} must be finite for every query")
     return np.array(ids, dtype=np.int64), qm
 
 
@@ -90,14 +92,18 @@ def _topk_per_query(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Keep the top-k rows per query from flat (q_idx, vec_id, sim)
     triples, ordered (sim desc, vec_id asc) — the same tie-break the
-    final window uses, so local pruning can never drop a final row."""
-    # lexsort: last key is primary -> primary sim desc, secondary id asc
-    order = np.lexsort((ids, -sims))
+    final window uses, so local pruning can never drop a final row.
+
+    One lexsort groups queries contiguously (O(N log N)); the per-query
+    work is then just a k-slice of its range — no per-query scan of the
+    flat array, so cost is independent of Q beyond the sort."""
+    # lexsort: last key is primary -> (q asc, sim desc, id asc)
+    order = np.lexsort((ids, -sims, q_idx))
     q_sorted = q_idx[order]
-    keep = np.zeros(len(order), dtype=bool)
-    for q in range(n_queries):  # n_queries is driver-bounded (max_queries)
-        keep[np.nonzero(q_sorted == q)[0][:k]] = True
-    sel = order[keep]
+    bounds = np.searchsorted(q_sorted, np.arange(n_queries + 1))
+    sel = np.concatenate(
+        [order[bounds[q] : min(bounds[q] + k, bounds[q + 1])] for q in range(n_queries)]
+    )
     return q_idx[sel], ids[sel], sims[sel]
 
 
@@ -145,6 +151,17 @@ def knn_join(
             vnorm = np.sqrt((m * m).sum(axis=1))
             sim = (m @ qm.T) / np.outer(np.where(vnorm == 0.0, 1.0, vnorm), qnorm_safe)
             sim[vnorm == 0.0, :] = 0.0
+            if not np.isfinite(sim).all():
+                # NaN/inf elements in a corpus vector: fail loudly — numpy
+                # sorts NaN LAST while Spark's desc() sorts it FIRST, so a
+                # silently-propagated NaN would make the result depend on
+                # which side of the local prune the row landed (the PQ
+                # encode-path NaN convention)
+                bad = ids[~np.isfinite(sim).all(axis=1)][:5]
+                raise ValueError(
+                    f"knn_join: non-finite similarity for vec_ids {bad.tolist()} "
+                    "(corpus vectors must be finite)"
+                )
             # per-batch prune: flat triples, top-k per query
             qi = np.repeat(np.arange(nq), len(ids))
             vi = np.tile(ids, nq)
@@ -191,6 +208,8 @@ def ivf_knn_join(
     path); the ``row_number <= k`` filter compiles to WindowGroupLimit so
     mappers pre-prune to k rows per query before the one shuffle.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     q_ids, qm = _collect_queries(queries, q_id_col, q_vec_col, max_queries)
@@ -250,6 +269,8 @@ def ivf_knn_join_frames(
     ``cell`` — the same plan shape, no rewrite, which is exactly the
     co-partitioned join a huge query set wants.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     spark = index.assigned.sparkSession

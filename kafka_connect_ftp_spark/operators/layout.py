@@ -54,14 +54,17 @@ def zorder_key(cols: list[Column | str], *, bits: int = 16) -> Column:
     return key
 
 
-def zorder_key_sql(col_names: list[str], *, bits: int = 16, dialect: str = "duckdb") -> str:
+def zorder_key_sql(col_names: list[str], *, bits: int = 16) -> str:
     """The same interleave as a portable SQL expression (explicit
     shift-and-mask sum, no engine bit builtins beyond ``>>``/``<<``/
     ``&``) — used by the oracle-checked plan so the key definition is
-    hash-pinned across engines."""
+    hash-pinned across engines. Each extracted bit is widened to BIGINT
+    BEFORE the left shift: engines that keep INT32 arithmetic for INT32
+    operands (DuckDB) would otherwise overflow at shift positions >= 31,
+    while the Spark twin casts to long up front."""
     n = len(col_names)
     terms = [
-        f"((({c} >> {i}) & 1) << {i * n + j})"
+        f"((CAST(({c} >> {i}) & 1 AS BIGINT)) << {i * n + j})"
         for i in range(bits)
         for j, c in enumerate(col_names)
     ]

@@ -222,9 +222,12 @@ def stupid_backoff_scores(
 
     # ONE position stream per document: (NULL, t1) marks the first-token
     # position, (t_{i-1}, t_i) the bigram positions — the corpus is
-    # tokenized and exploded once, not once per position class
+    # tokenized and exploded once, not once per position class. The
+    # guard is <= 0, not = 0: NULL text tokenizes to a NULL array and
+    # size(NULL) is -1, which would otherwise fabricate one phantom
+    # (NULL, NULL) OOV position for the document
     positions = (
-        "CASE WHEN size({t}) = 0 THEN array() ELSE concat("
+        "CASE WHEN size({t}) <= 0 THEN array() ELSE concat("
         " array(struct(CAST(NULL AS STRING) AS w1, {t}[0] AS w2)),"
         " {pairs}) END"
     ).format(t="{t}", pairs=_PAIRS.format(t="{t}"))

@@ -153,7 +153,11 @@ def repetition_signals(
     # row (null id included) reaches this branch, so the raise still
     # fires on any null key — but the expression stays off the exploded
     # gram stream, where CollapseProject would inline the CASE into
-    # every per-gram reference (measured ~20% on the whole operator)
+    # every per-gram reference (measured ~20% on the whole operator).
+    # BOUNDARY: the guard rides the OUTPUT id column; a caller that
+    # projects the id away before an action lets ColumnPruning remove
+    # the check along with the column — validate upstream when feeding
+    # anonymous frames (every registry plan and example consumes the id)
     id_checked = F.when(
         F.col(id_col).isNull(),
         F.raise_error(F.lit(f"repetition_signals: NULL {id_col} (ids must be unique non-null)")),

@@ -96,7 +96,11 @@ def mask_duplicated_substrings(
     # NULL-id guard on the DOCS-GRAIN output branch only (every input
     # row reaches it, so the raise still fires) — on the `toks` base it
     # would be CollapseProject-inlined into every exploded occurrence
-    # row (the repetition_signals lesson, measured ~20% there)
+    # row (the repetition_signals lesson, measured ~20% there).
+    # BOUNDARY: the guard rides the OUTPUT id column; a caller that
+    # projects the id away before an action lets ColumnPruning remove
+    # the check along with the column — validate upstream when feeding
+    # anonymous frames (every registry plan and example consumes the id)
     id_checked = F.when(
         F.col(id_col).isNull(),
         F.raise_error(

@@ -87,6 +87,10 @@ def write_wds_shards(
     missing = [c for c in fields if c not in df.columns]
     if missing:
         raise ValueError(f"fields not in frame: {missing}")
+    if len(set(fields.values())) != len(fields):
+        # member names are <key>.<ext>: two columns sharing an extension
+        # would write colliding members and silently drop one field
+        raise ValueError(f"field extensions must be unique, got {fields}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     os.makedirs(out_dir, exist_ok=True)

@@ -260,3 +260,29 @@ def test_knn_join_scale_smoke_bounded_shuffle(spark):
     for i in range(nq):
         best = min(by_q[i], key=lambda r: r.nn_rank)
         assert best.cos_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_non_finite_vectors_fail_loudly(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [float("nan"), 1.0])], "vec_id long, v array<double>"
+    )
+    q = spark.createDataFrame([(9, [1.0, 0.0])], "q_id long, qv array<double>")
+    # NaN corpus vector: loud failure (numpy sorts NaN last, Spark desc
+    # sorts it first — silent propagation would be partition-dependent)
+    with pytest.raises(Exception, match="non-finite similarity"):
+        knn_join(corpus, q, k=2).collect()
+    # NaN query vector: rejected at collect time
+    clean = corpus.filter("vec_id = 1")
+    bad_q = spark.createDataFrame([(9, [float("inf"), 0.0])], "q_id long, qv array<double>")
+    with pytest.raises(ValueError, match="finite"):
+        knn_join(clean, bad_q, k=1)
+
+
+def test_ivf_variants_validate_k(emb, queries):
+    from kafka_connect_ftp_spark.operators.knn import ivf_knn_join_frames
+
+    index = build_ivf(emb.withColumnRenamed("v", "embedding"), k=4, seed=42)
+    with pytest.raises(ValueError, match="k must be"):
+        ivf_knn_join(index, queries, k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        ivf_knn_join_frames(index, queries, k=0)

@@ -104,3 +104,18 @@ def test_zordered_write_bounds_every_dimension(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == 4096
     got = sorted(r.id for r in spark.read.parquet(zpath).select("id").collect())
     assert got == list(range(4096))
+
+
+def test_zorder_key_sql_survives_int32_inputs_in_duckdb():
+    import duckdb
+
+    # INT32 columns at bits=16 reach shift position 31 — each extracted
+    # bit must be widened to BIGINT before the shift or DuckDB's INT32
+    # arithmetic overflows where the Spark twin (casts long) succeeds
+    expr = zorder_key_sql(["x", "y"], bits=16)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x INTEGER, y INTEGER)")
+    con.execute("INSERT INTO t VALUES (65535, 65535), (0, 1)")
+    got = dict((tuple([r[0], r[1]]), r[2]) for r in con.execute(f"SELECT x, y, {expr} FROM t").fetchall())
+    assert got[(65535, 65535)] == _morton_py([65535, 65535], 16)
+    assert got[(0, 1)] == _morton_py([0, 1], 16)

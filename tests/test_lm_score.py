@@ -119,3 +119,22 @@ def test_stupid_backoff_prefers_fluent_order(spark):
     # in-order trigram beats scrambled words: scrambled pairs back off
     assert out[100].sb_logscore > out[101].sb_logscore
     assert out[100].sb_backoff_n == 0 and out[101].sb_backoff_n > 0
+
+
+def test_stupid_backoff_null_text_scores_like_empty(spark):
+    from kafka_connect_ftp_spark.operators.lm_score import (
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    model = train_stupid_backoff(_docs(spark, [(1, "a b")]))
+    out = {
+        r.doc_id: r
+        for r in stupid_backoff_scores(
+            _docs(spark, [(10, None), (11, "a b")]), model
+        ).collect()
+    }
+    # NULL text == empty text: no phantom (NULL, NULL) OOV position
+    # (size(NULL array) is -1, which a `= 0` guard would miss)
+    assert out[10].sb_n_tokens == 0 and out[10].sb_logscore is None
+    assert out[11].sb_n_tokens == 2

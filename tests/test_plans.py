@@ -81,10 +81,15 @@ def test_minhash_shuffles_sketches_not_shingles(plans):
     assert shuffle_count(plan) <= 5
 
 
-def test_embedding_topk_zero_shuffles(plans):
+def test_embedding_topk_knn_plan(plans):
+    # round 6: the gate runs the batch knn JOIN — Arrow-batched BLAS
+    # local top-k per partition (MapInPandas) feeding a BOUNDED candidate
+    # shuffle (<= partitions x Q x k rows, never the corpus) + per-query
+    # window rank with map-side WindowGroupLimit pre-pruning
     plan = plans("embedding_cosine_topk")
-    assert shuffle_count(plan) == 0
-    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(plan) <= 2
 
 
 def test_governance_sort_reads_materialized_shuffle(plans):

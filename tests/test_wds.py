@@ -128,3 +128,10 @@ def test_real_documents_table_exports(spark, tmp_path):
     )
     back = read_wds_shards(spark, out, fields={"text": "txt", "meta": "json"})
     assert back.count() == docs.count()
+
+
+def test_duplicate_extensions_rejected(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="extensions must be unique"):
+        write_wds_shards(
+            docs, str(tmp_path / "x"), fields={"text": "txt", "meta": "txt"}, n_shards=1
+        )
