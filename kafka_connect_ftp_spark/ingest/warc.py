@@ -1,0 +1,214 @@
+"""WARC (Web ARChive, ISO 28500) reader: ingest web-crawl dumps — the
+Common Crawl delivery format, i.e. THE raw input of web-scale LLM corpus
+pipelines — into the engine's frames.
+
+``read_warc`` parses ``.warc`` / ``.warc.gz`` files into one row per
+WARC record; ``warc_to_corpus`` projects successful HTTP responses onto
+the canonical documents shape (``ingest/corpus.py``), so the entire
+curation pipeline (dedup → quality gates → governance → packing) runs
+unchanged on a crawl dump.
+
+Format notes (public spec): a record is ``WARC/1.x CRLF`` + header
+lines + ``CRLF CRLF`` + exactly ``Content-Length`` payload bytes +
+``CRLF CRLF``. Common Crawl compresses each record as its OWN gzip
+member inside the ``.warc.gz``, which is what makes the format
+record-seekable; this reader handles both that layout and
+whole-file/plain streams. For ``response`` records the HTTP envelope is
+split off: ``http_status`` / ``content_type`` come from the HTTP
+headers and ``payload`` is the HTTP BODY. (Transfer-encoding such as
+chunked is NOT decoded — Common Crawl stores payloads already
+de-chunked; the raw bytes pass through for anything else.)
+
+Scale design: one ``binaryFile`` row per archive file (Common Crawl
+sizes archives ~1 GB precisely so that a file is a work unit), parsed
+in an Arrow-batched ``mapInPandas`` — parallelism is the file count,
+text never shuffles, and the canonical projection afterward is
+map-side. Malformed input follows the converter quarantine convention
+(ingest/converters.py): a corrupt record or file yields a row with
+``decode_error`` set — one bad member never aborts a 1000-file scan —
+and clean records of the same file still flow.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SCHEMA = (
+    "src_file string, record_id string, warc_type string, target_uri string,"
+    " warc_date string, http_status int, content_type string,"
+    " payload binary, payload_length long, decode_error string"
+)
+
+
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream member by member (the
+    Common Crawl record-per-member layout)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        chunk = d.decompress(data[pos:]) + d.flush()
+        yield chunk
+        remaining = len(d.unused_data)
+        consumed = (len(data) - pos) - remaining
+        if consumed <= 0:  # no forward progress -> corrupt trailer
+            raise ValueError("gzip member made no progress")
+        pos += consumed
+
+
+def _parse_warc_stream(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(headers, payload)`` per record from a plain WARC byte
+    stream; header keys lower-cased. Raises ValueError on malformed
+    framing (caller quarantines)."""
+    pos = 0
+    while True:
+        while raw.startswith(b"\r\n", pos) or raw.startswith(b"\n", pos):
+            pos += 2 if raw.startswith(b"\r\n", pos) else 1
+        if pos >= len(raw):
+            return
+        if not raw.startswith(b"WARC/", pos):
+            raise ValueError(f"bad record magic at offset {pos}")
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("unterminated record header")
+        lines = raw[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"missing/invalid Content-Length: {e}") from e
+        start = hdr_end + 4
+        payload = raw[start : start + clen]
+        if len(payload) < clen:
+            raise ValueError(
+                f"truncated record: payload {len(payload)} < Content-Length {clen}"
+            )
+        yield headers, payload
+        pos = start + clen
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, body) for an HTTP response payload; the
+    payload passes through untouched when it isn't an HTTP envelope."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, payload
+    head = payload[:sep].decode("utf-8", "replace").split("\r\n")
+    try:
+        status = int(head[0].split()[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for ln in head[1:]:
+        k, _, v = ln.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+            break
+    return status, ctype, payload[sep + 4 :]
+
+
+def _records_for_file(path: str, content: bytes) -> Iterator[tuple]:
+    def record_rows(raw: bytes) -> Iterator[tuple]:
+        for headers, payload in _parse_warc_stream(raw):
+            wtype = headers.get("warc-type")
+            status, ctype, body = (
+                _split_http(payload) if wtype == "response" else (None, None, payload)
+            )
+            yield (
+                path,
+                headers.get("warc-record-id"),
+                wtype,
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                status,
+                ctype if ctype is not None else headers.get("content-type"),
+                body,
+                len(body),
+                None,
+            )
+
+    def quarantine(err: Exception) -> tuple:
+        return (path, None, None, None, None, None, None, None, None, str(err))
+
+    if content[:2] == b"\x1f\x8b":
+        pos_members = _iter_gzip_members(content)
+        while True:
+            try:
+                member = next(pos_members)
+            except StopIteration:
+                return
+            except Exception as e:  # corrupt member: quarantine, stop the file
+                yield quarantine(e)
+                return
+            try:
+                yield from record_rows(member)
+            except ValueError as e:  # bad record inside a good member
+                yield quarantine(e)
+    else:
+        try:
+            yield from record_rows(content)
+        except ValueError as e:
+            yield quarantine(e)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record under ``path`` (glob ok): ``src_file,
+    record_id, warc_type, target_uri, warc_date, http_status,
+    content_type, payload, payload_length, decode_error``. Corrupt
+    files/records become quarantine rows (``decode_error`` set) instead
+    of failing the scan."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "src_file", "record_id", "warc_type", "target_uri", "warc_date",
+            "http_status", "content_type", "payload", "payload_length",
+            "decode_error",
+        ]
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_records_for_file(path_, bytes(content)))
+            out = pd.DataFrame(rows, columns=cols)
+            out["http_status"] = out["http_status"].astype("Int32")
+            out["payload_length"] = out["payload_length"].astype("Int64")
+            yield out
+
+    return files.mapInPandas(parse, _SCHEMA)
+
+
+def warc_to_corpus(records: DataFrame, *, min_status: int = 200, max_status: int = 299) -> DataFrame:
+    """Project parsed WARC records onto the canonical documents frame:
+    successful HTTP responses become ``(doc_id, text, source, url,
+    warc_date)`` with ``source`` = the registered domain host
+    (``parse_url``) and the corpus.py content-stable id convention
+    ``xxhash64(source, text)``. HTML stripping/boilerplate removal is a
+    downstream operator choice — ``text`` is the UTF-8 decoded body."""
+    return (
+        records.filter(F.col("decode_error").isNull())
+        .filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status").between(min_status, max_status))
+        .select(
+            # cast + make_valid_utf8, not decode(): under ANSI mode
+            # decode raises on malformed byte sequences, and a crawl
+            # body with one bad byte must not fail the scan — invalid
+            # sequences become U+FFFD, the crawl-pipeline convention
+            F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
+            F.coalesce(
+                F.parse_url(F.col("target_uri"), F.lit("HOST")), F.lit("unknown")
+            ).alias("source"),
+            F.col("target_uri").alias("url"),
+            "warc_date",
+        )
+        .withColumn("doc_id", F.xxhash64("source", "text"))
+        .select("doc_id", "text", "source", "url", "warc_date")
+    )
