@@ -13,6 +13,8 @@ runs unchanged on external corpora:
 - ``text``: one document per FILE (``wholetext``) or per LINE.
 - ``parquet`` / ``orc``: columnar corpora; ``text_field`` renamed to
   ``text``.
+- ``warc``: web-crawl archives (Common Crawl layout) via
+  ``ingest/warc.py`` — successful HTTP responses become documents.
 
 ``doc_id`` synthesis: corpora rarely ship stable ids, and
 ``monotonically_increasing_id`` is partition-layout-dependent (re-running
@@ -34,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_FORMATS = ("jsonl", "csv", "text", "parquet", "orc")
+_FORMATS = ("jsonl", "csv", "text", "parquet", "orc", "warc")
 
 
 _NUMERIC_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
@@ -78,6 +80,14 @@ def read_corpus(
     production scale pass the known schema to make the read single-pass."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+
+    if fmt == "warc":
+        # crawl dumps carry their own id/source/text conventions
+        # (ingest/warc.py: doc_id = xxhash64(host, body), source = host)
+        # so the generic field plumbing below does not apply
+        from kafka_connect_ftp_spark.ingest.warc import read_warc, warc_to_corpus
+
+        return warc_to_corpus(read_warc(spark, path))
 
     if fmt == "jsonl":
         from pyspark.sql.types import StringType, StructField, StructType
