@@ -1,0 +1,133 @@
+"""HTTP manifest source (sources/http_source.py): distributed fetch over
+a fake opener (the test_ftp_source fake-transport convention), retry
+with backoff, quarantine on permanent failure, Range windows, and the
+WARC-over-HTTP composition."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.sources.http_source import (
+    HttpManifestSource,
+    read_warc_manifest,
+)
+
+BODIES = {f"https://host.example/f{i}": f"body-{i}".encode() * (i + 1) for i in range(10)}
+
+
+def _fake_opener(bodies, fail_counts=None):
+    """Picklable-by-cloudpickle closure: serves ``bodies``; URLs in
+    ``fail_counts`` raise that many times before succeeding (-1 =
+    always). Honors Range headers like a real object store."""
+    fail_counts = dict(fail_counts or {})
+    seen: dict[str, int] = {}
+
+    def opener(url, headers, timeout):
+        n = seen.get(url, 0)
+        seen[url] = n + 1
+        want_fail = fail_counts.get(url, 0)
+        if want_fail == -1 or n < want_fail:
+            raise OSError(f"synthetic failure #{n} for {url}")
+        body = bodies[url]
+        rng = headers.get("Range")
+        if rng:
+            lo, hi = rng.removeprefix("bytes=").split("-")
+            return 206, body[int(lo) : int(hi) + 1]
+        return 200, body
+
+    return opener
+
+
+def test_fetch_manifest_list_happy_path(spark):
+    src = HttpManifestSource(fetch_partitions=3, opener=_fake_opener(BODIES))
+    rows = {r.url: r for r in src.fetch(spark, list(BODIES)).collect()}
+    assert set(rows) == set(BODIES)
+    for url, body in BODIES.items():
+        r = rows[url]
+        assert bytes(r.content) == body and r.length == len(body)
+        assert r.status == 200 and r.attempts == 1 and r.fetch_error is None
+
+
+def test_retry_with_backoff_then_success(spark):
+    url = "https://host.example/f3"
+    src = HttpManifestSource(
+        retries=3, backoff_step=0.01, backoff_cap=0.02,
+        opener=_fake_opener(BODIES, fail_counts={url: 2}),
+    )
+    rows = {r.url: r for r in src.fetch(spark, list(BODIES)).collect()}
+    assert rows[url].attempts == 3 and rows[url].fetch_error is None
+    assert bytes(rows[url].content) == BODIES[url]
+    assert all(r.attempts == 1 for u, r in rows.items() if u != url)
+
+
+def test_permanent_failure_quarantines_row_not_scan(spark):
+    dead = "https://host.example/f5"
+    src = HttpManifestSource(
+        retries=1, backoff_step=0.01,
+        opener=_fake_opener(BODIES, fail_counts={dead: -1}),
+    )
+    rows = {r.url: r for r in src.fetch(spark, list(BODIES)).collect()}
+    assert rows[dead].content is None and rows[dead].attempts == 2
+    assert "synthetic failure" in rows[dead].fetch_error
+    assert sum(1 for r in rows.values() if r.fetch_error is None) == 9
+
+
+def test_range_windows_fetch_byte_slices(spark):
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    manifest = spark.createDataFrame(
+        [("https://host.example/f4", 5, 7), ("https://host.example/f4", 0, 4)],
+        "url string, off long, ln long",
+    )
+    got = sorted(
+        (r.status, bytes(r.content))
+        for r in src.fetch(spark, manifest, offset_col="off", length_col="ln").collect()
+    )
+    body = BODIES["https://host.example/f4"]
+    assert got == sorted([(206, body[5:12]), (206, body[0:4])])
+
+
+def test_warc_over_http_composition(spark):
+    from tests.test_warc import _http, _record
+
+    rec = _record("response", _http(b"crawled body"), uri="http://w.example/a", rid="<urn:uuid:w>")
+    bodies = {
+        "https://data.example/a.warc": rec,
+        "https://data.example/b.warc.gz": gzip.compress(rec),
+        "https://data.example/dead.warc": b"",
+    }
+    src = HttpManifestSource(
+        retries=0, opener=_fake_opener(bodies, fail_counts={"https://data.example/dead.warc": -1})
+    )
+    records = read_warc_manifest(spark, src, list(bodies)).collect()
+    ok = [r for r in records if r.decode_error is None]
+    assert len(ok) == 2 and all(bytes(r.payload) == b"crawled body" for r in ok)
+    assert {r.src_file for r in ok} == {
+        "https://data.example/a.warc", "https://data.example/b.warc.gz",
+    }
+    dead = [r for r in records if r.decode_error is not None]
+    assert len(dead) == 1 and "synthetic failure" in dead[0].decode_error
+
+    from kafka_connect_ftp_spark.ingest.warc import warc_to_corpus
+
+    docs = warc_to_corpus(
+        read_warc_manifest(spark, src, list(bodies))
+    ).collect()
+    assert {r.text for r in docs} == {"crawled body"}
+    assert {r.source for r in docs} == {"w.example"}
+
+
+def test_validation(spark):
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    with pytest.raises(ValueError, match="empty manifest"):
+        src.fetch(spark, [])
+    with pytest.raises(ValueError, match="'url' column"):
+        src.fetch(spark, spark.createDataFrame([(1,)], "x long"))
+    with pytest.raises(ValueError, match="together"):
+        src.fetch(spark, list(BODIES), offset_col="off")
+    with pytest.raises(ValueError, match="fetch_partitions"):
+        HttpManifestSource(fetch_partitions=0)
+    with pytest.raises(ValueError, match="retries"):
+        HttpManifestSource(retries=-1)
