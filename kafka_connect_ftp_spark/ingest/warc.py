@@ -186,23 +186,35 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, _SCHEMA)
 
 
-def warc_to_corpus(records: DataFrame, *, min_status: int = 200, max_status: int = 299) -> DataFrame:
+def warc_to_corpus(
+    records: DataFrame,
+    *,
+    min_status: int = 200,
+    max_status: int = 299,
+    strip_html: bool = False,
+) -> DataFrame:
     """Project parsed WARC records onto the canonical documents frame:
     successful HTTP responses become ``(doc_id, text, source, url,
     warc_date)`` with ``source`` = the registered domain host
     (``parse_url``) and the corpus.py content-stable id convention
-    ``xxhash64(source, text)``. HTML stripping/boilerplate removal is a
-    downstream operator choice — ``text`` is the UTF-8 decoded body."""
+    ``xxhash64(source, text)``. ``strip_html=True`` runs the JVM-side
+    visible-text extraction (operators/html_text.py — the C4-style
+    first transform) so quality gates see prose, not markup; the
+    default keeps the raw UTF-8 body."""
+    body = F.make_valid_utf8(F.col("payload").cast("string"))
+    # cast + make_valid_utf8, not decode(): under ANSI mode decode
+    # raises on malformed byte sequences, and a crawl body with one bad
+    # byte must not fail the scan — invalid sequences become U+FFFD
+    if strip_html:
+        from kafka_connect_ftp_spark.operators.html_text import html_to_text
+
+        body = html_to_text(body)
     return (
         records.filter(F.col("decode_error").isNull())
         .filter(F.col("warc_type") == "response")
         .filter(F.col("http_status").between(min_status, max_status))
         .select(
-            # cast + make_valid_utf8, not decode(): under ANSI mode
-            # decode raises on malformed byte sequences, and a crawl
-            # body with one bad byte must not fail the scan — invalid
-            # sequences become U+FFFD, the crawl-pipeline convention
-            F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
+            body.alias("text"),
             F.coalesce(
                 F.parse_url(F.col("target_uri"), F.lit("HOST")), F.lit("unknown")
             ).alias("source"),
