@@ -23,3 +23,11 @@ def test_streaming_curation_example_runs_end_to_end(spark, monkeypatch):
 
     monkeypatch.setattr(sys, "argv", ["streaming_curation"])
     assert main() == 0
+
+
+def test_crawl_ingest_example_runs_end_to_end(spark, monkeypatch):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__))))
+    from examples.crawl_ingest import main
+
+    monkeypatch.setattr(sys, "argv", ["crawl_ingest"])
+    assert main() == 0
