@@ -1,0 +1,111 @@
+"""Incremental corpus data card (streaming/stats_stream.py): merge
+across batches equals a one-shot card, replay is skipped
+(effectively-once), crash-orphan versions are harmless, and the real
+foreachBatch wiring runs on a file stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.distinct_sketch import hll_group_distinct
+from kafka_connect_ftp_spark.streaming.stats_stream import (
+    batch_card,
+    make_card_step,
+    read_card,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+BATCH1 = [
+    (1, "alpha beta gamma", "s0"),
+    (2, "alpha alpha delta", "s0"),
+    (3, "epsilon zeta", "s1"),
+]
+BATCH2 = [
+    (4, "beta beta eta", "s0"),
+    (5, "theta iota", "s1"),
+    (6, "", "s1"),
+]
+
+
+def test_incremental_merge_equals_one_shot_card(spark, tmp_path):
+    card_dir = str(tmp_path / "card")
+    step = make_card_step(card_dir)
+    step(_docs(spark, BATCH1), 0)
+    step(_docs(spark, BATCH2), 1)
+    got = {r.source: r for r in read_card(spark, card_dir).collect()}
+
+    whole = {r.source: r for r in batch_card(_docs(spark, BATCH1 + BATCH2)).collect()}
+    assert set(got) == {"s0", "s1"}
+    for s in got:
+        assert got[s].n_docs == whole[s].n_docs
+        assert got[s].n_bytes == whole[s].n_bytes
+        assert got[s].n_tokens == whole[s].n_tokens
+    # the sketch union is lossless: incremental estimate == one-shot
+    toks = _docs(spark, BATCH1 + BATCH2).select(
+        "source", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("tk")
+    )
+    exact = {r.source: r.est_distinct for r in hll_group_distinct(toks, "source", "tk").collect()}
+    for s in got:
+        assert got[s].est_distinct_tokens == exact[s]
+    assert got["s0"].n_docs == 3 and got["s1"].n_docs == 3
+    # the empty doc counts as a doc with 0 tokens
+    assert got["s1"].n_tokens == 4
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    card_dir = str(tmp_path / "card")
+    step = make_card_step(card_dir)
+    step(_docs(spark, BATCH1), 0)
+    step(_docs(spark, BATCH2), 1)
+    before = {r.source: (r.n_docs, r.n_tokens) for r in read_card(spark, card_dir).collect()}
+    step(_docs(spark, BATCH2), 1)  # at-least-once re-delivery
+    step(_docs(spark, BATCH1), 0)  # even older replay
+    after = {r.source: (r.n_docs, r.n_tokens) for r in read_card(spark, card_dir).collect()}
+    assert after == before
+
+
+def test_orphan_version_from_crash_is_overwritten(spark, tmp_path):
+    card_dir = str(tmp_path / "card")
+    step = make_card_step(card_dir)
+    step(_docs(spark, BATCH1), 0)
+    # simulate: v2 written but the _CURRENT flip never happened
+    batch_card(_docs(spark, BATCH2)).withColumn(
+        "last_batch_id", F.lit(1).cast("long")
+    ).write.parquet(str(tmp_path / "card" / "v000002"))
+    # re-run of batch 1 merges from the still-current v1 and overwrites
+    step(_docs(spark, BATCH2), 1)
+    got = {r.source: r.n_docs for r in read_card(spark, card_dir).collect()}
+    assert got == {"s0": 3, "s1": 3}
+
+
+def test_read_card_before_first_batch_is_none(spark, tmp_path):
+    assert read_card(spark, str(tmp_path / "nope")) is None
+
+
+def test_foreachbatch_wiring_on_a_real_stream(spark, tmp_path):
+    from kafka_connect_ftp_spark.streaming.stats_stream import start_card_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _docs(spark, BATCH1).coalesce(1).write.json(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .json(str(src / "*"))
+    )
+    card_dir = str(tmp_path / "card")
+    q = start_card_stream(
+        stream, card_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        _docs(spark, BATCH2).coalesce(1).write.json(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.source: r.n_docs for r in read_card(spark, card_dir).collect()}
+    assert got == {"s0": 3, "s1": 3}
