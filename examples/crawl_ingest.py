@@ -86,10 +86,13 @@ def main() -> int:
         return 200, archives[url]
 
     src = HttpManifestSource(fetch_partitions=3, opener=opener)
-    records = read_warc_manifest(spark, src, sorted(archives))
+    # persist right after the fetch+parse: every action below would
+    # otherwise re-download and re-parse the whole crawl (and a URL that
+    # flakes between actions would make the printed stats inconsistent)
+    records = read_warc_manifest(spark, src, sorted(archives)).persist()
     n_records = records.count()
 
-    docs = warc_to_corpus(records, strip_html=True)
+    docs = warc_to_corpus(records, strip_html=True).persist()
     n_docs = docs.count()
 
     # doc_id = xxhash64(host, text): the duplicate page collides with
@@ -125,6 +128,8 @@ def main() -> int:
     print(f"wds shards:    {len(shards)} -> {out}")
     sample = docs.orderBy("doc_id").first()
     print(f"sample text:   {sample.text[:60]!r} from {sample.source}")
+    records.unpersist()
+    docs.unpersist()
     return 0
 
 

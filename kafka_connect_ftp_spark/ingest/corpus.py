@@ -84,7 +84,21 @@ def read_corpus(
     if fmt == "warc":
         # crawl dumps carry their own id/source/text conventions
         # (ingest/warc.py: doc_id = xxhash64(host, body), source = host)
-        # so the generic field plumbing below does not apply
+        # so the generic field plumbing below does not apply — and per
+        # this function's no-silent-clobber rule, passing those knobs
+        # anyway is an error rather than a silent ignore
+        ignored = {
+            "text_field": text_field != "text",
+            "id_field": id_field is not None,
+            "source": source is not None,
+            "schema": schema is not None,
+        }
+        bad = sorted(k for k, v in ignored.items() if v)
+        if bad:
+            raise ValueError(
+                f"fmt='warc' derives its own fields; {bad} do not apply "
+                "(source = response host, doc_id = xxhash64(source, text))"
+            )
         from kafka_connect_ftp_spark.ingest.warc import read_warc, warc_to_corpus
 
         return warc_to_corpus(read_warc(spark, path))

@@ -215,8 +215,12 @@ def warc_to_corpus(
         .filter(F.col("http_status").between(min_status, max_status))
         .select(
             body.alias("text"),
+            # try_parse_url, not parse_url: under ANSI mode (this
+            # engine's default) parse_url THROWS on a malformed URI —
+            # one bad WARC-Target-URI (unencoded space etc.) would abort
+            # the whole scan; try_ returns NULL -> coalesce('unknown')
             F.coalesce(
-                F.parse_url(F.col("target_uri"), F.lit("HOST")), F.lit("unknown")
+                F.try_parse_url(F.col("target_uri"), F.lit("HOST")), F.lit("unknown")
             ).alias("source"),
             F.col("target_uri").alias("url"),
             "warc_date",

@@ -34,13 +34,15 @@ _BLOCK_BREAK = r"(?is)</?(p|div|br|li|tr|h[1-6])\b[^>]*>"
 _ANY_TAG = r"(?s)<[^>]*>"
 
 _ENTITIES = [
-    ("&nbsp;", " "),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
+    # (?i): browsers accept uppercase legacy forms (&NBSP; &AMP; ...);
+    # the literals have no regex metachars, so prefixing is safe
+    ("(?i)&nbsp;", " "),
+    ("(?i)&lt;", "<"),
+    ("(?i)&gt;", ">"),
+    ("(?i)&quot;", '"'),
     ("&#39;", "'"),
-    ("&apos;", "'"),
-    ("&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
+    ("(?i)&apos;", "'"),
+    ("(?i)&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
 ]
 
 

@@ -8,14 +8,18 @@ with a ``url`` column (e.g. the parsed ``warc.paths`` file of a crawl)
 — and fetches the bodies on executors:
 
 - the driver never downloads anything (it only distributes URL strings);
-- URLs hash-partition across ``fetch_partitions`` tasks, each making
-  sequential GETs over its own ``urllib`` opener — parallelism is the
-  partition count, the FTP source's connection-per-partition shape;
+- manifest rows hash-partition on their full key (url, or url+offset+
+  length in Range mode — so many windows of ONE archive still spread)
+  across ``fetch_partitions`` tasks, each making sequential GETs over
+  its own ``urllib`` opener — parallelism is the partition count, the
+  FTP source's connection-per-partition shape;
 - per-URL failures follow the quarantine convention: after ``retries``
-  attempts (exponential backoff via ``streaming/backoff.py``, the
-  reference's reconnect policy re-expressed) the row flows with
-  ``fetch_error`` set and NULL content — one dead URL never kills a
-  10k-file pull;
+  attempts (``streaming/backoff.py``'s ExponentialBackOff, the
+  reference's reconnect policy) the row flows with ``fetch_error`` set
+  and NULL content — one dead URL never kills a 10k-file pull.
+  Permanent 4xx statuses (all but 408/429) short-circuit the retry loop
+  and land in the ``status`` column so 404 is distinguishable from a
+  timeout;
 - optional ``Range`` support fetches byte windows (``offset_col`` /
   ``length_col``), which is exactly how a columnar-index crawl read
   pulls ONE record out of a 1 GB archive object.
@@ -33,6 +37,13 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from kafka_connect_ftp_spark.streaming.backoff import ExponentialBackOff
+
+# 4xx responses are permanent (the server answered; asking again cannot
+# change the answer) EXCEPT 408 request-timeout and 429 too-many-requests,
+# which are the two retryable client codes
+_RETRYABLE_4XX = {408, 429}
 
 _FETCH_SCHEMA = (
     "url string, status int, content binary, length long,"
@@ -61,6 +72,7 @@ class HttpManifestSource:
         timeout: float = 30.0,
         headers: dict[str, str] | None = None,
         opener: Callable[[str, dict[str, str], float], tuple[int, bytes]] | None = None,
+        sleep: Callable[[float], None] = time.sleep,
     ) -> None:
         if fetch_partitions < 1:
             raise ValueError(f"fetch_partitions must be >= 1, got {fetch_partitions}")
@@ -73,6 +85,7 @@ class HttpManifestSource:
         self.timeout = timeout
         self.headers = dict(headers or {})
         self.opener = opener or _default_opener
+        self.sleep = sleep
 
     def _manifest_frame(self, spark: SparkSession, manifest) -> DataFrame:
         if isinstance(manifest, DataFrame):
@@ -113,6 +126,7 @@ class HttpManifestSource:
                         ln = int(getattr(row, length_col))
                         headers["Range"] = f"bytes={off}-{off + ln - 1}"
                     status, body, err, attempts = None, None, None, 0
+                    backoff = ExponentialBackOff(src.backoff_step, src.backoff_cap)
                     for attempt in range(src.retries + 1):
                         attempts = attempt + 1
                         try:
@@ -121,13 +135,19 @@ class HttpManifestSource:
                             break
                         except Exception as e:  # noqa: BLE001
                             err = f"{type(e).__name__}: {e}"
+                            # keep the HTTP status when the error carries
+                            # one (urllib HTTPError.code) so downstream
+                            # can tell 404 from a network timeout
+                            code = getattr(e, "code", None)
+                            if isinstance(code, int):
+                                status = code
+                                if 400 <= code < 500 and code not in _RETRYABLE_4XX:
+                                    break  # permanent: retrying a 404 is pure waste
                             if attempt < src.retries:
-                                # min(cap, step * 2^i): the reference's
-                                # ExponentialBackOff formula
-                                # (streaming/backoff.py)
-                                time.sleep(
-                                    min(src.backoff_cap, src.backoff_step * (2**attempt))
-                                )
+                                # min(cap, step * 2^i) — the reference's
+                                # ExponentialBackOff policy, reused
+                                src.sleep(backoff.interval_seconds)
+                                backoff.next_failure()
                     out.append(
                         (
                             url,
@@ -147,9 +167,12 @@ class HttpManifestSource:
                     ],
                 )
 
+        # hash on ALL manifest key columns: in Range-window mode many rows
+        # share one url (one archive, many record windows) — partitioning
+        # on url alone would collapse them onto a single sequential task
         return (
             frame.select(*cols)
-            .repartition(self.fetch_partitions, "url")
+            .repartition(self.fetch_partitions, *cols)
             .mapInPandas(fetch_partition, _FETCH_SCHEMA)
         )
 
@@ -177,7 +200,10 @@ def read_warc_manifest(
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
-                if row.fetch_error is not None or row.content is None:
+                # len == 0 counts as quarantine too: a 200 with an empty
+                # body (truncated/placeholder object) must surface as a
+                # decode_error row, not silently vanish from the output
+                if row.fetch_error is not None or row.content is None or len(row.content) == 0:
                     rows.append(
                         (row.url, None, None, None, None, None, None, None, None,
                          row.fetch_error or "empty body")

@@ -12,14 +12,20 @@ full rescan's.
 
 Durability/replay (the versioned-state convention of
 ``ingest/pipeline.py``): the card lives as versioned parquet dirs
-``v%06d`` under ``card_dir`` with a ``_CURRENT`` marker written through
-Spark. Each version records ``last_batch_id``; a re-delivered
-micro-batch (foreachBatch replays after crashes) is detected and
-SKIPPED, so counts can never double — effectively-once card
-maintenance on top of an at-least-once stream. A crash between version
-write and marker flip leaves an orphan dir, never a wrong card (the
-re-run merges from the still-current version and overwrites the
-orphan).
+``v%06d`` under ``card_dir``; the CURRENT version is the highest one
+whose Spark job commit finished (``_SUCCESS`` present) — no separate
+marker file, because a marker flip through a Spark overwrite is
+delete-then-write and a crash inside that window would silently reset
+the card, whereas the committer writes ``_SUCCESS`` only after every
+part file is in place. Each version records ``last_batch_id``; a
+re-delivered micro-batch (foreachBatch replays after crashes) is
+detected and SKIPPED, so counts can never double — effectively-once
+card maintenance on top of an at-least-once stream. A crash mid-write
+leaves a ``_SUCCESS``-less orphan dir, never a wrong card (the replayed
+batch merges from the still-current version and overwrites the orphan).
+Versions older than ``keep_versions`` (clamped >= 2 so a reader mid-scan
+of the just-superseded version never has files deleted under it) are
+pruned after each commit, bounding the directory at O(keep) files.
 
 Scale: per-batch work is one aggregation of the micro-batch plus a
 merge against the card (rows = sources — tiny); nothing rescans
@@ -60,14 +66,37 @@ def batch_card(batch: DataFrame, *, text_col: str = "text", source_col: str = "s
     return per_doc.join(sketches, "source", "left")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def _committed_versions(spark: SparkSession, card_dir: str) -> list[int]:
+    """All ``v%06d`` dirs whose write committed (``_SUCCESS`` present),
+    via the Hadoop FS API so any scheme (local/HDFS/object store with a
+    committer) works."""
+    import re
+
+    jvm, fs, hpath = _hadoop_fs(spark, card_dir)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        m = re.fullmatch(r"v(\d{6})", st.getPath().getName())
+        if (
+            m
+            and st.isDirectory()
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        ):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def _current_version(spark: SparkSession, card_dir: str) -> int | None:
-    try:
-        row = spark.read.text(f"{card_dir}/_CURRENT").first()
-        return int(row.value) if row is not None else None
-    except Exception as e:  # noqa: BLE001
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
+    versions = _committed_versions(spark, card_dir)
+    return versions[-1] if versions else None
 
 
 def read_card(spark: SparkSession, card_dir: str) -> DataFrame | None:
@@ -86,9 +115,17 @@ def read_card(spark: SparkSession, card_dir: str) -> DataFrame | None:
     )
 
 
-def make_card_step(card_dir: str, *, text_col: str = "text", source_col: str = "source", lgk: int = 12):
+def make_card_step(
+    card_dir: str,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    lgk: int = 12,
+    keep_versions: int = 2,
+):
     """Build the ``foreachBatch`` function (exposed so tests and batch
     backfills can drive replay scenarios directly)."""
+    keep_versions = max(2, keep_versions)  # see module doc: reader safety
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -117,11 +154,16 @@ def make_card_step(card_dir: str, *, text_col: str = "text", source_col: str = "
                 )
             )
         next_v = (cur_v or 0) + 1
+        # the commit IS the flip: _SUCCESS lands last, so readers only
+        # ever resolve fully-written versions (module doc)
         merged.write.mode("overwrite").parquet(f"{card_dir}/v{next_v:06d}")
-        # marker flip LAST: readers only ever see fully-written versions
-        spark.createDataFrame([(str(next_v),)], "value string").coalesce(1).write.mode(
-            "overwrite"
-        ).text(f"{card_dir}/_CURRENT")
+        # prune committed versions older than the retention window; the
+        # new version is already current, so anything pruned is at least
+        # keep_versions flips stale
+        jvm, fs, _ = _hadoop_fs(spark, card_dir)
+        for v in _committed_versions(spark, card_dir):
+            if v <= next_v - keep_versions:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{card_dir}/v{v:06d}"), True)
 
     return _step
 
@@ -134,11 +176,18 @@ def start_card_stream(
     text_col: str = "text",
     source_col: str = "source",
     lgk: int = 12,
+    keep_versions: int = 2,
     trigger_seconds: float | None = None,
 ):
     """Wire the card maintenance onto a streaming documents frame."""
     writer = docs_stream.writeStream.foreachBatch(
-        make_card_step(card_dir, text_col=text_col, source_col=source_col, lgk=lgk)
+        make_card_step(
+            card_dir,
+            text_col=text_col,
+            source_col=source_col,
+            lgk=lgk,
+            keep_versions=keep_versions,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

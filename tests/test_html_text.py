@@ -75,3 +75,12 @@ def test_warc_strip_html_composition(spark, tmp_path):
         read_warc(spark, str(tmp_path) + "/p.warc"), strip_html=True
     ).collect()
     assert len(docs) == 1 and docs[0].text == "Real prose here."
+
+
+def test_uppercase_legacy_entities_decode(spark):
+    # browsers accept &AMP; &LT; &NBSP; for the legacy named references
+    df = spark.createDataFrame([("AT&AMP;T says 1 &LT; 2&NBSP;always",)], "h string")
+    from kafka_connect_ftp_spark.operators.html_text import html_to_text
+
+    got = df.select(html_to_text("h").alias("t")).first().t
+    assert got == "AT&T says 1 < 2 always"

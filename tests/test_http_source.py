@@ -131,3 +131,65 @@ def test_validation(spark):
         HttpManifestSource(fetch_partitions=0)
     with pytest.raises(ValueError, match="retries"):
         HttpManifestSource(retries=-1)
+
+
+def _http_error_opener(bodies, dead):
+    """Raises urllib-style HTTPError (has .code) for URLs in ``dead``."""
+
+    def opener(url, headers, timeout):
+        import urllib.error
+
+        if url in dead:
+            raise urllib.error.HTTPError(url, dead[url], "synthetic", None, None)
+        return 200, bodies[url]
+
+    return opener
+
+
+def test_permanent_4xx_short_circuits_and_records_status(spark):
+    gone = "https://host.example/f2"
+    src = HttpManifestSource(
+        retries=5, backoff_step=0.01, sleep=lambda _s: None,
+        opener=_http_error_opener(BODIES, {gone: 404}),
+    )
+    rows = {r.url: r for r in src.fetch(spark, list(BODIES)).collect()}
+    # a 404 is permanent: ONE attempt, no retry burn, and the HTTP code
+    # lands in `status` so downstream can tell it from a timeout
+    assert rows[gone].attempts == 1 and rows[gone].status == 404
+    assert rows[gone].content is None and "404" in rows[gone].fetch_error
+
+
+def test_retryable_429_still_retries(spark):
+    busy = "https://host.example/f6"
+    src = HttpManifestSource(
+        retries=2, backoff_step=0.01, sleep=lambda _s: None,
+        opener=_http_error_opener(BODIES, {busy: 429}),
+    )
+    rows = {r.url: r for r in src.fetch(spark, list(BODIES)).collect()}
+    assert rows[busy].attempts == 3 and rows[busy].status == 429
+
+
+def test_empty_200_body_is_quarantined_not_dropped(spark):
+    bodies = {"https://data.example/empty.warc": b""}
+    src = HttpManifestSource(retries=0, opener=_fake_opener(bodies))
+    records = read_warc_manifest(spark, src, list(bodies)).collect()
+    # the URL must surface as a decode_error row, not silently vanish
+    assert len(records) == 1 and records[0].decode_error == "empty body"
+    assert records[0].src_file == "https://data.example/empty.warc"
+
+
+def test_range_mode_partitions_on_full_key_not_just_url(spark):
+    src = HttpManifestSource(fetch_partitions=4, opener=_fake_opener(BODIES))
+    body = BODIES["https://host.example/f9"]
+    manifest = spark.createDataFrame(
+        [("https://host.example/f9", i * 4, 4) for i in range(8)],
+        "url string, off long, ln long",
+    )
+    fetched = src.fetch(spark, manifest, offset_col="off", length_col="ln")
+    # plan pin: the exchange hashes on (url, off, ln) — url-only would
+    # collapse all windows of one archive onto a single sequential task
+    plan = fetched._jdf.queryExecution().optimizedPlan().toString()
+    repart = [ln for ln in plan.splitlines() if "RepartitionByExpression" in ln]
+    assert repart and "off" in repart[0] and "ln" in repart[0]
+    got = sorted(bytes(r.content) for r in fetched.collect())
+    assert got == sorted(body[i * 4 : i * 4 + 4] for i in range(8))

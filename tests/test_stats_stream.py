@@ -73,14 +73,33 @@ def test_orphan_version_from_crash_is_overwritten(spark, tmp_path):
     card_dir = str(tmp_path / "card")
     step = make_card_step(card_dir)
     step(_docs(spark, BATCH1), 0)
-    # simulate: v2 written but the _CURRENT flip never happened
+    # simulate a crash mid-write of v2: part files landed but the job
+    # commit (_SUCCESS) never happened — the version must NOT be current
     batch_card(_docs(spark, BATCH2)).withColumn(
         "last_batch_id", F.lit(1).cast("long")
     ).write.parquet(str(tmp_path / "card" / "v000002"))
-    # re-run of batch 1 merges from the still-current v1 and overwrites
+    (tmp_path / "card" / "v000002" / "_SUCCESS").unlink()
+    # accumulated batch-0 state is still visible (the old marker-flip
+    # design lost it here), and the replayed batch overwrites the orphan
+    assert {r.source: r.n_docs for r in read_card(spark, card_dir).collect()} == {
+        "s0": 2,
+        "s1": 1,
+    }
     step(_docs(spark, BATCH2), 1)
     got = {r.source: r.n_docs for r in read_card(spark, card_dir).collect()}
     assert got == {"s0": 3, "s1": 3}
+
+
+def test_old_versions_are_pruned_to_retention(spark, tmp_path):
+    card_dir = tmp_path / "card"
+    step = make_card_step(str(card_dir), keep_versions=2)
+    for i in range(4):
+        step(_docs(spark, [(10 + i, f"tok{i}", "s0")]), i)
+    versions = sorted(p.name for p in card_dir.iterdir() if p.name.startswith("v"))
+    # 4 commits, retention 2: only v3 and v4 survive
+    assert versions == ["v000003", "v000004"]
+    got = {r.source: r.n_docs for r in read_card(spark, str(card_dir)).collect()}
+    assert got == {"s0": 4}
 
 
 def test_read_card_before_first_batch_is_none(spark, tmp_path):

@@ -149,3 +149,32 @@ def test_full_curation_operators_run_on_warc_corpus(spark, warc_dir):
     assert len(rep) == 2
     dup = exact_dedup(docs, "doc_id", ["text"])
     assert dup.count() == 2
+
+
+def test_malformed_target_uri_never_aborts_scan(spark, tmp_path):
+    # real Common Crawl dumps contain URIs java.net.URI rejects
+    # (unencoded spaces); under ANSI mode parse_url would THROW and fail
+    # the whole job — the projection must use try_parse_url instead
+    bad = _record(
+        "response",
+        _http(b"space uri body"),
+        uri="https://a b.example/x y",
+        rid="<urn:uuid:sp>",
+    )
+    (tmp_path / "bad_uri.warc").write_bytes(bad)
+    docs = warc_to_corpus(read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 1
+    assert docs[0].text == "space uri body" and docs[0].source == "unknown"
+
+
+def test_read_corpus_warc_rejects_inapplicable_args(spark, warc_dir):
+    from kafka_connect_ftp_spark.ingest.corpus import read_corpus
+
+    with pytest.raises(ValueError, match="do not apply"):
+        read_corpus(spark, warc_dir, fmt="warc", id_field="record_id")
+    with pytest.raises(ValueError, match="do not apply"):
+        read_corpus(spark, warc_dir, fmt="warc", source="cc-2024-30")
+    with pytest.raises(ValueError, match="do not apply"):
+        read_corpus(spark, warc_dir, fmt="warc", text_field="body")
+    # defaults still work
+    assert read_corpus(spark, warc_dir, fmt="warc").count() == 2
