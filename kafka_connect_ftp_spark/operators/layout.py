@@ -1,5 +1,5 @@
-"""Multi-dimensional data layout: Z-order (Morton) clustering for
-write-path locality.
+"""Data layout maintenance: Z-order (Morton) clustering for write-path
+locality, and small-file compaction for incrementally-built tables.
 
 A 100 TB table sorted by one column prunes scans on that column only;
 queries filtering on a SECOND column read everything. Interleaving the
@@ -109,6 +109,84 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _parquet_file_sizes(spark, path: str) -> list[int]:
+    """Byte sizes of the data files under ``path`` via the Hadoop FS API
+    (any scheme), skipping _SUCCESS/_metadata markers. Metadata-only:
+    never opens a file."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    sizes = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            sizes.append(st.getLen())
+    return sizes
+
+
+def plan_compaction(spark, path: str, *, target_file_bytes: int = 512 * 1024 * 1024) -> dict:
+    """The compaction decision for a parquet dir: current file count /
+    bytes and the target file count ``ceil(total / target)``. Compression
+    ratio carries over (the estimate is from CURRENT file bytes, not
+    in-memory row size). ``needed`` is False when the layout is already
+    at-or-under the target count — rewriting would burn a full read+write
+    of the table for nothing."""
+    if target_file_bytes < 1:
+        raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
+    sizes = _parquet_file_sizes(spark, path)
+    total = sum(sizes)
+    n_target = max(1, -(-total // target_file_bytes))
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "n_target": n_target,
+        "needed": len(sizes) > n_target,
+    }
+
+
+def compact_table(
+    spark,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+    mode: str = "error",
+) -> dict:
+    """Rewrite a fragmented parquet dir into ~``target_file_bytes`` files
+    — the housekeeping every incrementally-built curation table needs
+    (each micro-batch/tick appends small files; a 100 TB table drifts
+    to millions of them, and scan task scheduling + footer reads come to
+    dominate). Returns the :func:`plan_compaction` report plus
+    ``n_files_after``.
+
+    Never in-place: reading and overwriting ONE path in the same job
+    deletes input files under the running scan, and a crash mid-write
+    loses the table — a safe in-place swap needs a table format with an
+    atomic commit (Delta/Iceberg). Write to ``dest_path`` and flip
+    whatever pointer the caller owns (the versioned-dir + marker
+    convention of ingest/pipeline.py).
+
+    Without ``sort_by`` the rewrite is a ``coalesce`` — NO shuffle: each
+    output task reads ~total/n bytes of small files and streams one big
+    file back out, so compacting costs one pass of I/O. With ``sort_by``
+    it is a ``repartitionByRange`` + in-partition sort (one shuffle),
+    which restores cluster layout (file-skipping envelopes) at the same
+    time — for multi-dimension layout use :func:`write_zordered` with a
+    Morton key instead."""
+    plan = plan_compaction(spark, src_path, target_file_bytes=target_file_bytes)
+    df = spark.read.parquet(src_path)
+    n = plan["n_target"]
+    if sort_by:
+        out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n)
+    out.write.mode(mode).parquet(dest_path)
+    return {**plan, "n_files_after": len(_parquet_file_sizes(spark, dest_path))}
 
 
 def file_envelope_report(spark, path: str, cols: list[str]) -> DataFrame:

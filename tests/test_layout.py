@@ -119,3 +119,70 @@ def test_zorder_key_sql_survives_int32_inputs_in_duckdb():
     got = dict((tuple([r[0], r[1]]), r[2]) for r in con.execute(f"SELECT x, y, {expr} FROM t").fetchall())
     assert got[(65535, 65535)] == _morton_py([65535, 65535], 16)
     assert got[(0, 1)] == _morton_py([0, 1], 16)
+
+
+# -- small-file compaction ---------------------------------------------------
+
+
+def _fragmented(spark, tmp_path, n_files=24):
+    path = str(tmp_path / "frag")
+    spark.range(3000).selectExpr(
+        "id", "id % 7 as grp", "repeat('x', 64) as pad"
+    ).repartition(n_files).write.parquet(path)
+    return path
+
+
+def test_plan_compaction_math(spark, tmp_path):
+    from kafka_connect_ftp_spark.operators.layout import plan_compaction
+
+    path = _fragmented(spark, tmp_path)
+    plan = plan_compaction(spark, path, target_file_bytes=10**9)
+    assert plan["n_files"] == 24 and plan["n_target"] == 1 and plan["needed"]
+    # ceil division: total bytes just over half a target still means 1 file
+    plan2 = plan_compaction(spark, path, target_file_bytes=plan["total_bytes"] // 3 + 1)
+    assert plan2["n_target"] == 3
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        plan_compaction(spark, path, target_file_bytes=0)
+
+
+def test_compact_coalesce_path_preserves_data_no_shuffle(spark, tmp_path):
+    from kafka_connect_ftp_spark.operators.layout import compact_table
+
+    src = _fragmented(spark, tmp_path)
+    dest = str(tmp_path / "compact")
+    report = compact_table(spark, src, dest, target_file_bytes=10**9)
+    assert report["n_files_after"] == 1
+    before = sorted(r.id for r in spark.read.parquet(src).collect())
+    after = sorted(r.id for r in spark.read.parquet(dest).collect())
+    assert after == before
+    # plan pin: the default path is coalesce — NO Exchange anywhere
+    plan = (
+        spark.read.parquet(src).coalesce(1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_compact_sorted_path_restores_envelopes(spark, tmp_path):
+    from kafka_connect_ftp_spark.operators.layout import compact_table, file_envelope_report
+
+    src = str(tmp_path / "frag_sorted")
+    # fragmented AND interleaved: every small file spans the full id range
+    spark.range(4000).selectExpr("id", "id % 13 as grp").repartition(16).write.parquet(src)
+    dest = str(tmp_path / "compact_sorted")
+    report = compact_table(
+        spark, src, dest,
+        target_file_bytes=max(1, report_bytes(spark, src) // 4),
+        sort_by=["id"],
+    )
+    assert report["n_files_after"] >= 2
+    env = file_envelope_report(spark, dest, ["id"]).collect()
+    spans = sorted((r.min_id, r.max_id) for r in env)
+    # range-partitioned + sorted: file envelopes are disjoint on the sort key
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+
+def report_bytes(spark, path):
+    from kafka_connect_ftp_spark.operators.layout import plan_compaction
+
+    return plan_compaction(spark, path)["total_bytes"]

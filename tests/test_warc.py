@@ -178,3 +178,45 @@ def test_read_corpus_warc_rejects_inapplicable_args(spark, warc_dir):
         read_corpus(spark, warc_dir, fmt="warc", text_field="body")
     # defaults still work
     assert read_corpus(spark, warc_dir, fmt="warc").count() == 2
+
+
+# -- property: serialize -> parse round-trip (pure Python, no Spark) ---------
+
+
+def test_warc_roundtrip_property():
+    """Random records (payloads may contain CRLFs, WARC magic, gzip
+    magic — every framing hazard) serialize with _record and parse back
+    exactly, in both the plain and the record-per-gzip-member layout."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_ftp_spark.ingest.warc import (
+        _iter_gzip_members,
+        _parse_warc_stream,
+    )
+
+    payloads = st.binary(min_size=0, max_size=200)
+    wtypes = st.sampled_from(["response", "request", "metadata", "warcinfo"])
+    records = st.lists(st.tuples(wtypes, payloads), min_size=1, max_size=6)
+
+    @settings(max_examples=100, deadline=None)
+    @given(records)
+    def check(recs):
+        raw = b"".join(
+            _record(w, p, uri=f"https://h.example/{i}", rid=f"<urn:uuid:{i}>")
+            for i, (w, p) in enumerate(recs)
+        )
+        parsed = list(_parse_warc_stream(raw))
+        assert [h["warc-type"] for h, _ in parsed] == [w for w, _ in recs]
+        assert [p for _, p in parsed] == [p for _, p in recs]
+
+        gz = b"".join(
+            gzip.compress(_record(w, p, uri=f"https://h.example/{i}"))
+            for i, (w, p) in enumerate(recs)
+        )
+        members = list(_iter_gzip_members(gz))
+        assert len(members) == len(recs)
+        reparsed = [r for m in members for r in _parse_warc_stream(m)]
+        assert [p for _, p in reparsed] == [p for _, p in recs]
+
+    check()
