@@ -64,3 +64,41 @@ def assign_splits(
 ) -> DataFrame:
     """Append the deterministic split assignment column."""
     return df.withColumn(out_col, split_column(id_col, weights, salt=salt))
+
+
+def assign_splits_clustered(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    salt: str = "v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe splits: hash the duplicate-CLUSTER key, not the doc
+    id, so near-duplicates can never straddle a split boundary (an
+    id-hash split puts ~weight% of every near-dup cluster's members in
+    eval — the textbook train/test contamination).
+
+    ``clusters`` is a ``(id_col, cluster_col)`` frame — the output of
+    ``dedup_cluster.connected_components`` over the near-dup pair graph
+    (every cluster member mapped to the cluster's min id). Documents
+    absent from ``clusters`` are singletons and hash on their own id,
+    so with the same salt they land exactly where :func:`assign_splits`
+    puts them — adding cluster-awareness moves ONLY clustered docs.
+
+    Scale: one equi-join on ``id_col`` (the pair graph is tiny relative
+    to the corpus, so the cluster side broadcasts or AQE picks the
+    strategy) + the same map-side hash; still a pure function of
+    content-stable inputs, so re-runs and repartitions never move a
+    document."""
+    reps = clusters.select(
+        F.col(id_col).alias("_asc_id"), F.col(cluster_col).alias("_asc_cluster")
+    )
+    joined = df.join(reps, df[id_col] == F.col("_asc_id"), "left")
+    key = F.coalesce(F.col("_asc_cluster"), df[id_col])
+    return (
+        joined.withColumn(out_col, split_column(key, weights, salt=salt))
+        .drop("_asc_id", "_asc_cluster")
+    )

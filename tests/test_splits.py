@@ -70,3 +70,46 @@ def test_bad_weights_rejected(docs):
         assign_splits(docs, {})
     with pytest.raises(ValueError):
         assign_splits(docs, {"train": 1.0, "val": -0.1})
+
+
+# -- leakage-safe clustered splits -------------------------------------------
+
+
+def test_clustered_split_keeps_near_dups_together(spark, docs):
+    from kafka_connect_ftp_spark.operators.dedup_cluster import connected_components
+    from kafka_connect_ftp_spark.operators.splits import assign_splits_clustered
+
+    ids = [r.doc_id for r in docs.limit(40).collect()]
+    # three multi-member clusters, incl. a chain (transitive closure)
+    pairs = spark.createDataFrame(
+        [
+            (ids[0], ids[1]), (ids[1], ids[2]), (ids[2], ids[3]),
+            (ids[10], ids[11]),
+            (ids[20], ids[21]), (ids[20], ids[22]),
+        ],
+        "doc_a long, doc_b long",
+    )
+    clusters = connected_components(pairs)
+    out = assign_splits_clustered(docs, clusters, WEIGHTS)
+    got = {r.doc_id: r.split for r in out.collect()}
+    for group in ([ids[i] for i in (0, 1, 2, 3)], [ids[10], ids[11]], [ids[20], ids[21], ids[22]]):
+        assert len({got[d] for d in group}) == 1, f"cluster {group} straddles splits"
+
+
+def test_clustered_split_singletons_match_plain_assignment(spark, docs):
+    from kafka_connect_ftp_spark.operators.dedup_cluster import connected_components
+    from kafka_connect_ftp_spark.operators.splits import assign_splits_clustered
+
+    ids = [r.doc_id for r in docs.limit(4).collect()]
+    pairs = spark.createDataFrame([(ids[0], ids[1])], "doc_a long, doc_b long")
+    clustered = {
+        r.doc_id: r.split
+        for r in assign_splits_clustered(docs, connected_components(pairs), WEIGHTS).collect()
+    }
+    plain = {r.doc_id: r.split for r in assign_splits(docs, WEIGHTS).collect()}
+    # only the two clustered docs may move; every singleton is unchanged
+    moved = {d for d in plain if clustered[d] != plain[d]}
+    assert moved <= {ids[0], ids[1]}
+    # cluster members agree with the cluster key's own plain assignment
+    rep = min(ids[0], ids[1])
+    assert clustered[ids[0]] == clustered[ids[1]] == plain[rep]
