@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.hadoop_fs import data_file_sizes
+
 
 def zorder_key(cols: list[Column | str], *, bits: int = 16) -> Column:
     """The Morton key of ``len(cols)`` pre-bucketed int columns.
@@ -111,23 +113,6 @@ def write_zordered(
     )
 
 
-def _parquet_file_sizes(spark, path: str) -> list[int]:
-    """Byte sizes of the data files under ``path`` via the Hadoop FS API
-    (any scheme), skipping _SUCCESS/_metadata markers. Metadata-only:
-    never opens a file."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    sizes = []
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if not name.startswith("_") and not name.startswith("."):
-            sizes.append(st.getLen())
-    return sizes
-
-
 def plan_compaction(spark, path: str, *, target_file_bytes: int = 512 * 1024 * 1024) -> dict:
     """The compaction decision for a parquet dir: current file count /
     bytes and the target file count ``ceil(total / target)``. Compression
@@ -137,7 +122,7 @@ def plan_compaction(spark, path: str, *, target_file_bytes: int = 512 * 1024 * 1
     of the table for nothing."""
     if target_file_bytes < 1:
         raise ValueError(f"target_file_bytes must be >= 1, got {target_file_bytes}")
-    sizes = _parquet_file_sizes(spark, path)
+    sizes = data_file_sizes(spark, path)
     total = sum(sizes)
     n_target = max(1, -(-total // target_file_bytes))
     return {
@@ -148,6 +133,15 @@ def plan_compaction(spark, path: str, *, target_file_bytes: int = 512 * 1024 * 1
     }
 
 
+def _compacted_frame(df: DataFrame, n: int, sort_by: list[str] | None) -> DataFrame:
+    """The rewrite plan compact_table executes (factored so tests pin
+    the REAL code path): coalesce — zero shuffle — by default, range
+    shuffle + in-partition sort with ``sort_by``."""
+    if sort_by:
+        return df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    return df.coalesce(n)
+
+
 def compact_table(
     spark,
     src_path: str,
@@ -156,13 +150,15 @@ def compact_table(
     target_file_bytes: int = 512 * 1024 * 1024,
     sort_by: list[str] | None = None,
     mode: str = "error",
+    force: bool = False,
 ) -> dict:
     """Rewrite a fragmented parquet dir into ~``target_file_bytes`` files
     — the housekeeping every incrementally-built curation table needs
     (each micro-batch/tick appends small files; a 100 TB table drifts
     to millions of them, and scan task scheduling + footer reads come to
     dominate). Returns the :func:`plan_compaction` report plus
-    ``n_files_after``.
+    ``compacted`` (False = already at/under target, rewrite skipped
+    unless ``force``) and ``n_files_after``.
 
     Never in-place: reading and overwriting ONE path in the same job
     deletes input files under the running scan, and a crash mid-write
@@ -179,14 +175,18 @@ def compact_table(
     time — for multi-dimension layout use :func:`write_zordered` with a
     Morton key instead."""
     plan = plan_compaction(spark, src_path, target_file_bytes=target_file_bytes)
-    df = spark.read.parquet(src_path)
-    n = plan["n_target"]
-    if sort_by:
-        out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
-    else:
-        out = df.coalesce(n)
+    # already at-or-under the target count: skip the rewrite entirely
+    # (a periodic maintenance job must not re-pay a full table pass per
+    # run); `force=True` rewrites anyway, e.g. to apply a new sort_by
+    if not plan["needed"] and not force:
+        return {**plan, "compacted": False, "n_files_after": plan["n_files"]}
+    out = _compacted_frame(spark.read.parquet(src_path), plan["n_target"], sort_by)
     out.write.mode(mode).parquet(dest_path)
-    return {**plan, "n_files_after": len(_parquet_file_sizes(spark, dest_path))}
+    return {
+        **plan,
+        "compacted": True,
+        "n_files_after": len(data_file_sizes(spark, dest_path)),
+    }
 
 
 def file_envelope_report(spark, path: str, cols: list[str]) -> DataFrame:

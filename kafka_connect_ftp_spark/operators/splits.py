@@ -93,6 +93,12 @@ def assign_splits_clustered(
     strategy) + the same map-side hash; still a pure function of
     content-stable inputs, so re-runs and repartitions never move a
     document."""
+    clash = {"_asc_id", "_asc_cluster"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"df already has reserved column(s) {sorted(clash)}; rename them "
+            "(assign_splits_clustered uses these as join temporaries)"
+        )
     reps = clusters.select(
         F.col(id_col).alias("_asc_id"), F.col(cluster_col).alias("_asc_cluster")
     )

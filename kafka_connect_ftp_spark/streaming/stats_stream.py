@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.hadoop_fs import hadoop_fs as _hadoop_fs
+
 _TOKS = "filter(split({c}, ' '), x -> x <> '')"
 
 
@@ -64,13 +66,6 @@ def batch_card(batch: DataFrame, *, text_col: str = "text", source_col: str = "s
         .agg(F.hll_sketch_agg(F.col("_tk"), F.lit(lgk)).alias("hll"))
     )
     return per_doc.join(sketches, "source", "left")
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return jvm, fs, hpath
 
 
 def _committed_versions(spark: SparkSession, card_dir: str) -> list[int]:

@@ -151,15 +151,54 @@ def test_compact_coalesce_path_preserves_data_no_shuffle(spark, tmp_path):
     src = _fragmented(spark, tmp_path)
     dest = str(tmp_path / "compact")
     report = compact_table(spark, src, dest, target_file_bytes=10**9)
-    assert report["n_files_after"] == 1
+    assert report["n_files_after"] == 1 and report["compacted"]
     before = sorted(r.id for r in spark.read.parquet(src).collect())
     after = sorted(r.id for r in spark.read.parquet(dest).collect())
     assert after == before
-    # plan pin: the default path is coalesce — NO Exchange anywhere
+    # plan pin on the REAL rewrite path compact_table executes: the
+    # default (no sort_by) frame has NO Exchange anywhere
+    from kafka_connect_ftp_spark.operators.layout import _compacted_frame
+
     plan = (
-        spark.read.parquet(src).coalesce(1)._jdf.queryExecution().executedPlan().toString()
+        _compacted_frame(spark.read.parquet(src), 1, None)
+        ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_compact_skips_when_already_compact(spark, tmp_path):
+    from kafka_connect_ftp_spark.operators.layout import compact_table
+
+    src = str(tmp_path / "tight")
+    spark.range(100).coalesce(1).write.parquet(src)
+    dest = str(tmp_path / "noop")
+    report = compact_table(spark, src, dest, target_file_bytes=10**9)
+    # already one file: no rewrite, dest never created
+    assert not report["compacted"] and report["n_files_after"] == 1
+    import os
+
+    assert not os.path.exists(dest)
+    forced = compact_table(spark, src, dest, target_file_bytes=10**9, force=True)
+    assert forced["compacted"] and forced["n_files_after"] == 1
+
+
+def test_plan_ignores_hidden_dirs_like_the_reader_does(spark, tmp_path):
+    from kafka_connect_ftp_spark.operators.layout import plan_compaction
+
+    src = _fragmented(spark, tmp_path, n_files=4)
+    clean = plan_compaction(spark, src, target_file_bytes=10**9)
+    # a crashed/concurrent write leaves _temporary attempt files whose
+    # LEAF names look like data; spark.read ignores hidden dirs, so the
+    # plan must too or it prices phantom bytes
+    import pathlib
+    import shutil
+
+    tmp_dir = pathlib.Path(src) / "_temporary" / "0"
+    tmp_dir.mkdir(parents=True)
+    part = next(pathlib.Path(src).glob("part-*.parquet"))
+    shutil.copy(part, tmp_dir / "part-phantom.parquet")
+    dirty = plan_compaction(spark, src, target_file_bytes=10**9)
+    assert dirty == clean
 
 
 def test_compact_sorted_path_restores_envelopes(spark, tmp_path):

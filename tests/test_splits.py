@@ -113,3 +113,16 @@ def test_clustered_split_singletons_match_plain_assignment(spark, docs):
     # cluster members agree with the cluster key's own plain assignment
     rep = min(ids[0], ids[1])
     assert clustered[ids[0]] == clustered[ids[1]] == plain[rep]
+
+
+def test_clustered_split_rejects_reserved_columns(spark, docs):
+    from kafka_connect_ftp_spark.operators.dedup_cluster import connected_components
+    from kafka_connect_ftp_spark.operators.splits import assign_splits_clustered
+
+    ids = [r.doc_id for r in docs.limit(2).collect()]
+    clusters = connected_components(
+        spark.createDataFrame([(ids[0], ids[1])], "doc_a long, doc_b long")
+    )
+    poisoned = docs.withColumn("_asc_cluster", F.lit(1))
+    with pytest.raises(ValueError, match="reserved column"):
+        assign_splits_clustered(poisoned, clusters, WEIGHTS)
