@@ -14,6 +14,40 @@ def hadoop_fs(spark, path: str):
     return jvm, fs, hpath
 
 
+def committed_versions(spark, state_dir: str) -> list[int]:
+    """All ``v%06d`` dirs under ``state_dir`` whose write committed
+    (``_SUCCESS`` present), ascending. The committer writes ``_SUCCESS``
+    only after every part file is in place, so "max committed version"
+    is a crash-atomic CURRENT pointer with no separate marker file — a
+    crash mid-write leaves a ``_SUCCESS``-less orphan that the retry
+    overwrites (see streaming/stats_stream.py for the full rationale)."""
+    import re
+
+    jvm, fs, hpath = hadoop_fs(spark, state_dir)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        m = re.fullmatch(r"v(\d{6})", st.getPath().getName())
+        if (
+            m
+            and st.isDirectory()
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        ):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def prune_versions(spark, state_dir: str, *, current: int, keep: int) -> None:
+    """Delete committed versions at or below ``current - keep``
+    (``keep`` is clamped >= 2 by callers: a reader mid-scan of the
+    just-superseded version must never have files deleted under it)."""
+    jvm, fs, _ = hadoop_fs(spark, state_dir)
+    for v in committed_versions(spark, state_dir):
+        if v <= current - keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v:06d}"), True)
+
+
 def data_file_sizes(spark, path: str) -> list[int]:
     """Byte sizes of the DATA files under ``path`` — exactly the files
     ``spark.read`` would read: any path component (directory or leaf)

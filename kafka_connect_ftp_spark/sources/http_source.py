@@ -22,7 +22,11 @@ with a ``url`` column (e.g. the parsed ``warc.paths`` file of a crawl)
   timeout;
 - optional ``Range`` support fetches byte windows (``offset_col`` /
   ``length_col``), which is exactly how a columnar-index crawl read
-  pulls ONE record out of a 1 GB archive object.
+  pulls ONE record out of a 1 GB archive object;
+- ``incremental_fetch`` turns the one-shot pull into the reference's
+  poll loop: re-polling a growing manifest fetches only URLs not yet
+  successfully fetched, with versioned crash-atomic state, a per-tick
+  cap with natural carry-over, and delivery-before-commit ordering.
 
 Testability: ``opener`` injects the URL-opening callable; tests use an
 in-memory fake (the fake-transport convention of test_ftp_source.py —
@@ -37,7 +41,9 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from kafka_connect_ftp_spark.hadoop_fs import committed_versions, prune_versions
 from kafka_connect_ftp_spark.streaming.backoff import ExponentialBackOff
 
 # 4xx responses are permanent (the server answered; asking again cannot
@@ -175,6 +181,81 @@ class HttpManifestSource:
             .repartition(self.fetch_partitions, *cols)
             .mapInPandas(fetch_partition, _FETCH_SCHEMA)
         )
+
+
+_STATE_SCHEMA = "url string, ok boolean, attempts int, fetched_at double"
+
+
+def load_fetch_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-URL fetch outcomes from the latest committed state version
+    (empty frame before the first tick)."""
+    versions = committed_versions(spark, state_dir)
+    if not versions:
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    return spark.read.schema(_STATE_SCHEMA).parquet(f"{state_dir}/v{versions[-1]:06d}")
+
+
+def incremental_fetch(
+    spark: SparkSession,
+    source: HttpManifestSource,
+    manifest,
+    state_dir: str,
+    *,
+    refetch_failed: bool = True,
+    max_urls_per_tick: int | None = None,
+    keep_versions: int = 2,
+    sink=None,
+    epoch: int = 0,
+) -> DataFrame:
+    """One poll tick over a GROWING manifest: fetch only URLs the state
+    does not already record as successfully fetched — the reference's
+    per-file change detection (``requiresFetch``; SURVEY §2 S4/F2)
+    applied to the HTTP source, where the only observable metadata is
+    the URL itself (crawl manifests like ``warc.paths`` are
+    append-only, so "new URL" IS the change signal).
+
+    Semantics mirror ``ingest/pipeline.poll``:
+
+    - ``refetch_failed=True`` retries URLs whose last tick quarantined
+      (``ok`` false); ``False`` dead-letters them (state still records
+      the failure for audit).
+    - ``max_urls_per_tick`` bounds a tick (the reference's poll-size
+      limit, L1); unfetched URLs are naturally carried over because
+      only fetched outcomes enter the state.
+    - delivery-before-commit: the optional ``sink(frame, epoch)`` runs
+      BEFORE the state commit, so a delivery failure leaves state
+      untouched and the next tick re-derives the same delta —
+      at-least-once (T5, Connect's offsets-after-produce ordering).
+    - state is one row per URL, latest outcome wins, committed as a new
+      ``_SUCCESS``-versioned dir (crash-atomic, see hadoop_fs.py) and
+      pruned to ``keep_versions``.
+
+    The tick's frame is localCheckpoint-ed once so the sink, the
+    returned frame, and the state all see the SAME fetch outcomes
+    (bodies spill MEMORY_AND_DISK; size ticks with ``max_urls_per_tick``
+    so a tick fits the cluster's storage). Returns the materialized
+    fetched frame for this tick (may be empty)."""
+    keep_versions = max(2, keep_versions)
+    state = load_fetch_state(spark, state_dir)
+    man = source._manifest_frame(spark, manifest).select("url").dropDuplicates(["url"])
+    done = state.filter("ok") if refetch_failed else state
+    todo = man.join(done.select("url"), "url", "left_anti")
+    if max_urls_per_tick is not None:
+        if max_urls_per_tick < 1:
+            raise ValueError(f"max_urls_per_tick must be >= 1, got {max_urls_per_tick}")
+        todo = todo.limit(max_urls_per_tick)
+    fetched = source.fetch(spark, todo).localCheckpoint()
+    if sink is not None:
+        sink(fetched, epoch)
+    tick = fetched.select(
+        "url", F.col("fetch_error").isNull().alias("ok"), "attempts", "fetched_at"
+    )
+    new_state = state.join(tick, "url", "left_anti").unionByName(tick)
+    versions = committed_versions(spark, state_dir)
+    next_v = (versions[-1] if versions else 0) + 1
+    new_state.write.mode("overwrite").parquet(f"{state_dir}/v{next_v:06d}")
+    prune_versions(spark, state_dir, current=next_v, keep=keep_versions)
+    return fetched
 
 
 def read_warc_manifest(

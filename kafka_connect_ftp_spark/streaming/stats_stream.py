@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_connect_ftp_spark.hadoop_fs import hadoop_fs as _hadoop_fs
+from kafka_connect_ftp_spark.hadoop_fs import committed_versions, prune_versions
 
 _TOKS = "filter(split({c}, ' '), x -> x <> '')"
 
@@ -68,29 +68,8 @@ def batch_card(batch: DataFrame, *, text_col: str = "text", source_col: str = "s
     return per_doc.join(sketches, "source", "left")
 
 
-def _committed_versions(spark: SparkSession, card_dir: str) -> list[int]:
-    """All ``v%06d`` dirs whose write committed (``_SUCCESS`` present),
-    via the Hadoop FS API so any scheme (local/HDFS/object store with a
-    committer) works."""
-    import re
-
-    jvm, fs, hpath = _hadoop_fs(spark, card_dir)
-    if not fs.exists(hpath):
-        return []
-    out = []
-    for st in fs.listStatus(hpath):
-        m = re.fullmatch(r"v(\d{6})", st.getPath().getName())
-        if (
-            m
-            and st.isDirectory()
-            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-        ):
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
 def _current_version(spark: SparkSession, card_dir: str) -> int | None:
-    versions = _committed_versions(spark, card_dir)
+    versions = committed_versions(spark, card_dir)
     return versions[-1] if versions else None
 
 
@@ -155,10 +134,7 @@ def make_card_step(
         # prune committed versions older than the retention window; the
         # new version is already current, so anything pruned is at least
         # keep_versions flips stale
-        jvm, fs, _ = _hadoop_fs(spark, card_dir)
-        for v in _committed_versions(spark, card_dir):
-            if v <= next_v - keep_versions:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{card_dir}/v{v:06d}"), True)
+        prune_versions(spark, card_dir, current=next_v, keep=keep_versions)
 
     return _step
 

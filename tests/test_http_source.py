@@ -193,3 +193,88 @@ def test_range_mode_partitions_on_full_key_not_just_url(spark):
     assert repart and "off" in repart[0] and "ln" in repart[0]
     got = sorted(bytes(r.content) for r in fetched.collect())
     assert got == sorted(body[i * 4 : i * 4 + 4] for i in range(8))
+
+
+# -- incremental manifest polling ---------------------------------------------
+
+
+def test_incremental_fetch_only_new_urls(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    state_dir = str(tmp_path / "state")
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    urls = sorted(BODIES)
+    t1 = incremental_fetch(spark, src, urls[:4], state_dir)
+    assert {r.url for r in t1.collect()} == set(urls[:4])
+    # manifest grows: only the three new URLs fetch
+    t2 = incremental_fetch(spark, src, urls[:7], state_dir)
+    assert {r.url for r in t2.collect()} == set(urls[4:7])
+    # nothing new: empty tick
+    assert incremental_fetch(spark, src, urls[:7], state_dir).count() == 0
+
+
+def test_incremental_fetch_failed_url_policy(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    state_dir = str(tmp_path / "state")
+    dead = "https://host.example/f1"
+    src = HttpManifestSource(
+        retries=0, opener=_fake_opener(BODIES, fail_counts={dead: -1})
+    )
+    t1 = incremental_fetch(spark, src, sorted(BODIES)[:3], state_dir)
+    assert {r.url for r in t1.collect() if r.fetch_error is not None} == {dead}
+    # default: the quarantined URL is retried next tick
+    t2 = incremental_fetch(spark, src, sorted(BODIES)[:3], state_dir)
+    assert {r.url for r in t2.collect()} == {dead}
+    # dead-letter policy: skip it
+    t3 = incremental_fetch(spark, src, sorted(BODIES)[:3], state_dir, refetch_failed=False)
+    assert t3.count() == 0
+
+
+def test_incremental_fetch_tick_cap_carries_over(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    state_dir = str(tmp_path / "state")
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    urls = sorted(BODIES)[:5]
+    got = set()
+    for _ in range(3):
+        got |= {r.url for r in incremental_fetch(
+            spark, src, urls, state_dir, max_urls_per_tick=2
+        ).collect()}
+    assert len(got) == 5  # 2 + 2 + 1: the cap never loses a URL
+    assert incremental_fetch(spark, src, urls, state_dir, max_urls_per_tick=2).count() == 0
+
+
+def test_incremental_fetch_delivery_before_commit(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    state_dir = str(tmp_path / "state")
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    urls = sorted(BODIES)[:2]
+
+    def bad_sink(frame, epoch):
+        raise RuntimeError("delivery failed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="delivery failed"):
+        incremental_fetch(spark, src, urls, state_dir, sink=bad_sink)
+    # state did not advance: the next tick re-delivers the same delta
+    delivered = []
+    t2 = incremental_fetch(
+        spark, src, urls, state_dir, sink=lambda f, e: delivered.append(f.count())
+    )
+    assert {r.url for r in t2.collect()} == set(urls) and delivered == [2]
+
+
+def test_incremental_fetch_prunes_state_versions(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    state_dir = tmp_path / "state"
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    urls = sorted(BODIES)
+    for i in range(4):
+        incremental_fetch(spark, src, urls[: i + 1], str(state_dir))
+    versions = sorted(p.name for p in state_dir.iterdir() if p.name.startswith("v"))
+    assert versions == ["v000003", "v000004"]
