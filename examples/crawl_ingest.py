@@ -7,6 +7,8 @@
       → canonical documents frame          warc_to_corpus
       → exact dedup + repetition gate      operators/{text_dedup,repetition}.py
       → WebDataset tar shards              operators/wds.py
+      + incremental re-poll (new manifest segment only) via
+        incremental_fetch's versioned per-URL state
 
 The synthetic crawl is served by an in-memory opener (this sandbox has
 no network — production passes no ``opener`` and the default urllib
@@ -33,6 +35,7 @@ from kafka_connect_ftp_spark.operators.wds import write_wds_shards
 from kafka_connect_ftp_spark.session import get_spark
 from kafka_connect_ftp_spark.sources.http_source import (
     HttpManifestSource,
+    incremental_fetch,
     read_warc_manifest,
 )
 
@@ -130,6 +133,25 @@ def main() -> int:
     print(f"sample text:   {sample.text[:60]!r} from {sample.source}")
     records.unpersist()
     docs.unpersist()
+
+    # --- incremental re-poll: the manifest grows by one segment; only
+    # the NEW archive is fetched (the reference's change-detection poll
+    # loop over HTTP — state is versioned crash-atomic parquet)
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="crawl_"), "state")
+    n_tick1 = incremental_fetch(spark, src, sorted(archives), state_dir).count()
+    grown = dict(archives)
+    grown["https://data.example/crawl/seg-3.warc.gz"] = gzip.compress(
+        _record(
+            "response", _page("<p>fresh segment page.</p>"), "https://site3.example/new"
+        )
+    )
+    src2 = HttpManifestSource(
+        fetch_partitions=3, opener=lambda u, h, t: (200, grown[u])
+    )
+    tick2 = [r.url for r in incremental_fetch(spark, src2, sorted(grown), state_dir).collect()]
+    print(f"poll tick 1:   fetched {n_tick1}/{len(archives)} archives")
+    print(f"poll tick 2:   fetched {len(tick2)}/{len(grown)} -> {tick2}")
+    assert tick2 == ["https://data.example/crawl/seg-3.warc.gz"]
     return 0
 
 
