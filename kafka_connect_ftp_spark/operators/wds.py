@@ -145,40 +145,51 @@ def write_wds_shards(
 
 
 def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame:
-    """Read an exported shard set back to a frame (verification / resume
-    tooling — loaders stream the tars directly). Returns one row per
-    sample: ``(sample_key, shard, <field columns>)``; text fields decode
-    utf-8, json fields parse, binary fields stay bytes."""
-    paths = sorted(
-        os.path.join(out_dir, p) for p in os.listdir(out_dir) if p.endswith(".tar")
-    )
+    """Read an exported shard set back to a frame (shard audits,
+    resharding, round-trip verification — loaders stream the tars
+    directly). Returns one row per sample: ``(sample_key, shard,
+    <field columns>)``; text/json fields decode utf-8, binary fields
+    stay bytes.
+
+    Distributed, mirroring the writer's work unit: one ``binaryFile``
+    row per tar, parsed in an Arrow-batched ``mapInPandas`` — shard
+    bytes land in the task that owns the file and never shuffle, and
+    the driver never lists members or holds samples (a driver-side tar
+    loop would cap the read at one machine's bandwidth)."""
     field_items = sorted(fields.items())
-
-    def read_shard(path):
-        out = {}
-        with tarfile.open(path, "r") as tar:
-            for m in tar.getmembers():
-                keypart, ext = m.name.rsplit(".", 1)
-                data = tar.extractfile(m).read()
-                out.setdefault(keypart, {})["_shard"] = os.path.basename(path)
-                for col, fext in field_items:
-                    if fext == ext:
-                        if ext in (_EXT_TEXT, _EXT_JSON):
-                            out[keypart][col] = data.decode("utf-8")
-                        else:
-                            out[keypart][col] = data
-        for k, d in sorted(out.items()):
-            yield (k, d.get("_shard"), *[d.get(c) for c, _ in field_items])
-
-    rows = [r for p in paths for r in read_shard(p)]
-    schema_parts = []
-    for col, ext in field_items:
-        if ext == _EXT_TEXT:
-            schema_parts.append(f"{col} string")
-        elif ext == _EXT_JSON:
-            schema_parts.append(f"{col} string")
-        else:
-            schema_parts.append(f"{col} binary")
-    return spark.createDataFrame(
-        rows, "sample_key string, shard string, " + ", ".join(schema_parts)
+    schema = "sample_key string, shard string, " + ", ".join(
+        f"{col} {'string' if ext in (_EXT_TEXT, _EXT_JSON) else 'binary'}"
+        for col, ext in field_items
     )
+    files = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(out_dir, "*.tar"))
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = ["sample_key", "shard", *[c for c, _ in field_items]]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(path)
+                samples: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        keypart, ext = m.name.rsplit(".", 1)
+                        data = tar.extractfile(m).read()
+                        d = samples.setdefault(keypart, {})
+                        for col, fext in field_items:
+                            if fext == ext:
+                                d[col] = (
+                                    data.decode("utf-8")
+                                    if ext in (_EXT_TEXT, _EXT_JSON)
+                                    else data
+                                )
+                for k, d in sorted(samples.items()):
+                    rows.append((k, shard, *[d.get(c) for c, _ in field_items]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, schema)

@@ -135,3 +135,16 @@ def test_duplicate_extensions_rejected(spark, docs, tmp_path):
         write_wds_shards(
             docs, str(tmp_path / "x"), fields={"text": "txt", "meta": "txt"}, n_shards=1
         )
+
+
+def test_read_back_is_distributed_no_driver_loop(spark, docs, tmp_path):
+    out = str(tmp_path / "wds")
+    write_wds_shards(docs, out, fields=FIELDS, n_shards=3)
+    back = read_wds_shards(spark, out, fields=FIELDS)
+    # plan pin: a binaryFile scan feeding MapInPandas — the shards parse
+    # on executors; no LocalTableScan of driver-collected rows
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "LocalTableScan" not in plan
+    # every shard parses in the task that owns it: rows per shard match
+    per_shard = {r.shard: r["count"] for r in back.groupBy("shard").count().collect()}
+    assert sum(per_shard.values()) == 40 and len(per_shard) == 3
