@@ -144,6 +144,31 @@ def write_wds_shards(
     return [os.path.join(out_dir, f"shard-{i:05d}.tar") for i in range(n_shards)]
 
 
+def reshard_wds(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    *,
+    fields: dict[str, str],
+    n_shards: int,
+    salt: str = "v1",
+) -> list[str]:
+    """Re-balance an exported shard set to a new shard count (cluster
+    size changed, shards too big/small for the loader): distributed
+    read back → deterministic re-route → write. Same corpus + salt +
+    n_shards → byte-identical output regardless of the INPUT sharding,
+    because routing and in-shard order depend only on the sample key."""
+    back = read_wds_shards(spark, src_dir, fields=fields)
+    return write_wds_shards(
+        back.drop("shard"),
+        dest_dir,
+        fields=fields,
+        id_col="sample_key",
+        n_shards=n_shards,
+        salt=salt,
+    )
+
+
 def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame:
     """Read an exported shard set back to a frame (shard audits,
     resharding, round-trip verification — loaders stream the tars

@@ -148,3 +148,20 @@ def test_read_back_is_distributed_no_driver_loop(spark, docs, tmp_path):
     # every shard parses in the task that owns it: rows per shard match
     per_shard = {r.shard: r["count"] for r in back.groupBy("shard").count().collect()}
     assert sum(per_shard.values()) == 40 and len(per_shard) == 3
+
+
+def test_reshard_byte_identical_regardless_of_input_sharding(spark, docs, tmp_path):
+    from kafka_connect_ftp_spark.operators.wds import reshard_wds
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_wds_shards(docs, a, fields=FIELDS, n_shards=5)
+    write_wds_shards(docs, b, fields=FIELDS, n_shards=2)
+    ra = reshard_wds(spark, a, str(tmp_path / "ra"), fields=FIELDS, n_shards=3)
+    rb = reshard_wds(spark, b, str(tmp_path / "rb"), fields=FIELDS, n_shards=3)
+    assert len(ra) == len(rb) == 3
+    for pa, pb in zip(ra, rb):
+        with open(pa, "rb") as fa, open(pb, "rb") as fb:
+            assert fa.read() == fb.read()
+    back = read_wds_shards(spark, str(tmp_path / "ra"), fields=FIELDS)
+    assert back.count() == 40
