@@ -268,9 +268,17 @@ def read_warc_manifest(
     ``warc.paths`` manifest → distributed GET → record parse →
     ``warc_to_corpus`` → the whole curation pipeline. Failed fetches
     surface as quarantine rows (``decode_error`` = the fetch error)."""
-    from kafka_connect_ftp_spark.ingest.warc import _records_for_file, _SCHEMA
+    return parse_warc_fetches(source.fetch(spark, manifest))
 
-    fetched = source.fetch(spark, manifest)
+
+def parse_warc_fetches(fetched: DataFrame) -> DataFrame:
+    """Parse a fetched-archives frame (``HttpManifestSource.fetch`` /
+    ``incremental_fetch`` output) into the WARC records frame — exposed
+    separately so incremental poll ticks compose:
+    ``parse_warc_fetches(incremental_fetch(...))`` parses ONLY the
+    tick's new archives. Map-side, bytes never shuffle; fetch failures
+    and empty bodies become quarantine rows."""
+    from kafka_connect_ftp_spark.ingest.warc import _records_for_file, _SCHEMA
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [

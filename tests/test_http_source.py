@@ -278,3 +278,26 @@ def test_incremental_fetch_prunes_state_versions(spark, tmp_path):
         incremental_fetch(spark, src, urls[: i + 1], str(state_dir))
     versions = sorted(p.name for p in state_dir.iterdir() if p.name.startswith("v"))
     assert versions == ["v000003", "v000004"]
+
+
+def test_incremental_tick_composes_with_warc_parse(spark, tmp_path):
+    from tests.test_warc import _http, _record
+    from kafka_connect_ftp_spark.sources.http_source import (
+        incremental_fetch,
+        parse_warc_fetches,
+    )
+
+    rec_a = _record("response", _http(b"first body"), uri="http://w.example/a")
+    rec_b = _record("response", _http(b"second body"), uri="http://w.example/b")
+    bodies = {"https://d.example/a.warc": rec_a}
+    src = HttpManifestSource(opener=_fake_opener(bodies))
+    state = str(tmp_path / "state")
+    t1 = parse_warc_fetches(incremental_fetch(spark, src, list(bodies), state))
+    assert [bytes(r.payload) for r in t1.collect()] == [b"first body"]
+    # the manifest grows: only the NEW archive is fetched and parsed
+    grown = dict(bodies, **{"https://d.example/b.warc": rec_b})
+    src2 = HttpManifestSource(opener=_fake_opener(grown))
+    t2 = parse_warc_fetches(incremental_fetch(spark, src2, list(grown), state))
+    rows = t2.collect()
+    assert [bytes(r.payload) for r in rows] == [b"second body"]
+    assert rows[0].src_file == "https://d.example/b.warc"
