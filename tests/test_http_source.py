@@ -301,3 +301,49 @@ def test_incremental_tick_composes_with_warc_parse(spark, tmp_path):
     rows = t2.collect()
     assert [bytes(r.payload) for r in rows] == [b"second body"]
     assert rows[0].src_file == "https://d.example/b.warc"
+
+
+def test_incremental_fetch_matches_pure_python_model(spark, tmp_path):
+    """Model-based check: random manifest growth + failure schedules.
+    The pure-Python model tracks which URLs SHOULD be fetched per tick
+    (never fetched OR failed-last-outcome when refetching); the operator
+    must deliver exactly that set every tick."""
+    import random
+
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    rng = random.Random(42)
+    urls = [f"https://h.example/u{i}" for i in range(12)]
+    for trial in range(3):
+        state_dir = str(tmp_path / f"state{trial}")
+        model_ok: set[str] = set()
+        manifest_n = rng.randint(1, 4)
+        for tick in range(4):
+            manifest = urls[:manifest_n]
+            failing = {u for u in manifest if rng.random() < 0.3}
+            refetch = rng.random() < 0.5
+            bodies = {u: f"body {u}".encode() for u in manifest}
+            src = HttpManifestSource(
+                retries=0,
+                opener=_fake_opener(bodies, fail_counts={u: -1 for u in failing}),
+            )
+            got = {
+                r.url: r.fetch_error is None
+                for r in incremental_fetch(
+                    spark, src, manifest, state_dir, refetch_failed=refetch
+                ).collect()
+            }
+            # the model: URLs in the manifest not yet ok, minus (when not
+            # refetching) URLs whose last outcome is recorded as failed
+            expected = {u for u in manifest if u not in model_ok}
+            if not refetch:
+                expected -= model_seen_failed if tick else set()
+            assert set(got) == expected, f"trial {trial} tick {tick}"
+            for u, ok in got.items():
+                if ok:
+                    model_ok.add(u)
+            model_seen_failed = {
+                u for u in (model_seen_failed if tick else set()) | set(got)
+                if u not in model_ok
+            }
+            manifest_n = min(len(urls), manifest_n + rng.randint(0, 3))
