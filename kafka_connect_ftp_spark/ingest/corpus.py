@@ -15,6 +15,10 @@ runs unchanged on external corpora:
   ``text``.
 - ``warc``: web-crawl archives (Common Crawl layout) via
   ``ingest/warc.py`` — successful HTTP responses become documents.
+- ``wds``: WebDataset tar shards exported by ``operators/wds.py`` —
+  the round trip that lets curation re-runs and audits start from
+  delivered shards (``wds_fields`` maps columns to member extensions,
+  default ``{"text": "txt"}``).
 
 ``doc_id`` synthesis: corpora rarely ship stable ids, and
 ``monotonically_increasing_id`` is partition-layout-dependent (re-running
@@ -36,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_FORMATS = ("jsonl", "csv", "text", "parquet", "orc", "warc")
+_FORMATS = ("jsonl", "csv", "text", "parquet", "orc", "warc", "wds")
 
 
 _NUMERIC_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
@@ -53,6 +57,7 @@ def read_corpus(
     per_line: bool = True,
     multiline_csv: bool = False,
     schema=None,
+    wds_fields: dict[str, str] | None = None,
 ) -> DataFrame:
     """Load a corpus into the canonical ``(doc_id, text, source, ...)``
     frame. ``source`` defaults to the input file name of each row
@@ -80,6 +85,51 @@ def read_corpus(
     production scale pass the known schema to make the read single-pass."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+
+    if wds_fields is not None and fmt != "wds":
+        raise ValueError("wds_fields only applies to fmt='wds'")
+
+    if fmt == "wds":
+        # exported shards carry their own conventions (sample_key = the
+        # writer's zero-padded id, shard = provenance), so the generic
+        # field plumbing below does not apply — reject its knobs rather
+        # than silently ignore them (the warc rule)
+        bad = sorted(
+            k
+            for k, v in {
+                "text_field": text_field != "text",
+                "id_field": id_field is not None,
+                "source": source is not None,
+                "schema": schema is not None,
+            }.items()
+            if v
+        )
+        if bad:
+            raise ValueError(
+                f"fmt='wds' derives its own fields; {bad} do not apply "
+                "(source = shard name, doc_id inverts the writer's key)"
+            )
+        from kafka_connect_ftp_spark.operators.wds import read_wds_shards
+
+        fields = dict(wds_fields or {"text": "txt"})
+        if "text" not in fields:
+            raise ValueError(f"wds_fields must include a 'text' member, got {fields}")
+        df = read_wds_shards(spark, path, fields=fields)
+        # doc_id inverts write_wds_shards' key convention: integer ids
+        # were zero-padded (cast back losslessly — try_cast, an ANSI
+        # cast would crash on the first string key); string ids hash,
+        # the id_field convention above
+        return (
+            df.withColumnRenamed("shard", "source")
+            .withColumn(
+                "doc_id",
+                F.coalesce(
+                    F.col("sample_key").try_cast("bigint"),
+                    F.xxhash64("sample_key"),
+                ),
+            )
+            .select("doc_id", "text", "source", "sample_key", *(c for c in fields if c != "text"))
+        )
 
     if fmt == "warc":
         # crawl dumps carry their own id/source/text conventions

@@ -165,3 +165,34 @@ def test_reshard_byte_identical_regardless_of_input_sharding(spark, docs, tmp_pa
             assert fa.read() == fb.read()
     back = read_wds_shards(spark, str(tmp_path / "ra"), fields=FIELDS)
     assert back.count() == 40
+
+
+def test_read_corpus_wds_round_trip(spark, docs, tmp_path):
+    from kafka_connect_ftp_spark.ingest.corpus import read_corpus
+
+    out = str(tmp_path / "wds")
+    write_wds_shards(docs, out, fields=FIELDS, n_shards=3)
+    back = read_corpus(spark, out, fmt="wds", wds_fields=FIELDS)
+    rows = {r.doc_id: r for r in back.collect()}
+    # integer ids invert the writer's zero-padding losslessly
+    assert set(rows) == set(range(40))
+    assert rows[7].text == "text of doc 7"
+    assert rows[7].source.startswith("shard-")
+    assert bytes(rows[7].content) == bytes([7 % 251, 1, 2])
+    # string sample keys hash deterministically instead of casting
+    sdocs = spark.createDataFrame(
+        [("key-a", "alpha"), ("key-b", "beta")], "doc_id string, text string"
+    )
+    out2 = str(tmp_path / "wds2")
+    write_wds_shards(sdocs, out2, fields={"text": "txt"}, n_shards=1)
+    back2 = {r.sample_key: r.doc_id for r in read_corpus(spark, out2, fmt="wds").collect()}
+    assert set(back2) == {"key-a", "key-b"} and all(isinstance(v, int) for v in back2.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="do not apply"):
+        read_corpus(spark, out, fmt="wds", id_field="sample_key")
+    with _pytest.raises(ValueError, match="only applies"):
+        read_corpus(spark, out, fmt="jsonl", wds_fields={"text": "txt"})
+    with _pytest.raises(ValueError, match="'text' member"):
+        read_corpus(spark, out, fmt="wds", wds_fields={"meta": "json"})
