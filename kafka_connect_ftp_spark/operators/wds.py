@@ -144,6 +144,38 @@ def write_wds_shards(
     return [os.path.join(out_dir, f"shard-{i:05d}.tar") for i in range(n_shards)]
 
 
+def make_wds_sink(
+    out_dir: str,
+    *,
+    fields: dict[str, str],
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+):
+    """A ``foreachBatch`` sink writing each micro-batch as its own shard
+    set under ``out_dir/epoch=%06d`` — the streaming face of
+    :func:`write_wds_shards` for continuously-curated corpora.
+
+    Replay-safe BY DETERMINISM rather than by a commit log: routing and
+    in-shard order depend only on (salt, id), the salt is derived from
+    the batch id, and each task publishes via tmp+rename — so an
+    at-least-once re-delivery rewrites byte-identical shards to the same
+    paths instead of duplicating samples (the effectively-once argument
+    of the idempotent parquet sink, without needing epoch overwrite
+    support from the format)."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        write_wds_shards(
+            batch,
+            os.path.join(out_dir, f"epoch={batch_id:06d}"),
+            fields=fields,
+            id_col=id_col,
+            n_shards=n_shards,
+            salt=f"e{batch_id}",
+        )
+
+    return _sink
+
+
 def reshard_wds(
     spark,
     src_dir: str,

@@ -196,3 +196,55 @@ def test_read_corpus_wds_round_trip(spark, docs, tmp_path):
         read_corpus(spark, out, fmt="jsonl", wds_fields={"text": "txt"})
     with _pytest.raises(ValueError, match="'text' member"):
         read_corpus(spark, out, fmt="wds", wds_fields={"meta": "json"})
+
+
+def test_streaming_wds_sink_replay_converges(spark, docs, tmp_path):
+    import hashlib
+
+    from kafka_connect_ftp_spark.operators.wds import make_wds_sink
+
+    out = str(tmp_path / "stream_wds")
+    sink = make_wds_sink(out, fields=FIELDS, n_shards=2)
+    b0 = docs.filter("doc_id < 20")
+    b1 = docs.filter("doc_id >= 20")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def digest(epoch):
+        h = hashlib.sha256()
+        for i in range(2):
+            with open(f"{out}/epoch={epoch:06d}/shard-{i:05d}.tar", "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()
+
+    before = digest(0)
+    sink(b0, 0)  # at-least-once re-delivery of epoch 0
+    assert digest(0) == before  # byte-identical: replay converges
+    # both epochs read back to the full corpus, no duplicates
+    back = read_wds_shards(spark, f"{out}/epoch=*", fields=FIELDS)
+    assert back.count() == 40 and back.select("sample_key").distinct().count() == 40
+
+
+def test_streaming_wds_sink_on_a_real_stream(spark, docs, tmp_path):
+    from kafka_connect_ftp_spark.operators.wds import make_wds_sink, read_wds_shards
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(1).write.json(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, meta string, content binary"
+    ).json(str(src / "*"))
+    out = str(tmp_path / "wds")
+    q = (
+        stream.writeStream.foreachBatch(
+            make_wds_sink(out, fields={"text": "txt", "meta": "json"}, n_shards=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = read_wds_shards(spark, f"{out}/epoch=*", fields={"text": "txt", "meta": "json"})
+    assert back.count() == 40
