@@ -28,7 +28,10 @@ def committed_versions(spark, state_dir: str) -> list[int]:
         return []
     out = []
     for st in fs.listStatus(hpath):
-        m = re.fullmatch(r"v(\d{6})", st.getPath().getName())
+        # \d{6,}, not \d{6}: the %06d writer format WIDENS past v999999,
+        # and a fixed-width match would silently freeze version discovery
+        # (and pruning) at one million commits
+        m = re.fullmatch(r"v(\d{6,})", st.getPath().getName())
         if (
             m
             and st.isDirectory()
@@ -39,9 +42,11 @@ def committed_versions(spark, state_dir: str) -> list[int]:
 
 
 def prune_versions(spark, state_dir: str, *, current: int, keep: int) -> None:
-    """Delete committed versions at or below ``current - keep``
-    (``keep`` is clamped >= 2 by callers: a reader mid-scan of the
-    just-superseded version must never have files deleted under it)."""
+    """Delete committed versions at or below ``current - keep``.
+    ``keep`` is clamped >= 2 HERE (not just by callers): a reader
+    mid-scan of the just-superseded version must never have files
+    deleted under it."""
+    keep = max(2, keep)
     jvm, fs, _ = hadoop_fs(spark, state_dir)
     for v in committed_versions(spark, state_dir):
         if v <= current - keep:

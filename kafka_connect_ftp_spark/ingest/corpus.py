@@ -115,19 +115,25 @@ def read_corpus(
         if "text" not in fields:
             raise ValueError(f"wds_fields must include a 'text' member, got {fields}")
         df = read_wds_shards(spark, path, fields=fields)
-        # doc_id inverts write_wds_shards' key convention: integer ids
-        # were zero-padded (cast back losslessly — try_cast, an ANSI
-        # cast would crash on the first string key); string ids hash,
-        # the id_field convention above
+        # doc_id inverts write_wds_shards' key convention: the writer
+        # zero-pads INTEGER ids to >= 12 digits, so only keys matching
+        # that exact shape cast back (try_cast — overflow falls through
+        # to the hash); everything else is a string id and HASHES, the
+        # id_field convention above — a plain numeric string like
+        # '12345' (written verbatim, 5 chars) must not collide with the
+        # true integer id 12345. Residual ambiguity: a STRING id that is
+        # itself 12+ digits reads back as the same number the equivalent
+        # integer id would — an accepted limit of the key encoding.
         return (
             df.withColumnRenamed("shard", "source")
             .withColumn(
                 "doc_id",
-                F.coalesce(
+                F.when(
+                    F.col("sample_key").rlike(r"^[0-9]{12,}$"),
                     F.col("sample_key").try_cast("bigint"),
-                    F.xxhash64("sample_key"),
-                ),
+                ).otherwise(F.xxhash64("sample_key")),
             )
+            .withColumn("doc_id", F.coalesce("doc_id", F.xxhash64("sample_key")))
             .select("doc_id", "text", "source", "sample_key", *(c for c in fields if c != "text"))
         )
 

@@ -208,20 +208,27 @@ def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame
     <field columns>)``; text/json fields decode utf-8, binary fields
     stay bytes.
 
-    Distributed, mirroring the writer's work unit: one ``binaryFile``
-    row per tar, parsed in an Arrow-batched ``mapInPandas`` — shard
-    bytes land in the task that owns the file and never shuffle, and
-    the driver never lists members or holds samples (a driver-side tar
-    loop would cap the read at one machine's bandwidth)."""
+    Distributed, mirroring the writer's work unit and deployment (the
+    writer targets a shared POSIX filesystem — module doc): the driver
+    lists shard PATHS only (metadata), one row per tar; each task
+    streams its tar with ``tarfile.open(path)`` member by member in an
+    Arrow-batched ``mapInPandas`` — no whole-shard byte blob ever
+    materializes (a ``binaryFile`` scan would hold each tar in memory
+    AND hard-fail past 2 GB, a normal WDS shard size), bytes never
+    shuffle, and the driver never holds samples. An existing but empty
+    shard dir reads as an empty frame."""
+    import glob as _glob
+
     field_items = sorted(fields.items())
     schema = "sample_key string, shard string, " + ", ".join(
         f"{col} {'string' if ext in (_EXT_TEXT, _EXT_JSON) else 'binary'}"
         for col, ext in field_items
     )
-    files = (
-        spark.read.format("binaryFile")
-        .load(os.path.join(out_dir, "*.tar"))
-        .select("path", "content")
+    paths = sorted(_glob.glob(os.path.join(out_dir, "*.tar")))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
     )
 
     def parse(batches):
@@ -230,11 +237,13 @@ def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame
         cols = ["sample_key", "shard", *[c for c, _ in field_items]]
         for pdf in batches:
             rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 shard = os.path.basename(path)
                 samples: dict[str, dict] = {}
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
-                    for m in tar.getmembers():
+                with tarfile.open(path, "r") as tar:
+                    # iterating the open tar streams member-at-a-time;
+                    # getmembers() would also work but scans ahead
+                    for m in tar:
                         keypart, ext = m.name.rsplit(".", 1)
                         data = tar.extractfile(m).read()
                         d = samples.setdefault(keypart, {})

@@ -205,7 +205,7 @@ def incremental_fetch(
     max_urls_per_tick: int | None = None,
     keep_versions: int = 2,
     sink=None,
-    epoch: int = 0,
+    epoch: int | None = None,
 ) -> DataFrame:
     """One poll tick over a GROWING manifest: fetch only URLs the state
     does not already record as successfully fetched — the reference's
@@ -221,11 +221,18 @@ def incremental_fetch(
       the failure for audit).
     - ``max_urls_per_tick`` bounds a tick (the reference's poll-size
       limit, L1); unfetched URLs are naturally carried over because
-      only fetched outcomes enter the state.
+      only fetched outcomes enter the state. Under the cap,
+      NEVER-ATTEMPTED URLs take priority over quarantine retries — a
+      handful of permanently-failing URLs would otherwise refill every
+      capped tick and starve new manifest entries forever.
     - delivery-before-commit: the optional ``sink(frame, epoch)`` runs
       BEFORE the state commit, so a delivery failure leaves state
       untouched and the next tick re-derives the same delta —
       at-least-once (T5, Connect's offsets-after-produce ordering).
+      ``epoch`` defaults to the state version being committed, so an
+      epoch-keyed sink (idempotent parquet, ``wds.make_wds_sink``)
+      gets a FRESH key every tick — a constant would make each tick
+      overwrite the previous delivery.
     - state is one row per URL, latest outcome wins, committed as a new
       ``_SUCCESS``-versioned dir (crash-atomic, see hadoop_fs.py) and
       pruned to ``keep_versions``.
@@ -236,23 +243,42 @@ def incremental_fetch(
     so a tick fits the cluster's storage). Returns the materialized
     fetched frame for this tick (may be empty)."""
     keep_versions = max(2, keep_versions)
-    state = load_fetch_state(spark, state_dir)
-    man = source._manifest_frame(spark, manifest).select("url").dropDuplicates(["url"])
-    done = state.filter("ok") if refetch_failed else state
-    todo = man.join(done.select("url"), "url", "left_anti")
+    # ONE version listing per tick: state read, next version, and the
+    # sink's default epoch all derive from it (prune re-lists for its
+    # own safety check)
+    versions = committed_versions(spark, state_dir)
+    if versions:
+        state = spark.read.schema(_STATE_SCHEMA).parquet(f"{state_dir}/v{versions[-1]:06d}")
+    else:
+        state = spark.createDataFrame([], _STATE_SCHEMA)
+    next_v = (versions[-1] if versions else 0) + 1
+    # an empty manifest is a normal poll-tick state (crawl not published
+    # yet), not the one-shot fetch's usage error
+    if not isinstance(manifest, DataFrame) and not list(manifest):
+        man = spark.createDataFrame([], "url string")
+    else:
+        man = source._manifest_frame(spark, manifest).select("url").dropDuplicates(["url"])
+    attempted = state.select("url", "ok")
+    cand = man.join(attempted, "url", "left")
+    keep_cond = F.col("ok").isNull() if not refetch_failed else (
+        F.col("ok").isNull() | ~F.col("ok")
+    )
+    todo = cand.filter(keep_cond)
     if max_urls_per_tick is not None:
         if max_urls_per_tick < 1:
             raise ValueError(f"max_urls_per_tick must be >= 1, got {max_urls_per_tick}")
-        todo = todo.limit(max_urls_per_tick)
+        # never-attempted first (ok NULL sorts with the flag below), url
+        # tie-break for determinism; orderBy+limit compiles to a bounded
+        # TakeOrdered, never a full manifest sort
+        todo = todo.orderBy(F.col("ok").isNotNull(), "url").limit(max_urls_per_tick)
+    todo = todo.select("url")
     fetched = source.fetch(spark, todo).localCheckpoint()
     if sink is not None:
-        sink(fetched, epoch)
+        sink(fetched, next_v if epoch is None else epoch)
     tick = fetched.select(
         "url", F.col("fetch_error").isNull().alias("ok"), "attempts", "fetched_at"
     )
     new_state = state.join(tick, "url", "left_anti").unionByName(tick)
-    versions = committed_versions(spark, state_dir)
-    next_v = (versions[-1] if versions else 0) + 1
     new_state.write.mode("overwrite").parquet(f"{state_dir}/v{next_v:06d}")
     prune_versions(spark, state_dir, current=next_v, keep=keep_versions)
     return fetched

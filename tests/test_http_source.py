@@ -347,3 +347,50 @@ def test_incremental_fetch_matches_pure_python_model(spark, tmp_path):
                 if u not in model_ok
             }
             manifest_n = min(len(urls), manifest_n + rng.randint(0, 3))
+
+
+def test_capped_tick_prioritizes_new_urls_over_failed_retries(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    state_dir = str(tmp_path / "state")
+    urls = sorted(BODIES)
+    dead = set(urls[:2])
+    src = HttpManifestSource(
+        retries=0, opener=_fake_opener(BODIES, fail_counts={u: -1 for u in dead})
+    )
+    # tick 1: the two dead URLs fail
+    incremental_fetch(spark, src, urls[:2], state_dir)
+    # the manifest grows; capped ticks must fetch the NEW urls first
+    # instead of refilling every tick with the same failing retries
+    fetched = set()
+    for _ in range(4):
+        fetched |= {
+            r.url
+            for r in incremental_fetch(
+                spark, src, urls, state_dir, max_urls_per_tick=2
+            ).collect()
+            if r.fetch_error is None
+        }
+    assert fetched == set(urls) - dead  # every new URL landed despite the cap
+
+
+def test_empty_manifest_is_an_empty_tick_not_an_error(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    out = incremental_fetch(spark, src, [], str(tmp_path / "state"))
+    assert out.count() == 0
+
+
+def test_sink_epoch_defaults_to_the_state_version(spark, tmp_path):
+    from kafka_connect_ftp_spark.sources.http_source import incremental_fetch
+
+    state_dir = str(tmp_path / "state")
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    urls = sorted(BODIES)
+    epochs = []
+    incremental_fetch(spark, src, urls[:2], state_dir, sink=lambda f, e: epochs.append(e))
+    incremental_fetch(spark, src, urls[:4], state_dir, sink=lambda f, e: epochs.append(e))
+    # a fresh epoch per tick: an epoch-keyed sink never overwrites the
+    # previous tick's delivery
+    assert epochs == [1, 2]

@@ -128,3 +128,14 @@ def test_foreachbatch_wiring_on_a_real_stream(spark, tmp_path):
         q.stop()
     got = {r.source: r.n_docs for r in read_card(spark, card_dir).collect()}
     assert got == {"s0": 3, "s1": 3}
+
+
+def test_version_discovery_survives_seven_digit_versions(spark, tmp_path):
+    from kafka_connect_ftp_spark.hadoop_fs import committed_versions
+
+    d = tmp_path / "state"
+    for v in (999999, 1000000):
+        p = d / f"v{v:06d}"
+        p.mkdir(parents=True)
+        (p / "_SUCCESS").touch()
+    assert committed_versions(spark, str(d)) == [999999, 1000000]

@@ -141,13 +141,17 @@ def test_read_back_is_distributed_no_driver_loop(spark, docs, tmp_path):
     out = str(tmp_path / "wds")
     write_wds_shards(docs, out, fields=FIELDS, n_shards=3)
     back = read_wds_shards(spark, out, fields=FIELDS)
-    # plan pin: a binaryFile scan feeding MapInPandas — the shards parse
-    # on executors; no LocalTableScan of driver-collected rows
+    # plan pin: samples parse inside MapInPandas on executors; the only
+    # driver-side rows are the shard PATH strings (metadata)
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan and "LocalTableScan" not in plan
+    assert "MapInPandas" in plan
     # every shard parses in the task that owns it: rows per shard match
     per_shard = {r.shard: r["count"] for r in back.groupBy("shard").count().collect()}
     assert sum(per_shard.values()) == 40 and len(per_shard) == 3
+    # an existing-but-empty shard dir is an empty frame, not an error
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert read_wds_shards(spark, str(empty), fields=FIELDS).count() == 0
 
 
 def test_reshard_byte_identical_regardless_of_input_sharding(spark, docs, tmp_path):
