@@ -1,0 +1,75 @@
+"""Unicode text cleanup: the normalization pass curation pipelines run
+before any gate sees the text (C4/RefinedWeb-class pipelines strip
+control characters and fix unicode first — otherwise dedup hashes,
+token counts and quality signals all disagree across byte-level
+variants of the same prose).
+
+Two tiers, matching the engine's fast-path/slow-path convention:
+
+- :func:`clean_text` — JVM-side ``regexp_replace`` chain (whole-stage
+  codegen, no Python per row): drop C0/C1 control characters except
+  tab/newline, drop zero-width and bidi-control characters (the
+  invisible-text vector — a document stuffed with U+200B both skews
+  length-based quality signals and can smuggle content past span
+  dedup), normalize CRLF/CR to LF, bound blank-line runs, trim.
+- :func:`nfkc_normalize` — compatibility normalization (ﬁ → fi,
+  fullwidth → ASCII, ① → 1) needs the unicode tables, which no Spark
+  builtin exposes; this is the documented Python slow path as an
+  Arrow-batched ``mapInPandas`` over ``unicodedata`` (stdlib — no
+  external dep), one pass, text never shuffles.
+
+Both are pure projections: no shuffle, no state, safe to fuse into any
+scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# escaped forms only — these patterns are parsed by JAVA's regex engine
+# (regexp_replace understands \xNN and \uNNNN), and raw control or
+# invisible characters in source literals are editor-fragile.
+# C0 control chars except \t (09) and \n (0A); DEL; the C1 block
+_CONTROL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+# zero-width space/non-joiner/joiner, LRM/RLM, bidi embedding/overrides,
+# BOM/zero-width no-break space, word joiner
+_INVISIBLE = r"[\u200B-\u200F\u202A-\u202E\u2060\uFEFF]"
+
+
+def clean_text(col: Column | str) -> Column:
+    """The JVM-side cleanup chain (module doc). NULL in → NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"\r\n?", "\n")  # CRLF and bare CR -> LF
+    c = F.regexp_replace(c, _CONTROL, "")
+    c = F.regexp_replace(c, _INVISIBLE, "")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")  # bound blank-line runs
+    # regex trim, not F.trim (spaces only): strip leading/trailing
+    # whitespace including the newlines the CR normalization can expose
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def nfkc_normalize(
+    df: DataFrame, text_col: str = "text", *, form: str = "NFKC"
+) -> DataFrame:
+    """Replace ``text_col`` with its ``unicodedata.normalize(form, .)``
+    — the documented Python slow path (Arrow-batched, stdlib-only).
+    ``form`` is one of NFC/NFD/NFKC/NFKD; NULLs pass through."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    if text_col not in df.columns:
+        raise ValueError(f"column {text_col!r} not found; frame has {df.columns}")
+    schema = df.schema
+
+    def normalize(batches: Iterator) -> Iterator:
+        import unicodedata
+
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: unicodedata.normalize(form, s) if s is not None else None
+            )
+            yield pdf
+
+    return df.mapInPandas(normalize, schema)
