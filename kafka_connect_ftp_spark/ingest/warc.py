@@ -192,6 +192,7 @@ def warc_to_corpus(
     min_status: int = 200,
     max_status: int = 299,
     strip_html: bool = False,
+    clean: bool = False,
 ) -> DataFrame:
     """Project parsed WARC records onto the canonical documents frame:
     successful HTTP responses become ``(doc_id, text, source, url,
@@ -209,6 +210,12 @@ def warc_to_corpus(
         from kafka_connect_ftp_spark.operators.html_text import html_to_text
 
         body = html_to_text(body)
+    if clean:
+        # control/zero-width strip + line-ending normalization
+        # (operators/text_clean.py) — still one codegen projection
+        from kafka_connect_ftp_spark.operators.text_clean import clean_text
+
+        body = clean_text(body)
     return (
         records.filter(F.col("decode_error").isNull())
         .filter(F.col("warc_type") == "response")

@@ -81,3 +81,17 @@ def test_clean_then_profile_composition(spark):
     orig = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     got = {r.doc_id: r.text for r in cleaned.select("doc_id", "text").collect()}
     assert got == {k: v.strip() for k, v in orig.items()}
+
+
+def test_warc_clean_composition(spark, tmp_path):
+    from tests.test_warc import _http, _record
+    from kafka_connect_ftp_spark.ingest.warc import read_warc, warc_to_corpus
+
+    rec = _record(
+        "response",
+        _http("﻿dirty\r\nbo​dy\x00".encode()),
+        uri="https://c.example/p",
+    )
+    (tmp_path / "c.warc").write_bytes(rec)
+    docs = warc_to_corpus(read_warc(spark, str(tmp_path)), clean=True).collect()
+    assert len(docs) == 1 and docs[0].text == "dirty\nbody"
