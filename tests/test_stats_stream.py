@@ -139,3 +139,41 @@ def test_version_discovery_survives_seven_digit_versions(spark, tmp_path):
         p.mkdir(parents=True)
         (p / "_SUCCESS").touch()
     assert committed_versions(spark, str(d)) == [999999, 1000000]
+
+
+def test_card_matches_model_under_random_replay_schedules(spark, tmp_path):
+    """Random batch/replay schedules vs a dict model: a batch counts
+    IFF its id exceeds every previously-applied id (the foreachBatch
+    replay rule) — counts can never double, whatever the schedule."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        card_dir = str(tmp_path / f"card{trial}")
+        step = make_card_step(card_dir)
+        model: dict[str, list[int]] = {}
+        max_done = -1
+        next_id = 0
+        for _ in range(8):
+            # 40%: replay an already-delivered id; else a fresh one
+            if next_id and rng.random() < 0.4:
+                bid = rng.randrange(next_id)
+            else:
+                bid = next_id
+                next_id += 1
+            rows = [
+                (100 * bid + i, f"w{bid} " * (i + 1), f"s{i % 2}")
+                for i in range(rng.randint(1, 3))
+            ]
+            step(_docs(spark, [(d, t.strip(), s) for d, t, s in rows]), bid)
+            if bid > max_done:
+                max_done = bid
+                for d, t, s in rows:
+                    acc = model.setdefault(s, [0, 0])
+                    acc[0] += 1
+                    acc[1] += len(t.split())
+        got = {
+            r.source: [r.n_docs, r.n_tokens]
+            for r in read_card(spark, card_dir).collect()
+        }
+        assert got == model, f"trial {trial}"
