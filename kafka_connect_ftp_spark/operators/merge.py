@@ -66,3 +66,47 @@ def merge_upsert(
         inserts = source.join(target.select(*keys), keys, "left_anti")
         merged = updated.unionByName(inserts)
     return untouched.unionByName(merged.select(*target.columns))
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Audit diff between two corpus snapshots: one row per id present
+    in either side, ``status`` in {'added', 'removed', 'changed',
+    'unchanged'} — what changed between pipeline runs, the corpus-grain
+    analog of the ingest snapshot's per-file change detection.
+
+    Scale: both sides reduce to ``(id, xxhash64(compare_cols))`` BEFORE
+    the full-outer join, so payloads (text, embeddings, binaries) never
+    shuffle — the join carries two longs per document. ``compare_cols``
+    defaults to every shared non-id column; xxhash64 skips NULL args,
+    so a NULL-vs-value change in one of several columns still flips the
+    hash via the non-null ones (an all-NULL vs all-NULL row compares
+    equal, as it should)."""
+    if compare_cols is None:
+        compare_cols = sorted((set(old.columns) & set(new.columns)) - {id_col})
+    if not compare_cols:
+        raise ValueError("no shared columns to compare; pass compare_cols")
+    missing = [c for c in [id_col, *compare_cols] if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns {missing} not present on both sides")
+
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.xxhash64(*[F.col(c) for c in compare_cols]).alias(name),
+        )
+
+    joined = digest(old, "_old_h").join(digest(new, "_new_h"), id_col, "full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("_old_h").isNull(), F.lit("added"))
+        .when(F.col("_new_h").isNull(), F.lit("removed"))
+        .when(F.col("_old_h") != F.col("_new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -55,3 +55,46 @@ def test_duplicate_source_keys_rejected(spark, target):
     )
     with pytest.raises(ValueError, match="multiple rows for merge key"):
         merge_upsert(target, src, ["id"])
+
+
+def test_corpus_diff_statuses(spark):
+    from kafka_connect_ftp_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same", "s0"), (2, "will change", "s0"), (3, "gone", "s1")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same", "s0"), (2, "changed!", "s0"), (4, "fresh", "s1")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_payload_never_shuffles(spark):
+    from kafka_connect_ftp_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame([(1, "x" * 10)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "x" * 10)], "doc_id long, text string")
+    diff = corpus_diff(old, new)
+    # the join carries (id, hash) only: the hash projections sit BELOW
+    # the join in the tree (children print after the parent), so payloads
+    # reduce to a long before any exchange
+    plan = diff._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.find("Join")
+    assert join_at >= 0 and plan.find("xxhash64") > join_at
+    assert diff.columns == ["doc_id", "status"]
+
+
+def test_corpus_diff_validation(spark):
+    import pytest
+
+    from kafka_connect_ftp_spark.operators.merge import corpus_diff
+
+    a = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, 2)], "doc_id long, other long")
+    with pytest.raises(ValueError, match="no shared columns"):
+        corpus_diff(a, b)
+    with pytest.raises(ValueError, match="not present"):
+        corpus_diff(a, b, compare_cols=["text"])
