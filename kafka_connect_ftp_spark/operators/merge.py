@@ -80,13 +80,17 @@ def corpus_diff(
     'unchanged'} — what changed between pipeline runs, the corpus-grain
     analog of the ingest snapshot's per-file change detection.
 
-    Scale: both sides reduce to ``(id, xxhash64(compare_cols))`` BEFORE
-    the full-outer join, so payloads (text, embeddings, binaries) never
-    shuffle — the join carries two longs per document. ``compare_cols``
-    defaults to every shared non-id column; xxhash64 skips NULL args,
-    so a NULL-vs-value change in one of several columns still flips the
-    hash via the non-null ones (an all-NULL vs all-NULL row compares
-    equal, as it should)."""
+    Scale: both sides reduce to a per-id digest BEFORE the full-outer
+    join, so payloads (text, embeddings, binaries) never shuffle — the
+    join carries a handful of longs per document. ``compare_cols``
+    defaults to every shared non-id column. NULLs are position-exact:
+    each column is folded as ``coalesce(cast(string), sentinel)``
+    because xxhash64 SKIPS null arguments — a bare multi-column hash
+    would report ('a', NULL) → (NULL, 'a') as unchanged. Duplicate ids
+    (legal in crawl corpora: doc_id = content hash) fold into an
+    order-insensitive multiset digest (bit_xor of row hashes + count)
+    instead of fanning out m×n through the join; a side whose duplicate
+    ROWS differ therefore still reads as changed."""
     if compare_cols is None:
         compare_cols = sorted((set(old.columns) & set(new.columns)) - {id_col})
     if not compare_cols:
@@ -96,17 +100,30 @@ def corpus_diff(
         raise ValueError(f"columns {missing} not present on both sides")
 
     def digest(df: DataFrame, name: str) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.xxhash64(*[F.col(c) for c in compare_cols]).alias(name),
+        row_h = F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+                for c in compare_cols
+            ]
+        )
+        return (
+            df.select(F.col(id_col), row_h.alias("_h"))
+            .groupBy(id_col)
+            .agg(
+                F.bit_xor("_h").alias(f"{name}_h"),
+                F.count(F.lit(1)).alias(f"{name}_n"),
+            )
         )
 
-    joined = digest(old, "_old_h").join(digest(new, "_new_h"), id_col, "full_outer")
+    joined = digest(old, "_old").join(digest(new, "_new"), id_col, "full_outer")
     return joined.select(
         id_col,
         F.when(F.col("_old_h").isNull(), F.lit("added"))
         .when(F.col("_new_h").isNull(), F.lit("removed"))
-        .when(F.col("_old_h") != F.col("_new_h"), F.lit("changed"))
+        .when(
+            (F.col("_old_h") != F.col("_new_h")) | (F.col("_old_n") != F.col("_new_n")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )

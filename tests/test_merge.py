@@ -98,3 +98,33 @@ def test_corpus_diff_validation(spark):
         corpus_diff(a, b)
     with pytest.raises(ValueError, match="not present"):
         corpus_diff(a, b, compare_cols=["text"])
+
+
+def test_corpus_diff_null_position_shift_is_a_change(spark):
+    from kafka_connect_ftp_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame([(1, "a", None)], "doc_id long, text string, source string")
+    new = spark.createDataFrame([(1, None, "a")], "doc_id long, text string, source string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # a bare multi-arg xxhash64 skips NULLs and would call this unchanged
+    assert got == {1: "changed"}
+
+
+def test_corpus_diff_duplicate_ids_fold_not_fan_out(spark):
+    from kafka_connect_ftp_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "copy"), (1, "copy"), (2, "x")], "doc_id long, text string"
+    )
+    same = spark.createDataFrame(
+        [(1, "copy"), (1, "copy"), (2, "x")], "doc_id long, text string"
+    )
+    fewer = spark.createDataFrame([(1, "copy"), (2, "x")], "doc_id long, text string")
+    # one row per id, never m x n join fan-out
+    assert {r.doc_id: r.status for r in corpus_diff(old, same).collect()} == {
+        1: "unchanged",
+        2: "unchanged",
+    }
+    # losing one of two identical copies IS a change (count in the digest:
+    # xor alone would cancel identical pairs to the same value)
+    assert {r.doc_id: r.status for r in corpus_diff(old, fewer).collect()}[1] == "changed"

@@ -19,8 +19,8 @@ def test_control_chars_stripped_tab_newline_kept(spark):
         "\x08", ""
     ).replace("\x1f", "").replace("\x7f", "")
     assert _one(spark, "keep\tthis\nshape") == "keep\tthis\nshape"
-    # the C1 block goes too
-    assert _one(spark, "x\x85y\x9fz") == "xyz"
+    # the C1 block goes too — except NEL, which is a line break
+    assert _one(spark, "x\x85y\x9fz") == "x\nyz"
 
 
 def test_line_endings_normalize_and_blank_runs_bound(spark):
@@ -95,3 +95,29 @@ def test_warc_clean_composition(spark, tmp_path):
     (tmp_path / "c.warc").write_bytes(rec)
     docs = warc_to_corpus(read_warc(spark, str(tmp_path)), clean=True).collect()
     assert len(docs) == 1 and docs[0].text == "dirty\nbody"
+
+
+def test_zwj_zwnj_preserved_for_script_correctness(spark):
+    # emoji ZWJ sequence stays one grapheme; Persian ZWNJ spelling intact
+    fam = "\U0001F468‍\U0001F469‍\U0001F467"
+    assert _one(spark, f"a {fam} b") == f"a {fam} b"
+    assert _one(spark, "می‌خواهم") == "می‌خواهم"
+
+
+def test_line_separator_controls_become_newlines_not_deletions(spark):
+    assert _one(spark, "page one\x0cpage two") == "page one\npage two"
+    assert _one(spark, "l1\x85l2 l3 l4") == "l1\nl2\nl3\nl4"
+
+
+def test_blank_lines_with_stray_spaces_still_collapse(spark):
+    assert _one(spark, "p1\n \n\t\n \np2") == "p1\n\np2"
+
+
+def test_unicode_whitespace_trimmed(spark):
+    assert _one(spark, "  Hello　") == "Hello"
+
+
+def test_nfkc_rejects_non_string_column(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be string"):
+        nfkc_normalize(df, "doc_id")
