@@ -64,5 +64,7 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n")
     # regex trim, not F.trim: trim() strips spaces only, leaving the
-    # leading/trailing newlines the block-break pass introduces
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    # leading/trailing newlines the block-break pass introduces; (?U)
+    # because raw NBSP padding (common around decoded markup) is
+    # invisible whitespace too and Java's \s is ASCII-only by default
+    return F.regexp_replace(c, r"(?U)^\s+|(?U)\s+$", "")

@@ -84,3 +84,10 @@ def test_uppercase_legacy_entities_decode(spark):
 
     got = df.select(html_to_text("h").alias("t")).first().t
     assert got == "AT&T says 1 < 2 always"
+
+
+def test_nbsp_padding_trimmed(spark):
+    from kafka_connect_ftp_spark.operators.html_text import html_to_text
+
+    df = spark.createDataFrame([("\u00a0\u00a0<p>padded</p>\u00a0",)], "h string")
+    assert df.select(html_to_text("h").alias("t")).first().t == "padded"
