@@ -116,20 +116,24 @@ def read_corpus(
             raise ValueError(f"wds_fields must include a 'text' member, got {fields}")
         df = read_wds_shards(spark, path, fields=fields)
         # doc_id inverts write_wds_shards' key convention: the writer
-        # zero-pads INTEGER ids to >= 12 digits, so only keys matching
-        # that exact shape cast back (try_cast — overflow falls through
-        # to the hash); everything else is a string id and HASHES, the
-        # id_field convention above — a plain numeric string like
-        # '12345' (written verbatim, 5 chars) must not collide with the
-        # true integer id 12345. Residual ambiguity: a STRING id that is
-        # itself 12+ digits reads back as the same number the equivalent
-        # integer id would — an accepted limit of the key encoding.
+        # zero-pads INTEGER ids to >= 12 TOTAL chars ('%012d'), which for
+        # negatives means a sign + >= 11 digits (-5 -> '-00000000005') —
+        # and negative ids are the NORM here, not an edge: the package's
+        # own doc_id convention is xxhash64(...), signed, negative about
+        # half the time (warc_to_corpus, read_corpus synthesis). Only
+        # keys matching one of those exact shapes cast back (try_cast —
+        # overflow falls through to the hash); everything else is a
+        # string id and HASHES, the id_field convention above — a plain
+        # numeric string like '12345' (written verbatim, 5 chars) must
+        # not collide with the true integer id 12345. Residual
+        # ambiguity: a STRING id that itself matches the padded shape
+        # reads back as the number — an accepted limit of the encoding.
         return (
             df.withColumnRenamed("shard", "source")
             .withColumn(
                 "doc_id",
                 F.when(
-                    F.col("sample_key").rlike(r"^[0-9]{12,}$"),
+                    F.col("sample_key").rlike(r"^(-[0-9]{11,}|[0-9]{12,})$"),
                     F.col("sample_key").try_cast("bigint"),
                 ).otherwise(F.xxhash64("sample_key")),
             )

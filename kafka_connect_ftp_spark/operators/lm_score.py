@@ -244,8 +244,15 @@ def stupid_backoff_scores(
     )
     per_doc = (
         base.select("doc_id", F.explode(F.expr(positions.format(t="_toks"))).alias("_p"))
+        # NO broadcast hint on the bigram-type join: distinct-bigram
+        # count is O(corpus) worst-case, and an explicit hint is always
+        # honored — on a large reference corpus it would OOM the driver
+        # instead of degrading. AQE sees the aggregated table's true
+        # size post-shuffle and auto-broadcasts when it fits (the
+        # degrade-gracefully contract the module doc promises); the
+        # type-bounded unigram/norm tables below keep their hints.
         .select("doc_id", "_p.w1", "_p.w2")
-        .join(F.broadcast(enriched), ["w1", "w2"], "left")  # NULL w1 never matches
+        .join(enriched, ["w1", "w2"], "left")  # NULL w1 never matches
         .join(
             F.broadcast(model.unigrams.select(F.col("token").alias("w2"), F.col("n").alias("_n_w2"))),
             "w2",

@@ -88,9 +88,14 @@ def corpus_diff(
     because xxhash64 SKIPS null arguments — a bare multi-column hash
     would report ('a', NULL) → (NULL, 'a') as unchanged. Duplicate ids
     (legal in crawl corpora: doc_id = content hash) fold into an
-    order-insensitive multiset digest (bit_xor of row hashes + count)
-    instead of fanning out m×n through the join; a side whose duplicate
-    ROWS differ therefore still reads as changed."""
+    order-insensitive multiset digest — bit_xor of row hashes AND their
+    wrapping sum, plus count — so a side whose duplicate ROWS differ
+    still reads as changed: xor alone is multiplicity-mod-2 (old
+    {r1,r1,r2} vs new {r3,r3,r2} xors identically because paired
+    duplicates cancel — and doc_id = content hash makes exact-duplicate
+    PAIRS the common shape), but their sums differ unless every row
+    hash collides, so the (xor, sum, count) triple only misses
+    engineered 64-bit collisions."""
     if compare_cols is None:
         compare_cols = sorted((set(old.columns) & set(new.columns)) - {id_col})
     if not compare_cols:
@@ -111,6 +116,12 @@ def corpus_diff(
             .groupBy(id_col)
             .agg(
                 F.bit_xor("_h").alias(f"{name}_h"),
+                # sum alongside the xor: xor cancels on PAIRED duplicate
+                # rows, sum doesn't. decimal(38,0) keeps the sum exact
+                # (would need ~10^19 rows per id to overflow 38 digits);
+                # try_sum caps the pathological case as NULL instead of
+                # an ANSI abort
+                F.try_sum(F.col("_h").cast("decimal(38,0)")).alias(f"{name}_s"),
                 F.count(F.lit(1)).alias(f"{name}_n"),
             )
         )
@@ -121,7 +132,9 @@ def corpus_diff(
         F.when(F.col("_old_h").isNull(), F.lit("added"))
         .when(F.col("_new_h").isNull(), F.lit("removed"))
         .when(
-            (F.col("_old_h") != F.col("_new_h")) | (F.col("_old_n") != F.col("_new_n")),
+            (F.col("_old_h") != F.col("_new_h"))
+            | (F.col("_old_s") != F.col("_new_s"))
+            | (F.col("_old_n") != F.col("_new_n")),
             F.lit("changed"),
         )
         .otherwise(F.lit("unchanged"))

@@ -126,8 +126,22 @@ def make_near_dup_step(
     def _step(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
+        # the state schema is exactly what _step appends below — derive
+        # it from an empty slice of this batch (no action runs). Reading
+        # WITH a schema matters for crash recovery: a state dir that
+        # exists but holds no committed file (crash during the very
+        # first append left only _temporary) would otherwise raise
+        # UNABLE_TO_INFER_SCHEMA on every replay — permanently wedging
+        # the stream — where an explicit schema reads it as empty.
+        state_schema = band_signatures(
+            minhash_signatures(
+                batch.limit(0), id_col, text_col,
+                n_hashes=n_hashes, shingle_width=shingle_width,
+            ),
+            band_size=band_size,
+        ).schema
         try:
-            seen = spark.read.parquet(state_dir)
+            seen = spark.read.schema(state_schema).parquet(state_dir)
         except AnalysisException as exc:
             # ONLY the genuine first-batch case (state dir not written
             # yet) may proceed stateless; any other read failure —

@@ -128,3 +128,19 @@ def test_corpus_diff_duplicate_ids_fold_not_fan_out(spark):
     # losing one of two identical copies IS a change (count in the digest:
     # xor alone would cancel identical pairs to the same value)
     assert {r.doc_id: r.status for r in corpus_diff(old, fewer).collect()}[1] == "changed"
+
+
+def test_corpus_diff_paired_duplicates_cannot_cancel(spark):
+    # round-6 verdict regression: with an xor-only digest, old {r1,r1,r2}
+    # vs new {r3,r3,r2} (same id, same count 3) cancels to identical
+    # digests — the common shape when doc_id is a content hash and exact
+    # duplicates arrive in pairs. The sum column breaks the cancellation.
+    from kafka_connect_ftp_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "r1"), (1, "r1"), (1, "r2")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "r3"), (1, "r3"), (1, "r2")], "doc_id long, text string"
+    )
+    assert {r.doc_id: r.status for r in corpus_diff(old, new).collect()} == {1: "changed"}

@@ -150,3 +150,27 @@ def test_idempotent_replay_never_duplicates(spark, tmp_path):
     b2 = spark.createDataFrame([(5, _THIRD)], _SCHEMA)
     step(b2, 1)
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3, 5]
+
+
+def test_uncommitted_state_dir_reads_empty_not_wedged(spark, tmp_path):
+    # ADVICE r6 regression: a crash during the very FIRST state append
+    # can leave the state dir existing but holding no committed parquet
+    # (only _temporary). Schema inference would then raise
+    # UNABLE_TO_INFER_SCHEMA on every replay — a permanently wedged
+    # stream. With the explicit state schema the dir reads as empty and
+    # the replayed batch proceeds as the genuine first batch.
+    import os
+
+    from kafka_connect_ftp_spark.streaming.neardup_stream import make_near_dup_step
+
+    out = str(tmp_path / "out_w")
+    state = str(tmp_path / "state_w")
+    os.makedirs(os.path.join(state, "_temporary"))  # crash artifact only
+    step = make_near_dup_step(spark, out, state, idempotent=True)
+    b1 = spark.createDataFrame([(1, _BASE), (3, _OTHER)], _SCHEMA)
+    step(b1, 0)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3]
+    # and the state committed this time: a near-dup in the next batch drops
+    b2 = spark.createDataFrame([(9, _mutate(_BASE, 9))], _SCHEMA)
+    step(b2, 1)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3]

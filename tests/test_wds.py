@@ -202,6 +202,23 @@ def test_read_corpus_wds_round_trip(spark, docs, tmp_path):
         read_corpus(spark, out, fmt="wds", wds_fields={"meta": "json"})
 
 
+def test_read_corpus_wds_negative_ids_round_trip(spark, tmp_path):
+    # the package's own doc_id convention is xxhash64(...) — SIGNED,
+    # negative about half the time. '%012d' sign-prefixes those keys
+    # ('-00000000005'), which the original digits-only read-back pattern
+    # rejected: doc_id silently re-hashed for ~half of real corpora.
+    from kafka_connect_ftp_spark.ingest.corpus import read_corpus
+
+    ids = [-5, -(10**11), -(2**62), 0, 7, 2**62]
+    ndocs = spark.createDataFrame(
+        [(i, f"text {i}") for i in ids], "doc_id long, text string"
+    )
+    out = str(tmp_path / "wdsneg")
+    write_wds_shards(ndocs, out, fields={"text": "txt"}, n_shards=2)
+    back = {r.doc_id: r.text for r in read_corpus(spark, out, fmt="wds").collect()}
+    assert back == {i: f"text {i}" for i in ids}
+
+
 def test_streaming_wds_sink_replay_converges(spark, docs, tmp_path):
     import hashlib
 
