@@ -186,6 +186,96 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, _SCHEMA)
 
 
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    body_col: str = "body",
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    warc_date: str = "2024-06-01T00:00:00Z",
+    n_shards: int = 8,
+    salt: str = "v1",
+    gzip_members: bool = True,
+) -> list[str]:
+    """Export ``(url, body)`` rows as WARC response archives under
+    ``out_dir`` — the inverse of :func:`read_warc`, for producing
+    spec-conformant crawl archives from a frame (and the deterministic
+    fixture the oracle gate replays through the real reader). Each row
+    becomes one ``response`` record whose payload is a full HTTP
+    envelope (``HTTP/1.1 {status}`` + Content-Type + CRLFCRLF + body);
+    ``gzip_members=True`` writes the Common Crawl record-per-gzip-member
+    layout (``.warc.gz``), else one plain concatenated ``.warc``.
+
+    Determinism mirrors ``operators/wds.py:write_wds_shards`` (the same
+    export contract): rows route by ``xxhash64(salt, url)``, are written
+    in deterministic hash order with url tie-break, record ids derive
+    from sha256(url), zlib writes gzip headers with mtime 0, and each
+    task publishes via tmp+rename — same corpus + salt + n_shards →
+    byte-identical shards, and a torn shard is never visible. Bodies may
+    be string (written UTF-8) or binary; a NULL url fails loudly, a NULL
+    body writes an empty-body response."""
+    import hashlib
+    import os
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    for c in (url_col, body_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not found; frame has {df.columns}")
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzip_members else "warc"
+    routed = (
+        df.select(F.col(url_col).alias("url"), F.col(body_col).cast("binary").alias("body"))
+        .withColumn("_k", F.xxhash64(F.lit(salt), F.col("url")))
+        .repartition(n_shards, F.col("_k"))
+        .sortWithinPartitions("_k", "url")
+    )
+    status_line = f"HTTP/1.1 {status} " + ("OK" if status == 200 else "STATUS")
+
+    def record_bytes(url: str, body: bytes) -> bytes:
+        payload = (
+            f"{status_line}\r\nContent-Type: {content_type}\r\n\r\n".encode()
+            + body
+        )
+        rid = hashlib.sha256(url.encode("utf-8")).hexdigest()[:32]
+        header = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {warc_date}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode()
+        return header + payload + b"\r\n\r\n"
+
+    def write_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"crawl-{pid:05d}.{ext}")
+        tmp = path + f".tmp-{TaskContext.get().taskAttemptId()}"
+        with open(tmp, "wb") as f:
+            for row in rows:
+                if row["url"] is None:
+                    raise ValueError("write_warc: NULL url")
+                rec = record_bytes(row["url"], bytes(row["body"] or b""))
+                if gzip_members:
+                    # zlib's gzip header carries mtime=0 / no name —
+                    # byte-deterministic, unlike gzip.compress(time.time())
+                    c = zlib.compressobj(6, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+                    f.write(c.compress(rec) + c.flush())
+                else:
+                    f.write(rec)
+        os.replace(tmp, path)
+
+    routed.rdd.foreachPartition(lambda it: write_partition(it))
+    return [os.path.join(out_dir, f"crawl-{i:05d}.{ext}") for i in range(n_shards)]
+
+
 def warc_to_corpus(
     records: DataFrame,
     *,

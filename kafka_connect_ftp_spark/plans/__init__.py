@@ -78,6 +78,7 @@ def registry() -> dict[str, QuerySpec]:
         governance,
         corpus_queries,
         multimodal_queries,
+        crawl_queries,
         ingest_queries,
         streaming_queries,
         analytics,

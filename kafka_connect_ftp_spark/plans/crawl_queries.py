@@ -1,0 +1,340 @@
+"""Oracle-checked crawl ingestion: the round-6 WARC/HTML/cleanup/WDS
+surface driven end-to-end under the driver's DuckDB hash gate.
+
+The fixture is DERIVED FROM THE DOCUMENTS TABLE (non-vacuous at every
+SF) plus a fixed adversarial archive, and every byte of it is
+re-derivable in SQL — the ``FakeCodec`` pattern of
+plans/multimodal_queries.py applied to the crawl path:
+
+- each document is wrapped in a fixed HTML template (entities escaped)
+  inside a full HTTP 200 envelope inside a WARC response record, and
+  the shards are written by the REAL exporter (``ingest/warc.py:
+  write_warc``, record-per-gzip-member Common Crawl layout);
+- one literal adversarial archive exercises every hazard the readers
+  quarantine or normalize: a warcinfo record (non-response), a 404
+  (filtered from the corpus), a malformed member (→ quarantine row,
+  scan continues), a malformed WARC-Target-URI (→ source 'unknown' via
+  try_parse_url), an empty 200 body, and a "messy" page covering
+  script/style/comment drops, block breaks, named + uppercase + numeric
+  entities, NBSP, tabs, a raw NUL, a zero-width space, CRLF line
+  endings and an invalid UTF-8 byte (→ U+FFFD via make_valid_utf8);
+- the Spark side then runs the REAL chain — ``read_warc`` →
+  ``warc_to_corpus(strip_html=True, clean=True)`` (operators/
+  html_text.py + text_clean.py) → ``write_wds_shards`` →
+  ``read_corpus(fmt='wds')`` — and emits a three-section tagged union:
+  ``rec`` (WARC framing + HTTP envelope split: status, content type,
+  payload md5/length, quarantine), ``doc`` (extraction + cleanup:
+  source host, the extracted text itself), ``wds`` (delivery round
+  trip: text byte-identity and doc_id inversion — xxhash64 ids are
+  negative about half the time, pinning the signed sample-key
+  encoding).
+
+The oracle re-derives the generated sections from ``documents`` with
+the same template/escape chain in SQL, and states the adversarial
+rows as literals whose md5/text values were hand-derived from the
+fixed record bytes (tests/test_crawl_family.py cross-pins them against
+an independent Python implementation).
+
+Reference parity: this is the engine's front door for its stated
+workload, the crawl-scale analog of the reference's file→record
+pipeline (FtpSourceTask.scala poll → convert → deliver).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zlib
+
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.session import load_tables
+
+_HOST = "ex.example"
+_URL_PRE = f"http://{_HOST}/doc/"
+# no single quotes anywhere in the template (it is inlined into SQL
+# string literals); the <script> content pins the block-drop pass
+_HTML_PRE = (
+    '<html><head><title>doc</title><script>var x = "<p>ignored</p>";'
+    "</script></head><body><p>"
+)
+_HTML_POST = "</p></body></html>"
+_CTYPE = "text/html; charset=utf-8"
+
+# ---- adversarial archive (fixed literal bytes) --------------------------
+
+_MESSY_URL = "http://messy.example/a"
+_MESSY_BODY = (
+    b"<html>\r\n<head><title>T</title><style>p {color: red}</style></head>\r\n"
+    b'<body>\r\n<!-- hidden -->\r\n<script>alert("no")</script>\r\n'
+    b"<p>caf\xc3\xa9 &amp; cr\xc3\xa8me</p>\r\n"
+    b"<p>5 &lt; 7 &GT; 3&nbsp;&#65;</p>\r\n"
+    b"<div>tab\tseparated\x00raw</div>\r\n"
+    b"<p>zero\xe2\x80\x8bwidth</p>\r\n"
+    b"<p>bad byte \xff here</p>\r\n"
+    b"</body></html>"
+)
+# expected extraction, hand-derived from the documented chain (named +
+# uppercase entities decode, &#65; passes through, NUL/zero-width strip,
+# \xff -> U+FFFD); cross-pinned by tests/test_crawl_family.py
+_MESSY_TEXT = (
+    "café & crème\n5 < 7 > 3 &#65;\ntab separatedraw\n"
+    "zerowidth\nbad byte � here"
+)
+_BADHOST_URL = "http://bad host/a b"  # unencoded spaces: try_parse_url -> NULL
+_BADHOST_BODY = b"<p>plain</p>"
+_EMPTY_URL = f"http://{_HOST}/empty"
+_GONE_URL = f"http://{_HOST}/missing"
+_GONE_BODY = b"<html><body>gone</body></html>"
+_WARCINFO_URI = "urn:warcinfo:fixture"
+_WARCINFO_PAYLOAD = b"software: fixture\r\n"
+_QUARANTINE_ERR = "bad record magic at offset 0"
+
+# md5 of the literal payload BYTES above (hashlib; the oracle cannot
+# build non-UTF-8 bytes in SQL) — cross-pinned by the test module
+_MD5 = {
+    "messy": "7420ec12df6fa5f349d04a06ec72a89d",
+    "badhost": "0f02198e765bfb5295713b2e986151c7",
+    "gone": "8ecf64d13b3909a942e4ab127a3bdd86",
+    "empty": "d41d8cd98f00b204e9800998ecf8427e",
+    "warcinfo": "3f67b9560b411b598facad15d609d292",
+}
+
+
+def _record(wtype: str, uri: str | None, ctype: str, payload: bytes) -> bytes:
+    lines = [b"WARC/1.0", b"WARC-Type: " + wtype.encode()]
+    if uri is not None:
+        lines.append(b"WARC-Target-URI: " + uri.encode())
+    lines += [
+        b"WARC-Date: 2024-06-01T00:00:00Z",
+        b"Content-Type: " + ctype.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(status_line: bytes, ctype: str, body: bytes) -> bytes:
+    return status_line + b"\r\nContent-Type: " + ctype.encode() + b"\r\n\r\n" + body
+
+
+def adversarial_warc_bytes() -> bytes:
+    """The fixed adversarial ``.warc.gz`` (record-per-gzip-member; the
+    malformed member sits mid-file to prove the scan continues past a
+    quarantined record). Public so the test module can pin the oracle's
+    literal md5/text values against these exact bytes."""
+    members = [
+        _record("warcinfo", _WARCINFO_URI, "application/warc-fields", _WARCINFO_PAYLOAD),
+        _record(
+            "response",
+            _GONE_URL,
+            "application/http; msgtype=response",
+            _http(b"HTTP/1.1 404 Not Found", "text/html", _GONE_BODY),
+        ),
+        _record(
+            "response",
+            _MESSY_URL,
+            "application/http; msgtype=response",
+            _http(b"HTTP/1.1 200 OK", _CTYPE, _MESSY_BODY),
+        ),
+        b"NOT A WARC RECORD",  # -> quarantine row, scan continues
+        _record(
+            "response",
+            _BADHOST_URL,
+            "application/http; msgtype=response",
+            _http(b"HTTP/1.1 200 OK", _CTYPE, _BADHOST_BODY),
+        ),
+        _record(
+            "response",
+            _EMPTY_URL,
+            "application/http; msgtype=response",
+            _http(b"HTTP/1.1 200 OK", _CTYPE, b""),
+        ),
+    ]
+    out = b""
+    for m in members:
+        c = zlib.compressobj(6, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+        out += c.compress(m) + c.flush()
+    return out
+
+
+# ---- fixture construction ----------------------------------------------
+
+_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _fixture_dir(spark, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the crawl fixture: documents
+    wrapped in the HTML template and exported by the real
+    ``write_warc``, plus the adversarial archive. A fresh mkdtemp per
+    process — never reused across processes, so a crashed builder can't
+    leave a partial fixture behind."""
+    cached = _FIXTURE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    from kafka_connect_ftp_spark.ingest.warc import write_warc
+
+    base = tempfile.mkdtemp(prefix="crawl_fixture_")
+    warc_dir = os.path.join(base, "warc")
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    esc = F.col("text")
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
+    pages = docs.select(
+        F.concat(F.lit(_URL_PRE), F.col("doc_id")).alias("url"),
+        F.concat(F.lit(_HTML_PRE), esc, F.lit(_HTML_POST)).alias("body"),
+    )
+    write_warc(pages, warc_dir, n_shards=4, content_type=_CTYPE)
+    with open(os.path.join(warc_dir, "adversarial.warc.gz"), "wb") as f:
+        f.write(adversarial_warc_bytes())
+    _FIXTURE_CACHE[sf_dir] = base
+    return base
+
+
+# ---- the oracle ---------------------------------------------------------
+
+_NULLS = (
+    "CAST(NULL AS INTEGER) AS status, CAST(NULL AS VARCHAR) AS ctype"
+)
+
+_ORACLE = f"""
+WITH gen AS (
+  SELECT 'http://ex.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         text,
+         '{_HTML_PRE}'
+           || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           || '{_HTML_POST}' AS page
+  FROM documents
+),
+adv_doc(url, text, src) AS (VALUES
+  ('{_MESSY_URL}', '{_MESSY_TEXT}', 'messy.example'),
+  ('{_BADHOST_URL}', 'plain', 'unknown'),
+  ('{_EMPTY_URL}', '', '{_HOST}')
+),
+recs AS (
+  SELECT 'rec' AS section, url AS k, 200 AS status,
+         '{_CTYPE}' AS ctype, md5(page) AS md5,
+         CAST(strlen(page) AS BIGINT) AS n,
+         CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS text,
+         CAST(NULL AS VARCHAR) AS err
+  FROM gen
+  UNION ALL
+  SELECT 'rec', k, status, ctype, md5, n, NULL, NULL, err
+  FROM (VALUES
+    ('{_WARCINFO_URI}', CAST(NULL AS INTEGER), 'application/warc-fields',
+     '{_MD5["warcinfo"]}', CAST(19 AS BIGINT), CAST(NULL AS VARCHAR)),
+    ('{_GONE_URL}', 404, 'text/html', '{_MD5["gone"]}', CAST(30 AS BIGINT), NULL),
+    ('{_MESSY_URL}', 200, '{_CTYPE}', '{_MD5["messy"]}', CAST(274 AS BIGINT), NULL),
+    ('{_BADHOST_URL}', 200, '{_CTYPE}', '{_MD5["badhost"]}', CAST(12 AS BIGINT), NULL),
+    ('{_EMPTY_URL}', 200, '{_CTYPE}', '{_MD5["empty"]}', CAST(0 AS BIGINT), NULL),
+    ('__quarantine__', NULL, NULL, NULL, CAST(NULL AS BIGINT),
+     '{_QUARANTINE_ERR}')
+  ) AS t(k, status, ctype, md5, n, err)
+),
+doc_sec AS (
+  SELECT 'doc' AS section, url AS k, {_NULLS}, md5(text) AS md5,
+         CAST(strlen(text) AS BIGINT) AS n, '{_HOST}' AS src, text,
+         CAST(NULL AS VARCHAR) AS err
+  FROM gen
+  UNION ALL
+  SELECT 'doc', url, CAST(NULL AS INTEGER), NULL, md5(text),
+         CAST(strlen(text) AS BIGINT), src, text, NULL
+  FROM adv_doc
+),
+wds_in AS (
+  -- the WDS leg writes one sample per distinct doc_id = hash(source,
+  -- text); generated docs share one source, so group by text (min url
+  -- is the writer's representative row)
+  SELECT min(url) AS url, text FROM gen GROUP BY text
+  UNION ALL SELECT url, text FROM adv_doc
+),
+wds_sec AS (
+  SELECT 'wds' AS section, url AS k, {_NULLS}, md5(text) AS md5,
+         CAST(1 AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS src, text,
+         CAST(NULL AS VARCHAR) AS err
+  FROM wds_in
+)
+SELECT * FROM recs
+UNION ALL SELECT * FROM doc_sec
+UNION ALL SELECT * FROM wds_sec
+ORDER BY section, k
+"""
+
+
+@register(
+    "crawl_corpus_family",
+    _ORACLE,
+    doc="Crawl ingestion end-to-end under the hash gate (module doc): "
+    "rec = WARC framing + HTTP envelope split + quarantine; doc = "
+    "HTML->text extraction + unicode cleanup + host provenance; wds = "
+    "WebDataset delivery round trip (text byte-identity + signed "
+    "doc_id inversion). Fixture derived from documents + a fixed "
+    "adversarial archive; the real read_warc/warc_to_corpus/"
+    "write_wds_shards/read_corpus operators run unmodified.",
+)
+def crawl_corpus_family(spark, sf_dir):
+    from kafka_connect_ftp_spark.ingest.corpus import read_corpus
+    from kafka_connect_ftp_spark.ingest.warc import read_warc, warc_to_corpus
+    from kafka_connect_ftp_spark.operators.wds import write_wds_shards
+
+    base = _fixture_dir(spark, sf_dir)
+    rec = read_warc(spark, os.path.join(base, "warc"))
+    nulls = lambda: [  # noqa: E731
+        F.lit(None).cast("int").alias("status"),
+        F.lit(None).cast("string").alias("ctype"),
+    ]
+    rec_out = rec.select(
+        F.lit("rec").alias("section"),
+        F.coalesce("target_uri", F.lit("__quarantine__")).alias("k"),
+        F.col("http_status").alias("status"),
+        F.col("content_type").alias("ctype"),
+        F.md5("payload").alias("md5"),
+        F.col("payload_length").alias("n"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("decode_error").alias("err"),
+    )
+    corpus = warc_to_corpus(rec, strip_html=True, clean=True)
+    doc_out = corpus.select(
+        F.lit("doc").alias("section"),
+        F.col("url").alias("k"),
+        *nulls(),
+        F.md5("text").alias("md5"),
+        F.octet_length("text").cast("long").alias("n"),
+        F.col("source").alias("src"),
+        "text",
+        F.lit(None).cast("string").alias("err"),
+    )
+    # one WDS sample per doc_id (= xxhash64(source, text): exact dups
+    # collapse by design); min() representatives are deterministic
+    uniq = corpus.groupBy("doc_id").agg(
+        F.min("url").alias("url"), F.min("text").alias("text")
+    )
+    wds_dir = os.path.join(base, "wds")
+    fields = {"text": "txt", "meta": "json"}
+    write_wds_shards(
+        uniq.select("doc_id", "text", F.to_json(F.struct("url")).alias("meta")),
+        wds_dir,
+        fields=fields,
+        n_shards=4,
+    )
+    rb = read_corpus(spark, wds_dir, fmt="wds", wds_fields=fields).select(
+        F.get_json_object("meta", "$.url").alias("url"),
+        F.col("doc_id").alias("rb_id"),
+        F.col("text").alias("rb_text"),
+    )
+    wds_out = uniq.join(rb, "url").select(
+        F.lit("wds").alias("section"),
+        F.col("url").alias("k"),
+        *nulls(),
+        F.md5("rb_text").alias("md5"),
+        # 1 iff the delivered text is byte-identical AND the signed
+        # sample key inverted to the original xxhash64 doc_id
+        ((F.col("rb_id") == F.col("doc_id")) & (F.col("rb_text") == F.col("text")))
+        .cast("long")
+        .alias("n"),
+        F.lit(None).cast("string").alias("src"),
+        F.col("rb_text").alias("text"),
+        F.lit(None).cast("string").alias("err"),
+    )
+    return rec_out.unionByName(doc_out).unionByName(wds_out).orderBy("section", "k")

@@ -51,6 +51,22 @@ def _tick_listing(spark, sf_dir, tick: int):
            CAST(strlen(text) AS BIGINT),
            hex((' tail:' || doc_id)::BLOB)
     FROM documents
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'diff', CAST(doc_id AS VARCHAR),
+           CAST(0 AS BIGINT),
+           CASE WHEN doc_id % 10 = 0 THEN 'changed'
+                WHEN doc_id % 10 = 1 THEN 'removed'
+                ELSE 'unchanged' END
+    FROM documents
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'diff', CAST(doc_id + 1000000 AS VARCHAR),
+           CAST(0 AS BIGINT), 'added'
+    FROM documents WHERE doc_id % 10 = 2
+    UNION ALL
+    SELECT tick, topic, key_name, key_offset, value_hex
+    FROM (VALUES (CAST(2 AS BIGINT), 'diff', '-1', CAST(0 AS BIGINT), 'changed'),
+                 (CAST(2 AS BIGINT), 'diff', '-2', CAST(0 AS BIGINT), 'unchanged'))
+         AS t(tick, topic, key_name, key_offset, value_hex)
     ORDER BY tick, key_name
     """,
     doc=(
@@ -63,10 +79,18 @@ def _tick_listing(spark, sf_dir, tick: int):
         "(FtpMonitor.scala:76-81). State flows tick 0 → tick 1 as an "
         "unmaterialized DataFrame — the whole two-tick pipeline is one "
         "lazy plan. Binary values are projected as hex so the comparison "
-        "gate never hashes raw bytes."
+        "gate never hashes raw bytes. Tick 2 (absorbed in round 7): "
+        "operators/merge.py:corpus_diff — the corpus-grain analog of the "
+        "same change detection — labels a perturbed snapshot "
+        "(doc_id%10==0 changed, ==1 removed, +1e6 ids added) with the "
+        "status in the value slot, including the paired-duplicate rows "
+        "(id -1: {r1,r1,r2}→{r3,r3,r2} = changed; id -2: {x,x}→{x,x} = "
+        "unchanged) that pin the xor+sum multiset digest."
     ),
 )
 def ingest_snapshot_delta(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.merge import corpus_diff
+
     records0, state1 = snapshot(_tick_listing(spark, sf_dir, 0), empty_state(spark), _MON, now=_T0)
     records1, _ = snapshot(_tick_listing(spark, sf_dir, 1), state1, _MON, now=_T1)
     out0 = records0.select(
@@ -77,4 +101,40 @@ def ingest_snapshot_delta(spark, sf_dir):
         F.lit(1).cast("long").alias("tick"),
         "topic", "key_name", "key_offset", F.hex("value").alias("value_hex"),
     )
-    return out0.unionByName(out1).orderBy("tick", "key_name")
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    spark_ = spark
+    dup = lambda rows: spark_.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, source string"
+    )
+    old = docs.select("doc_id", "text", "source").unionByName(
+        dup([(-1, "r1", "s"), (-1, "r1", "s"), (-1, "r2", "s"),
+             (-2, "x", "s"), (-2, "x", "s")])
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 10 != 1)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.concat("text", F.lit("!")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+            )
+        )
+        .unionByName(
+            dup([(-1, "r3", "s"), (-1, "r3", "s"), (-1, "r2", "s"),
+                 (-2, "x", "s"), (-2, "x", "s")])
+        )
+    )
+    out2 = corpus_diff(old, new).select(
+        F.lit(2).cast("long").alias("tick"),
+        F.lit("diff").alias("topic"),
+        F.col("doc_id").cast("string").alias("key_name"),
+        F.lit(0).cast("long").alias("key_offset"),
+        F.col("status").alias("value_hex"),
+    )
+    return out0.unionByName(out1).unionByName(out2).orderBy("tick", "key_name")

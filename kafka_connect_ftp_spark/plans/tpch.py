@@ -132,21 +132,38 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 @register(
-    "q6_forecast_revenue",
+    "q6_q14_scalar_family",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
-           COUNT(*) AS n_items
+    SELECT 'q6' AS q,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items,
+           CAST(NULL AS DOUBLE) AS promo_share
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 25
+    UNION ALL
+    SELECT 'q14', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    ORDER BY q
     """,
-    doc="TPC-H Q6: pure filter + scalar aggregate; pushdown showcase.",
+    doc="TPC-H Q6 + Q14 as one tagged-union family (absorbed "
+    "q6_forecast_revenue and q14_promo_revenue_share in round 7 to free "
+    "a REGISTRY_WINDOW slot for crawl_corpus_family — same filtered "
+    "lineitem scan grain, single-row scalar aggregates). Q6: pure "
+    "filter + scalar aggregate, pushdown showcase. Q14: conditional-"
+    "aggregate ratio over a fact-dim join (part broadcasts).",
 )
-def q6_forecast_revenue(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "lineitem")
-    return (
+def q6_q14_scalar_family(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    q6 = (
         t["lineitem"]
         .filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -159,7 +176,33 @@ def q6_forecast_revenue(spark, sf_dir):
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .select(
+            F.lit("q6").alias("q"),
+            "revenue",
+            "n_items",
+            F.lit(None).cast("double").alias("promo_share"),
+        )
     )
+    li14 = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    q14 = (
+        li14.join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
+        .select(
+            F.lit("q14").alias("q"),
+            F.lit(None).cast("double").alias("revenue"),
+            F.lit(None).cast("long").alias("n_items"),
+            "promo_share",
+        )
+    )
+    return q6.unionByName(q14).orderBy("q")
 
 
 @register(

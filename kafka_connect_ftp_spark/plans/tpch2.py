@@ -42,32 +42,8 @@ def q4_order_priority_checking(spark, sf_dir):
     )
 
 
-@register(
-    "q14_promo_revenue_share",
-    """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
-    """,
-    doc="TPC-H Q14: conditional-aggregate ratio over a fact-dim join "
-    "(part broadcasts).",
-)
-def q14_promo_revenue_share(spark, sf_dir):
-    t = load_tables(spark, sf_dir, "lineitem", "part")
-    li = t["lineitem"].filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
-    )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return (
-        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_share"))
-    )
+# TPC-H Q14 moved into tpch.py's q6_q14_scalar_family (round-7
+# REGISTRY_WINDOW merge — see that entry's doc).
 
 
 @register(

@@ -220,3 +220,58 @@ def test_warc_roundtrip_property():
         assert [p for _, p in reparsed] == [p for _, p in recs]
 
     check()
+
+
+def test_write_warc_round_trips_through_read_warc(spark, tmp_path):
+    from kafka_connect_ftp_spark.ingest.warc import write_warc
+
+    pages = spark.createDataFrame(
+        [(f"http://w.example/p{i}", f"<p>body {i}</p>") for i in range(20)],
+        "url string, body string",
+    )
+    out = str(tmp_path / "export")
+    paths = write_warc(pages, out, n_shards=3)
+    assert len(paths) == 3
+    back = read_warc(spark, out)
+    rows = {r.target_uri: r for r in back.collect()}
+    assert len(rows) == 20 and all(r.decode_error is None for r in rows.values())
+    r = rows["http://w.example/p7"]
+    assert r.warc_type == "response" and r.http_status == 200
+    assert bytes(r.payload) == b"<p>body 7</p>"
+    assert r.content_type == "text/html; charset=utf-8"
+
+
+def test_write_warc_deterministic_and_plain_layout(spark, tmp_path):
+    import hashlib
+
+    from kafka_connect_ftp_spark.ingest.warc import write_warc
+
+    pages = spark.createDataFrame(
+        [(f"http://w.example/p{i}", f"<p>b{i}</p>") for i in range(12)],
+        "url string, body string",
+    )
+
+    def digest(d):
+        h = hashlib.sha256()
+        for p in sorted(__import__("os").listdir(d)):
+            with open(f"{d}/{p}", "rb") as f:
+                h.update(p.encode() + f.read())
+        return h.hexdigest()
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(pages, a, n_shards=2)
+    write_warc(pages.repartition(5), b, n_shards=2)  # input layout irrelevant
+    assert digest(a) == digest(b)
+    # plain (non-gzip) concatenated layout reads back identically
+    plain = str(tmp_path / "plain")
+    write_warc(pages, plain, n_shards=1, gzip_members=False)
+    got = {r.target_uri: bytes(r.payload) for r in read_warc(spark, plain).collect()}
+    assert got == {f"http://w.example/p{i}": f"<p>b{i}</p>".encode() for i in range(12)}
+
+
+def test_write_warc_null_url_fails_loudly(spark, tmp_path):
+    from kafka_connect_ftp_spark.ingest.warc import write_warc
+
+    bad = spark.createDataFrame([(None, "x")], "url string, body string")
+    with pytest.raises(Exception, match="NULL url"):
+        write_warc(bad, str(tmp_path / "nul"), n_shards=1)
