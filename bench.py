@@ -96,20 +96,33 @@ def main() -> int:
     # chance of landing in a quiet window; the min is the steady-state
     # number a warm cluster would see and is reproducible round to round.
     # The runs/agg fields record the methodology in the output.
+    # Round-7 protocol fix: the first execution pays codegen compile and
+    # cache warming, and a min over 3 cold-inclusive samples under-warms
+    # md5/codegen-heavy queries (minhash profiled at 9.9s warmup then
+    # 1.6s steady) — two rounds of false-regression chasing. Each query
+    # now runs runs+1 times: `queries`/`value` keep the historical
+    # min-of-first-3 semantics for cross-round continuity, and
+    # `queries_warm`/`warm_value` report min over samples[1:] (first
+    # sample discarded) — the steady-state number a warm cluster sees.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(runs):
+        for _ in range(runs + 1):
             t0 = time.time()
             # noop write = full materialization of every output row on the
             # executors; a bare count() would let Catalyst skip computing
             # aggregate expressions nothing references
             reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        times[name] = round(min(samples), 3)
-        print(f"# {name}: {times[name]:.3f}s (samples: {[round(s, 3) for s in samples]})",
-              file=sys.stderr)
+        times[name] = round(min(samples[:runs]), 3)
+        warm[name] = round(min(samples[1:]), 3)
+        print(
+            f"# {name}: {times[name]:.3f}s warm={warm[name]:.3f}s "
+            f"(samples: {[round(s, 3) for s in samples]})",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # the headline set grew 15 -> 21 queries in round 4; this subtotal is
@@ -123,9 +136,12 @@ def main() -> int:
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
+        "warm_value": round(sum(warm.values()), 3),
         "r1_r3_comparable_subtotal": round(sum(times[q] for q in r3_subset), 3),
+        "r1_r3_comparable_subtotal_warm": round(sum(warm[q] for q in r3_subset), 3),
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
         "runs": runs,
         "agg": "min",
         "sf": float(sf) if sf else None,

@@ -236,6 +236,44 @@ def main() -> int:
     )
     shard_counts = {r.split: r.n_rows for r in manifest.collect()}
 
+    # 8b. table maintenance: the shard write (like every per-tick/per-
+    # batch writer in this engine) appends many small files whose doc_id
+    # envelopes overlap arbitrarily — at 100 TB that drift costs scan
+    # scheduling AND file skipping. One compact_table pass with sort_by
+    # rewrites to ~target-size files with DISJOINT doc_id ranges; the
+    # envelope report quantifies the improvement (mean per-file range
+    # fraction = expected fraction of files a point predicate touches).
+    from kafka_connect_ftp_spark.operators.layout import (
+        compact_table,
+        file_envelope_report,
+        plan_compaction,
+    )
+
+    def mean_doc_id_envelope(path: str) -> float:
+        env = file_envelope_report(spark, path, ["doc_id"]).collect()
+        lo = min(r.min_doc_id for r in env)
+        hi = max(r.max_doc_id for r in env)
+        span = max(hi - lo, 1)
+        return sum((r.max_doc_id - r.min_doc_id) / span for r in env) / len(env)
+
+    pre_plan = plan_compaction(spark, shard_dir)
+    compact_dir = os.path.join(tempfile.mkdtemp(prefix="llm_prep_"), "compacted")
+    report = compact_table(
+        spark,
+        shard_dir,
+        compact_dir,
+        # demo-scale target: ~4 files, so the envelope metric is
+        # meaningful (production uses the 512 MiB default)
+        target_file_bytes=max(1, pre_plan["total_bytes"] // 4),
+        sort_by=["doc_id"],
+    )
+    env_before = mean_doc_id_envelope(shard_dir)
+    env_after = mean_doc_id_envelope(compact_dir)
+    assert report["compacted"] and report["n_files_after"] < report["n_files"]
+    # hash-routed shards give every file a near-global envelope; the
+    # sorted rewrite must shrink both the file count and the envelope
+    assert env_after < env_before
+
     # the same curated corpus in the webdataset tar layout (the delivery
     # format multimodal loaders stream) — deterministic byte-identical
     # shards, metadata JSON built JVM-side
@@ -313,6 +351,10 @@ def main() -> int:
         f"of <= {SEQ_BUDGET} BPE tokens, mean fill {stats.mean_fill_ratio}"
     )
     print(f"shards:        {shard_counts} -> {shard_dir}")
+    print(
+        f"compaction:    {report['n_files']} files -> {report['n_files_after']}, "
+        f"mean doc_id envelope {env_before:.3f} -> {env_after:.3f}"
+    )
     print(f"wds shards:    {len(wds_paths)} tars -> {wds_dir}")
     print(
         "ivf-pq top-5:  "

@@ -1,21 +1,29 @@
 """Incremental corpus curation: documents ARRIVE (a file-source stream
 standing in for the FTP ingest stream of sources/ftp_datasource.py) and
-flow through the two streaming gates as they land —
+flow through the composed curation gate as they land —
 
     arriving docs
-      → near-dup filter   (streaming/neardup_stream.py: MinHash band
-                            keys of admitted docs as cross-batch state)
-      → quality gate      (streaming/quality_gate.py: id-dedup state →
-                            repetition gate → PRE-TRAINED classifier →
-                            deterministic Pareto keep)
-      → curated parquet
+      → ONE foreachBatch (streaming/curation_stream.py), ONE checkpoint:
+          near-dup filter   (MinHash band keys of admitted docs as
+                             cross-batch state)
+          → quality gate    (repetition gate → PRE-TRAINED classifier →
+                             deterministic Pareto keep)
+      → curated parquet (idempotent epoch partitions)
 
-Both gates run the BATCH operators inside foreachBatch, so a document
+The gate runs the BATCH operators inside foreachBatch, so a document
 admitted incrementally is exactly the document the batch pipeline
-(examples/llm_data_prep.py) would have admitted. The quality model is
-trained once up front (from the first sf_dir corpus slice, the
-train-once/score-many shape) and the stream scores from the saved
-artifact.
+(examples/llm_data_prep.py) would have admitted. Through round 6 this
+example staged the two gates as separate streams through an
+intermediate table — two checkpoints whose crash/replay windows had to
+be reasoned about independently; the composed form has one recovery
+story, replay-pinned at the composed level by
+tests/test_curation_stream.py. (The staged form remains available via
+the individual ``start_near_dup_filter`` / ``start_quality_gate``
+APIs when the intermediate table is itself a deliverable.)
+
+The quality model is trained once up front (from the first sf_dir
+corpus slice, the train-once/score-many shape) and the stream scores
+from the saved artifact.
 
 Run: PYTHONPATH=. python examples/streaming_curation.py [sf_dir]
 """
@@ -34,8 +42,7 @@ from kafka_connect_ftp_spark.operators.quality_model import (
     train_quality_classifier,
 )
 from kafka_connect_ftp_spark.session import get_spark, load_tables
-from kafka_connect_ftp_spark.streaming.neardup_stream import start_near_dup_filter
-from kafka_connect_ftp_spark.streaming.quality_gate import start_quality_gate
+from kafka_connect_ftp_spark.streaming.curation_stream import start_curation
 
 
 def main() -> int:
@@ -64,54 +71,37 @@ def main() -> int:
     b1 = docs.filter(F.col("doc_id") < half)
     b2 = docs.filter(F.col("doc_id") >= half).unionByName(b1.limit(20))
 
-    schema = docs.schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    dedup_out = os.path.join(work, "neardup_admitted")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
     gate_out = os.path.join(work, "curated")
-    os.makedirs(dedup_out)  # stage-2 stream source must exist up front
-    q1 = start_near_dup_filter(
+    q = start_curation(
         stream.select("doc_id", "text"),
-        dedup_out,
-        os.path.join(work, "band_state"),
-        os.path.join(work, "ckpt_neardup"),
-        idempotent=True,  # epoch-partitioned effectively-once sinks
-    )
-    # the second gate consumes the first gate's sink as ITS stream —
-    # the standard staged-topics/staged-tables composition
-    # the idempotent sink partitions by epoch — declare it and drop it
-    gated_stream = (
-        spark.readStream.schema("doc_id bigint, text string, epoch int")
-        .parquet(dedup_out)
-        .drop("epoch")
-    )
-    q2 = start_quality_gate(
-        gated_stream,
         model,
         gate_out,
-        os.path.join(work, "ckpt_gate"),
+        os.path.join(work, "band_state"),
+        os.path.join(work, "ckpt"),  # the ONE checkpoint
         alpha=2.0,  # llm_data_prep's keep-rate knob; 9.0 near-hard-thresholds
-        idempotent=True,
     )
 
     try:
         for batch in (b1, b2):
             batch.coalesce(1).write.mode("append").parquet(src)
-            q1.processAllAvailable()
-            q2.processAllAvailable()
+            q.processAllAvailable()
     finally:
-        q1.stop()
-        q2.stop()
+        q.stop()
 
     n_in = docs.count()
-    n_nd = spark.read.parquet(dedup_out).count()
     curated = spark.read.parquet(gate_out)
     n_out = curated.count()
     n_unique = curated.select("doc_id").distinct().count()
+    n_state = (
+        spark.read.parquet(os.path.join(work, "band_state"))
+        .select("doc_id").distinct().count()
+    )
     print(f"arrived:        {n_in} (+20 re-delivered)")
-    print(f"near-dup kept:  {n_nd}")
+    print(f"near-dup kept:  {n_state} (band-state docs, incl. quality-rejected)")
     print(f"curated:        {n_out} (unique: {n_unique})")
     assert n_out == n_unique, "re-delivered docs must not be admitted twice"
-    assert 0 < n_out <= n_nd <= n_in
+    assert 0 < n_out <= n_state <= n_in
     return 0
 
 

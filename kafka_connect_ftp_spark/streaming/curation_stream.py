@@ -1,0 +1,134 @@
+"""One-checkpoint streaming curation: the near-dup filter
+(streaming/neardup_stream.py) COMPOSED with the quality gate
+(streaming/quality_gate.py) inside a single ``foreachBatch`` — one
+stream, one checkpoint, one recovery story, instead of staging the two
+gates through an intermediate table with two checkpoints whose
+failure/replay windows have to be reasoned about independently
+(examples/streaming_curation.py ran the staged form through round 6).
+
+Per micro-batch:
+
+1. ``filter_micro_batch`` — drop documents whose LSH band keys collide
+   with anything previously admitted (cross-batch state) or with an
+   earlier in-batch near-duplicate (the batch CC rule). Exact
+   re-deliveries are near-duplicates of themselves, so the band state
+   also subsumes the staged pipeline's dropDuplicates-by-id state.
+2. ``gate_micro_batch`` — repetition gate → pre-trained classifier →
+   deterministic Pareto keep, on the near-dup survivors.
+3. Sink: curated docs to ``out_dir/epoch=<batch_id>`` (overwrite — the
+   idempotent-epoch pattern), THEN the band keys of the near-dup
+   survivors (quality-rejected ones included: the staged semantics — a
+   later near-duplicate of a quality-rejected document is still a
+   duplicate) appended to ``state_dir``.
+
+Replay safety, by the same argument as the single gates but now
+composed: every transformation is a deterministic function of (batch,
+state) — MinHash/banding are seeded hashes, the Pareto rule is
+id-hash-seeded, no RNG anywhere — so a crash BETWEEN sink and state
+writes replays to byte-identical curated output (same epoch partition,
+overwritten with the same rows), and a crash AFTER the state write
+replays into total self-collision: nothing admitted, the empty batch
+skips both writes, the original epoch survives. Pinned at the composed
+level by tests/test_curation_stream.py.
+
+Scale: identical to the parts — per-batch bounded jobs (the gram/band
+shuffles at micro-batch size, map-side scoring), cross-batch state is
+~n_bands longs per ADMITTED document and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from kafka_connect_ftp_spark.operators.text_dedup import (
+    band_signatures,
+    minhash_signatures,
+)
+from kafka_connect_ftp_spark.streaming.neardup_stream import (
+    filter_micro_batch,
+    read_band_state,
+)
+from kafka_connect_ftp_spark.streaming.quality_gate import gate_micro_batch
+
+
+def make_curation_step(
+    spark,
+    model,
+    out_dir: str,
+    state_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_width: int = 8,
+    band_size: int = 4,
+    top2_max: float = 0.2,
+    dup5_max: float = 0.5,
+    alpha: float = 9.0,
+):
+    """Build the composed foreachBatch function (exposed so tests can
+    drive a replayed batch directly — a crash replay IS calling the
+    step again with the same (batch, batch_id))."""
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        seen = read_band_state(
+            spark, state_dir, batch,
+            id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+            shingle_width=shingle_width, band_size=band_size,
+        )
+        nd_admitted, _ = filter_micro_batch(
+            batch, seen,
+            id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+            shingle_width=shingle_width, band_size=band_size,
+        )
+        # checkpoint once: the sketch/CC chain below feeds BOTH the
+        # quality gate and the band-state re-derivation; band keys
+        # re-derived from the checkpointed frame are byte-identical to
+        # the filter's (deterministic hashing), without re-executing
+        # the whole filter plan per consumer
+        nd_admitted = nd_admitted.localCheckpoint(eager=True)
+        if nd_admitted.isEmpty():
+            # total self-collision (replay after the state write) or an
+            # all-duplicate batch: skip both writes — the original
+            # epoch partition and state must survive untouched
+            return
+        curated = gate_micro_batch(
+            nd_admitted, model,
+            id_col=id_col, text_col=text_col,
+            top2_max=top2_max, dup5_max=dup5_max, alpha=alpha,
+        )
+        # delivery BEFORE state commit (the ingest/pipeline.py rule): a
+        # crash between the two replays this batch and rewrites the
+        # identical epoch; writing state first would drop the batch's
+        # curated output forever on the same crash
+        curated.write.mode("overwrite").parquet(f"{out_dir}/epoch={batch_id}")
+        sig = minhash_signatures(
+            nd_admitted, id_col, text_col,
+            n_hashes=n_hashes, shingle_width=shingle_width,
+        )
+        band_signatures(sig, band_size=band_size).write.mode("append").parquet(
+            state_dir
+        )
+
+    return _step
+
+
+def start_curation(
+    stream: DataFrame,
+    model,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    **knobs,
+):
+    """Start the composed curation stream (module doc): ONE checkpoint,
+    near-dup filter → quality gate → idempotent epoch sink + band
+    state. Returns the StreamingQuery."""
+    step = make_curation_step(
+        stream.sparkSession, model, out_dir, state_dir, **knobs
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -100,6 +100,48 @@ def filter_micro_batch(
     return admitted, admitted_bands
 
 
+def read_band_state(
+    spark,
+    state_dir: str,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_width: int = 8,
+    band_size: int = 4,
+) -> DataFrame | None:
+    """Read the cross-batch band-key state, or None for the genuine
+    first batch. The schema is exactly what the steps append — derived
+    from an empty slice of ``batch`` (no action runs). Reading WITH a
+    schema matters for crash recovery: a state dir that exists but holds
+    no committed file (crash during the very first append left only
+    _temporary) would otherwise raise UNABLE_TO_INFER_SCHEMA on every
+    replay — permanently wedging the stream — where an explicit schema
+    reads it as empty. Shared by the single-gate step below and the
+    composed curation step (streaming/curation_stream.py)."""
+    from pyspark.errors import AnalysisException
+
+    state_schema = band_signatures(
+        minhash_signatures(
+            batch.limit(0), id_col, text_col,
+            n_hashes=n_hashes, shingle_width=shingle_width,
+        ),
+        band_size=band_size,
+    ).schema
+    try:
+        return spark.read.schema(state_schema).parquet(state_dir)
+    except AnalysisException as exc:
+        # ONLY the genuine first-batch case (state dir not written yet)
+        # may proceed stateless; any other read failure — corrupt
+        # footer, FS hiccup — must fail the batch, or every document
+        # would silently bypass the cross-batch collision check and
+        # near-dups of admitted docs reach the sink
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return None
+
+
 def make_near_dup_step(
     spark,
     out_dir: str,
@@ -124,33 +166,11 @@ def make_near_dup_step(
     change a left_semi collision check)."""
 
     def _step(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        # the state schema is exactly what _step appends below — derive
-        # it from an empty slice of this batch (no action runs). Reading
-        # WITH a schema matters for crash recovery: a state dir that
-        # exists but holds no committed file (crash during the very
-        # first append left only _temporary) would otherwise raise
-        # UNABLE_TO_INFER_SCHEMA on every replay — permanently wedging
-        # the stream — where an explicit schema reads it as empty.
-        state_schema = band_signatures(
-            minhash_signatures(
-                batch.limit(0), id_col, text_col,
-                n_hashes=n_hashes, shingle_width=shingle_width,
-            ),
-            band_size=band_size,
-        ).schema
-        try:
-            seen = spark.read.schema(state_schema).parquet(state_dir)
-        except AnalysisException as exc:
-            # ONLY the genuine first-batch case (state dir not written
-            # yet) may proceed stateless; any other read failure —
-            # corrupt footer, FS hiccup — must fail the batch, or every
-            # document would silently bypass the cross-batch collision
-            # check and near-dups of admitted docs reach the sink
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-            seen = None
+        seen = read_band_state(
+            spark, state_dir, batch,
+            id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+            shingle_width=shingle_width, band_size=band_size,
+        )
         admitted, _ = filter_micro_batch(
             batch,
             seen,
