@@ -21,13 +21,23 @@ plans/multimodal_queries.py applied to the crawl path:
 - the Spark side then runs the REAL chain — ``read_warc`` →
   ``warc_to_corpus(strip_html=True, clean=True)`` (operators/
   html_text.py + text_clean.py) → ``write_wds_shards`` →
-  ``read_corpus(fmt='wds')`` — and emits a three-section tagged union:
+  ``read_corpus(fmt='wds')`` — and emits a tagged union:
   ``rec`` (WARC framing + HTTP envelope split: status, content type,
   payload md5/length, quarantine), ``doc`` (extraction + cleanup:
   source host, the extracted text itself), ``wds`` (delivery round
   trip: text byte-identity and doc_id inversion — xxhash64 ids are
   negative about half the time, pinning the signed sample-key
-  encoding).
+  encoding);
+- the HTTP manifest source (sources/http_source.py) runs its REAL
+  fetch/Range/incremental-poll code paths over a deterministic fake
+  transport whose bodies are a pure function of the URL (so the oracle
+  re-derives every fetched byte): ``http`` (one-shot manifest pull —
+  content md5/length, attempt counts, the permanent-404 single-attempt
+  short-circuit and the transport-error full retry budget),
+  ``httprange`` (byte-window Range fetches), ``tick0``/``tick1``
+  (incremental_fetch over a GROWING manifest: tick 1 fetches only the
+  new URLs + quarantine retries — the reference's change-detection
+  poll loop, S4/F2, hash-checked).
 
 The oracle re-derives the generated sections from ``documents`` with
 the same template/escape chain in SQL, and states the adversarial
@@ -82,6 +92,34 @@ _MESSY_TEXT = (
     "café & crème\n5 < 7 > 3 &#65;\ntab separatedraw\n"
     "zerowidth\nbad byte � here"
 )
+_HTTP_URL_PRE = "fake://h/"
+_GONE_HTTP = f"{_HTTP_URL_PRE}gone"  # permanent 404: one attempt, no retry
+_DOWN_HTTP = f"{_HTTP_URL_PRE}down"  # transport error: full retry budget
+_GONE_ERR = "HTTPError: HTTP Error 404: Not Found"
+_DOWN_ERR = "ConnectionError: fake transport down"
+
+
+def fake_http_opener(url: str, headers: dict, timeout: float):
+    """Deterministic in-memory HTTP stand-in for the manifest source —
+    a PURE function of (url, Range header), so the DuckDB oracle can
+    re-derive every fetched byte from the URL alone (the sandbox has no
+    network; production uses the default urllib opener). Serializable
+    to executors as a module-level function."""
+    import urllib.error
+
+    tail = url.rsplit("/", 1)[-1]
+    if tail == "gone":
+        raise urllib.error.HTTPError(url, 404, "Not Found", None, None)
+    if tail == "down":
+        raise ConnectionError("fake transport down")
+    body = (f"body-{tail}-" + "x" * (int(tail) % 17)).encode()
+    rng = headers.get("Range")
+    if rng:
+        a, b = rng.removeprefix("bytes=").split("-")
+        return 206, body[int(a) : int(b) + 1]
+    return 200, body
+
+
 _BADHOST_URL = "http://bad host/a b"  # unencoded spaces: try_parse_url -> NULL
 _BADHOST_BODY = b"<p>plain</p>"
 _EMPTY_URL = f"http://{_HOST}/empty"
@@ -253,10 +291,68 @@ wds_sec AS (
          CAST(1 AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS src, text,
          CAST(NULL AS VARCHAR) AS err
   FROM wds_in
+),
+hbody AS (
+  -- the fake opener's body is a pure function of the URL: the oracle
+  -- re-derives every fetched byte
+  SELECT doc_id, '{_HTTP_URL_PRE}' || CAST(doc_id AS VARCHAR) AS hurl,
+         'body-' || CAST(doc_id AS VARCHAR) || '-'
+           || repeat('x', CAST(doc_id % 17 AS INT)) AS hb
+  FROM documents
+),
+http_fail(k, status, attempts, err) AS (VALUES
+  ('{_GONE_HTTP}', 404, '1', '{_GONE_ERR}'),
+  ('{_DOWN_HTTP}', CAST(NULL AS INTEGER), '2', '{_DOWN_ERR}')
+),
+http_sec AS (
+  SELECT 'http' AS section, hurl AS k, 200 AS status,
+         CAST(NULL AS VARCHAR) AS ctype, md5(hb) AS md5,
+         CAST(strlen(hb) AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS src,
+         '1' AS text, CAST(NULL AS VARCHAR) AS err
+  FROM hbody
+  UNION ALL
+  SELECT 'http', k, status, NULL, NULL, CAST(NULL AS BIGINT), NULL,
+         attempts, err
+  FROM http_fail
+),
+range_sec AS (
+  SELECT 'httprange' AS section, hurl || '#2+5' AS k, 206 AS status,
+         CAST(NULL AS VARCHAR) AS ctype, md5(substr(hb, 3, 5)) AS md5,
+         CAST(5 AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS src,
+         '1' AS text, CAST(NULL AS VARCHAR) AS err
+  FROM hbody WHERE doc_id % 7 = 0
+),
+tick0 AS (
+  SELECT 'tick0' AS section, hurl AS k, 200 AS status,
+         CAST(NULL AS VARCHAR) AS ctype, md5(hb) AS md5,
+         CAST(strlen(hb) AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS src,
+         '1' AS text, CAST(NULL AS VARCHAR) AS err
+  FROM hbody WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'tick0', k, status, NULL, NULL, CAST(NULL AS BIGINT), NULL,
+         attempts, err
+  FROM http_fail
+),
+tick1 AS (
+  -- the incremental poll fetches ONLY what tick 0 did not mark ok:
+  -- the odd (new) URLs plus the two quarantine retries
+  SELECT 'tick1' AS section, hurl AS k, 200 AS status,
+         CAST(NULL AS VARCHAR) AS ctype, md5(hb) AS md5,
+         CAST(strlen(hb) AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS src,
+         '1' AS text, CAST(NULL AS VARCHAR) AS err
+  FROM hbody WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'tick1', k, status, NULL, NULL, CAST(NULL AS BIGINT), NULL,
+         attempts, err
+  FROM http_fail
 )
 SELECT * FROM recs
 UNION ALL SELECT * FROM doc_sec
 UNION ALL SELECT * FROM wds_sec
+UNION ALL SELECT * FROM http_sec
+UNION ALL SELECT * FROM range_sec
+UNION ALL SELECT * FROM tick0
+UNION ALL SELECT * FROM tick1
 ORDER BY section, k
 """
 
@@ -268,9 +364,13 @@ ORDER BY section, k
     "rec = WARC framing + HTTP envelope split + quarantine; doc = "
     "HTML->text extraction + unicode cleanup + host provenance; wds = "
     "WebDataset delivery round trip (text byte-identity + signed "
-    "doc_id inversion). Fixture derived from documents + a fixed "
-    "adversarial archive; the real read_warc/warc_to_corpus/"
-    "write_wds_shards/read_corpus operators run unmodified.",
+    "doc_id inversion); http/httprange/tick0/tick1 = the HTTP manifest "
+    "source's one-shot, Range-window and incremental-poll paths over a "
+    "deterministic fake transport (fetched bytes re-derived from URLs "
+    "in SQL). Fixture derived from documents + a fixed adversarial "
+    "archive; the real read_warc/warc_to_corpus/write_wds_shards/"
+    "read_corpus/HttpManifestSource/incremental_fetch operators run "
+    "unmodified.",
 )
 def crawl_corpus_family(spark, sf_dir):
     from kafka_connect_ftp_spark.ingest.corpus import read_corpus
@@ -337,4 +437,66 @@ def crawl_corpus_family(spark, sf_dir):
         F.col("rb_text").alias("text"),
         F.lit(None).cast("string").alias("err"),
     )
-    return rec_out.unionByName(doc_out).unionByName(wds_out).orderBy("section", "k")
+
+    # ---- HTTP manifest source: real fetch/Range/incremental-poll code
+    # paths over the deterministic fake transport (module doc) ----
+    from kafka_connect_ftp_spark.sources.http_source import (
+        HttpManifestSource,
+        incremental_fetch,
+    )
+
+    hsrc = HttpManifestSource(
+        opener=fake_http_opener, retries=1, fetch_partitions=4,
+        sleep=lambda s: None,
+    )
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    doc_urls = docs.select(
+        F.concat(F.lit(_HTTP_URL_PRE), F.col("doc_id")).alias("url"),
+        "doc_id",
+    )
+    fail_urls = spark.createDataFrame(
+        [(_GONE_HTTP,), (_DOWN_HTTP,)], "url string"
+    )
+    man_all = doc_urls.select("url").unionByName(fail_urls)
+
+    def http_section(fetched, name, *, key=None):
+        return fetched.select(
+            F.lit(name).alias("section"),
+            (key if key is not None else F.col("url")).alias("k"),
+            F.col("status"),
+            F.lit(None).cast("string").alias("ctype"),
+            F.md5("content").alias("md5"),
+            F.col("length").alias("n"),
+            F.lit(None).cast("string").alias("src"),
+            F.col("attempts").cast("string").alias("text"),
+            F.col("fetch_error").alias("err"),
+        )
+
+    http_out = http_section(hsrc.fetch(spark, man_all), "http")
+    windows = doc_urls.filter(F.col("doc_id") % 7 == 0).select(
+        "url", F.lit(2).alias("off"), F.lit(5).alias("ln")
+    )
+    range_out = http_section(
+        hsrc.fetch(spark, windows, offset_col="off", length_col="ln"),
+        "httprange",
+        key=F.concat(F.col("url"), F.lit("#2+5")),
+    )
+    # incremental poll: fresh per-call state (the query must be
+    # idempotent across invocations), two ticks within the call — tick 0
+    # sees the even half + the two failing URLs, tick 1 sees the full
+    # manifest and must fetch ONLY the new (odd) URLs + quarantine
+    # retries (change detection on an append-only manifest)
+    state_dir = tempfile.mkdtemp(prefix="crawl_http_state_")
+    man0 = doc_urls.filter(F.col("doc_id") % 2 == 0).select("url").unionByName(fail_urls)
+    t0 = incremental_fetch(spark, hsrc, man0, state_dir)
+    t1 = incremental_fetch(spark, hsrc, man_all, state_dir)
+    tick_out = http_section(t0, "tick0").unionByName(http_section(t1, "tick1"))
+
+    return (
+        rec_out.unionByName(doc_out)
+        .unionByName(wds_out)
+        .unionByName(http_out)
+        .unionByName(range_out)
+        .unionByName(tick_out)
+        .orderBy("section", "k")
+    )

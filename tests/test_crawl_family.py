@@ -69,6 +69,19 @@ def test_family_sections_end_to_end(spark):
     # 500 generated + messy + badhost + empty (404/warcinfo/quarantine out)
     assert len(by_sec["doc"]) == 503
     assert len(by_sec["wds"]) == 503
+    # HTTP manifest source over the fake transport
+    assert len(by_sec["http"]) == 502          # 500 docs + gone + down
+    assert len(by_sec["httprange"]) == 72      # doc_id % 7 == 0
+    assert len(by_sec["tick0"]) == 252         # even half + 2 failures
+    assert len(by_sec["tick1"]) == 252         # odd half + 2 retries
+    http = {r.k: r for r in by_sec["http"]}
+    assert http[cq._GONE_HTTP].status == 404 and http[cq._GONE_HTTP].text == "1"
+    assert http[cq._DOWN_HTTP].status is None and http[cq._DOWN_HTTP].text == "2"
+    # tick 1 fetched ONLY odd (new) URLs + the two quarantine retries
+    assert all(
+        r.k in (cq._GONE_HTTP, cq._DOWN_HTTP) or int(r.k.rsplit("/", 1)[-1]) % 2 == 1
+        for r in by_sec["tick1"]
+    )
     quarantine = [r for r in by_sec["rec"] if r.k == "__quarantine__"]
     assert len(quarantine) == 1 and quarantine[0].err == cq._QUARANTINE_ERR
     docs = {r.k: r for r in by_sec["doc"]}

@@ -286,3 +286,43 @@ def test_ivf_variants_validate_k(emb, queries):
         ivf_knn_join(index, queries, k=0)
     with pytest.raises(ValueError, match="k must be"):
         ivf_knn_join_frames(index, queries, k=0)
+
+
+def test_ivf_knn_join_frames_degrades_to_shuffled_join_past_threshold(
+    spark, emb, queries
+):
+    # the docstring's scale claim, plan-pinned in BOTH regimes: with a
+    # broadcastable probe side the cell join is a BroadcastHashJoin;
+    # past the threshold (simulated by disabling auto-broadcast) the
+    # SAME plan degrades to a shuffled join on cell — no rewrite, and
+    # results are identical
+    from kafka_connect_ftp_spark.operators.knn import ivf_knn_join_frames
+
+    index = build_ivf(emb.withColumnRenamed("v", "embedding"), k=4, seed=42)
+    small = ivf_knn_join_frames(index, queries, k=3, nprobe=2)
+    # AQE decides the join strategy from RUNTIME stats — execute first,
+    # then read the FINAL adaptive plan
+    got_small = sorted((r.q_id, r.vec_id, r.nn_rank) for r in small.collect())
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        big = ivf_knn_join_frames(index, queries, k=3, nprobe=2)
+        got_big = sorted((r.q_id, r.vec_id, r.nn_rank) for r in big.collect())
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        # the probe->corpus cell join must have degraded; the centroid
+        # crossJoin inside the probe stage is an explicit-hint
+        # BroadcastNestedLoopJoin and legitimately stays broadcast
+        assert "BroadcastHashJoin" not in plan_big
+        assert ("SortMergeJoin" in plan_big) or ("ShuffledHashJoin" in plan_big)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert got_small == got_big
