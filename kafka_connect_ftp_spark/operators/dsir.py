@@ -1,0 +1,190 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+distribution looks like a TARGET corpus, the standard recipe for
+domain-targeted pretraining data selection (used to build
+target-matched slices of CommonCrawl-scale corpora).
+
+Method, re-derived from the paper for Spark:
+
+1. Featurize text as hashed word n-grams (unigrams + bigrams), each
+   hashed into one of ``n_buckets`` buckets — collisions are part of
+   the method (the feature space is the BUCKET space, so both models
+   are exactly B-dimensional regardless of corpus size).
+2. Fit two bag-of-buckets multinomials with add-α smoothing: ``p_t``
+   on the target corpus, ``p_r`` on the raw corpus.
+3. Per document: importance log-weight ``log w = Σ_g  ln p_t[h(g)] −
+   ln p_r[h(g)]`` over the document's gram stream (its hashed-n-gram
+   log likelihood ratio).
+4. Resample without replacement ∝ w via the Gumbel-top-k trick:
+   ``key = log w + Gumbel(u)`` with ``u`` a deterministic per-doc hash
+   uniform (operators/mixing.py convention — no RNG, so selection is
+   reproducible and replay-safe), take the global top-k keys.
+
+Engine-portability: the gram hash is the md5-prefix trick of
+``mixing.uniform_hash`` (``conv(substr(md5(gram),1,13),16,10) % B``)
+rather than xxhash64, so a DuckDB oracle can re-derive every bucket id
+— which is what puts this operator inside the driver's hash gate
+(plans/text.py:vocab_coverage).
+
+Scale design (100 TB): the two count aggregations shuffle (bucket,
+count) rows bounded by B — never corpus-proportional; the ratio table
+(B rows) broadcasts to the scoring pass, which is one explode +
+map-side hash + per-doc sum; Gumbel-top-k compiles to
+TakeOrderedAndProject (bounded k per partition, then k at the driver's
+reducer — no global sort, no single-partition window). Raw text never
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.mixing import uniform_hash
+
+# word tokenizer shared with the text plans and lm_score: split on
+# single spaces, drop empties (the plans/text.py _TOKS rule — identical
+# on both engines, unlike a regex split whose \s classes differ)
+_TOKS = "filter(split({col}, ' '), x -> x <> '')"
+# unigrams + space-joined bigrams as ONE gram stream per document
+_GRAMS = (
+    "concat({t}, CASE WHEN size({t}) < 2 THEN array()"
+    " ELSE zip_with(slice({t}, 1, size({t}) - 1),"
+    "              slice({t}, 2, size({t}) - 1),"
+    "              (a, b) -> concat(a, ' ', b)) END)"
+)
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    """md5-prefix hash bucket — bit-identical to the DuckDB twin
+    ``('0x' || substr(md5(g),1,13))::BIGINT % B`` (52 bits, exact)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 13), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def gram_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """``(doc_id, bucket)`` — one row per gram occurrence (unigrams +
+    bigrams, hashed). The featurization shared by model fitting and
+    scoring, so the two can never disagree."""
+    toks = _TOKS.format(col=text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_GRAMS.format(t=toks))).alias("_g"),
+    ).select("doc_id", _bucket(F.col("_g"), n_buckets).alias("bucket"))
+
+
+def dsir_logratio(
+    target: DataFrame,
+    raw: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The B-row ``(bucket, log_ratio)`` table: ``ln p_t[b] − ln p_r[b]``
+    under add-α smoothing. Complete over all B buckets (a gram hashing
+    into a bucket unseen by both corpora scores the constant smoothing
+    ratio instead of vanishing). Bounded by B — broadcastable at any
+    corpus size."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    spark = target.sparkSession
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            gram_buckets(df.select(F.lit(0).alias("doc_id"), text_col),
+                         text_col=text_col, n_buckets=n_buckets)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    base = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        base.join(counts(target, "_ct"), "bucket", "left")
+        .join(counts(raw, "_cr"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("_ct") + alpha) / (F.col("_nt") + alpha * n_buckets))
+            - F.log((F.col("_cr") + alpha) / (F.col("_nr") + alpha * n_buckets))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    logratio: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """Per-document importance log-weight: ``(doc_id, dsir_logw)`` —
+    the hashed-gram log likelihood ratio summed over the document's
+    gram stream. Gram-less documents score 0. ``n_buckets`` must match
+    the table's (checked)."""
+    n_rows = logratio.count()
+    if n_rows != n_buckets:
+        raise ValueError(
+            f"logratio has {n_rows} rows but n_buckets={n_buckets}; "
+            "featurization and model must share the bucket space"
+        )
+    per_doc = (
+        gram_buckets(docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets)
+        .join(F.broadcast(logratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("log_ratio").alias("dsir_logw"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select("doc_id", F.coalesce("dsir_logw", F.lit(0.0)).alias("dsir_logw"))
+    )
+
+
+def dsir_select(
+    scored: DataFrame,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_logw",
+    salt: str = "v1",
+) -> DataFrame:
+    """Gumbel-top-``n`` resampling without replacement ∝ exp(weight):
+    adds ``dsir_keep`` to ``scored``. The Gumbel noise is derived from
+    the deterministic per-doc hash uniform (no RNG — reproducible,
+    replay-safe, partition-layout-independent); the top-n compiles to
+    TakeOrderedAndProject, never a global sort."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    gumbel = -F.log(-F.log(uniform_hash(F.col(id_col), salt)))
+    keyed = scored.withColumn("_gk", F.col(weight_col) + gumbel)
+    top = (
+        keyed.orderBy(F.desc("_gk"), F.asc(id_col))
+        .limit(n)
+        .select(F.col(id_col), F.lit(True).alias("dsir_keep"))
+    )
+    return (
+        keyed.drop("_gk")
+        .join(F.broadcast(top), id_col, "left")
+        .withColumn("dsir_keep", F.coalesce("dsir_keep", F.lit(False)))
+    )

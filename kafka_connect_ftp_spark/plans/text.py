@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kafka_connect_ftp_spark.plans import register
+from kafka_connect_ftp_spark.plans import ORACLE_MAX_TOKENS, register
 from kafka_connect_ftp_spark.session import balanced, load_tables
 
 # tokens = non-empty chunks of a single-space split (documents are
@@ -30,6 +30,16 @@ _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 def _docs(spark, sf_dir):
     return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+# DSIR knobs shared by the vocab_coverage gate columns and their oracle
+# (operators/dsir.py defaults; target = the src0-4 slice, the
+# trusted-reference convention of the quality classifier)
+_DSIR_B = 512
+_DSIR_A = 0.5
+_DSIR_K = 100
+_DENOM = float(1 << 52)
+_ULP = 1.0 / _DENOM
 
 
 _STOPWORDS = {
@@ -527,16 +537,64 @@ _VOCAB_V = 16
                                          ORDER BY tfidf DESC, tk) AS rn
             FROM scored)
       WHERE rn = 1
-    )
+    ),
+    -- DSIR (operators/dsir.py): hashed unigram+bigram buckets, add-a
+    -- smoothed target/raw log ratio, per-doc importance log-weight,
+    -- Gumbel-top-{_DSIR_K} resampling on the deterministic hash uniform
+    dsd AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    dsgram AS (
+      SELECT doc_id, source, unnest(toks) AS g FROM dsd
+      UNION ALL
+      SELECT doc_id, source, toks[i] || ' ' || toks[i + 1]
+      FROM dsd, generate_series(1, {ORACLE_MAX_TOKENS}) AS t(i)
+      WHERE i < len(toks)
+    ),
+    dsb AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(g), 1, 13))::BIGINT % {_DSIR_B} AS bucket
+      FROM dsgram
+    ),
+    dsct AS (SELECT bucket, COUNT(*) AS c FROM dsb
+             WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY bucket),
+    dscr AS (SELECT bucket, COUNT(*) AS c FROM dsb GROUP BY bucket),
+    dstot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM dsct) AS nt,
+             (SELECT COALESCE(SUM(c), 0) FROM dscr) AS nr
+    ),
+    dsratio AS (
+      SELECT CAST(r.range AS BIGINT) AS bucket,
+             LN((COALESCE(ct.c, 0) + {_DSIR_A!r}) / (t.nt + {_DSIR_A!r} * {_DSIR_B}))
+           - LN((COALESCE(cr.c, 0) + {_DSIR_A!r}) / (t.nr + {_DSIR_A!r} * {_DSIR_B})) AS lr
+      FROM range({_DSIR_B}) r
+      LEFT JOIN dsct ct ON ct.bucket = r.range
+      LEFT JOIN dscr cr ON cr.bucket = r.range
+      CROSS JOIN dstot t
+    ),
+    dsw AS (
+      SELECT b.doc_id, SUM(r.lr) AS logw
+      FROM dsb b JOIN dsratio r USING (bucket) GROUP BY b.doc_id
+    ),
+    dskey AS (
+      SELECT d.doc_id, COALESCE(w.logw, 0.0) AS logw,
+             COALESCE(w.logw, 0.0)
+               - LN(-LN((('0x' || substr(md5('v1:' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+                          / {_DENOM!r}) + {_ULP!r})) AS gk
+      FROM documents d LEFT JOIN dsw w USING (doc_id)
+    ),
+    dstop AS (SELECT doc_id FROM dskey ORDER BY gk DESC, doc_id LIMIT {_DSIR_K})
     SELECT d.doc_id,
            COALESCE(per.n_tok, 0) AS n_tokens,
            COALESCE(per.n_oov, 0) AS n_oov,
            ROUND(CASE WHEN per.n_tok IS NULL THEN 0.0
                       ELSE CAST(per.n_oov AS DOUBLE) / per.n_tok END, 6) AS oov_rate,
-           top.top_term, top.tfidf
+           top.top_term, top.tfidf,
+           ROUND(dskey.logw, 4) AS dsir_logw,
+           (dstop.doc_id IS NOT NULL) AS dsir_keep
     FROM documents d
     LEFT JOIN per ON per.doc_id = d.doc_id
     LEFT JOIN top ON top.doc_id = d.doc_id
+    LEFT JOIN dskey ON dskey.doc_id = d.doc_id
+    LEFT JOIN dstop ON dstop.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
     doc=(
@@ -549,7 +607,12 @@ _VOCAB_V = 16
         "distribution) — plus its highest-TF-IDF term (term/document "
         "frequencies as two hash aggregations, idf broadcast back on "
         "term; rounds 1-5's standalone tfidf_top_term merged in round 6: "
-        "same scan, same tokenization, one registry row). Implementation "
+        "same scan, same tokenization, one registry row), plus the DSIR "
+        "data-selection columns absorbed in round 7 (operators/dsir.py, "
+        "Xie et al. 2023): hashed unigram+bigram importance log-weight "
+        "against the src0-4 target slice and the deterministic "
+        "Gumbel-top-100 resampling decision, both re-derived bucket-"
+        "exactly by the oracle via the md5-prefix hash. Implementation "
         "is operators/vocab.py with caller-parameterized V. Plan: the "
         "vocab pass is a token-keyed aggregate whose size is bounded by "
         "the VOCABULARY (not the corpus, the lm_score pattern) + "
@@ -560,6 +623,11 @@ _VOCAB_V = 16
     ),
 )
 def vocab_coverage(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        dsir_select,
+    )
     from kafka_connect_ftp_spark.operators.vocab import (
         term_frequencies,
         tfidf_top_term,
@@ -580,8 +648,24 @@ def vocab_coverage(spark, sf_dir):
     top = tfidf_top_term(df, tf).select(
         "doc_id", "top_term", F.round("tfidf", 6).alias("tfidf")
     )
+    # DSIR columns (operators/dsir.py): target = the src0-4 trusted
+    # slice, raw = the whole corpus; importance log-weight + the
+    # Gumbel-top-K resampling decision, both under the hash gate
+    target = df.filter(F.col("source").isin(*[f"src{i}" for i in range(5)]))
+    # lazy-checkpoint the B-row ratio table: dsir_scores' bucket-space
+    # contract check counts it, and the scoring join broadcasts it —
+    # without materialization the two corpus-count aggregations run twice
+    table = dsir_logratio(
+        target, df, n_buckets=_DSIR_B, alpha=_DSIR_A
+    ).localCheckpoint(eager=False)
+    dsir = dsir_select(
+        dsir_scores(df, table, n_buckets=_DSIR_B), _DSIR_K
+    ).select(
+        "doc_id", F.round("dsir_logw", 4).alias("dsir_logw"), "dsir_keep"
+    )
     return (
         cov.join(top, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -589,6 +673,8 @@ def vocab_coverage(spark, sf_dir):
             F.round("oov_rate", 6).alias("oov_rate"),
             "top_term",
             "tfidf",
+            "dsir_logw",
+            "dsir_keep",
         )
         .orderBy("doc_id")
     )
