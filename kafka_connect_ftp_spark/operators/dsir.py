@@ -24,7 +24,10 @@ Engine-portability: the gram hash is the md5-prefix trick of
 ``mixing.uniform_hash`` (``conv(substr(md5(gram),1,13),16,10) % B``)
 rather than xxhash64, so a DuckDB oracle can re-derive every bucket id
 — which is what puts this operator inside the driver's hash gate
-(plans/text.py:vocab_coverage).
+(plans/text.py:vocab_coverage). Like the text-dedup family
+(plans/text.py module doc), a production deployment swaps the md5
+bucket for ``pmod(xxhash64(gram), B)`` — same plan shape, cheaper
+hash; only the oracle needs md5.
 
 Scale design (100 TB): the two count aggregations shuffle (bucket,
 count) rows bounded by B — never corpus-proportional; the ratio table
