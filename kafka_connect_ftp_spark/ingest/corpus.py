@@ -14,7 +14,9 @@ runs unchanged on external corpora:
 - ``parquet`` / ``orc``: columnar corpora; ``text_field`` renamed to
   ``text``.
 - ``warc``: web-crawl archives (Common Crawl layout) via
-  ``ingest/warc.py`` — successful HTTP responses become documents.
+  ``ingest/warc.py`` — successful HTTP responses become documents;
+  ``warc_strip_html`` / ``warc_clean`` run the JVM-side visible-text
+  extraction and unicode cleanup in the same scan.
 - ``wds``: WebDataset tar shards exported by ``operators/wds.py`` —
   the round trip that lets curation re-runs and audits start from
   delivered shards (``wds_fields`` maps columns to member extensions,
@@ -58,6 +60,8 @@ def read_corpus(
     multiline_csv: bool = False,
     schema=None,
     wds_fields: dict[str, str] | None = None,
+    warc_strip_html: bool = False,
+    warc_clean: bool = False,
 ) -> DataFrame:
     """Load a corpus into the canonical ``(doc_id, text, source, ...)``
     frame. ``source`` defaults to the input file name of each row
@@ -88,6 +92,8 @@ def read_corpus(
 
     if wds_fields is not None and fmt != "wds":
         raise ValueError("wds_fields only applies to fmt='wds'")
+    if (warc_strip_html or warc_clean) and fmt != "warc":
+        raise ValueError("warc_strip_html/warc_clean only apply to fmt='warc'")
 
     if fmt == "wds":
         # exported shards carry their own conventions (sample_key = the
@@ -161,7 +167,9 @@ def read_corpus(
             )
         from kafka_connect_ftp_spark.ingest.warc import read_warc, warc_to_corpus
 
-        return warc_to_corpus(read_warc(spark, path))
+        return warc_to_corpus(
+            read_warc(spark, path), strip_html=warc_strip_html, clean=warc_clean
+        )
 
     if fmt == "jsonl":
         from pyspark.sql.types import StringType, StructField, StructType

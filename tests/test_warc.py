@@ -180,6 +180,26 @@ def test_read_corpus_warc_rejects_inapplicable_args(spark, warc_dir):
     assert read_corpus(spark, warc_dir, fmt="warc").count() == 2
 
 
+def test_read_corpus_warc_strip_and_clean_knobs(spark, tmp_path):
+    from kafka_connect_ftp_spark.ingest.corpus import read_corpus
+
+    rec = _record(
+        "response",
+        _http(b"<html><body><p>hi&nbsp;there\xe2\x80\x8b!</p></body></html>"),
+        uri="https://c.example.net/p",
+    )
+    (tmp_path / "one.warc").write_bytes(rec)
+    raw = read_corpus(spark, str(tmp_path), fmt="warc").first().text
+    assert "<p>" in raw
+    cooked = read_corpus(
+        spark, str(tmp_path), fmt="warc", warc_strip_html=True, warc_clean=True
+    ).first().text
+    # tags stripped, &nbsp; decoded + collapsed, zero-width removed
+    assert cooked == "hi there!"
+    with pytest.raises(ValueError, match="only apply"):
+        read_corpus(spark, str(tmp_path), fmt="jsonl", warc_strip_html=True)
+
+
 # -- property: serialize -> parse round-trip (pure Python, no Spark) ---------
 
 
