@@ -232,7 +232,10 @@ def write_warc(
         .repartition(n_shards, F.col("_k"))
         .sortWithinPartitions("_k", "url")
     )
-    status_line = f"HTTP/1.1 {status} " + ("OK" if status == 200 else "STATUS")
+    import http.client as _hc
+
+    reason = _hc.responses.get(status, "Status")
+    status_line = f"HTTP/1.1 {status} {reason}"
 
     def record_bytes(url: str, body: bytes) -> bytes:
         payload = (
