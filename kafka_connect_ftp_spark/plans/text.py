@@ -73,9 +73,61 @@ _LANG_CASE_DUCK = f"""CASE
            END"""
 
 
+# C4-gate augmentation (operators/c4_filter.py): the synthetic docs are
+# single-line and punctuation-free, so the C4 rules on raw text would be
+# vacuous. Both engines build the SAME multi-line page from table values
+# (the governance-PII augmentation pattern): line 1 = two sentences,
+# line 2 = a one-word stub (dropped), then per-row-conditional lines
+# exercising the javascript marker, the sentence-count page rule
+# (doc_id%4==0 pages retain only 2 sentences), the curly-brace and the
+# lorem-ipsum page rejections.
+_C4_W1_SPARK = "coalesce(element_at(filter(split(text, ' '), x -> x <> ''), 1), 'word')"
+_C4_W1_DUCK = f"COALESCE(({_DUCK_TOKS})[1], 'word')"
+_C4_AUG_SPARK = (
+    "concat('First phrase. Second phrase about ', {w}, '.',"
+    " '\\n', {w},"
+    " CASE WHEN doc_id % 5 = 0 THEN '\\nPlease enable javascript to continue.' ELSE '' END,"
+    " CASE WHEN doc_id % 4 <> 0 THEN concat('\\nAnother fine sentence mentions ', {w}, '.') ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN '\\n{{ }}' ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN '\\nlorem ipsum dolor' ELSE '' END)"
+).format(w=_C4_W1_SPARK)
+_C4_AUG_DUCK = (
+    "'First phrase. Second phrase about ' || {w} || '.'"
+    " || chr(10) || {w}"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END"
+    " || CASE WHEN doc_id % 4 <> 0 THEN chr(10) || 'Another fine sentence mentions ' || {w} || '.' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{{ }}' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor' ELSE '' END"
+).format(w=_C4_W1_DUCK)
+# the oracle twin of the operator's line lambda
+_C4_KEPT_DUCK = (
+    "list_filter(string_split(aug, chr(10)), ln ->"
+    " regexp_matches(ln, '[.!?\"]$')"
+    " AND len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 3"
+    " AND NOT regexp_matches(lower(ln), 'javascript'))"
+)
+
+
 @register(
     "text_profile",
     f"""
+    WITH c4 AS (
+      SELECT doc_id, aug,
+             {_C4_KEPT_DUCK} AS kept,
+             array_to_string({_C4_KEPT_DUCK}, chr(10)) AS ktext
+      FROM (SELECT doc_id, {_C4_AUG_DUCK} AS aug FROM documents)
+    ),
+    c4f AS (
+      SELECT doc_id,
+             CAST(len(string_split(aug, chr(10))) AS BIGINT) AS c4_n_lines,
+             CAST(len(kept) AS BIGINT) AS c4_kept_lines,
+             CAST(len(regexp_extract_all(ktext, '[.!?]')) AS BIGINT) AS c4_sentences,
+             (len(regexp_extract_all(ktext, '[.!?]')) >= 3
+              AND NOT contains(lower(aug), 'lorem ipsum')
+              AND NOT contains(aug, '{{')) AS c4_keep,
+             md5(ktext) AS c4_fp
+      FROM c4
+    )
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
            CAST(LEN({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
@@ -95,8 +147,10 @@ _LANG_CASE_DUCK = f"""CASE
            CAST(LEN(list_distinct(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
              AS n_distinct_bpe_tokens,
            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                   ' +', ' ', 'g'))) AS norm_fp
-    FROM documents ORDER BY doc_id
+                                   ' +', ' ', 'g'))) AS norm_fp,
+           c4f.c4_n_lines, c4f.c4_kept_lines, c4f.c4_sentences,
+           c4f.c4_keep, c4f.c4_fp
+    FROM documents JOIN c4f USING (doc_id) ORDER BY doc_id
     """,
     doc=(
         "Per-document text profile: token counts + quality score "
@@ -105,7 +159,15 @@ _LANG_CASE_DUCK = f"""CASE
         "(letter runs / digit runs / single punctuation — the GPT-style "
         "pre-tokenizer split), and the md5 of the normalized text "
         "(lowercase, strip non-alnum, collapse spaces) for canonical-form "
-        "matching. The token-derived stats come from ONE explode + hash "
+        "matching, plus the C4 cleaning rules (operators/c4_filter.py, "
+        "Raffel et al. 2020) absorbed in round 7: line rules (terminal "
+        "punctuation, >= 3 words, no javascript marker) and page rules "
+        "(>= 3 retained sentences, no lorem-ipsum, no curly brace) run "
+        "by the REAL operator over a deterministically-augmented "
+        "multi-line page (the governance-PII pattern — raw synthetic "
+        "docs are single-line and punctuation-free, which would make "
+        "the rules vacuous), with the retained-text md5 in the hash. "
+        "The token-derived stats come from ONE explode + hash "
         "aggregate keyed on doc_id (project collapse would otherwise "
         "re-evaluate split(text) for every one of the ~10 expressions that "
         "consume the token array — round-2 profiling showed the exploded "
@@ -118,7 +180,16 @@ _LANG_CASE_DUCK = f"""CASE
     ),
 )
 def text_profile(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.c4_filter import c4_flags
+
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    # the REAL c4 operator over the augmented page (constant above)
+    c4 = c4_flags(
+        df.select("doc_id", F.expr(_C4_AUG_SPARK).alias("text"))
+    ).select(
+        "doc_id", "c4_n_lines", "c4_kept_lines", "c4_sentences", "c4_keep",
+        F.md5(F.col("c4_text").cast("binary")).alias("c4_fp"),
+    )
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
     lang_of = F.create_map(
         *[x for lang, ws in _STOPWORDS.items() for w in ws for x in (F.lit(w), F.lit(lang))]
@@ -160,6 +231,7 @@ def text_profile(spark, sf_dir):
     ratio = F.coalesce(F.col("n_dist"), F.lit(0)).cast("double") / n_tok
     return (
         mapside.join(stats, "doc_id", "left")
+        .join(c4, "doc_id")
         .select(
             "doc_id",
             "n_chars_calc",
@@ -173,6 +245,11 @@ def text_profile(spark, sf_dir):
             "n_bpe_tokens",
             "n_distinct_bpe_tokens",
             "norm_fp",
+            "c4_n_lines",
+            "c4_kept_lines",
+            "c4_sentences",
+            "c4_keep",
+            "c4_fp",
         )
         .orderBy("doc_id")
     )
