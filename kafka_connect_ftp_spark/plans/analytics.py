@@ -140,6 +140,28 @@ def setop_family(spark, sf_dir):
 @register(
     "scalar_funcs",
     """
+    WITH uraw AS (
+      SELECT p_partkey,
+             'HTTPS://User:pw@Shop' || CAST(p_partkey % 5 AS VARCHAR)
+               || '.Example.COM:443/Item/' || CAST(p_partkey AS VARCHAR)
+               || '?utm_source=s&id=' || CAST(p_partkey AS VARCHAR)
+               || '&fbclid=x'
+               || CASE WHEN p_partkey % 2 = 0 THEN '&gclid=g' ELSE '' END
+               || '&ok=1#sec' AS u1,
+             'HTTP://Ex' || CAST(p_partkey % 3 AS VARCHAR)
+               || '.COM:80'
+               || CASE WHEN p_partkey % 2 = 0 THEN '?utm_medium=m' ELSE '' END
+               AS u2
+      FROM part
+    ),
+    unorm AS (
+      SELECT p_partkey,
+             'https://shop' || CAST(p_partkey % 5 AS VARCHAR)
+               || '.example.com/Item/' || CAST(p_partkey AS VARCHAR)
+               || '?id=' || CAST(p_partkey AS VARCHAR) || '&ok=1' AS url_norm,
+             'http://ex' || CAST(p_partkey % 3 AS VARCHAR) || '.com/' AS url_norm2
+      FROM uraw
+    )
     SELECT p_partkey,
            UPPER(p_name) AS name_upper,
            CAST(LENGTH(p_name) AS BIGINT) AS name_len,
@@ -154,8 +176,9 @@ def setop_family(spark, sf_dir):
            CASE WHEN p_retailprice < 500  THEN 'cheap'
                 WHEN p_retailprice < 1500 THEN 'mid'
                 ELSE 'premium' END AS price_band,
-           CAST({zexpr} AS BIGINT) AS zval
-    FROM part ORDER BY p_partkey
+           CAST({zexpr} AS BIGINT) AS zval,
+           unorm.url_norm, unorm.url_norm2
+    FROM part JOIN unorm USING (p_partkey) ORDER BY p_partkey
     """.format(zexpr=_Z_DUCK),
     doc=(
         "Scalar-function projection over one scan: string functions "
@@ -164,13 +187,34 @@ def setop_family(spark, sf_dir):
         "(Morton) layout key of (p_size, p_partkey%256) — all codegen'd "
         "JVM-side. The zval column hash-pins operators/layout.py's bit "
         "interleave against the oracle's explicit shift-and-mask sum "
-        "(exact integer inputs, so no float-boundary risk). Round 1's "
+        "(exact integer inputs, so no float-boundary risk). Round 7 "
+        "adds url_norm/url_norm2: operators/url_norm.py's REAL "
+        "normalization chain over per-row constructed gnarly URLs "
+        "(mixed-case scheme/host, userinfo, default ports, tracking "
+        "params in every position, fragments, empty paths) — the "
+        "oracle states the hand-derived canonical forms, so the whole "
+        "rule set is value-checked per row. Round 1's "
         "scalar_string_funcs + scalar_math_funcs + "
         "case_when_price_buckets merged onto the part table."
     ),
 )
 def scalar_funcs(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.url_norm import normalize_url
+
     t = load_tables(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    u1 = F.concat(
+        F.lit("HTTPS://User:pw@Shop"), (pk % 5).cast("string"),
+        F.lit(".Example.COM:443/Item/"), pk.cast("string"),
+        F.lit("?utm_source=s&id="), pk.cast("string"),
+        F.lit("&fbclid=x"),
+        F.when(pk % 2 == 0, F.lit("&gclid=g")).otherwise(F.lit("")),
+        F.lit("&ok=1#sec"),
+    )
+    u2 = F.concat(
+        F.lit("HTTP://Ex"), (pk % 3).cast("string"), F.lit(".COM:80"),
+        F.when(pk % 2 == 0, F.lit("?utm_medium=m")).otherwise(F.lit("")),
+    )
     band = (
         F.when(F.col("p_retailprice") < 500, "cheap")
         .when(F.col("p_retailprice") < 1500, "mid")
@@ -194,6 +238,8 @@ def scalar_funcs(spark, sf_dir):
             zorder_key(
                 [F.col("p_size"), F.col("p_partkey") % 256], bits=_Z_BITS
             ).alias("zval"),
+            normalize_url(u1).alias("url_norm"),
+            normalize_url(u2).alias("url_norm2"),
         )
         .orderBy("p_partkey")
     )
