@@ -1,0 +1,100 @@
+"""Gopher document-level quality rules (Rae et al. 2021,
+arXiv:2112.11446 — the MassiveWeb filtering heuristics), completing
+the rule-based gate family: ``quality_filter_flags`` carries the
+token-count / word-length / diversity / top-bigram rules and
+``repetition.py`` the repetition suite; this module adds the remaining
+doc-level signals Gopher filters on:
+
+- **symbol-to-word ratio** (``#`` and ellipsis vs words; > 0.1 is
+  tag-soup / truncated-listing text);
+- **bullet-line fraction** (lines starting with a bullet mark; > 0.9
+  is a bare list page);
+- **ellipsis-line fraction** (lines ending in ``...``/``…``; > 0.3 is
+  truncated-preview boilerplate);
+- **alphabetic-word fraction** (words containing at least one letter;
+  < 0.8 is data/serial dumps);
+- **required-stopword hits** (Gopher's 8-word list; < 2 present means
+  the page is unlikely to be running prose).
+
+One map-side JVM projection (split + higher-order filters + regex
+counts — no shuffle, no Python, fuses into the scan). Thresholds are
+the paper's; ``gopher_keep`` composes them and each signal rides along
+for per-rule auditing. NULL text profiles as an empty page (zeros,
+keep = false).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the Gopher "must contain at least 2 of" stopword list
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_THRESH = {
+    "symbol_ratio_max": 0.1,
+    "bullet_frac_max": 0.9,
+    "ellipsis_frac_max": 0.3,
+    "alpha_frac_min": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_quality_signals(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document Gopher rule signals + the composite ``gopher_keep``
+    decision (module doc). Ratio columns are rounded to ``decimals``
+    (the repetition_signals convention; the keep decision uses the
+    unrounded values)."""
+    # two-stage projection: the word/line ARRAYS and the raw counts
+    # materialize once per row in the inner select — inlining the split
+    # at every consumer would re-split the text ~6x per row (the
+    # governance roll-hash `_ch` lesson; profiled 1.7s -> 1.2s at sf0.1
+    # inside repetition_profile)
+    t = f"coalesce({text_col}, '')"
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    staged = docs.select(
+        F.col(id_col),
+        F.expr(f"filter(split(replace({t}, '\\n', ' '), ' '), w -> w <> '')").alias("_ws"),
+        F.expr(f"filter(split({t}, '\\n'), ln -> trim(ln) <> '')").alias("_lns"),
+        F.expr(f"size(regexp_extract_all({t}, '#|\\\\.\\\\.\\\\.|…', 0))").alias("_nsym"),
+    ).select(
+        id_col,
+        F.expr("size(_ws)").alias("_nw"),
+        F.expr("size(_lns)").alias("_nl"),
+        "_nsym",
+        F.expr("size(filter(_lns, ln -> trim(ln) rlike '^[-*•]'))").alias("_nbul"),
+        F.expr("size(filter(_lns, ln -> trim(ln) rlike '(\\\\.\\\\.\\\\.|…)$'))").alias("_nell"),
+        F.expr("size(filter(_ws, w -> w rlike '[a-zA-Z]'))").alias("_nalp"),
+        F.expr(f"size(filter(array({stops}), s -> array_contains(_ws, s)))").alias("_nstop"),
+    )
+
+    def ratio(num: str, den: str):
+        return F.when(F.col(den) == 0, F.lit(0.0)).otherwise(
+            F.col(num).cast("double") / F.col(den)
+        )
+
+    sym, bul = ratio("_nsym", "_nw"), ratio("_nbul", "_nl")
+    ell, alp = ratio("_nell", "_nl"), ratio("_nalp", "_nw")
+    keep = (
+        (F.col("_nw") > 0)
+        & (sym <= _THRESH["symbol_ratio_max"])
+        & (bul <= _THRESH["bullet_frac_max"])
+        & (ell <= _THRESH["ellipsis_frac_max"])
+        & (alp >= _THRESH["alpha_frac_min"])
+        & (F.col("_nstop") >= _THRESH["min_stop_hits"])
+    )
+    return staged.select(
+        F.col(id_col),
+        F.round(sym, decimals).alias("g_symbol_ratio"),
+        F.round(bul, decimals).alias("g_bullet_frac"),
+        F.round(ell, decimals).alias("g_ellipsis_frac"),
+        F.round(alp, decimals).alias("g_alpha_frac"),
+        F.col("_nstop").cast("long").alias("g_stop_hits"),
+        keep.alias("gopher_keep"),
+    )

@@ -155,6 +155,29 @@ def decontamination_flags(spark, sf_dir):
     )
 
 
+# Gopher doc-rule augmentation (operators/gopher_rules.py gate): the
+# synthetic docs are single-line punctuation-free word soup, so the
+# symbol/bullet/ellipsis signals would be vacuously zero. Both engines
+# build the SAME augmented page (the governance-PII pattern); the added
+# lines vary keep per row: doc_id%4-only docs get an ellipsis line that
+# is 1 of 2 non-blank lines (> 0.3 -> rejected) while %12 docs dilute
+# it with bullet lines back under the threshold.
+_GOPHER_AUG_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN '\\n- the bullet item\\n- another bullet of note' ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN '\\nthe preview to be cut...' ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN ' # # #' ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN ' 111 222 333' ELSE '' END)"
+)
+_GOPHER_AUG_DUCK = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- the bullet item' || chr(10) || '- another bullet of note' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'the preview to be cut...' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' # # #' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' 111 222 333' ELSE '' END"
+)
+
+
 @register(
     "repetition_profile",
     f"""
@@ -191,6 +214,31 @@ def decontamination_flags(spark, sf_dir):
              MAX(CASE WHEN n = 5 THEN CAST(occ - dist AS DOUBLE) / occ END) AS df5,
              MAX(CASE WHEN n = 10 THEN CAST(occ - dist AS DOUBLE) / occ END) AS df10
       FROM du GROUP BY 1
+    ),
+    gop AS (
+      SELECT doc_id,
+             list_filter(string_split(replace(aug, chr(10), ' '), ' '), w -> w <> '') AS ws,
+             list_filter(string_split(aug, chr(10)), ln -> trim(ln) <> '') AS lns,
+             len(regexp_extract_all(aug, '#|\\.\\.\\.|…')) AS n_sym,
+             aug
+      FROM (SELECT doc_id, {_GOPHER_AUG_DUCK} AS aug FROM documents)
+    ),
+    gopf AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / len(ws) END AS sym,
+             CASE WHEN len(lns) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(lns, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS DOUBLE)
+                 / len(lns) END AS bul,
+             CASE WHEN len(lns) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(lns, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                 / len(lns) END AS ell,
+             CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                 / len(ws) END AS alp,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  s -> list_contains(ws, s))) AS BIGINT) AS stop_hits,
+             len(ws) AS nw
+      FROM gop
     )
     SELECT t.doc_id,
            CAST(LEN(tk) AS BIGINT) AS n_tokens,
@@ -201,9 +249,18 @@ def decontamination_flags(spark, sf_dir):
            ROUND(COALESCE(CAST(tm3 AS DOUBLE) / n_chars, 0.0), 6) AS top_3gram_frac,
            ROUND(COALESCE(CAST(tm4 AS DOUBLE) / n_chars, 0.0), 6) AS top_4gram_frac,
            ROUND(COALESCE(df5, 0.0), 6) AS dup_5gram_frac,
-           ROUND(COALESCE(df10, 0.0), 6) AS dup_10gram_frac
+           ROUND(COALESCE(df10, 0.0), 6) AS dup_10gram_frac,
+           ROUND(gopf.sym, 6) AS g_symbol_ratio,
+           ROUND(gopf.bul, 6) AS g_bullet_frac,
+           ROUND(gopf.ell, 6) AS g_ellipsis_frac,
+           ROUND(gopf.alp, 6) AS g_alpha_frac,
+           gopf.stop_hits AS g_stop_hits,
+           (gopf.nw > 0 AND gopf.sym <= 0.1 AND gopf.bul <= 0.9
+            AND gopf.ell <= 0.3 AND gopf.alp >= 0.8
+            AND gopf.stop_hits >= 2) AS gopher_keep
     FROM t LEFT JOIN piv ON piv.doc_id = t.doc_id
     LEFT JOIN pivd ON pivd.doc_id = t.doc_id
+    JOIN gopf ON gopf.doc_id = t.doc_id
     ORDER BY t.doc_id
     """,
     doc=(
@@ -218,16 +275,31 @@ def decontamination_flags(spark, sf_dir):
         "count collapses map-side before its doc_id-keyed shuffle — the "
         "text never leaves the scan stage. Tie-break: count-maximal grams "
         "resolve to the largest character mass, so the reported fraction "
-        "is engine-independent."
+        "is engine-independent. Round 7 adds the remaining Gopher "
+        "DOC-level rules (operators/gopher_rules.py): symbol-to-word "
+        "ratio, bullet/ellipsis line fractions, alphabetic-word "
+        "fraction, required-stopword hits and the composite gopher_keep "
+        "— the real operator over a deterministically-augmented "
+        "multi-line page (augmentation comment above), value-checked "
+        "per row."
     ),
 )
 def repetition_profile(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.gopher_rules import (
+        gopher_quality_signals,
+    )
+
     docs = balanced(
         load_tables(spark, sf_dir, "documents")["documents"], spark, "doc_id"
     )
-    return repetition_signals(
-        docs, top_ns=(2, 3, 4), dup_ns=(5, 10), decimals=6
-    ).orderBy("doc_id")
+    gop = gopher_quality_signals(
+        docs.select("doc_id", F.expr(_GOPHER_AUG_SPARK).alias("text"))
+    )
+    return (
+        repetition_signals(docs, top_ns=(2, 3, 4), dup_ns=(5, 10), decimals=6)
+        .join(gop, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(
