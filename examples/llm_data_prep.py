@@ -112,7 +112,10 @@ def main() -> int:
     masked = mask_duplicated_substrings(docs, l=10).select(
         "doc_id", F.col("kept_text").alias("text")
     )
-    docs = docs.drop("text").join(masked, "doc_id")
+    # materialize once: span dedup + substr masking are the two most
+    # expensive corpus rewrites in the pipeline, and every later stage
+    # (and every per-stage count) would otherwise re-execute them
+    docs = docs.drop("text").join(masked, "doc_id").localCheckpoint(eager=True)
 
     quality = registry()["quality_filter_flags"].fn(spark, sf_dir)
     docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
@@ -191,6 +194,34 @@ def main() -> int:
         decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
     )
     n4 = docs.count()
+
+    # 4b. DSIR data selection (operators/dsir.py): importance-resample
+    # the survivors toward the trusted src0-4 target distribution —
+    # hashed-n-gram likelihood ratios + deterministic Gumbel-top-k,
+    # keeping ~80% (the domain-targeting stage of the pipeline).
+    # CHECKPOINT FIRST: at this point `docs` carries the whole span-
+    # dedup + substr-mask + gate lineage, and DSIR consumes its input
+    # four times (two count fits, scoring, the semi-join) — without a
+    # materialization each pass would re-execute that entire pipeline
+    # (measured: minutes -> pathological at suite scale)
+    from kafka_connect_ftp_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        dsir_select,
+    )
+
+    dsir_docs = (
+        docs.select("doc_id", "text", "source").localCheckpoint(eager=True)
+    )
+    dsir_target = dsir_docs.filter(
+        F.col("source").isin(*[f"src{i}" for i in range(5)])
+    )
+    ratio_table = dsir_logratio(dsir_target, dsir_docs).localCheckpoint(eager=False)
+    dsir_kept = dsir_select(
+        dsir_scores(dsir_docs, ratio_table), max(1, int(n4 * 0.8))
+    ).filter("dsir_keep")
+    docs = docs.join(dsir_kept.select("doc_id"), "doc_id", "left_semi")
+    n4b = docs.count()
 
     # 5. PII scrub (map-side regex projection; counts kept for audit)
     docs = scrub(docs, "text")
@@ -341,6 +372,7 @@ def main() -> int:
     print(f"exact-deduped: {n2}")
     print(f"near-deduped:  {n3}")
     print(f"decontam-kept: {n4}")
+    print(f"dsir-selected: {n4b}")
     print(f"pii-flagged:   {n_pii}")
     print(f"domain-capped: {n_capped}")
     print(f"mix demo:      {rates} -> {n_mixed} rows")
