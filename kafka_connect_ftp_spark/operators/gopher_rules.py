@@ -71,7 +71,12 @@ def gopher_quality_signals(
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '^[-*•]'))").alias("_nbul"),
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '(\\\\.\\\\.\\\\.|…)$'))").alias("_nell"),
         F.expr("size(filter(_ws, w -> w rlike '[a-zA-Z]'))").alias("_nalp"),
-        F.expr(f"size(filter(array({stops}), s -> array_contains(_ws, s)))").alias("_nstop"),
+        # case-insensitive: the paper's rule is about PROSE presence —
+        # 'THE BOARD AND THE COMMITTEE' is running prose and must hit
+        F.expr(
+            f"size(filter(array({stops}),"
+            " s -> array_contains(transform(_ws, w -> lower(w)), s)))"
+        ).alias("_nstop"),
     )
 
     def ratio(num: str, den: str):

@@ -45,11 +45,18 @@ def normalize_url(col: Column | str) -> Column:
     prefix = F.regexp_replace(prefix, r"^([a-z0-9+.-]+://)[^/@]*@", "$1")  # 3
     prefix = F.regexp_replace(prefix, r"^(http://[^:]*):80$", "$1")  # 4
     prefix = F.regexp_replace(prefix, r"^(https://[^:]*):443$", "$1")
-    # 5: tracking params — non-first (&p=v), first-with-successor
-    # (?p=v& -> ?), then a lone ?p=v
-    rest = F.regexp_replace(rest, rf"&{_TRACKING}=[^&]*", "")
-    rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&]*&", "?")
-    rest = F.regexp_replace(rest, rf"\?{_TRACKING}=[^&]*$", "")
+    # 5: tracking params — applied to the QUERY alone (a literal
+    # '&utm_x=' inside the PATH is part of the resource name; running
+    # the '&p=v' removal over path+query would delete from there to the
+    # next '&', collapsing distinct URLs): split at the first '?', scrub
+    # the query — non-first (&p=v), first-with-successor (?p=v& -> ?),
+    # then a lone ?p=v — and recombine
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_replace(rest, r"^[^?]*", "")
+    query = F.regexp_replace(query, rf"&{_TRACKING}=[^&]*", "")
+    query = F.regexp_replace(query, rf"\?{_TRACKING}=[^&]*&", "?")
+    query = F.regexp_replace(query, rf"\?{_TRACKING}=[^&]*$", "")
+    rest = F.concat(path, query)
     # 6: empty path (authority followed by nothing or directly by a
     # query) -> '/'; only meaningful when an authority was found
     rest = F.when(
@@ -67,14 +74,22 @@ def dedup_by_url(
 ) -> DataFrame:
     """One representative row per ``normalize_url(url_col)`` — the
     URL-grain dedup pass (C4's granularity). The keeper is the min
-    ``tie_col`` row (deterministic across partitionings; a crawl would
-    pass its fetch timestamp to keep the earliest capture). Adds
-    ``url_norm``; the min-struct aggregate shuffles one (key, tie,
+    ``tie_col`` row (a crawl would pass its fetch timestamp to keep the
+    earliest capture); EQUAL ties — two captures in the same tick —
+    fall through to the full-row lexicographic order, so the decision
+    is deterministic across partitionings even under tie collisions
+    (the replay-safety bar every keeper decision in this repo meets).
+    Adds ``url_norm``; the min-struct aggregate shuffles one (key, tie,
     payload-ref) row per input row and keeps text out of wide state the
     same way span_dedup's decision aggregate does."""
     w_cols = [c for c in df.columns]
     keyed = df.withColumn("url_norm", normalize_url(url_col))
     keeper = keyed.groupBy("url_norm").agg(
-        F.min_by(F.struct(*w_cols), F.col(tie_col)).alias("_row")
+        F.min_by(
+            F.struct(*w_cols),
+            # struct ordering is lexicographic: tie_col first, then the
+            # remaining columns as a total-order tiebreak
+            F.struct(F.col(tie_col), *[F.col(c) for c in w_cols if c != tie_col]),
+        ).alias("_row")
     )
     return keeper.select("url_norm", "_row.*")

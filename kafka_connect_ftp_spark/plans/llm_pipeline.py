@@ -236,7 +236,8 @@ _GOPHER_AUG_DUCK = (
                CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
                  / len(ws) END AS alp,
              CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-                                  s -> list_contains(ws, s))) AS BIGINT) AS stop_hits,
+                                  s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+                  AS BIGINT) AS stop_hits,
              len(ws) AS nw
       FROM gop
     )

@@ -23,13 +23,15 @@ Per micro-batch:
 
 Replay safety, by the same argument as the single gates but now
 composed: every transformation is a deterministic function of (batch,
-state) — MinHash/banding are seeded hashes, the Pareto rule is
-id-hash-seeded, no RNG anywhere — so a crash BETWEEN sink and state
-writes replays to byte-identical curated output (same epoch partition,
-overwritten with the same rows), and a crash AFTER the state write
-replays into total self-collision: nothing admitted, the empty batch
-skips both writes, the original epoch survives. Pinned at the composed
-level by tests/test_curation_stream.py.
+prior-epochs state) — MinHash/banding are seeded hashes, the Pareto
+rule is id-hash-seeded, no RNG anywhere, and the state read EXCLUDES
+the batch's own epoch (``read_band_state(exclude_epoch=...)``) — so a
+replay after a crash at ANY point (before the sink, between sink and
+state, or mid-state-write leaving a torn subset of band keys visible)
+recomputes from exactly the pre-batch state and rewrites both the
+curated epoch and the state epoch byte-identically. Pinned at the
+composed level, including the torn-state case, by
+tests/test_curation_stream.py.
 
 Scale: identical to the parts — per-batch bounded jobs (the gram/band
 shuffles at micro-batch size, map-side scoring), cross-batch state is
@@ -71,10 +73,15 @@ def make_curation_step(
     step again with the same (batch, batch_id))."""
 
     def _step(batch: DataFrame, batch_id: int) -> None:
+        # exclude_epoch: a torn own-epoch state write from a crashed
+        # first attempt must be invisible to the replay, or partially-
+        # covered docs would self-collide and the epoch rewrite would
+        # drop their delivered rows (read_band_state docstring)
         seen = read_band_state(
             spark, state_dir, batch,
             id_col=id_col, text_col=text_col, n_hashes=n_hashes,
             shingle_width=shingle_width, band_size=band_size,
+            exclude_epoch=batch_id,
         )
         nd_admitted, _ = filter_micro_batch(
             batch, seen,
@@ -88,9 +95,9 @@ def make_curation_step(
         # the whole filter plan per consumer
         nd_admitted = nd_admitted.localCheckpoint(eager=True)
         if nd_admitted.isEmpty():
-            # total self-collision (replay after the state write) or an
-            # all-duplicate batch: skip both writes — the original
-            # epoch partition and state must survive untouched
+            # an all-duplicate batch (with the own epoch excluded, a
+            # replay can never self-collide): nothing to deliver or to
+            # remember — skip both writes
             return
         curated = gate_micro_batch(
             nd_admitted, model,
@@ -106,8 +113,10 @@ def make_curation_step(
             nd_admitted, id_col, text_col,
             n_hashes=n_hashes, shingle_width=shingle_width,
         )
-        band_signatures(sig, band_size=band_size).write.mode("append").parquet(
-            state_dir
+        # per-epoch overwrite (the neardup_stream rationale): a torn
+        # first attempt is excluded on replay and rewritten whole
+        band_signatures(sig, band_size=band_size).write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={batch_id}"
         )
 
     return _step

@@ -24,9 +24,11 @@ shuffles, and strictly smaller than storing signatures (a band key is
 one long). At 100 TB the state table should be written bucketed on
 (band, bsig) so the per-batch anti-join prunes (the
 ``PollPipeline(bucket_state=N)`` pattern in ingest/pipeline.py);
-a plain parquet append is used here and re-read per batch —
-stream-static join, re-planned every micro-batch, which is exactly
-Spark's documented pattern for slowly-growing side state.
+the state here is epoch-partitioned parquet (one overwrite-able dir
+per micro-batch — crash-torn writes are replay-invisible, see
+``read_band_state``) re-read per batch — stream-static join, re-planned
+every micro-batch, which is exactly Spark's documented pattern for
+slowly-growing side state.
 
 Delivery: at-least-once, like every foreachBatch sink here — a crash
 between the sink append and the state append re-admits that batch's
@@ -110,16 +112,30 @@ def read_band_state(
     n_hashes: int = 16,
     shingle_width: int = 8,
     band_size: int = 4,
+    exclude_epoch: int | None = None,
 ) -> DataFrame | None:
     """Read the cross-batch band-key state, or None for the genuine
-    first batch. The schema is exactly what the steps append — derived
-    from an empty slice of ``batch`` (no action runs). Reading WITH a
-    schema matters for crash recovery: a state dir that exists but holds
-    no committed file (crash during the very first append left only
-    _temporary) would otherwise raise UNABLE_TO_INFER_SCHEMA on every
-    replay — permanently wedging the stream — where an explicit schema
-    reads it as empty. Shared by the single-gate step below and the
-    composed curation step (streaming/curation_stream.py)."""
+    first batch. The schema is exactly what the steps write — derived
+    from an empty slice of ``batch`` (no action runs) plus the
+    ``epoch`` partition column. Reading WITH a schema matters for crash
+    recovery: a state dir that exists but holds no committed file
+    (crash during the very first write left only _temporary) would
+    otherwise raise UNABLE_TO_INFER_SCHEMA on every replay —
+    permanently wedging the stream — where an explicit schema reads it
+    as empty.
+
+    ``exclude_epoch`` drops the CALLING batch's own ``epoch=N`` rows:
+    state is written per-epoch (overwrite), and a crash DURING that
+    write can leave a torn subset of the batch's band keys visible —
+    if a replay read them, partially-covered documents would
+    self-collide, and the idempotent sink's rewrite would drop their
+    already-delivered rows. Excluding the own epoch makes the replay a
+    from-scratch recomputation against exactly the pre-batch state:
+    deterministic operators then rewrite sink AND state byte-identically
+    regardless of how torn the first attempt was. (Rows from a legacy
+    flat-layout state dir carry a NULL epoch and are always kept.)
+    Shared by the single-gate step below and the composed curation step
+    (streaming/curation_stream.py)."""
     from pyspark.errors import AnalysisException
 
     state_schema = band_signatures(
@@ -128,9 +144,9 @@ def read_band_state(
             n_hashes=n_hashes, shingle_width=shingle_width,
         ),
         band_size=band_size,
-    ).schema
+    ).schema.add("epoch", "integer")
     try:
-        return spark.read.schema(state_schema).parquet(state_dir)
+        seen = spark.read.schema(state_schema).parquet(state_dir)
     except AnalysisException as exc:
         # ONLY the genuine first-batch case (state dir not written yet)
         # may proceed stateless; any other read failure — corrupt
@@ -140,6 +156,11 @@ def read_band_state(
         if "PATH_NOT_FOUND" not in str(exc):
             raise
         return None
+    if exclude_epoch is not None:
+        seen = seen.filter(
+            F.col("epoch").isNull() | (F.col("epoch") != exclude_epoch)
+        )
+    return seen.drop("epoch")
 
 
 def make_near_dup_step(
@@ -158,18 +179,19 @@ def make_near_dup_step(
     replayed batch directly). ``idempotent=True`` writes each batch to
     its own ``epoch=N`` partition with overwrite — the
     ``idempotent_parquet_sink`` pattern — which upgrades the sink to
-    effectively-once: a replay after a crash BETWEEN sink and state
-    writes rewrites the identical partition; a replay AFTER the state
-    write collides with its own band keys, admits nothing, and the
-    empty-skip leaves the original partition intact. State appends are
-    idempotent by semantics either way (duplicate band keys cannot
-    change a left_semi collision check)."""
+    effectively-once: the state read EXCLUDES the batch's own epoch
+    (``read_band_state``), so a replay after a crash at ANY point —
+    before the sink, between sink and state, or mid-state-write with a
+    torn subset of band keys visible — recomputes against exactly the
+    pre-batch state and rewrites both the sink epoch and the state
+    epoch byte-identically."""
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         seen = read_band_state(
             spark, state_dir, batch,
             id_col=id_col, text_col=text_col, n_hashes=n_hashes,
             shingle_width=shingle_width, band_size=band_size,
+            exclude_epoch=batch_id,
         )
         admitted, _ = filter_micro_batch(
             batch,
@@ -195,8 +217,16 @@ def make_near_dup_step(
         sig = minhash_signatures(
             admitted, id_col, text_col, n_hashes=n_hashes, shingle_width=shingle_width
         )
-        band_signatures(sig, band_size=band_size).write.mode("append").parquet(
-            state_dir
+        # per-epoch overwrite, not a flat append: a replay rewrites its
+        # OWN epoch dir idempotently, and read_band_state's
+        # exclude_epoch makes a torn first attempt invisible to the
+        # replay (docstring above). The price: a crash after BOTH
+        # writes but before the checkpoint commit re-admits the batch
+        # on replay with identical output — at-least-once, exactly the
+        # delivery contract already documented — instead of silently
+        # LOSING rows to self-collision against a torn state subset.
+        band_signatures(sig, band_size=band_size).write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={batch_id}"
         )
 
     return _step

@@ -144,3 +144,39 @@ def test_composed_equals_batch_on_id_ordered_arrival(spark, model, tmp_path):
     nd, _ = filter_micro_batch(full, None)
     batch_ids = {r.doc_id for r in gate_micro_batch(nd, model).select("doc_id").collect()}
     assert stream_ids == batch_ids
+
+
+def test_torn_state_write_cannot_lose_delivered_rows(spark, model, tmp_path):
+    # round-7 review finding: a crash DURING the band-state write can
+    # leave a torn subset of the batch's band keys visible. If the
+    # replay read them, partially-covered docs would self-collide and
+    # the idempotent epoch rewrite would DROP their delivered rows.
+    # With the own-epoch exclusion the replay recomputes from the
+    # pre-batch state and rewrites sink + state whole.
+    import os
+
+    out = str(tmp_path / "out_t")
+    state = str(tmp_path / "state_t")
+    step = make_curation_step(spark, model, out, state, alpha=9.0)
+    b1 = spark.createDataFrame(_B1, _SCHEMA)
+    step(b1, 0)
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+    full_state = {
+        (r.doc_id, r.band, r.bsig) for r in spark.read.parquet(state).collect()
+    }
+    # tear the epoch-0 state: rewrite the dir with a strict SUBSET of
+    # the batch's band keys (doc 1's first band only) — exactly what a
+    # crash mid-commit leaves visible
+    subset = [r for r in sorted(full_state) if r[0] == 1][:1]
+    assert subset and len(subset) < len(full_state)
+    spark.createDataFrame(
+        subset, "doc_id long, band int, bsig long"
+    ).write.mode("overwrite").parquet(os.path.join(state, "epoch=0"))
+    torn = {(r.doc_id, r.band, r.bsig) for r in spark.read.parquet(state).collect()}
+    assert torn == set(subset) != full_state
+    # replay: delivered rows intact, state rebuilt whole
+    step(b1, 0)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == first
+    after = {(r.doc_id, r.band, r.bsig) for r in spark.read.parquet(state).collect()}
+    assert after == full_state

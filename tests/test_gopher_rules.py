@@ -58,3 +58,9 @@ def test_plan_is_jvm_side_no_shuffle(spark):
         gopher_quality_signals(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_stopword_rule_is_case_insensitive(spark):
+    # round-7 review finding: all-caps prose is still running prose
+    rows = _rows(spark, ["THE BOARD AND THE COMMITTEE HAVE TO BE THERE WITH US TODAY NOW"])
+    assert rows[0].g_stop_hits >= 2 and rows[0].gopher_keep

@@ -73,3 +73,26 @@ def test_plan_is_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_tracking_literal_in_path_is_preserved(spark):
+    # round-7 review finding: the '&p=v' removal must scope to the
+    # QUERY — a literal '&gclid=' inside the PATH is part of the
+    # resource name and must survive, as must the real query after it
+    df = spark.createDataFrame(
+        [(1, "http://h/a&gclid=1/page?id=2&utm_source=x")], "i long, url string"
+    )
+    got = df.select(normalize_url("url").alias("n")).first().n
+    assert got == "http://h/a&gclid=1/page?id=2"
+
+
+def test_dedup_tie_collision_is_deterministic(spark):
+    # equal tie values (same fetch tick) fall through to full-row order
+    rows = [(7, "http://a.com/x", t) for t in ("zeta", "alpha", "midd")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    outs = set()
+    for n in (1, 3, 8):
+        r = dedup_by_url(df.repartition(n)).collect()
+        assert len(r) == 1
+        outs.add(r[0].text)
+    assert outs == {"alpha"}  # lexicographic min on the tiebreak columns
