@@ -125,3 +125,58 @@ def test_repetition_hot_document_smoke(spark):
     # chars = 199999 -> 150000/199999
     assert abs(r["top_2gram_frac"] - 150000 / 199999) < 1e-5
     assert got[1]["dup_5gram_frac"] == 0.0
+
+
+def test_dsir_hot_bucket_smoke(spark):
+    """100k documents whose grams all collapse into a handful of hot
+    buckets (tiny B, shared vocabulary): the count aggregations must
+    stay bounded by B — hot buckets combine map-side — and scoring is
+    a broadcast join, so the pipeline survives pathological collision
+    rates (collisions are part of the DSIR method, not an error)."""
+    from kafka_connect_ftp_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        dsir_select,
+    )
+
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta token"),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    table = dsir_logratio(target, docs, n_buckets=16).localCheckpoint(eager=False)
+    assert table.count() == 16
+    out = dsir_select(dsir_scores(docs, table, n_buckets=16), 1000)
+    kept = out.filter("dsir_keep").count()
+    assert kept == 1000
+    assert out.count() == n
+
+
+def test_url_dedup_hot_url_smoke(spark):
+    """60k captures of ONE canonical URL (tracking params vary): the
+    min_by keeper aggregation combines map-side, so a hot URL cannot
+    funnel 60k rows into one reducer's buffer the way a row_number
+    window would. Exactly one representative survives."""
+    from kafka_connect_ftp_spark.operators.url_norm import dedup_by_url
+
+    n = 60_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("http://hot.example/page?utm_source=s"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    ).unionByName(
+        spark.range(100).select(
+            (F.col("id") + n).alias("doc_id"),
+            F.concat(F.lit("http://cold.example/p"), F.col("id").cast("string")).alias("url"),
+        )
+    )
+    out = dedup_by_url(df)
+    assert out.count() == 101  # 1 hot representative + 100 cold
+    hot = out.filter("url_norm = 'http://hot.example/page'").collect()
+    assert len(hot) == 1 and hot[0].doc_id == 0
