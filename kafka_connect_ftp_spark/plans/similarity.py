@@ -113,13 +113,36 @@ _SD_DIM = 64
       SELECT s.vec_id, s.v, s.label, g.sd_group, s.cs,
              ROW_NUMBER() OVER (PARTITION BY g.sd_group ORDER BY s.cs, s.vec_id) AS rn
       FROM sims s JOIN grp g USING (vec_id)
+    ),
+    sqd AS (
+      -- SQ8 bounds (operators/sq.py): per-dim [min, max] over the corpus
+      SELECT i, MIN(v[CAST(i AS INTEGER)]) AS vmin,
+             MAX(v[CAST(i AS INTEGER)]) - MIN(v[CAST(i AS INTEGER)]) AS vdiff
+      FROM e CROSS JOIN generate_series(1, {_SD_DIM}) AS t(i) GROUP BY i
+    ),
+    sqrow AS (
+      SELECT e.vec_id, t.i, d.vmin, d.vdiff, e.v[CAST(t.i AS INTEGER)] AS x,
+             CASE WHEN d.vdiff = 0 THEN 0
+                  ELSE CAST(round(least(greatest(
+                         (e.v[CAST(t.i AS INTEGER)] - d.vmin) / d.vdiff, 0), 1) * 255)
+                       AS INTEGER)
+             END AS code
+      FROM e CROSS JOIN generate_series(1, {_SD_DIM}) AS t(i)
+      JOIN sqd d ON d.i = t.i
+    ),
+    sqv AS (
+      SELECT vec_id,
+             md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)) AS sq_fp,
+             ROUND(AVG(pow(x - (vmin + code / 255.0 * vdiff), 2)), 6) AS sq_mse
+      FROM sqrow GROUP BY vec_id
     )
     SELECT vec_id,
            ROUND(SQRT(list_dot_product(v, v)), 4) AS l2_norm,
            CAST({_SD_DIM} AS BIGINT) AS dim, label,
            CAST({_LSH_BITS_DUCK.replace("embedding::DOUBLE[]", "v")} AS BIGINT) AS lsh_bucket,
-           sd_group, ROUND(cs, 4) AS sd_centroid_sim, rn = 1 AS sd_keep
-    FROM dec ORDER BY vec_id
+           sd_group, ROUND(cs, 4) AS sd_centroid_sim, rn = 1 AS sd_keep,
+           sqv.sq_fp, sqv.sq_mse
+    FROM dec JOIN sqv USING (vec_id) ORDER BY vec_id
     """,
     doc=(
         "Per-vector profile family on one embeddings scan: L2 norm + dim "
@@ -135,20 +158,48 @@ _SD_DIM = 64
         "KMeans): duplicate-group id, centroid cosine, and the "
         "keep-least-prototypical flag, re-derived by the oracle with a "
         "recursive reachability CTE (the dedup_cluster_decision pattern) "
-        "plus a per-label mean + row_number keeper rule."
+        "plus a per-label mean + row_number keeper rule. Round 7 folds "
+        "in SQ8 scalar quantization (operators/sq.py, the faiss "
+        "QT_8bit analog): sq_fp = md5 of the full 64-code vector (every "
+        "byte of the real train/encode chain value-checked) and sq_mse "
+        "= reconstruction error of the decode — per-dim bounds are a "
+        "dimension-keyed aggregation, codes a pure zip_with projection."
     ),
 )
 def embedding_norms(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.neardup import semdedup_flags
+    from kafka_connect_ftp_spark.operators.sq import (
+        sq_decode_col,
+        sq_encode_col,
+        train_sq,
+    )
 
     df = _emb(spark, sf_dir)
     bits = _lsh_bits(_PLANES)
+    # SQ8 columns (round 7): the real train/encode/decode chain — code
+    # fingerprint pins every byte, reconstruction MSE pins the decode
+    vmin, vdiff = train_sq(df)
+    codes = sq_encode_col("v", vmin, vdiff)
+    dec = sq_decode_col(codes, vmin, vdiff)
+    sq_mse = (
+        F.aggregate(
+            F.zip_with(F.col("v"), dec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(len(vmin)))
+    )
     base = df.select(
         "vec_id",
         F.round(F.sqrt(F.expr(_DOT.format(a="v", b="v"))), 4).alias("l2_norm"),
         F.size("embedding").cast("long").alias("dim"),
         F.col("label").cast("long").alias("label"),
         bits.cast("long").alias("lsh_bucket"),
+        F.md5(
+            F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))
+            .cast("binary")
+        ).alias("sq_fp"),
+        F.round(sq_mse, 6).alias("sq_mse"),
     )
     sd = semdedup_flags(df, eps=_SD_EPS, block_col="label").select(
         "vec_id",
@@ -156,7 +207,10 @@ def embedding_norms(spark, sf_dir):
         F.round("centroid_sim", 4).alias("sd_centroid_sim"),
         F.col("keep").alias("sd_keep"),
     )
-    return base.join(sd, "vec_id").orderBy("vec_id")
+    return base.join(sd, "vec_id").select(
+        "vec_id", "l2_norm", "dim", "label", "lsh_bucket",
+        "sd_group", "sd_centroid_sim", "sd_keep", "sq_fp", "sq_mse",
+    ).orderBy("vec_id")
 
 
 _Q = "(SELECT embedding::DOUBLE[] FROM embeddings ORDER BY vec_id LIMIT 1)"
