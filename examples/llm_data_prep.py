@@ -217,8 +217,14 @@ def main() -> int:
         F.col("source").isin(*[f"src{i}" for i in range(5)])
     )
     ratio_table = dsir_logratio(dsir_target, dsir_docs).localCheckpoint(eager=False)
+    # mode="threshold": selecting a FRACTION of the corpus is the regime
+    # where the top-k path's TakeOrdered(n) + n-id broadcast would be a
+    # driver OOM at scale; the threshold path keeps map-side on the
+    # distributedly-located n-th Gumbel key (same selected set)
     dsir_kept = dsir_select(
-        dsir_scores(dsir_docs, ratio_table), max(1, int(n4 * 0.8))
+        dsir_scores(dsir_docs, ratio_table),
+        max(1, int(n4 * 0.8)),
+        mode="threshold",
     ).filter("dsir_keep")
     docs = docs.join(dsir_kept.select("doc_id"), "doc_id", "left_semi")
     n4b = docs.count()

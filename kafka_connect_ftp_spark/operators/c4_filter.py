@@ -12,8 +12,8 @@ Line rules (a line is dropped unless it):
 
 Page rules (the whole document is rejected when):
 - the RETAINED text has fewer than ``min_sentences`` sentences
-  (terminal-punctuation count as the sentence proxy, as in C4's
-  "at least 3 sentences" rule);
+  (terminal-punctuation count as the sentence proxy; the paper
+  discards pages with fewer than 5 sentences — the default here);
 - the RAW text contains "lorem ipsum" (placeholder pages) or a curly
   brace (code, not prose).
 
@@ -33,10 +33,23 @@ from pyspark.sql import functions as F
 
 # a line survives iff: terminal punctuation, >= N words, no 'javascript'
 _LINE_OK = (
-    "ln -> ln rlike '[.!?\"]$'"
+    "ln -> ln rlike '{line_end}'"
     " AND size(filter(split(ln, ' '), w -> w <> '')) >= {min_words}"
     " AND NOT lower(ln) rlike 'javascript'"
 )
+
+# the paper's terminal-punctuation class (western scripts) and analogs
+# for scripts with their own sentence-final marks — pick per language
+# after a lang-ID gate (operators/lang_id.py); the default silently
+# drops every line of e.g. CJK prose
+C4_LINE_END_RX = "[.!?\"]$"
+C4_LINE_END_BY_LANG: dict[str, str] = {
+    "default": C4_LINE_END_RX,
+    "zh": "[。！？.!?\"]$",
+    "ja": "[。！？.!?\"]$",
+    "hi": "[।.!?\"]$",
+    "el": "[.;!?\"]$",  # Greek question mark is ';'
+}
 
 
 def c4_flags(
@@ -45,19 +58,24 @@ def c4_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_words_per_line: int = 3,
-    min_sentences: int = 3,
+    min_sentences: int = 5,
+    line_end_rx: str = C4_LINE_END_RX,
 ) -> DataFrame:
     """Per-document C4 cleaning columns: ``c4_n_lines`` /
     ``c4_kept_lines`` (line counts before/after the line rules),
     ``c4_text`` (the retained lines rejoined), ``c4_sentences``
     (terminal-punctuation count of the retained text), ``c4_keep``
     (the page decision). NULL text profiles as an empty page
-    (0 lines, keep = false)."""
+    (0 lines, keep = false). ``line_end_rx`` parameterizes the
+    terminal-punctuation class by script (``C4_LINE_END_BY_LANG``) —
+    apply per-language after a lang-ID gate."""
     if min_words_per_line < 1:
         raise ValueError(f"min_words_per_line must be >= 1, got {min_words_per_line}")
     if min_sentences < 0:
         raise ValueError(f"min_sentences must be >= 0, got {min_sentences}")
-    lam = _LINE_OK.format(min_words=int(min_words_per_line))
+    if "'" in line_end_rx:
+        raise ValueError("line_end_rx must not contain a single quote")
+    lam = _LINE_OK.format(min_words=int(min_words_per_line), line_end=line_end_rx)
     t = f"coalesce({text_col}, '')"
     lines = f"split({t}, '\\n')"
     kept = f"filter({lines}, {lam})"
@@ -90,7 +108,8 @@ def c4_clean(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_words_per_line: int = 3,
-    min_sentences: int = 3,
+    min_sentences: int = 5,
+    line_end_rx: str = C4_LINE_END_RX,
 ) -> DataFrame:
     """The filtering form: pages passing the C4 page rules, with
     ``text_col`` replaced by the retained lines — what a pipeline
@@ -101,6 +120,7 @@ def c4_clean(
         text_col=text_col,
         min_words_per_line=min_words_per_line,
         min_sentences=min_sentences,
+        line_end_rx=line_end_rx,
     )
     return (
         docs.drop(text_col)

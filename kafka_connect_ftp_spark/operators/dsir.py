@@ -32,10 +32,14 @@ hash; only the oracle needs md5.
 Scale design (100 TB): the two count aggregations shuffle (bucket,
 count) rows bounded by B — never corpus-proportional; the ratio table
 (B rows) broadcasts to the scoring pass, which is one explode +
-map-side hash + per-doc sum; Gumbel-top-k compiles to
+map-side hash + per-doc sum; selection has TWO regimes, auto-routed on
+n (``dsir_select`` docstring): small n compiles to
 TakeOrderedAndProject (bounded k per partition, then k at the driver's
-reducer — no global sort, no single-partition window). Raw text never
-shuffles.
+reducer), while the fraction regime — DSIR's canonical use, n in the
+billions — locates the n-th largest Gumbel key distributedly
+(percentile_approx + an exact bounded boundary correction) and keeps
+map-side on ``_gk > T``, so nothing corpus-proportional ever funnels
+to the driver or broadcasts. Raw text never shuffles.
 """
 
 from __future__ import annotations
@@ -171,23 +175,107 @@ def dsir_select(
     id_col: str = "doc_id",
     weight_col: str = "dsir_logw",
     salt: str = "v1",
+    mode: str = "auto",
+    topk_max: int = 100_000,
+    accuracy: int = 50_000,
 ) -> DataFrame:
     """Gumbel-top-``n`` resampling without replacement ∝ exp(weight):
     adds ``dsir_keep`` to ``scored``. The Gumbel noise is derived from
     the deterministic per-doc hash uniform (no RNG — reproducible,
-    replay-safe, partition-layout-independent); the top-n compiles to
-    TakeOrderedAndProject, never a global sort."""
+    replay-safe, partition-layout-independent). The selected set is
+    identical across modes: the global top ``n`` rows by
+    ``(_gk desc, id asc)``.
+
+    Two physical regimes, routed by ``mode``:
+
+    - ``"topk"`` (auto for ``n <= topk_max``): ``orderBy().limit(n)``
+      compiles to TakeOrderedAndProject and the n selected ids
+      broadcast — right when n is genuinely small (a top-k style
+      selection).
+    - ``"threshold"`` (auto above ``topk_max``): DSIR's canonical use
+      selects a FRACTION of the corpus — n in the billions at 100 TB —
+      where funneling n rows through the driver and broadcasting n ids
+      is a driver OOM by design. Instead the n-th largest Gumbel key is
+      located distributedly: ``percentile_approx`` (one agg, rank error
+      <= total/``accuracy``) gives a candidate threshold, an exact
+      count above it measures the miss, and a BOUNDED boundary pass
+      (TakeOrdered of at most ~total/accuracy rows, broadcast of those
+      ids only) corrects it exactly. The bulk keep decision is then a
+      map-side ``_gk > T`` filter — nothing corpus-proportional ever
+      reaches the driver. Ties across the boundary resolve on
+      ``(key, id)`` exactly as the top-k path does (test-pinned equal).
+    """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if mode not in ("auto", "topk", "threshold"):
+        raise ValueError(f"mode must be auto|topk|threshold, got {mode!r}")
     gumbel = -F.log(-F.log(uniform_hash(F.col(id_col), salt)))
     keyed = scored.withColumn("_gk", F.col(weight_col) + gumbel)
-    top = (
-        keyed.orderBy(F.desc("_gk"), F.asc(id_col))
-        .limit(n)
-        .select(F.col(id_col), F.lit(True).alias("dsir_keep"))
+    if mode == "topk" or (mode == "auto" and n <= topk_max):
+        top = (
+            keyed.orderBy(F.desc("_gk"), F.asc(id_col))
+            .limit(n)
+            .select(F.col(id_col), F.lit(True).alias("dsir_keep"))
+        )
+        return (
+            keyed.drop("_gk")
+            .join(F.broadcast(top), id_col, "left")
+            .withColumn("dsir_keep", F.coalesce("dsir_keep", F.lit(False)))
+        )
+    return _select_threshold(
+        keyed, n, id_col=id_col, accuracy=accuracy
     )
-    return (
-        keyed.drop("_gk")
-        .join(F.broadcast(top), id_col, "left")
-        .withColumn("dsir_keep", F.coalesce("dsir_keep", F.lit(False)))
-    )
+
+
+def _select_threshold(
+    keyed: DataFrame, n: int, *, id_col: str, accuracy: int
+) -> DataFrame:
+    """The fraction-regime select (docstring above): exact same set as
+    the top-k path, no corpus-proportional driver materialization. The
+    boundary correction is bounded by percentile_approx's rank-error
+    guarantee (<= total/accuracy rows; 2kB/id at n=5e10, accuracy=5e4
+    is a ~1e6-row worst-case TakeOrdered — still bounded, and the
+    ``accuracy`` knob trades agg memory for a tighter band)."""
+    if accuracy < 100:
+        raise ValueError(f"accuracy must be >= 100, got {accuracy}")
+    total = keyed.count()
+    if n >= total:
+        return keyed.drop("_gk").withColumn("dsir_keep", F.lit(True))
+    p = (total - n) / total
+    t0 = keyed.agg(
+        F.percentile_approx("_gk", F.lit(p), F.lit(accuracy)).alias("t")
+    ).first()["t"]
+    c_hi = keyed.filter(F.col("_gk") > t0).count()
+    d = n - c_hi
+    base_keep = F.col("_gk") > F.lit(t0)
+    if d == 0:
+        out = keyed.withColumn("dsir_keep", base_keep)
+    elif d > 0:
+        # threshold landed too high: admit the best d rows at/below it,
+        # in exactly the global (desc key, asc id) order
+        extra = (
+            keyed.filter(~base_keep)
+            .orderBy(F.desc("_gk"), F.asc(id_col))
+            .limit(d)
+            .select(F.col(id_col), F.lit(True).alias("_extra"))
+        )
+        out = (
+            keyed.join(F.broadcast(extra), id_col, "left")
+            .withColumn("dsir_keep", base_keep | F.coalesce("_extra", F.lit(False)))
+            .drop("_extra")
+        )
+    else:
+        # threshold landed too low: evict the worst -d rows above it —
+        # the tail of the global order is the head of the reversed one
+        drop = (
+            keyed.filter(base_keep)
+            .orderBy(F.asc("_gk"), F.desc(id_col))
+            .limit(-d)
+            .select(F.col(id_col), F.lit(True).alias("_drop"))
+        )
+        out = (
+            keyed.join(F.broadcast(drop), id_col, "left")
+            .withColumn("dsir_keep", base_keep & ~F.coalesce("_drop", F.lit(False)))
+            .drop("_drop")
+        )
+    return out.drop("_gk")

@@ -28,8 +28,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# the Gopher "must contain at least 2 of" stopword list
+# the Gopher "must contain at least 2 of" stopword list (the paper's
+# English 8); per-language analogs below so the rule can be routed by a
+# lang-ID gate (operators/lang_id.py) instead of silently rejecting
+# well-formed non-English prose
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": GOPHER_STOPWORDS,
+    "de": ("der", "die", "das", "und", "zu", "von", "mit", "haben"),
+    "es": ("el", "la", "de", "que", "y", "con", "ser", "haber"),
+    "fr": ("le", "la", "de", "que", "et", "avec", "être", "avoir"),
+}
 
 _THRESH = {
     "symbol_ratio_max": 0.1,
@@ -46,18 +55,25 @@ def gopher_quality_signals(
     id_col: str = "doc_id",
     text_col: str = "text",
     decimals: int = 6,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
 ) -> DataFrame:
     """Per-document Gopher rule signals + the composite ``gopher_keep``
     decision (module doc). Ratio columns are rounded to ``decimals``
     (the repetition_signals convention; the keep decision uses the
-    unrounded values)."""
+    unrounded values). ``stopwords`` parameterizes the prose-presence
+    rule by language (``GOPHER_STOPWORDS_BY_LANG``) — route documents
+    through a lang-ID gate first (operators/lang_id.py) and apply the
+    matching list per slice, or the English default silently fails
+    well-formed non-English prose."""
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
     # two-stage projection: the word/line ARRAYS and the raw counts
     # materialize once per row in the inner select — inlining the split
     # at every consumer would re-split the text ~6x per row (the
     # governance roll-hash `_ch` lesson; profiled 1.7s -> 1.2s at sf0.1
     # inside repetition_profile)
     t = f"coalesce({text_col}, '')"
-    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stops = ", ".join("'{}'".format(w.replace("'", "''")) for w in stopwords)
     staged = docs.select(
         F.col(id_col),
         F.expr(f"filter(split(replace({t}, '\\n', ' '), ' '), w -> w <> '')").alias("_ws"),

@@ -133,7 +133,11 @@ def corpus_diff(
         .when(F.col("_new_h").isNull(), F.lit("removed"))
         .when(
             (F.col("_old_h") != F.col("_new_h"))
-            | (F.col("_old_s") != F.col("_new_s"))
+            # null-safe: try_sum yields NULL on decimal(38,0) overflow, and
+            # a plain != would make the whole predicate NULL-degrade to the
+            # xor+count checks alone — an overflowed side must read as
+            # "changed", not silently weaken the paired-duplicate guarantee
+            | ~F.col("_old_s").eqNullSafe(F.col("_new_s"))
             | (F.col("_old_n") != F.col("_new_n")),
             F.lit("changed"),
         )

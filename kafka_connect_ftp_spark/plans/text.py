@@ -99,6 +99,84 @@ _C4_AUG_DUCK = (
     " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{{ }}' ELSE '' END"
     " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor' ELSE '' END"
 ).format(w=_C4_W1_DUCK)
+# Trained Cavnar–Trenkle lang-ID (operators/lang_id.py) oracle twins:
+# the ENTIRE train+classify chain re-derived in SQL — seed literals,
+# normalization, trigram explode, rank profiles, out-of-place distance,
+# argmin. Integer arithmetic end to end, so the hash gate is exact.
+_CT_TOPN = 64
+
+
+def _ct_norm_duck(col: str) -> str:
+    from kafka_connect_ftp_spark.operators.lang_id import NORM_KEEP
+
+    t = (
+        f"trim(regexp_replace(regexp_replace(lower(coalesce({col}, '')),"
+        f" '[^{NORM_KEEP} ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    return f"CASE WHEN {t} = '' THEN '' ELSE ' ' || {t} || ' ' END"
+
+
+def _ct_grams_duck(p: str) -> str:
+    # range(1, len-1) = positions of the len-2 trigrams; empty below 3
+    return (
+        f"list_transform(range(1, greatest(length({p}) - 1, 1)),"
+        f" i -> substr({p}, CAST(i AS INT), 3))"
+    )
+
+
+def _ct_seed_values() -> str:
+    from kafka_connect_ftp_spark.operators.lang_id import SEED_TEXTS
+
+    return ", ".join(
+        "('{}', '{}')".format(lang, txt.replace("'", "''"))
+        for lang, txt in sorted(SEED_TEXTS.items())
+    )
+
+
+_CT_CTES = f"""
+    ct_seed(lang, stext) AS (VALUES {_ct_seed_values()}),
+    ct_sg AS (
+      SELECT lang, unnest({_ct_grams_duck('p')}) AS gram
+      FROM (SELECT lang, {_ct_norm_duck('stext')} AS p FROM ct_seed)
+    ),
+    ct_prof AS (
+      SELECT lang, gram, rnk FROM (
+        SELECT lang, gram,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rnk
+        FROM (SELECT lang, gram, count(*) AS cnt FROM ct_sg GROUP BY lang, gram)
+      ) WHERE rnk <= {_CT_TOPN}
+    ),
+    ct_dg AS (
+      SELECT doc_id, unnest({_ct_grams_duck('p')}) AS gram
+      FROM (SELECT doc_id, {_ct_norm_duck('text')} AS p FROM documents)
+    ),
+    ct_dprof AS (
+      SELECT doc_id, gram, drnk FROM (
+        SELECT doc_id, gram,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS drnk
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM ct_dg GROUP BY doc_id, gram)
+      ) WHERE drnk <= {_CT_TOPN}
+    ),
+    ct_m AS (SELECT doc_id, count(*) AS m FROM ct_dprof GROUP BY doc_id),
+    ct_match AS (
+      SELECT d.doc_id, p.lang, SUM(ABS(d.drnk - p.rnk)) AS msum, COUNT(*) AS mn
+      FROM ct_dprof d JOIN ct_prof p USING (gram) GROUP BY d.doc_id, p.lang
+    ),
+    ct_dist AS (
+      SELECT ct_m.doc_id, l.lang,
+             COALESCE(mm.msum, 0) + (ct_m.m - COALESCE(mm.mn, 0)) * {_CT_TOPN} AS dist
+      FROM ct_m CROSS JOIN (SELECT DISTINCT lang FROM ct_prof) l
+      LEFT JOIN ct_match mm ON mm.doc_id = ct_m.doc_id AND mm.lang = l.lang
+    ),
+    ct_best AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        FROM ct_dist
+      ) WHERE rn = 1
+    )"""
+
+
 # the oracle twin of the operator's line lambda
 _C4_KEPT_DUCK = (
     "list_filter(string_split(aug, chr(10)), ln ->"
@@ -127,7 +205,8 @@ _C4_KEPT_DUCK = (
               AND NOT contains(aug, '{{')) AS c4_keep,
              md5(ktext) AS c4_fp
       FROM c4
-    )
+    ),
+    {_CT_CTES}
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
            CAST(LEN({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
@@ -143,6 +222,7 @@ _C4_KEPT_DUCK = (
            CAST({_hits_expr_duck(_STOPWORDS['es'])} AS BIGINT) AS es_hits,
            CAST({_hits_expr_duck(_STOPWORDS['fr'])} AS BIGINT) AS fr_hits,
            {_LANG_CASE_DUCK} AS pred_lang,
+           COALESCE(ct_best.lang, 'und') AS ct_lang,
            CAST(LEN(regexp_extract_all(text, '{_TOKEN_RX}')) AS BIGINT) AS n_bpe_tokens,
            CAST(LEN(list_distinct(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
              AS n_distinct_bpe_tokens,
@@ -150,19 +230,26 @@ _C4_KEPT_DUCK = (
                                    ' +', ' ', 'g'))) AS norm_fp,
            c4f.c4_n_lines, c4f.c4_kept_lines, c4f.c4_sentences,
            c4f.c4_keep, c4f.c4_fp
-    FROM documents JOIN c4f USING (doc_id) ORDER BY doc_id
+    FROM documents JOIN c4f USING (doc_id)
+    LEFT JOIN ct_best USING (doc_id) ORDER BY doc_id
     """,
     doc=(
         "Per-document text profile: token counts + quality score "
         "(length/diversity heuristics), stopword-list language-ID "
-        "(deterministic tie-break en>de>es>fr), BPE-ish regex token counts "
+        "(deterministic tie-break en>de>es>fr) PLUS the round-8 TRAINED "
+        "Cavnar–Trenkle char-trigram classifier (operators/lang_id.py: "
+        "rank profiles fitted on a literal seed corpus, out-of-place "
+        "distance, integer-exact in both engines — ct_lang), "
+        "BPE-ish regex token counts "
         "(letter runs / digit runs / single punctuation — the GPT-style "
         "pre-tokenizer split), and the md5 of the normalized text "
         "(lowercase, strip non-alnum, collapse spaces) for canonical-form "
         "matching, plus the C4 cleaning rules (operators/c4_filter.py, "
         "Raffel et al. 2020) absorbed in round 7: line rules (terminal "
         "punctuation, >= 3 words, no javascript marker) and page rules "
-        "(>= 3 retained sentences, no lorem-ipsum, no curly brace) run "
+        "(>= 3 retained sentences — explicit knob, the operator default "
+        "is the paper's 5 which the <=3-sentence augmented pages would "
+        "make vacuous; no lorem-ipsum, no curly brace) run "
         "by the REAL operator over a deterministically-augmented "
         "multi-line page (the governance-PII pattern — raw synthetic "
         "docs are single-line and punctuation-free, which would make "
@@ -181,15 +268,32 @@ _C4_KEPT_DUCK = (
 )
 def text_profile(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.c4_filter import c4_flags
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        classify_lang,
+        seed_frame,
+        train_char_profiles,
+    )
 
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
-    # the REAL c4 operator over the augmented page (constant above)
+    # the REAL c4 operator over the augmented page (constant above).
+    # min_sentences=3 EXPLICIT: the operator default is the paper's 5,
+    # but the augmented pages retain at most 3 sentences — at 5 the
+    # page rule would be vacuously false for every row, and the gate
+    # exists to exercise per-row variation (doc_id%4 pages retain 2)
     c4 = c4_flags(
-        df.select("doc_id", F.expr(_C4_AUG_SPARK).alias("text"))
+        df.select("doc_id", F.expr(_C4_AUG_SPARK).alias("text")),
+        min_sentences=3,
     ).select(
         "doc_id", "c4_n_lines", "c4_kept_lines", "c4_sentences", "c4_keep",
         F.md5(F.col("c4_text").cast("binary")).alias("c4_fp"),
     )
+    # the TRAINED Cavnar–Trenkle classifier (operators/lang_id.py):
+    # profiles fitted on the literal seed corpus (bounded, broadcast),
+    # classification one explode + per-doc window + broadcast join —
+    # the round-8 trained counterpart of the stopword heuristic below
+    ct = classify_lang(
+        df, train_char_profiles(seed_frame(spark), top_n=_CT_TOPN), top_n=_CT_TOPN
+    ).select("doc_id", "ct_lang")
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
     lang_of = F.create_map(
         *[x for lang, ws in _STOPWORDS.items() for w in ws for x in (F.lit(w), F.lit(lang))]
@@ -232,6 +336,7 @@ def text_profile(spark, sf_dir):
     return (
         mapside.join(stats, "doc_id", "left")
         .join(c4, "doc_id")
+        .join(ct, "doc_id")
         .select(
             "doc_id",
             "n_chars_calc",
@@ -242,6 +347,7 @@ def text_profile(spark, sf_dir):
             F.round(ratio * (F.least(n_tok, F.lit(64)) / F.lit(64.0)), 4).alias("quality_score"),
             *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in _STOPWORDS],
             pred.alias("pred_lang"),
+            "ct_lang",
             "n_bpe_tokens",
             "n_distinct_bpe_tokens",
             "norm_fp",

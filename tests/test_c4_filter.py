@@ -29,7 +29,9 @@ def docs(spark):
 
 
 def test_line_rules_and_page_rules(spark, docs):
-    rows = {r.doc_id: r for r in c4_flags(docs).collect()}
+    # min_sentences=3 here pins the line rules + the non-sentence page
+    # rules; the paper-default 5-sentence threshold is pinned separately
+    rows = {r.doc_id: r for r in c4_flags(docs, min_sentences=3).collect()}
     g = rows[1]
     assert g.c4_n_lines == 6 and g.c4_kept_lines == 3
     assert g.c4_text == (
@@ -51,9 +53,17 @@ def test_line_rules_and_page_rules(spark, docs):
 
 
 def test_c4_clean_filters_and_rewrites_text(spark, docs):
-    out = {r.doc_id: r.text for r in c4_clean(docs).collect()}
+    out = {r.doc_id: r.text for r in c4_clean(docs, min_sentences=3).collect()}
     assert set(out) == {1}
     assert out[1].startswith("This first sentence") and "JavaScript" not in out[1]
+
+
+def test_default_is_paper_five_sentences(spark, docs):
+    # Raffel et al. 2020 discard pages with < 5 sentences; doc 1 retains
+    # 4 terminal marks, so the DEFAULT rejects it while 3 admits it
+    rows = {r.doc_id: r for r in c4_flags(docs).collect()}
+    assert rows[1].c4_sentences == 4 and not rows[1].c4_keep
+    assert c4_flags(docs, min_sentences=3).filter("doc_id = 1").first().c4_keep
 
 
 def test_knobs_and_contracts(spark, docs):

@@ -134,6 +134,71 @@ def test_contract_violations(spark, frames):
         dsir_select(dsir_scores(raw, table, n_buckets=B), 0)
 
 
+@pytest.fixture()
+def scored_300(spark, frames):
+    # a wider frame than `frames` so threshold/topk routing has room:
+    # weights vary by id so the Gumbel keys spread out
+    target, raw = frames
+    table = dsir_logratio(target, raw, n_buckets=B, alpha=ALPHA)
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("spark shuffles data token"), (F.col("id") % 23).cast("string")
+        ).alias("text"),
+    )
+    return dsir_scores(docs, table, n_buckets=B)
+
+
+def test_threshold_equals_topk_across_layouts(spark, scored_300):
+    # VERDICT r7 #1: the fraction regime must select EXACTLY the set the
+    # top-k path selects — pinned across n values spanning all three
+    # correction branches (d==0, d>0, d<0) and three partition layouts
+    for n in (1, 7, 150, 240, 299):
+        ref = {
+            r.doc_id
+            for r in dsir_select(scored_300, n, mode="topk").collect()
+            if r.dsir_keep
+        }
+        assert len(ref) == n
+        for parts in (1, 7, 32):
+            got = {
+                r.doc_id
+                for r in dsir_select(
+                    scored_300.repartition(parts), n, mode="threshold"
+                ).collect()
+                if r.dsir_keep
+            }
+            assert got == ref, f"n={n} parts={parts}"
+
+
+def test_threshold_n_at_least_total_keeps_all(spark, scored_300):
+    out = dsir_select(scored_300, 10_000, mode="threshold")
+    assert out.filter("dsir_keep").count() == 300 == out.count()
+
+
+def test_threshold_plan_has_no_corpus_proportional_funnel(spark, scored_300):
+    # the fraction path's bulk decision is a map-side filter; any
+    # TakeOrderedAndProject left in the plan is the bounded boundary
+    # correction — its limit must be the |n - c_hi| band, never n
+    import re
+
+    n = 200
+    out = dsir_select(scored_300, n, mode="threshold")
+    assert out.filter("dsir_keep").count() == n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    limits = [int(m) for m in re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan)]
+    assert all(lim < n // 2 for lim in limits), (limits, n)
+    # auto mode routes large-n to the threshold path (no TakeOrdered(n))
+    auto = dsir_select(scored_300, n, topk_max=100)
+    aplan = auto._jdf.queryExecution().executedPlan().toString()
+    alims = [int(m) for m in re.findall(r"TakeOrderedAndProject\(limit=(\d+)", aplan)]
+    assert all(lim < n // 2 for lim in alims), (alims, n)
+    with pytest.raises(ValueError, match="mode"):
+        dsir_select(scored_300, 5, mode="bogus")
+    with pytest.raises(ValueError, match="accuracy"):
+        dsir_select(scored_300, 200, mode="threshold", accuracy=10)
+
+
 def test_plan_shape_bounded_shuffles(spark, frames):
     # scale pins: the ratio table joins BROADCAST (never a corpus-keyed
     # shuffle of text), and the top-k compiles to TakeOrderedAndProject

@@ -1,0 +1,158 @@
+"""Trained language ID (operators/lang_id.py): exactness vs a pure-
+Python Cavnar–Trenkle reference (same normalization, trigrams, rank
+profiles, out-of-place distance), classification quality on held-out
+prose, determinism across partitionings, and the per-language gate
+routing that motivates it (non-English prose passing its own
+language's Gopher stopword rule while failing the English one)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.lang_id import (
+    NORM_KEEP,
+    SEED_TEXTS,
+    char_grams,
+    classify_lang,
+    seed_frame,
+    train_char_profiles,
+)
+
+TOP_N = 80
+
+# held-out prose: NOT in the seed corpus
+_HELD_OUT = [
+    (1, "en", "the committee will review the proposal and report back with its findings next week."),
+    (2, "de", "die mitglieder des ausschusses werden den vorschlag prüfen und nächste woche über ihre ergebnisse berichten."),
+    (3, "es", "los miembros del comité revisarán la propuesta y presentarán sus conclusiones la próxima semana."),
+    (4, "fr", "les membres du comité examineront la proposition et présenteront leurs conclusions la semaine prochaine."),
+    (5, "en", "rain is expected across the northern valleys before the weekend begins."),
+    (6, "de", "über den nördlichen tälern wird vor dem wochenende mit regen gerechnet."),
+    (7, "es", "se espera lluvia sobre los valles del norte antes de que comience el fin de semana."),
+    (8, "fr", "la pluie est attendue sur les vallées du nord avant le début du week-end."),
+]
+
+
+def _py_norm(text: str) -> str:
+    t = re.sub(" +", " ", re.sub(f"[^{NORM_KEEP} ]", " ", (text or "").lower())).strip()
+    return f" {t} " if t else ""
+
+
+def _py_grams(text: str) -> list[str]:
+    p = _py_norm(text)
+    return [p[i : i + 3] for i in range(len(p) - 2)] if len(p) >= 3 else []
+
+
+def _py_profile(text: str, top: int) -> dict[str, int]:
+    counts = Counter(_py_grams(text))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return {g: i + 1 for i, (g, _) in enumerate(ranked)}
+
+
+def _py_classify(text: str, profiles: dict[str, dict[str, int]], top: int) -> tuple[str, int]:
+    doc = _py_profile(text, top)
+    if not doc:
+        return "und", 0
+    best = None
+    for lang in sorted(profiles):
+        prof = profiles[lang]
+        dist = sum(
+            abs(dr - prof[g]) if g in prof else top for g, dr in doc.items()
+        )
+        if best is None or dist < best[1]:
+            best = (lang, dist)
+    return best
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    return train_char_profiles(seed_frame(spark), top_n=TOP_N).cache()
+
+
+def test_profiles_match_pure_python(spark, profiles):
+    got = {(r.lang, r.gram): r.rank for r in profiles.collect()}
+    for lang, text in SEED_TEXTS.items():
+        ref = _py_profile(text, TOP_N)
+        mine = {g: rk for (lg, g), rk in got.items() if lg == lang}
+        assert mine == ref, lang
+
+
+def test_classification_matches_reference_and_truth(spark, profiles):
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in _HELD_OUT], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.ct_lang, r.ct_dist) for r in classify_lang(docs, profiles, top_n=TOP_N).collect()}
+    py_profiles = {lg: _py_profile(tx, TOP_N) for lg, tx in SEED_TEXTS.items()}
+    for i, truth, text in _HELD_OUT:
+        ref_lang, ref_dist = _py_classify(text, py_profiles, TOP_N)
+        assert out[i] == (ref_lang, ref_dist), (i, out[i], (ref_lang, ref_dist))
+        # and the trained classifier actually gets held-out prose right
+        assert out[i][0] == truth, (i, out[i][0], truth)
+
+
+def test_gramless_und_and_determinism(spark, profiles):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "12345 67890 ++"), (4, _HELD_OUT[1][2])],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.ct_lang for r in classify_lang(docs, profiles, top_n=TOP_N).collect()}
+    assert a[1] == "und" and a[2] == "und" and a[3] == "und" and a[4] == "de"
+    b = {
+        r.doc_id: r.ct_lang
+        for r in classify_lang(docs.repartition(7), profiles, top_n=TOP_N).collect()
+    }
+    assert a == b
+
+
+def test_contract_violations(spark, profiles):
+    docs = seed_frame(spark).select(F.lit(1).alias("doc_id"), "text")
+    with pytest.raises(ValueError, match="top_n"):
+        train_char_profiles(seed_frame(spark), top_n=0)
+    with pytest.raises(ValueError, match="doc_top"):
+        classify_lang(docs, profiles, doc_top=0)
+
+
+def test_plan_broadcasts_profiles_no_python(spark, profiles):
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in _HELD_OUT], "doc_id long, text string"
+    )
+    plan = (
+        classify_lang(docs, profiles, top_n=TOP_N)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_routes_non_english_past_english_rules(spark, profiles):
+    # THE motivating scenario (VERDICT r7 #2): well-formed German prose
+    # fails the English Gopher stopword rule but passes once the
+    # lang-ID gate routes it to the German list.
+    from kafka_connect_ftp_spark.operators.gopher_rules import (
+        GOPHER_STOPWORDS_BY_LANG,
+        gopher_quality_signals,
+    )
+
+    de_text = (
+        "die regierung hat heute einen neuen haushaltsplan vorgestellt. "
+        "die opposition will den entwurf im parlament mit anträgen "
+        "ändern, und die debatte dürfte mehrere wochen dauern. viele "
+        "bürger haben dazu bereits eine klare meinung geäußert."
+    )
+    docs = spark.createDataFrame([(1, de_text)], "doc_id long, text string")
+    # English-tuned rule: fails prose that any German reader accepts
+    en_gated = gopher_quality_signals(docs).first()
+    assert not en_gated.gopher_keep and en_gated.g_stop_hits < 2
+    # route by the TRAINED classifier, then gate with the matched list
+    lang = classify_lang(docs, profiles, top_n=TOP_N).first().ct_lang
+    assert lang == "de"
+    routed = gopher_quality_signals(
+        docs, stopwords=GOPHER_STOPWORDS_BY_LANG[lang]
+    ).first()
+    assert routed.gopher_keep and routed.g_stop_hits >= 2

@@ -156,6 +156,39 @@ def test_dsir_hot_bucket_smoke(spark):
     assert out.count() == n
 
 
+def test_dsir_fraction_regime_smoke(spark):
+    """100k docs, select 80% via the threshold path (VERDICT r7 #1 —
+    DSIR's canonical fraction regime): exact count, and the plan never
+    funnels n=80k through TakeOrdered or broadcasts 80k ids — only the
+    bounded boundary correction may appear."""
+    import re
+
+    from kafka_connect_ftp_spark.operators.dsir import (
+        dsir_logratio,
+        dsir_scores,
+        dsir_select,
+    )
+
+    n_docs = 100_000
+    n = 80_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta token"),
+            (F.col("id") % 37).cast("string"),
+        ).alias("text"),
+    )
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    table = dsir_logratio(target, docs, n_buckets=16).localCheckpoint(eager=False)
+    # auto would route n=80k to topk (under the default topk_max=100k);
+    # force the fraction path — the regime under test
+    out = dsir_select(dsir_scores(docs, table, n_buckets=16), n, mode="threshold")
+    assert out.filter("dsir_keep").count() == n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    limits = [int(m) for m in re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan)]
+    assert all(lim <= n_docs // 50 for lim in limits), limits
+
+
 def test_url_dedup_hot_url_smoke(spark):
     """60k captures of ONE canonical URL (tracking params vary): the
     min_by keeper aggregation combines map-side, so a hot URL cannot
