@@ -48,6 +48,10 @@ HEADLINE = [
     # added round 5 (first tracked round; compare r5+ numbers only)
     "repetition_profile",
     "pq_adc_topk",
+    # added round 8 (first tracked round; compare r8+ numbers only):
+    # the crawl path is the engine's front door and its heaviest
+    # registry entry — per-round perf tracking before it drifts
+    "crawl_corpus_family",
 ]
 
 # the 15 queries benched every round since round 1 — the cross-round

@@ -4,9 +4,8 @@ engine's operators:
 
     corpus composition report (know-your-data) + cross-source overlap
       → span-level (C4-style) boilerplate dedup
-      → quality gate (incl. Gopher repetition metric)
-      → full Gopher repetition-signal gate (top-n-gram char share,
-        duplicate n-gram occurrence fractions)
+      → composed rule gate (ONE two-scan pass: quality scalar rules,
+        Gopher repetition suite, C4 + Gopher doc-rule audit columns)
       → trained quality classifier (GPT-3-style LR over hashed token
         counts; deterministic Pareto acceptance)
       → unigram-LM fluency scoring (CCNet-style; worst tail cut)
@@ -63,7 +62,7 @@ from kafka_connect_ftp_spark.operators.quality_model import (
     score_quality,
     train_quality_classifier,
 )
-from kafka_connect_ftp_spark.operators.repetition import repetition_signals
+from kafka_connect_ftp_spark.operators.rule_gate import rule_gate
 from kafka_connect_ftp_spark.operators.sharding import write_training_shards
 from kafka_connect_ftp_spark.operators.splits import assign_splits
 from kafka_connect_ftp_spark.operators.text_dedup import (
@@ -117,23 +116,25 @@ def main() -> int:
     # (and every per-stage count) would otherwise re-execute them
     docs = docs.drop("text").join(masked, "doc_id").localCheckpoint(eager=True)
 
-    quality = registry()["quality_filter_flags"].fn(spark, sf_dir)
-    docs = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
-    n1 = docs.count()
-
-    # 1a. Gopher repetition gate on what survived: a page whose top
-    # 2-gram covers >20% of its characters, or whose 5-grams are >50%
-    # repeats, is loop/boilerplate text the scalar gate can miss. Only
-    # the widths the gate consumes are computed — each extra width is
-    # another exploded gram stream over the corpus
-    rep = repetition_signals(docs, top_ns=(2,), dup_ns=(5,))
-    docs = docs.join(
-        rep.filter(
-            (F.col("top_2gram_frac") <= 0.2) & (F.col("dup_5gram_frac") <= 0.5)
-        ).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # 1 + 1a COMPOSED (round 8): the quality scalar rules AND the Gopher
+    # repetition gate come out of ONE rule_gate pass (operators/
+    # rule_gate.py — two corpus scans total: one map-side projection for
+    # every scalar family, one gram pass for the aggregates) instead of
+    # the two separately-invoked stages rounds 5-7 ran (four scans). The
+    # C4/Gopher doc-rule columns ride along for the audit report; their
+    # keep decisions are NOT applied here — the synthetic docs are
+    # single-line punctuation-free word soup, which the
+    # terminal-punctuation and stopword rules reject wholesale (on a
+    # real crawl corpus, filter on rule_keep after routing per language
+    # with operators/lang_id.py).
+    gate = rule_gate(docs, top_ns=(2,), dup_ns=(5,))
+    kept = gate.filter(
+        F.col("qf_keep")
+        & (F.col("top_2gram_frac") <= 0.2)
+        & (F.col("dup_5gram_frac") <= 0.5)
     )
+    docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    n1 = gate.filter("qf_keep").count()
     n1a = docs.count()
 
     # 1b'. model-based quality: train the GPT-3/CCNet-style classifier

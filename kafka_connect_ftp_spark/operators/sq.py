@@ -92,26 +92,20 @@ def sq_encode(
     )
 
 
-def sq_topk(
-    codes: DataFrame,
+def sq_cos_col(
+    codes_col: str,
     bounds: tuple[list[float], list[float]],
     query: list[float],
-    *,
-    k: int = 10,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Asymmetric cosine top-k over the quantized corpus: the EXACT
-    query scores against DECODED corpus vectors (the SQ-ADC analog —
-    only the corpus side pays quantization error). Returns
-    ``(vec_id, cos_sim, rank)``; ``orderBy+limit`` compiles to
-    TakeOrderedAndProject. Zero-norm decodes score 0.0 (the knn.py
-    NaN guard)."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
+) -> Column:
+    """Asymmetric cosine of the EXACT query against the DECODED codes
+    (the SQ-ADC analog — only the corpus side pays quantization
+    error), as one JVM expression. Zero-norm decodes score 0.0 (the
+    knn.py NaN guard). Shared by ``sq_topk`` and the IVF-SQ funnel so
+    the two can never drift."""
     vmin, vdiff = bounds
     if len(query) != len(vmin):
         raise ValueError(f"query dim {len(query)} != trained dim {len(vmin)}")
-    dec = sq_decode_col("codes", vmin, vdiff)
+    dec = sq_decode_col(codes_col, vmin, vdiff)
     q = _lit_arr([float(x) for x in query])
     dot = F.aggregate(
         F.zip_with(dec, q, lambda a, b: a * b),
@@ -126,15 +120,167 @@ def sq_topk(
         )
     )
     qn = sum(float(x) * float(x) for x in query) ** 0.5
-    cos = (
-        F.lit(0.0)
-        if qn == 0.0
-        else F.when(nrm == 0.0, F.lit(0.0)).otherwise(dot / (nrm * F.lit(qn)))
-    )
+    if qn == 0.0:
+        return F.lit(0.0)
+    return F.when(nrm == 0.0, F.lit(0.0)).otherwise(dot / (nrm * F.lit(qn)))
+
+
+def sq_topk(
+    codes: DataFrame,
+    bounds: tuple[list[float], list[float]],
+    query: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric cosine top-k over the full quantized corpus
+    (exhaustive — the IVF-SQ funnel below is the partition-pruned
+    scale path). Returns ``(vec_id, cos_sim, rank)``; ``orderBy+limit``
+    compiles to TakeOrderedAndProject."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
-    scored = codes.select(F.col(id_col), cos.alias("cos_sim"))
+    scored = codes.select(
+        F.col(id_col), sq_cos_col("codes", bounds, query).alias("cos_sim")
+    )
     top = scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
     # rank window runs over the already-LIMITED k rows, not the corpus
     w = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def ivf_sq_search(
+    assigned_encoded: DataFrame,
+    centroids: list[list[float]],
+    bounds: tuple[list[float], list[float]],
+    query: list[float],
+    *,
+    top_k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 100,
+) -> DataFrame:
+    """The IVF-SQ funnel over a ``(vec_id, v, cell, codes)`` frame (an
+    :class:`~.ann.IvfIndex` ``assigned`` with its SQ codes alongside):
+    probe the ``nprobe`` nearest cells, shortlist the best ``rerank``
+    by decoded asymmetric cosine (codes only — the same score
+    ``sq_topk`` uses), exact-rerank by true cosine. Returns
+    ``(vec_id, cell, cos_sim)`` best-first. At nprobe = n_cells and
+    rerank = top_k the shortlist ids equal ``sq_topk``'s (test-pinned);
+    production trades both knobs for scan volume — the same contract as
+    ``pq.ivf_pq_search``, with SQ's cheaper decode in place of ADC
+    tables."""
+    from kafka_connect_ftp_spark.operators.ann import (
+        cosine_col,
+        probe_nearest_cells,
+        query_literals,
+    )
+
+    probe = probe_nearest_cells(centroids, query, nprobe)
+    shortlist = (
+        assigned_encoded.filter(F.col("cell").isin(probe))
+        .select(
+            "vec_id", "v", "cell", sq_cos_col("codes", bounds, query).alias("_sq")
+        )
+        .orderBy(F.desc("_sq"), "vec_id")
+        .limit(rerank)
+    )
+    q_arr, qnorm = query_literals(query)
+    return (
+        shortlist.withColumn("qv", q_arr)
+        .select(
+            "vec_id", "cell", cosine_col("v", "qv", qnorm=qnorm).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(top_k)
+    )
+
+
+def write_ivf_sq_index(index, bounds, path: str) -> None:
+    """Materialize the IVF-SQ index as TWO cell-partitioned parquet
+    tables + a JSON meta sidecar — the ``pq.write_ivf_pq_index``
+    layout, with the 2 x dim SQ bounds in place of a codebook:
+
+    - ``codes/``: ``(vec_id, codes)`` partitioned by ``cell`` — the
+      ~4x-compressed table the shortlist phase scans. Physically
+      separate from the vectors so the SQ memory win actually reaches
+      the scan I/O, and nprobe becomes partition pruning.
+    - ``vectors/``: ``(vec_id, v)`` partitioned by ``cell`` — read only
+      by the exact-rerank phase.
+
+    ``index`` is an :class:`~.ann.IvfIndex`; encoding is the pure
+    ``zip_with`` projection (no Python, fuses into the write scan)."""
+    import json
+
+    vmin, vdiff = bounds
+    index.assigned.select(
+        "vec_id", sq_encode_col("v", vmin, vdiff).alias("codes"), "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    index.assigned.select("vec_id", "v", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    spark = index.assigned.sparkSession
+    meta = json.dumps(
+        {"centroids": index.centroids, "vmin": list(vmin), "vdiff": list(vdiff)}
+    )
+    spark.createDataFrame([(meta,)], "c string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/_meta")
+
+
+def read_ivf_sq_index(spark, path: str):
+    """Open a materialized index: ``(codes_df, vectors_df, centroids,
+    bounds)`` — both frames are the partitioned tables, so searches
+    prune to the probed cells."""
+    import json
+
+    meta = json.loads(spark.read.text(f"{path}/_meta").first().value)
+    codes = spark.read.parquet(f"{path}/codes").select("vec_id", "codes", "cell")
+    vectors = spark.read.parquet(f"{path}/vectors").select("vec_id", "v", "cell")
+    return codes, vectors, meta["centroids"], (meta["vmin"], meta["vdiff"])
+
+
+def ivf_sq_search_indexed(
+    codes: DataFrame,
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    bounds: tuple[list[float], list[float]],
+    query: list[float],
+    *,
+    top_k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 100,
+) -> DataFrame:
+    """The funnel over a materialized index (``write_ivf_sq_index``
+    layout): phase 1 scans ONLY the probed cells' codes table
+    (partition-pruned, vector-free — the compressed-scan win) for the
+    ``rerank``-row shortlist by decoded cosine; phase 2 joins that tiny
+    broadcast shortlist against the probed cells' vectors for the
+    exact top-k. Same results as :func:`ivf_sq_search` over the
+    equivalent in-memory frame (test-pinned)."""
+    from kafka_connect_ftp_spark.operators.ann import (
+        cosine_col,
+        probe_nearest_cells,
+        query_literals,
+    )
+
+    probe = probe_nearest_cells(centroids, query, nprobe)
+    shortlist = (
+        codes.filter(F.col("cell").isin(probe))
+        .select("vec_id", sq_cos_col("codes", bounds, query).alias("_sq"))
+        .orderBy(F.desc("_sq"), "vec_id")
+        .limit(rerank)
+        .select("vec_id")
+    )
+    cand = vectors.filter(F.col("cell").isin(probe)).join(
+        F.broadcast(shortlist), "vec_id", "left_semi"
+    )
+    q_arr, qnorm = query_literals(query)
+    return (
+        cand.withColumn("qv", q_arr)
+        .select(
+            "vec_id", "cell", cosine_col("v", "qv", qnorm=qnorm).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(top_k)
+    )

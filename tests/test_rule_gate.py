@@ -1,0 +1,118 @@
+"""Composed rule gate (operators/rule_gate.py): per-family column
+parity with the standalone operators (the composed form is a plan
+optimization, not a semantic fork) and the two-scan plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.rule_gate import rule_gate
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and that is fine.\n"
+        "it has to be said with some of the usual words again and again.\n"
+        "short\n"
+        "a third proper sentence closes out the page with the right mark."),
+    (2, "zzz qqq " * 40),                      # diversity/repetition junk
+    (3, "• one\n• two\n• three\n• four\n• five"),  # bullet page
+    (4, "word " * 20 + "…\nmore text trailing off…\nugh…"),
+    (5, None),
+    (6, ""),
+    (7, "a fine sentence here. and lorem ipsum dolor follows."),
+    (8, "numbers 123 456 789 0 111 222 333 444 555 666 777 888 999 000 11 22"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def composed(spark, docs):
+    return rule_gate(docs, min_sentences=3).cache()
+
+
+def test_c4_family_parity(spark, docs, composed):
+    from kafka_connect_ftp_spark.operators.c4_filter import c4_flags
+
+    want = {r.doc_id: r.asDict() for r in c4_flags(docs, min_sentences=3).collect()}
+    got = {r.doc_id: r.asDict() for r in composed.collect()}
+    for i in want:
+        for c in ("c4_n_lines", "c4_kept_lines", "c4_text", "c4_sentences", "c4_keep"):
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+
+
+def test_gopher_family_parity(spark, docs, composed):
+    from kafka_connect_ftp_spark.operators.gopher_rules import gopher_quality_signals
+
+    want = {r.doc_id: r.asDict() for r in gopher_quality_signals(docs).collect()}
+    got = {r.doc_id: r.asDict() for r in composed.collect()}
+    cols = (
+        "g_symbol_ratio", "g_bullet_frac", "g_ellipsis_frac",
+        "g_alpha_frac", "g_stop_hits", "gopher_keep",
+    )
+    for i in want:
+        for c in cols:
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+
+
+def test_repetition_family_parity(spark, docs, composed):
+    from kafka_connect_ftp_spark.operators.repetition import repetition_signals
+
+    want = {r.doc_id: r.asDict() for r in repetition_signals(docs).collect()}
+    got = {r.doc_id: r.asDict() for r in composed.collect()}
+    cols = (
+        "n_tokens", "dup_token_frac", "top_2gram_frac", "top_3gram_frac",
+        "top_4gram_frac", "dup_5gram_frac", "dup_10gram_frac",
+    )
+    for i in want:
+        for c in cols:
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+
+
+def test_quality_family_parity_on_registry_query(spark):
+    # the QF family columns must equal the hash-gated registry query's
+    # at sf0.001 — same thresholds, same rounding, same NULL handling
+    from kafka_connect_ftp_spark.plans import registry
+    from kafka_connect_ftp_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        r.doc_id: r.asDict()
+        for r in registry()["quality_filter_flags"].fn(spark, sf).collect()
+    }
+    real_docs = load_tables(spark, sf, "documents")["documents"]
+    got = {r.doc_id: r.asDict() for r in rule_gate(real_docs).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        for c in ("len_ok", "word_len_ok", "diversity_ok", "top_bigram_frac", "repetition_ok"):
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+        assert got[i]["qf_keep"] == want[i]["keep"], i
+
+
+def test_rule_keep_composes_and_knobs_raise(spark, docs, composed):
+    rows = {r.doc_id: r for r in composed.collect()}
+    for i, r in rows.items():
+        # bool(): a NULL-text doc carries NULL qf flags; rule_keep is
+        # still a definite False (coalesced in the operator)
+        assert r.rule_keep == bool(r.qf_keep and r.c4_keep and r.gopher_keep), i
+        assert r.rule_keep is not None, i
+    with pytest.raises(ValueError, match="stopwords"):
+        rule_gate(docs, stopwords=())
+    with pytest.raises(ValueError, match="min_words_per_line"):
+        rule_gate(docs, min_words_per_line=0)
+
+
+def test_two_corpus_scans_only(spark, docs, tmp_path):
+    # THE point of the composition: one map-side scan for the three
+    # scalar families + one gram-pass scan — not five
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path)
+    on_disk = spark.read.parquet(path)
+    plan = (
+        rule_gate(on_disk)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,164 @@
+"""SentencePiece-style unigram tokenizer (operators/sp_unigram.py):
+exactness vs a pure-Python hard-EM reference (same seed, same Viterbi
+tie-break, same prune schedule), determinism across partitionings,
+segmentation behavior, save/load round trip. Rows-only evidence like
+BPE — iterative EM has no SQL oracle."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from kafka_connect_ftp_spark.operators.sp_unigram import (
+    _viterbi,
+    apply_unigram,
+    load_unigram,
+    save_unigram,
+    seed_vocab,
+    train_unigram,
+)
+
+_DOCS = [
+    (1, "low lower lowest low low"),
+    (2, "new newer newest new new newer"),
+    (3, "wider wide widest wider"),
+    (4, "low new wide lowest widest"),
+]
+
+SEED = 40
+VOCAB = 30
+MAXLEN = 6
+ITERS = 2
+PRUNE = 0.25
+
+
+# ---- pure-Python reference (mirrors the module's documented algorithm) ----
+
+def _py_word_counts(docs):
+    c: Counter = Counter()
+    for _, t in docs:
+        for w in t.split(" "):
+            if w:
+                c[w] += 1
+    return c
+
+
+def _py_seed(wc, max_len, seed_size):
+    subs: Counter = Counter()
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_len) + 1):
+                subs[w[i:j]] += c
+    multi = sorted(
+        ((p, n) for p, n in subs.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]
+    out = {p: n for p, n in subs.items() if len(p) == 1}
+    out.update(dict(multi))
+    return out
+
+
+def _py_norm(counts):
+    tot = sum(counts.values())
+    return {p: math.log(c / tot) for p, c in counts.items() if c > 0}
+
+
+def _py_train(docs, vocab_size, seed_size, max_len, iters, prune):
+    wc = _py_word_counts(docs)
+    logp = _py_norm(_py_seed(wc, max_len, seed_size))
+    while True:
+        for _ in range(iters):
+            acc: Counter = Counter()
+            for w, c in wc.items():
+                segs = _viterbi(w, logp)
+                if segs:
+                    for p in segs:
+                        acc[p] += c
+            counts = {
+                p: (acc.get(p, 0) if len(p) > 1 else max(acc.get(p, 0), 1e-9))
+                for p in logp
+            }
+            logp = _py_norm(counts)
+        multi = sorted(
+            ((p, lp) for p, lp in logp.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if len(logp) <= vocab_size or not multi:
+            break
+        drop = min(max(1, int(len(multi) * prune)), len(logp) - vocab_size, len(multi))
+        for p, _ in multi[len(multi) - drop:]:
+            del logp[p]
+        logp = _py_norm({p: math.exp(lp) for p, lp in logp.items()})
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string")
+
+
+def test_train_matches_pure_python_reference(spark, docs):
+    got = train_unigram(
+        docs, vocab_size=VOCAB, seed_size=SEED, max_piece_len=MAXLEN,
+        em_iters=ITERS, prune_frac=PRUNE,
+    )
+    ref = _py_train(_DOCS, VOCAB, SEED, MAXLEN, ITERS, PRUNE)
+    assert [p for p, _ in got] == [p for p, _ in ref]
+    for (gp, gl), (rp, rl) in zip(got, ref):
+        assert gl == pytest.approx(rl, abs=1e-12), gp
+    # partitioning must not change the result (Viterbi counts are
+    # integer sums; normalization happens driver-side)
+    got7 = train_unigram(
+        docs.repartition(7), vocab_size=VOCAB, seed_size=SEED,
+        max_piece_len=MAXLEN, em_iters=ITERS, prune_frac=PRUNE,
+    )
+    assert got7 == got
+
+
+def test_model_learns_frequent_morphemes(spark, docs):
+    model = train_unigram(
+        docs, vocab_size=VOCAB, seed_size=SEED, max_piece_len=MAXLEN,
+        em_iters=ITERS, prune_frac=PRUNE,
+    )
+    pieces = {p for p, _ in model}
+    # the repeated stems survive pruning as whole pieces
+    assert "low" in pieces and "new" in pieces
+    # every single char of the corpus alphabet survives (coverage)
+    alphabet = {ch for _, t in _DOCS for ch in t if ch != " "}
+    assert alphabet <= pieces
+    assert len(model) <= max(VOCAB, len(alphabet) + 1)
+
+
+def test_apply_segments_with_viterbi(spark, docs):
+    model = train_unigram(
+        docs, vocab_size=VOCAB, seed_size=SEED, max_piece_len=MAXLEN,
+        em_iters=ITERS, prune_frac=PRUNE,
+    )
+    logp = dict(model)
+    out = {r.doc_id: r.pieces for r in apply_unigram(docs, model).collect()}
+    for i, t in _DOCS:
+        want = [p for w in t.split(" ") if w for p in (_viterbi(w, logp) or [w])]
+        assert out[i] == want, i
+        assert "".join(out[i]) == t.replace(" ", "")
+    # unseen chars pass the word through whole
+    odd = spark.createDataFrame([(9, "low xyzzy?!")], "doc_id long, text string")
+    got = apply_unigram(odd, model).first().pieces
+    assert got[-1] == "xyzzy?!" or "".join(got).endswith("xyzzy?!")
+
+
+def test_save_load_round_trip_and_contracts(spark, docs, tmp_path):
+    model = train_unigram(
+        docs, vocab_size=VOCAB, seed_size=SEED, max_piece_len=MAXLEN,
+        em_iters=ITERS, prune_frac=PRUNE,
+    )
+    path = str(tmp_path / "unigram")
+    save_unigram(spark, model, path)
+    assert load_unigram(spark, path) == model
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(docs, vocab_size=0)
+    with pytest.raises(ValueError, match="prune_frac"):
+        train_unigram(docs, prune_frac=1.5)
+    with pytest.raises(ValueError, match="em_iters"):
+        train_unigram(docs, em_iters=0)
