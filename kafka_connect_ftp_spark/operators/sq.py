@@ -18,7 +18,14 @@ Scale design:
   integers, so the stored size is ~1 byte + overhead per dim, and the
   column stays SQL-portable (the DuckDB hash gate re-derives codes
   bit-exactly); a byte-packed BinaryType layout would shave the
-  overhead at the cost of leaving the relational type system.
+  overhead at the cost of leaving the relational type system;
+- (round 8) SQ composes into the IVF funnel exactly like PQ
+  (``ivf_sq_search`` / ``write_ivf_sq_index`` /
+  ``ivf_sq_search_indexed``): probe the nprobe nearest cells, scan
+  ONLY those cells' codes table (partition-pruned, vector-free — the
+  memory win finally reaches the scan I/O), exact-rerank the
+  shortlist against the probed cells' vectors. The shortlist score is
+  the SHARED ``sq_cos_col``, so the exhaustive path can never drift.
 
 Degenerate dimensions (constant across the corpus, vdiff = 0) encode
 as 0 and decode to the constant — exact, not an error.

@@ -398,32 +398,60 @@ _BPE_MERGES = 24
 _BPE_BATCH = 8
 
 
+# unigram-tokenizer knobs for the gate columns (operators/sp_unigram.py):
+# hard-EM on the vocab-bounded word table, deterministic Viterbi
+_UNI_VOCAB = 96
+_UNI_SEED = 300
+_UNI_MAXLEN = 6
+
+
 @register(
     "bpe_train_tokenize",
     None,  # inherently iterative — the contract's documented non-SQL category
     doc=(
-        "Distributed BPE end-to-end under the driver's rows-only check: "
-        "train _BPE_MERGES merge rules on the documents table "
+        "Distributed subword-tokenizer training end-to-end under the "
+        "driver's rows-only check — BOTH standard vocabularies: train "
+        "_BPE_MERGES BPE merge rules on the documents table "
         "(vocabulary-bounded word table, batched non-conflicting merges, "
-        "JVM-side rewrite loop) and tokenize the same corpus with them. "
-        "One row per document: BPE token count, whitespace token count, "
-        "and the first 8 tokens re-joined. Fully deterministic (training "
-        "tie-breaks are count-desc then lexicographic; the apply path "
-        "reproduces training's segmentation), so row count AND values "
-        "are stable across runs even though no SQL oracle can express "
-        "the training loop."
+        "JVM-side rewrite loop) and tokenize the corpus with them; AND "
+        "(round 8) train a SentencePiece-style UNIGRAM model "
+        "(operators/sp_unigram.py: substring seed vocab, hard-EM Viterbi "
+        "counts over the same bounded word table, prune schedule) and "
+        "Viterbi-tokenize with it. One row per document: BPE token "
+        "count, whitespace token count, first 8 BPE tokens, unigram "
+        "piece count, first 8 unigram pieces. Fully deterministic "
+        "(count-desc + lexicographic training tie-breaks; Viterbi "
+        "prefers longer-then-lexicographic pieces), so row count AND "
+        "values are stable across runs even though no SQL oracle can "
+        "express either training loop."
     ),
 )
 def bpe_train_tokenize(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.sp_unigram import (
+        apply_unigram,
+        train_unigram,
+    )
+
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     merges = train_bpe(docs, _BPE_MERGES, batch_size=_BPE_BATCH)
     out = apply_bpe(docs.select("doc_id", "text"), merges)
-    return out.select(
-        "doc_id",
-        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
-        F.size(F.expr(_TOKS)).cast("long").alias("n_ws_tokens"),
-        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_tokens"),
-    ).orderBy("doc_id")
+    uni_model = train_unigram(
+        docs, vocab_size=_UNI_VOCAB, seed_size=_UNI_SEED,
+        max_piece_len=_UNI_MAXLEN,
+    )
+    uni = apply_unigram(docs.select("doc_id", "text"), uni_model)
+    return (
+        out.join(uni, "doc_id")
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.size(F.expr(_TOKS)).cast("long").alias("n_ws_tokens"),
+            F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_tokens"),
+            F.size("pieces").cast("long").alias("n_uni_pieces"),
+            F.concat_ws(" ", F.slice("pieces", 1, 8)).alias("uni_head"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _PACK_BUDGET = 256  # tokens per packed training sequence

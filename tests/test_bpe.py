@@ -312,6 +312,11 @@ def test_registry_rows_only_entry(spark):
     # with only 24 merges most words stay multi-token: BPE count strictly
     # exceeds the whitespace count on every non-empty doc
     assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in rows)
+    # round 8: the unigram-tokenizer columns ride the same row — piece
+    # streams reconstruct the words (count >= ws tokens) and the head
+    # is non-empty wherever the doc has tokens
+    assert all(r.n_uni_pieces >= r.n_ws_tokens for r in rows)
+    assert all(r.uni_head != "" for r in rows if r.n_ws_tokens > 0)
 
 
 def test_symbols_with_quotes_and_backslashes(spark):
