@@ -51,6 +51,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+__all__ = [
+    "NORM_KEEP",
+    "SEED_TEXTS",
+    "char_grams",
+    "classify_lang",
+    "seed_frame",
+    "train_char_profiles",
+]
+
 # letters kept by the normalizer: ascii + the common western accents.
 # FIXED alphabet (not \p{L}): both engines must agree char-for-char,
 # and Java vs RE2 unicode-class semantics differ at the edges.
@@ -116,25 +125,42 @@ def _norm_expr(text_col: str) -> str:
     return f"CASE WHEN {t} = '' THEN '' ELSE concat(' ', {t}, ' ') END"
 
 
-def _grams_expr(text_col: str) -> str:
-    """Overlapping char trigrams of the padded text (empty array below
-    3 chars — guarded, because Spark's sequence() runs BACKWARDS when
-    stop < start instead of returning empty)."""
-    p = _norm_expr(text_col)
-    return (
-        f"CASE WHEN length({p}) < 3 THEN array()"
-        f" ELSE transform(sequence(1, length({p}) - 2),"
-        f" i -> substring({p}, i, 3)) END"
-    )
+# trigrams off an ALREADY-MATERIALIZED char-array column: three aligned
+# slices zipped with concat — O(len) per document. The obvious
+# per-position form (transform(sequence(...), i -> substring(p, i, 3)))
+# is QUADRATIC: UTF8String.substring seeks from the string head on
+# every call (profiled: 2.4s for 1.5M grams at sf0.1 vs 0.4s for this
+# form — and inlining the norm regexes into that lambda instead of
+# staging them was another 6x on top).
+_GRAMS_OF_CS = (
+    "CASE WHEN size({cs}) < 3 THEN array() ELSE"
+    " zip_with(zip_with(slice({cs}, 1, size({cs}) - 2),"
+    "                   slice({cs}, 2, size({cs}) - 2),"
+    "                   (a, b) -> concat(a, b)),"
+    "          slice({cs}, 3, size({cs}) - 2),"
+    "          (ab, c) -> concat(ab, c)) END"
+)
 
 
 def char_grams(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """``(id, gram)`` — one row per trigram occurrence; the shared
-    featurization (training and classification can never disagree)."""
-    return docs.select(
-        F.col(id_col), F.explode(F.expr(_grams_expr(text_col))).alias("gram")
+    featurization (training and classification can never disagree).
+
+    TWO-stage projection, deliberately: the padded-norm string (two
+    regexp_replace + lower) is split into a char ARRAY materialized as
+    its own aliased column, and the trigram zip references THAT.
+    CollapseProject keeps the boundary because the alias is non-cheap
+    and multiply-referenced (the gopher_rules/governance
+    staged-projection lesson)."""
+    staged = docs.select(
+        F.col(id_col),
+        F.expr(f"split({_norm_expr(text_col)}, '')").alias("_cs"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(F.expr(_GRAMS_OF_CS.format(cs="_cs"))).alias("gram"),
     )
 
 
@@ -178,66 +204,126 @@ def classify_lang(
     top_n: int = 100,
     doc_top: int | None = None,
     penalty: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(id, ct_lang, ct_dist)`` — the out-of-place classification
-    (module doc). ``penalty`` (default ``top_n``) is the cost of a
-    doc-profile gram absent from a language profile; ``doc_top``
-    (default ``top_n``) caps the per-document profile. ``ct_dist`` is
-    the winning distance (long; 0 and lang ``'und'`` for gram-less
-    docs)."""
+    """``(id, ct_lang, ct_dist, *keep_cols)`` — the out-of-place
+    classification (module doc). ``penalty`` (default ``top_n``) is
+    the cost of a doc-profile gram absent from a language profile;
+    ``doc_top`` (default ``top_n``) caps the per-document profile.
+    ``ct_dist`` is the winning distance (long; 0 and lang ``'und'``
+    for gram-less docs). ``keep_cols`` are input columns carried
+    verbatim through the projection (classification is map-side, so a
+    caller that needs ct_lang NEXT TO other per-doc columns chains a
+    select instead of paying a join — the pq_encode_arrow passthrough
+    convention).
+
+    Physical shape (round-8 rework — 7.7s -> ~1.6s warm for the whole
+    text_profile gate query at sf0.1): a document's gram stream is ONE
+    row's array, so the whole classification is a MAP-SIDE projection —
+    zero shuffles, zero joins, zero Python:
+
+    - the trained profiles are BOUNDED (langs x top_n — the
+      PQ-codebook contract), collected once at plan build and embedded
+      as one literal gram->rank map per language;
+    - the per-doc ranked profile comes from array ops on the row:
+      sort the gram array, find run starts (a distinct-count without a
+      groupBy), rank by (count desc, gram asc) via sort_array of
+      (-count, gram) structs, slice to ``doc_top``;
+    - each language's out-of-place distance is an ``aggregate`` fold
+      over that profile against its literal map; the argmin is
+      least() + a lang-ascending CASE chain.
+
+    Staged projections materialize each array once (CollapseProject
+    keeps boundaries for non-cheap multiply-referenced aliases);
+    raw text never shuffles and nothing but the output columns leaves
+    the mapper — the shape a 100 TB corpus wants."""
     doc_top = top_n if doc_top is None else doc_top
     penalty = top_n if penalty is None else penalty
     if doc_top < 1 or penalty < 1:
         raise ValueError("doc_top and penalty must be >= 1")
-    dw = Window.partitionBy("_id").orderBy(F.desc("_c"), F.asc("gram"))
-    doc_prof = (
-        char_grams(docs.select(F.col(id_col).alias("_id"), text_col), id_col="_id",
-                   text_col=text_col)
-        .groupBy("_id", "gram")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn("drank", F.row_number().over(dw))
-        .filter(F.col("drank") <= doc_top)
-        .select("_id", "gram", "drank")
-    )
-    langs = profiles.select("lang").distinct()
-    # per (doc, lang): matched out-of-place sum + count of matches; the
-    # unmatched remainder costs `penalty` each. Profile join BROADCASTS
-    # (langs x top_n rows); the cross join fans each doc's m rows by the
-    # constant language count only.
-    matched = (
-        doc_prof.join(F.broadcast(profiles), "gram")
-        .groupBy("_id", "lang")
-        .agg(
-            F.sum(F.abs(F.col("drank") - F.col("rank"))).alias("_msum"),
-            F.count(F.lit(1)).alias("_mn"),
+    prows = profiles.collect()  # bounded: langs x top_n
+    langs = sorted({r.lang for r in prows})
+    if not langs:
+        raise ValueError("profiles is empty")
+    rank_map = {
+        lang: F.create_map(
+            *[
+                x
+                for r in prows
+                if r.lang == lang
+                for x in (F.lit(r.gram), F.lit(int(r.rank)))
+            ]
         )
+        for lang in langs
+    }
+    # stage 1: sorted gram array; stage 2: run starts (distinct grams);
+    # stage 3: ranked profile. Each alias is multiply-referenced by the
+    # next stage, so the projections stay materialized.
+    keep = list(keep_cols)
+    s1 = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"split({_norm_expr(text_col)}, '')").alias("_cs"),
+        *keep,
+    ).select(
+        "_id",
+        F.expr(f"array_sort({_GRAMS_OF_CS.format(cs='_cs')})").alias("_sg"),
+        *keep,
     )
-    sizes = doc_prof.groupBy("_id").agg(F.count(F.lit(1)).alias("_m"))
-    dists = (
-        sizes.crossJoin(F.broadcast(langs))
-        .join(matched, ["_id", "lang"], "left")
-        .select(
-            "_id",
-            "lang",
-            (
-                F.coalesce("_msum", F.lit(0))
-                + (F.col("_m") - F.coalesce("_mn", F.lit(0))) * F.lit(penalty)
-            ).cast("long").alias("dist"),
+    s2 = s1.select(
+        "_id",
+        "_sg",
+        *keep,
+        F.expr(
+            "CASE WHEN size(_sg) < 1 THEN array() ELSE"
+            " filter(sequence(1, size(_sg)),"
+            "        i -> i = 1 OR element_at(_sg, i) != element_at(_sg, i - 1)) END"
+        ).alias("_st"),
+    )
+    # run k spans [start_k, next_start_k): count = next - start; the
+    # ranked profile sorts (-count, gram) ascending and slices doc_top
+    s3 = s2.select(
+        "_id",
+        *keep,
+        # empty-guard matters: zip_with pads the SHORTER side with
+        # NULLs, so an empty _st against the sentinel array would
+        # fabricate a NULL run instead of an empty profile
+        F.expr(
+            "CASE WHEN size(_st) = 0 THEN"
+            " CAST(array() AS array<struct<negc: int, gram: string>>) ELSE"
+            " slice(array_sort(zip_with("
+            " _st,"
+            " concat(slice(_st, 2, greatest(size(_st) - 1, 0)), array(size(_sg) + 1)),"
+            " (s, nxt) -> struct(CAST(s - nxt AS INT) AS negc, element_at(_sg, s) AS gram)"
+            f")), 1, {int(doc_top)}) END"
+        ).alias("_prof"),
+    )
+
+    def lang_dist(lang: str):
+        m = rank_map[lang]
+        per_gram = F.transform(
+            "_prof",
+            lambda x, i: F.coalesce(
+                F.abs((i + 1) - m[x["gram"]]), F.lit(penalty)
+            ).cast("long"),
         )
+        return F.aggregate(per_gram, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    costs = s3.select(
+        "_id",
+        *keep,
+        F.size("_prof").alias("_m"),
+        *[lang_dist(lang).alias(f"_d_{i}") for i, lang in enumerate(langs)],
     )
-    best = (
-        dists.groupBy("_id")
-        # min over (dist, lang) structs = argmin with lang-asc tie-break,
-        # combines map-side (no per-doc window over the lang fan-out)
-        .agg(F.min(F.struct("dist", "lang")).alias("_b"))
-        .select("_id", F.col("_b.lang").alias("ct_lang"), F.col("_b.dist").alias("ct_dist"))
-    )
-    return (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(best, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("ct_lang", F.lit("und")).alias("ct_lang"),
-            F.coalesce("ct_dist", F.lit(0)).cast("long").alias("ct_dist"),
-        )
+    dist_cols = [F.col(f"_d_{i}") for i in range(len(langs))]
+    min_dist = F.least(*dist_cols) if len(dist_cols) > 1 else dist_cols[0]
+    # lang-ascending CASE = the deterministic tie-break (langs sorted);
+    # a gram-less doc has an empty profile -> 'und' with distance 0
+    pick = F.when(F.col("_m") == 0, F.lit("und"))
+    for i, lang in enumerate(langs):
+        pick = pick.when(dist_cols[i] == min_dist, F.lit(lang))
+    return costs.select(
+        F.col("_id").alias(id_col),
+        pick.alias("ct_lang"),
+        F.when(F.col("_m") == 0, F.lit(0)).otherwise(min_dist).cast("long").alias("ct_dist"),
+        *keep,
     )

@@ -116,7 +116,11 @@ def test_contract_violations(spark, profiles):
         classify_lang(docs, profiles, doc_top=0)
 
 
-def test_plan_broadcasts_profiles_no_python(spark, profiles):
+def test_plan_is_pure_map_side_projection(spark, profiles):
+    # the round-8 physical shape: profiles ride as literal maps and the
+    # per-doc profile is array ops on the row — classification is a
+    # pure projection: NO shuffle, NO join, NO window, NO Python. The
+    # shape a 100 TB corpus wants (raw text never leaves the mapper).
     docs = spark.createDataFrame(
         [(i, t) for i, _, t in _HELD_OUT], "doc_id long, text string"
     )
@@ -126,8 +130,9 @@ def test_plan_broadcasts_profiles_no_python(spark, profiles):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
 
 
 def test_routes_non_english_past_english_rules(spark, profiles):
