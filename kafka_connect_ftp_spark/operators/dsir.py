@@ -247,7 +247,11 @@ def _select_threshold(
     ).first()["t"]
     c_hi = keyed.filter(F.col("_gk") > t0).count()
     d = n - c_hi
-    base_keep = F.col("_gk") > F.lit(t0)
+    # coalesce to a definite False on NULL keys (a custom scored frame
+    # with a NULL weight yields NULL _gk; NULL > t0 is NULL and
+    # NULL | false stays NULL) — the topk path coalesces identically,
+    # and the two regimes must not differ on any input
+    base_keep = F.coalesce(F.col("_gk") > F.lit(t0), F.lit(False))
     if d == 0:
         out = keyed.withColumn("dsir_keep", base_keep)
     elif d > 0:

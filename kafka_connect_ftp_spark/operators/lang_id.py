@@ -24,11 +24,12 @@ Method, re-derived for Spark:
    the ``top_n`` by (count desc, gram asc) with rank 1..top_n — a
    bounded table (langs x top_n rows) that broadcasts anywhere.
 4. Classify: build the SAME ranked profile per DOCUMENT (top
-   ``doc_top`` grams), join it against the broadcast language
-   profiles, and score each language by the out-of-place distance
-   ``sum(|doc_rank - lang_rank|)`` + ``penalty`` for every doc-profile
-   gram missing from the language profile. ``ct_lang`` = argmin
-   (ties: lang asc); a document with no grams classifies ``'und'``.
+   ``doc_top`` grams) with pure array ops on the row, and score each
+   language against its profile EMBEDDED AS A LITERAL gram→rank map
+   by the out-of-place distance ``sum(|doc_rank - lang_rank|)`` +
+   ``penalty`` for every doc-profile gram missing from the language
+   profile. ``ct_lang`` = argmin (ties: lang asc); a document with no
+   grams classifies ``'und'``.
 
 Everything is deterministic integer arithmetic — no RNG, no floats —
 so the whole train+classify chain is re-derivable in ANSI SQL and
@@ -37,13 +38,17 @@ sits inside the driver's hash gate (plans/text.py text_profile's
 
 Scale design (100 TB): training touches only the SEED corpus (tiny by
 definition; the aggregation is bounded by gram-type count either
-way). Classification is one explode over the corpus, a (doc_id, gram)
-count whose hot keys combine map-side, a per-doc window rank
-(partitioned on doc_id — Spark's WindowGroupLimit pre-prunes the
-``rank <= doc_top`` filter map-side), a BROADCAST join against the
-langs x top_n profile table, and a (doc_id, lang) aggregation with
-langs a small constant. Raw text never shuffles; nothing
-corpus-proportional reaches the driver.
+way). Classification is a pure MAP-SIDE projection — ZERO shuffles,
+zero joins, zero Python: the trained profiles are bounded (langs x
+top_n — the PQ-codebook contract), collected once at plan build and
+embedded as one literal gram→rank map per language; the per-doc
+ranked profile comes from array ops on the row (sort the gram array,
+find run starts, rank by sort_array of (-count, gram) structs, slice
+to ``doc_top``); each language's distance is an ``aggregate`` fold
+over that profile against its literal map, argmin = least() + a
+lang-ascending CASE chain. Raw text never shuffles; nothing
+corpus-proportional reaches the driver (see ``classify_lang``'s
+docstring for the staged-projection details).
 """
 
 from __future__ import annotations
@@ -243,6 +248,18 @@ def classify_lang(
         raise ValueError("doc_top and penalty must be >= 1")
     prows = profiles.collect()  # bounded: langs x top_n
     langs = sorted({r.lang for r in prows})
+    # reserved-name guard (the repetition_signals convention): a caller
+    # column named like an internal stage alias would silently shadow
+    # or break the staged projections below
+    reserved = {"_id", "_cs", "_sg", "_st", "_prof", "_m"} | {
+        f"_d_{i}" for i in range(len(langs))
+    }
+    clash = ({id_col, *keep_cols}) & reserved
+    if clash:
+        raise ValueError(
+            f"classify_lang: column(s) {sorted(clash)} collide with "
+            f"internal names {sorted(reserved)}"
+        )
     if not langs:
         raise ValueError("profiles is empty")
     rank_map = {

@@ -233,10 +233,21 @@ def rule_gate(
     qf_keep = (
         F.col("len_ok") & F.col("word_len_ok") & F.col("diversity_ok") & rep_ok
     )
+    # NULL-id guard on the output id (the repetition_signals contract —
+    # a NULL key would otherwise get silently-NULL gram signals via the
+    # left join above instead of failing loudly). Same boundary caveat:
+    # the guard rides the output column, so projecting the id away
+    # before an action prunes the check with it.
+    id_checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"rule_gate: NULL {id_col} (ids must be unique non-null)")
+        ),
+    ).otherwise(F.col(id_col))
     return (
         rep
         .select(
-            id_col,
+            id_checked.alias(id_col),
             "len_ok",
             "word_len_ok",
             "diversity_ok",

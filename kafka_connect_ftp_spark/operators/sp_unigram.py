@@ -86,18 +86,26 @@ def seed_vocab(
     return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
 
 
-def _viterbi(word: str, logp: dict[str, float]) -> list[str] | None:
+def _viterbi(
+    word: str, logp: dict[str, float], max_len: int | None = None
+) -> list[str] | None:
     """Best segmentation of ``word`` under piece log-probs, or None if
     uncoverable (an unseen char with chars pruned — cannot happen with
     the seed's single-char guarantee). Tie-break: longer piece at the
-    first divergence, then lexicographic (module doc)."""
+    first divergence, then lexicographic (module doc). ``max_len``
+    bounds the candidate-piece window; when None it is derived from
+    the model itself (longest piece), so a model seeded with ANY
+    ``max_piece_len`` segments correctly — callers in a per-word loop
+    pass it precomputed to avoid re-scanning the dict per word."""
     n = len(word)
+    if max_len is None:
+        max_len = max((len(p) for p in logp), default=1)
     # best[i] = (score, piece_len) for word[:i]
     NEG = float("-inf")
     best: list[tuple[float, int]] = [(NEG, 0)] * (n + 1)
     best[0] = (0.0, 0)
     for i in range(1, n + 1):
-        for j in range(max(0, i - 32), i):
+        for j in range(max(0, i - max_len), i):
             piece = word[j:i]
             lp = logp.get(piece)
             if lp is None or best[j][0] == NEG:
@@ -139,6 +147,7 @@ def _viterbi_counts(words: DataFrame, logp: dict[str, float]) -> dict[str, float
     weighted by word count. Executors see the bounded word table only;
     the aggregation returns at most |pieces| rows to the driver."""
     items = dict(logp)
+    max_len = max((len(p) for p in items), default=1)
 
     def estep(batches):
         import pandas as pd
@@ -146,7 +155,7 @@ def _viterbi_counts(words: DataFrame, logp: dict[str, float]) -> dict[str, float
         for pdf in batches:
             acc: dict[str, int] = {}
             for w, c in zip(pdf["word"], pdf["count"]):
-                segs = _viterbi(w, items)
+                segs = _viterbi(w, items, max_len)
                 if segs is None:
                     continue
                 for p in segs:
@@ -233,6 +242,7 @@ def apply_unigram(
     (the apply_bpe design; natural-language batches repeat words
     heavily). Words with uncoverable chars pass through whole."""
     logp = dict(model)
+    max_len = max((len(p) for p in logp), default=1)
 
     def tokenize(batches):
         import pandas as pd
@@ -243,7 +253,7 @@ def apply_unigram(
             def word_pieces(w: str) -> list[str]:
                 got = cache.get(w)
                 if got is None:
-                    got = _viterbi(w, logp) or [w]
+                    got = _viterbi(w, logp, max_len) or [w]
                     cache[w] = got
                 return got
 

@@ -288,9 +288,10 @@ def text_profile(spark, sf_dir):
         F.md5(F.col("c4_text").cast("binary")).alias("c4_fp"),
     )
     # the TRAINED Cavnar–Trenkle classifier (operators/lang_id.py):
-    # profiles fitted on the literal seed corpus (bounded, broadcast),
-    # classification one explode + per-doc window + broadcast join —
-    # the round-8 trained counterpart of the stopword heuristic below
+    # profiles fitted on the literal seed corpus (bounded, collected at
+    # plan build and embedded as literal gram→rank maps), classification
+    # a pure MAP-SIDE projection — zero shuffles/joins/Python — the
+    # round-8 trained counterpart of the stopword heuristic below
     ct = classify_lang(
         df, train_char_profiles(seed_frame(spark), top_n=_CT_TOPN), top_n=_CT_TOPN
     ).select("doc_id", "ct_lang")

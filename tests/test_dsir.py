@@ -209,3 +209,18 @@ def test_plan_shape_bounded_shuffles(spark, frames):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_threshold_mode_null_weight_keeps_false(spark):
+    # ADVICE r8: a NULL weight row must come out dsir_keep=False in the
+    # threshold regime exactly as in top-k (NULL > t and NULL|false are
+    # NULL without the coalesce) — the two regimes may never differ
+    rows = [(i, float(i)) for i in range(50)] + [(99, None)]
+    scored = spark.createDataFrame(rows, "doc_id long, dsir_logw double")
+    for mode in ("topk", "threshold"):
+        got = {
+            r.doc_id: r.dsir_keep
+            for r in dsir_select(scored, 10, mode=mode).collect()
+        }
+        assert got[99] is False, (mode, got[99])
+        assert all(v is not None for v in got.values()), mode

@@ -161,3 +161,16 @@ def test_routes_non_english_past_english_rules(spark, profiles):
         docs, stopwords=GOPHER_STOPWORDS_BY_LANG[lang]
     ).first()
     assert routed.gopher_keep and routed.g_stop_hits >= 2
+
+
+def test_reserved_name_collision_raises(spark, profiles):
+    # ADVICE r8: a caller column named like an internal stage alias
+    # would silently shadow the staged projections
+    docs = spark.createDataFrame([(1, "text here", "x")], "_sg string, text string, extra string")
+    with pytest.raises(ValueError, match="collide"):
+        classify_lang(docs, profiles, id_col="_sg")
+    docs2 = spark.createDataFrame(
+        [(1, "text here", "x")], "doc_id long, text string, _prof string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        classify_lang(docs2, profiles, keep_cols=("_prof",))

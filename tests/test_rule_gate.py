@@ -116,3 +116,14 @@ def test_two_corpus_scans_only(spark, docs, tmp_path):
     )
     assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_null_id_raises(spark):
+    # ADVICE r8: the standalone repetition_signals raises on a NULL id;
+    # the composed gate must keep that contract rather than silently
+    # emitting NULL gram signals through its left join
+    bad = spark.createDataFrame(
+        [(1, "fine text here."), (None, "orphan row.")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        rule_gate(bad).collect()

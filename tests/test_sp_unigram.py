@@ -162,3 +162,16 @@ def test_save_load_round_trip_and_contracts(spark, docs, tmp_path):
         train_unigram(docs, prune_frac=1.5)
     with pytest.raises(ValueError, match="em_iters"):
         train_unigram(docs, em_iters=0)
+
+
+def test_viterbi_window_tracks_model_piece_length(spark):
+    # ADVICE r8: the candidate window was hardcoded at 32 chars, so a
+    # model seeded with max_piece_len > 32 silently never matched its
+    # long pieces. The window now derives from the model itself.
+    from kafka_connect_ftp_spark.operators.sp_unigram import _viterbi, apply_unigram
+
+    long_piece = "a" * 40
+    model = [(long_piece, -0.5), ("a", -10.0)]
+    assert _viterbi(long_piece, dict(model)) == [long_piece]
+    docs = spark.createDataFrame([(1, long_piece)], "doc_id long, text string")
+    assert apply_unigram(docs, model).first().pieces == [long_piece]
