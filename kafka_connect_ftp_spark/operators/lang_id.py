@@ -58,9 +58,15 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "NORM_KEEP",
+    "NORM_KEEP_ROUTED",
+    "SCRIPT_OF_LANG",
+    "SCRIPT_RANGES",
     "SEED_TEXTS",
+    "SEED_TEXTS_ROUTED",
     "char_grams",
     "classify_lang",
+    "classify_lang_routed",
+    "classify_script",
     "seed_frame",
     "train_char_profiles",
 ]
@@ -69,6 +75,40 @@ __all__ = [
 # FIXED alphabet (not \p{L}): both engines must agree char-for-char,
 # and Java vs RE2 unicode-class semantics differ at the edges.
 NORM_KEEP = "a-zàâäçèéêëìíîïñòóôöùúûüß"
+
+# ---- script-level dispatch (round 9, VERDICT r8 #3) ---------------------
+# Unicode-block ranges as LITERAL characters (not \u/\x{} escapes: Java
+# regex takes \uXXXX, RE2 takes \x{XXXX} — literal range endpoints are
+# the one spelling both engines parse identically inside a char class).
+# Bounded fixed list, deliberately coarse: the dispatch only has to say
+# WHICH trained profile set (or fallback) a document routes to.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿԀ-ԯ",
+    "greek": "Ͱ-Ͽἀ-῿",
+    "han": "㐀-䶿一-鿿",
+    "kana": "぀-ヿ",
+    "hangul": "ᄀ-ᇿ가-힯",
+    "arabic": "؀-ۿݐ-ݿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+}
+
+# the routed classifier's language->script map for the shipped seeds
+SCRIPT_OF_LANG: dict[str, str] = {
+    "en": "latin",
+    "de": "latin",
+    "es": "latin",
+    "fr": "latin",
+    "ru": "cyrillic",
+    "el": "greek",
+}
+
+# union normalization alphabet for the routed classifier: one norm pass
+# covers every script with trained profiles (latin + cyrillic + greek) —
+# grams from one script never collide with another's profiles, so the
+# union costs nothing in accuracy and keeps classification single-scan
+NORM_KEEP_ROUTED = NORM_KEEP + "а-яёα-ωά-ώϊϋΐΰ"
 
 # Seed corpus: classic public-domain sentences (pangram, Dickens,
 # Tolstoy, Shakespeare, Cervantes, Proust openers and their standard
@@ -120,12 +160,37 @@ SEED_TEXTS: dict[str, str] = {
 }
 
 
-def _norm_expr(text_col: str) -> str:
+# the routed seed corpus: SEED_TEXTS plus Cyrillic/Greek classics
+# (Tolstoy, the Russian pangram, Shakespeare/Dickens/Homer standard
+# translations) — same public-domain-opener convention, lowercase
+SEED_TEXTS_ROUTED: dict[str, str] = {
+    **SEED_TEXTS,
+    "ru": (
+        "все счастливые семьи похожи друг на друга, каждая несчастливая "
+        "семья несчастлива по-своему. "
+        "съешь же ещё этих мягких французских булок, да выпей чаю. "
+        "быть или не быть, вот в чём вопрос. "
+        "это было лучшее из всех времён, это было худшее из всех времён. "
+        "человек создан для счастья, как птица для полёта. "
+        "все люди рождаются свободными и равными в своём достоинстве и правах."
+    ),
+    "el": (
+        "όλες οι ευτυχισμένες οικογένειες μοιάζουν μεταξύ τους, κάθε "
+        "δυστυχισμένη οικογένεια είναι δυστυχισμένη με τον δικό της τρόπο. "
+        "να ζει κανείς ή να μη ζει, ιδού η απορία. "
+        "ήταν οι καλύτεροι καιροί, ήταν οι χειρότεροι καιροί. "
+        "άνδρα μοι έννεπε μούσα πολύτροπον ος μάλα πολλά πλάγχθη. "
+        "η ελευθερία είναι το πολυτιμότερο αγαθό που δόθηκε στους ανθρώπους."
+    ),
+}
+
+
+def _norm_expr(text_col: str, norm_keep: str = NORM_KEEP) -> str:
     """The padded normalized form as a SQL expression — one definition,
     embedded verbatim (modulo dialect) in the DuckDB oracle twin."""
     t = (
         f"trim(regexp_replace(regexp_replace(lower(coalesce({text_col}, '')),"
-        f" '[^{NORM_KEEP} ]', ' '), ' +', ' '))"
+        f" '[^{norm_keep} ]', ' '), ' +', ' '))"
     )
     return f"CASE WHEN {t} = '' THEN '' ELSE concat(' ', {t}, ' ') END"
 
@@ -148,7 +213,11 @@ _GRAMS_OF_CS = (
 
 
 def char_grams(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    norm_keep: str = NORM_KEEP,
 ) -> DataFrame:
     """``(id, gram)`` — one row per trigram occurrence; the shared
     featurization (training and classification can never disagree).
@@ -161,7 +230,7 @@ def char_grams(
     staged-projection lesson)."""
     staged = docs.select(
         F.col(id_col),
-        F.expr(f"split({_norm_expr(text_col)}, '')").alias("_cs"),
+        F.expr(f"split({_norm_expr(text_col, norm_keep)}, '')").alias("_cs"),
     )
     return staged.select(
         F.col(id_col),
@@ -181,6 +250,7 @@ def train_char_profiles(
     lang_col: str = "lang",
     text_col: str = "text",
     top_n: int = 100,
+    norm_keep: str = NORM_KEEP,
 ) -> DataFrame:
     """Per-language rank profile ``(lang, gram, rank)``, rank 1..top_n
     by (count desc, gram asc) — bounded by langs x top_n, broadcastable
@@ -188,7 +258,7 @@ def train_char_profiles(
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     counts = (
-        char_grams(seed, id_col=lang_col, text_col=text_col)
+        char_grams(seed, id_col=lang_col, text_col=text_col, norm_keep=norm_keep)
         .groupBy(lang_col, "gram")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -210,6 +280,7 @@ def classify_lang(
     doc_top: int | None = None,
     penalty: int | None = None,
     keep_cols: tuple[str, ...] = (),
+    norm_keep: str = NORM_KEEP,
 ) -> DataFrame:
     """``(id, ct_lang, ct_dist, *keep_cols)`` — the out-of-place
     classification (module doc). ``penalty`` (default ``top_n``) is
@@ -248,20 +319,69 @@ def classify_lang(
         raise ValueError("doc_top and penalty must be >= 1")
     prows = profiles.collect()  # bounded: langs x top_n
     langs = sorted({r.lang for r in prows})
+    _check_reserved("classify_lang", id_col, keep_cols, len(langs))
+    if not langs:
+        raise ValueError("profiles is empty")
+    costs = _distance_frame(
+        docs,
+        prows,
+        langs,
+        id_col=id_col,
+        text_col=text_col,
+        doc_top=doc_top,
+        penalty=penalty,
+        keep_cols=keep_cols,
+        norm_keep=norm_keep,
+    )
+    dist_cols = [F.col(f"_d_{i}") for i in range(len(langs))]
+    min_dist = F.least(*dist_cols) if len(dist_cols) > 1 else dist_cols[0]
+    # lang-ascending CASE = the deterministic tie-break (langs sorted);
+    # a gram-less doc has an empty profile -> 'und' with distance 0
+    pick = F.when(F.col("_m") == 0, F.lit("und"))
+    for i, lang in enumerate(langs):
+        pick = pick.when(dist_cols[i] == min_dist, F.lit(lang))
+    return costs.select(
+        F.col("_id").alias(id_col),
+        pick.alias("ct_lang"),
+        F.when(F.col("_m") == 0, F.lit(0)).otherwise(min_dist).cast("long").alias("ct_dist"),
+        *keep_cols,
+    )
+
+
+def _check_reserved(
+    who: str, id_col: str, keep_cols: tuple[str, ...], n_langs: int
+) -> None:
     # reserved-name guard (the repetition_signals convention): a caller
     # column named like an internal stage alias would silently shadow
-    # or break the staged projections below
+    # or break the staged projections
     reserved = {"_id", "_cs", "_sg", "_st", "_prof", "_m"} | {
-        f"_d_{i}" for i in range(len(langs))
+        f"_d_{i}" for i in range(n_langs)
     }
     clash = ({id_col, *keep_cols}) & reserved
     if clash:
         raise ValueError(
-            f"classify_lang: column(s) {sorted(clash)} collide with "
+            f"{who}: column(s) {sorted(clash)} collide with "
             f"internal names {sorted(reserved)}"
         )
-    if not langs:
-        raise ValueError("profiles is empty")
+
+
+def _distance_frame(
+    docs: DataFrame,
+    prows,
+    langs: list[str],
+    *,
+    id_col: str,
+    text_col: str,
+    doc_top: int,
+    penalty: int,
+    keep_cols: tuple[str, ...],
+    norm_keep: str,
+) -> DataFrame:
+    """The shared map-side distance machinery (module doc): staged
+    projections ``_id/_sg/_st/_prof`` then one ``_d_i`` out-of-place
+    distance column per language against its literal gram→rank map,
+    plus ``_m`` (doc-profile size). Callers pick the argmin — globally
+    (``classify_lang``) or per script (``classify_lang_routed``)."""
     rank_map = {
         lang: F.create_map(
             *[
@@ -279,7 +399,7 @@ def classify_lang(
     keep = list(keep_cols)
     s1 = docs.select(
         F.col(id_col).alias("_id"),
-        F.expr(f"split({_norm_expr(text_col)}, '')").alias("_cs"),
+        F.expr(f"split({_norm_expr(text_col, norm_keep)}, '')").alias("_cs"),
         *keep,
     ).select(
         "_id",
@@ -325,22 +445,151 @@ def classify_lang(
         )
         return F.aggregate(per_gram, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
-    costs = s3.select(
+    return s3.select(
         "_id",
         *keep,
         F.size("_prof").alias("_m"),
         *[lang_dist(lang).alias(f"_d_{i}") for i, lang in enumerate(langs)],
     )
-    dist_cols = [F.col(f"_d_{i}") for i in range(len(langs))]
-    min_dist = F.least(*dist_cols) if len(dist_cols) > 1 else dist_cols[0]
-    # lang-ascending CASE = the deterministic tie-break (langs sorted);
-    # a gram-less doc has an empty profile -> 'und' with distance 0
-    pick = F.when(F.col("_m") == 0, F.lit("und"))
-    for i, lang in enumerate(langs):
-        pick = pick.when(dist_cols[i] == min_dist, F.lit(lang))
+
+
+def classify_script(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(id, ct_script, *keep_cols)`` — unicode-block script dispatch
+    (VERDICT r8 #3: without it every non-Latin document normalizes to
+    empty and classifies ``'und'`` before English-parameterized gates).
+
+    One codepoint-range count per script in ``SCRIPT_RANGES`` (a
+    ``regexp_extract_all`` over literal-character ranges — the one
+    spelling Java regex and RE2 parse identically, so the whole chain
+    re-derives in the DuckDB oracle), argmax with the deterministic
+    script-ascending tie-break, ``'und'`` when no script character
+    occurs. Pure MAP-SIDE projection: counts staged once (multiply
+    referenced by greatest() + the CASE chain), zero shuffles, zero
+    Python — fuses into the scan at any corpus size."""
+    scripts = sorted(SCRIPT_RANGES)
+    reserved = {f"_s_{i}" for i in range(len(scripts))} | {"_id"}
+    clash = ({id_col, *keep_cols}) & reserved
+    if clash:
+        raise ValueError(
+            f"classify_script: column(s) {sorted(clash)} collide with "
+            f"internal names {sorted(reserved)}"
+        )
+    staged = docs.select(
+        F.col(id_col),
+        *keep_cols,
+        *[
+            F.expr(
+                f"size(regexp_extract_all(coalesce({text_col}, ''),"
+                f" '[{SCRIPT_RANGES[s]}]', 0))"
+            ).alias(f"_s_{i}")
+            for i, s in enumerate(scripts)
+        ],
+    )
+    cnt = [F.col(f"_s_{i}") for i in range(len(scripts))]
+    gmax = F.greatest(*cnt) if len(cnt) > 1 else cnt[0]
+    pick = F.when(gmax == 0, F.lit("und"))
+    for i, s in enumerate(scripts):
+        pick = pick.when(cnt[i] == gmax, F.lit(s))
+    return staged.select(F.col(id_col), pick.alias("ct_script"), *keep_cols)
+
+
+def classify_lang_routed(
+    docs: DataFrame,
+    profiles: DataFrame,
+    *,
+    script_of_lang: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+    doc_top: int | None = None,
+    penalty: int | None = None,
+    keep_cols: tuple[str, ...] = (),
+    norm_keep: str = NORM_KEEP_ROUTED,
+) -> DataFrame:
+    """``(id, ct_script, ct_lang, ct_dist, *keep_cols)`` — script-level
+    dispatch in front of the trained CT profiles: ``classify_script``
+    names the document's unicode script, and the out-of-place argmin is
+    restricted to the languages of THAT script (``script_of_lang``,
+    default ``SCRIPT_OF_LANG``). A script with no trained languages
+    falls back to ``ct_lang = ct_script`` (script-granularity routing
+    is exactly what the per-language gate params key on); a profiled-
+    script document with no grams classifies ``'und'``.
+
+    ``profiles`` must be trained with the SAME ``norm_keep`` (default
+    ``NORM_KEEP_ROUTED``, the union alphabet over all profiled scripts:
+    one normalization pass — grams from one script never collide with
+    another script's profiles, so the union costs nothing in accuracy).
+
+    Physical shape: ``classify_script``'s count projection and the
+    distance machinery compose into ONE map-side chain — still zero
+    shuffles, zero joins, zero Python."""
+    doc_top = top_n if doc_top is None else doc_top
+    penalty = top_n if penalty is None else penalty
+    if doc_top < 1 or penalty < 1:
+        raise ValueError("doc_top and penalty must be >= 1")
+    sol = SCRIPT_OF_LANG if script_of_lang is None else script_of_lang
+    prows = profiles.collect()  # bounded: langs x top_n
+    langs = sorted({r.lang for r in prows})
+    if not langs:
+        raise ValueError("profiles is empty")
+    missing = [lg for lg in langs if lg not in sol]
+    if missing:
+        raise ValueError(f"script_of_lang missing entries for {missing}")
+    unknown = sorted({sol[lg] for lg in langs} - set(SCRIPT_RANGES))
+    if unknown:
+        raise ValueError(f"script_of_lang names unknown scripts {unknown}")
+    _check_reserved("classify_lang_routed", id_col, keep_cols, len(langs))
+    if "ct_script" in {id_col, *keep_cols}:
+        raise ValueError("ct_script collides with the output script column")
+    scr = classify_script(
+        docs, id_col=id_col, text_col=text_col, keep_cols=(text_col, *keep_cols)
+    )
+    costs = _distance_frame(
+        scr,
+        prows,
+        langs,
+        id_col=id_col,
+        text_col=text_col,
+        doc_top=doc_top,
+        penalty=penalty,
+        keep_cols=("ct_script", *keep_cols),
+        norm_keep=norm_keep,
+    )
+    by_script: dict[str, list[int]] = {}
+    for i, lg in enumerate(langs):
+        by_script.setdefault(sol[lg], []).append(i)
+    profiled = sorted(by_script)
+    # fallback first (unprofiled script -> the script label itself, which
+    # is 'und' for scriptless docs), then gram-less, then per-script argmin
+    lang_pick = F.when(
+        ~F.col("ct_script").isin(profiled), F.col("ct_script")
+    ).when(F.col("_m") == 0, F.lit("und"))
+    dist_pick = F.when(
+        (~F.col("ct_script").isin(profiled)) | (F.col("_m") == 0), F.lit(0)
+    )
+    for s in profiled:
+        idxs = by_script[s]
+        dcols = [F.col(f"_d_{i}") for i in idxs]
+        if len(dcols) == 1:
+            lang_pick = lang_pick.when(F.col("ct_script") == s, F.lit(langs[idxs[0]]))
+            dist_pick = dist_pick.when(F.col("ct_script") == s, dcols[0])
+            continue
+        smin = F.least(*dcols)
+        sub = F.when(dcols[0] == smin, F.lit(langs[idxs[0]]))
+        for i in idxs[1:]:
+            sub = sub.when(F.col(f"_d_{i}") == smin, F.lit(langs[i]))
+        lang_pick = lang_pick.when(F.col("ct_script") == s, sub)
+        dist_pick = dist_pick.when(F.col("ct_script") == s, smin)
     return costs.select(
         F.col("_id").alias(id_col),
-        pick.alias("ct_lang"),
-        F.when(F.col("_m") == 0, F.lit(0)).otherwise(min_dist).cast("long").alias("ct_dist"),
-        *keep,
+        "ct_script",
+        lang_pick.alias("ct_lang"),
+        dist_pick.cast("long").alias("ct_dist"),
+        *keep_cols,
     )

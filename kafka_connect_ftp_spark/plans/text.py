@@ -99,6 +99,50 @@ _C4_AUG_DUCK = (
     " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{{ }}' ELSE '' END"
     " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum dolor' ELSE '' END"
 ).format(w=_C4_W1_DUCK)
+# Script-level dispatch (operators/lang_id.py classify_script, round 9):
+# the synthetic docs are ASCII-only, so the gate exercises the operator
+# over a deterministically script-routed PROBE column built identically
+# in both engines (the C4/governance augmentation pattern): 1/5 of rows
+# each get a Cyrillic / Greek / Han literal or a digits-only string, the
+# rest keep their real (Latin) text. The oracle twin regenerates the
+# count-argmax chain from the SAME SCRIPT_RANGES literals.
+_SCRIPT_PROBE_RU = (
+    "однажды весною в час заката в москве появились два гражданина"
+)
+_SCRIPT_PROBE_EL = "η ελλάδα είναι μια όμορφη χώρα με πλούσια ιστορία"
+_SCRIPT_PROBE_HAN = "今天天气很好我们一起去公园散步吧然后喝茶聊天"
+_SCRIPT_PROBE_NUM = "12345 67890 ++--"
+_SCRIPT_PROBE_CASE = (
+    f"CASE WHEN doc_id % 5 = 1 THEN '{_SCRIPT_PROBE_RU}'"
+    f" WHEN doc_id % 5 = 2 THEN '{_SCRIPT_PROBE_EL}'"
+    f" WHEN doc_id % 5 = 3 THEN '{_SCRIPT_PROBE_HAN}'"
+    f" WHEN doc_id % 5 = 4 THEN '{_SCRIPT_PROBE_NUM}'"
+    " ELSE text END"
+)
+
+
+def _script_cte() -> str:
+    from kafka_connect_ftp_spark.operators.lang_id import SCRIPT_RANGES
+
+    scripts = sorted(SCRIPT_RANGES)
+    counts = ", ".join(
+        f"len(regexp_extract_all(probe, '[{SCRIPT_RANGES[s]}]')) AS c_{i}"
+        for i, s in enumerate(scripts)
+    )
+    g = "greatest(" + ", ".join(f"c_{i}" for i in range(len(scripts))) + ")"
+    case = (
+        f"CASE WHEN {g} = 0 THEN 'und' "
+        + " ".join(f"WHEN c_{i} = {g} THEN '{s}'" for i, s in enumerate(scripts))
+        + " END"
+    )
+    return f"""
+    scr_cnt AS (
+      SELECT doc_id, {counts}
+      FROM (SELECT doc_id, {_SCRIPT_PROBE_CASE} AS probe FROM documents)
+    ),
+    scr_best AS (SELECT doc_id, {case} AS ct_script FROM scr_cnt)"""
+
+
 # Trained Cavnar–Trenkle lang-ID (operators/lang_id.py) oracle twins:
 # the ENTIRE train+classify chain re-derived in SQL — seed literals,
 # normalization, trigram explode, rank profiles, out-of-place distance,
@@ -206,7 +250,8 @@ _C4_KEPT_DUCK = (
              md5(ktext) AS c4_fp
       FROM c4
     ),
-    {_CT_CTES}
+    {_CT_CTES},
+    {_script_cte()}
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
            CAST(LEN({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
@@ -223,6 +268,7 @@ _C4_KEPT_DUCK = (
            CAST({_hits_expr_duck(_STOPWORDS['fr'])} AS BIGINT) AS fr_hits,
            {_LANG_CASE_DUCK} AS pred_lang,
            COALESCE(ct_best.lang, 'und') AS ct_lang,
+           scr_best.ct_script,
            CAST(LEN(regexp_extract_all(text, '{_TOKEN_RX}')) AS BIGINT) AS n_bpe_tokens,
            CAST(LEN(list_distinct(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
              AS n_distinct_bpe_tokens,
@@ -231,6 +277,7 @@ _C4_KEPT_DUCK = (
            c4f.c4_n_lines, c4f.c4_kept_lines, c4f.c4_sentences,
            c4f.c4_keep, c4f.c4_fp
     FROM documents JOIN c4f USING (doc_id)
+    JOIN scr_best USING (doc_id)
     LEFT JOIN ct_best USING (doc_id) ORDER BY doc_id
     """,
     doc=(
@@ -270,6 +317,7 @@ def text_profile(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.c4_filter import c4_flags
     from kafka_connect_ftp_spark.operators.lang_id import (
         classify_lang,
+        classify_script,
         seed_frame,
         train_char_profiles,
     )
@@ -295,6 +343,12 @@ def text_profile(spark, sf_dir):
     ct = classify_lang(
         df, train_char_profiles(seed_frame(spark), top_n=_CT_TOPN), top_n=_CT_TOPN
     ).select("doc_id", "ct_lang")
+    # the round-9 script dispatch (operators/lang_id.py classify_script)
+    # over the script-routed probe column (constant above) — also a pure
+    # map-side projection
+    scr = classify_script(
+        df.select("doc_id", F.expr(_SCRIPT_PROBE_CASE).alias("text"))
+    ).select("doc_id", "ct_script")
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
     lang_of = F.create_map(
         *[x for lang, ws in _STOPWORDS.items() for w in ws for x in (F.lit(w), F.lit(lang))]
@@ -338,6 +392,7 @@ def text_profile(spark, sf_dir):
         mapside.join(stats, "doc_id", "left")
         .join(c4, "doc_id")
         .join(ct, "doc_id")
+        .join(scr, "doc_id")
         .select(
             "doc_id",
             "n_chars_calc",
@@ -349,6 +404,7 @@ def text_profile(spark, sf_dir):
             *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in _STOPWORDS],
             pred.alias("pred_lang"),
             "ct_lang",
+            "ct_script",
             "n_bpe_tokens",
             "n_distinct_bpe_tokens",
             "norm_fp",

@@ -174,3 +174,108 @@ def test_reserved_name_collision_raises(spark, profiles):
     )
     with pytest.raises(ValueError, match="collide"):
         classify_lang(docs2, profiles, keep_cols=("_prof",))
+
+
+# ---- round 9: script-level dispatch --------------------------------------
+
+_SCRIPT_HELD_OUT = [
+    (1, "latin", "en", "the weather is lovely today and the garden looks bright."),
+    (2, "latin", "de", "die regierung hat heute einen neuen haushaltsplan vorgestellt und die debatte beginnt."),
+    (3, "cyrillic", "ru",
+     "сегодня хорошая погода и мы решили пойти гулять в парк возле дома, "
+     "потому что все семьи любят проводить время вместе."),
+    (4, "greek", "el",
+     "σήμερα ο καιρός είναι καλός και αποφασίσαμε να περπατήσουμε στο "
+     "πάρκο κοντά στο σπίτι γιατί όλες οι οικογένειες αγαπούν τον ήλιο."),
+    (5, "han", "han", "今天天气很好我们决定去公园散步因为家人都喜欢一起度过时间。"),
+    (6, "kana", "kana", "きょうはてんきがよくてこうえんをさんぽしました。"),
+    (7, "und", "und", "12345 67890 ++-- ~~ 00"),
+]
+
+
+@pytest.fixture(scope="module")
+def routed_profiles(spark):
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        NORM_KEEP_ROUTED,
+        SEED_TEXTS_ROUTED,
+    )
+
+    return train_char_profiles(
+        seed_frame(spark, SEED_TEXTS_ROUTED), top_n=TOP_N, norm_keep=NORM_KEEP_ROUTED
+    ).cache()
+
+
+def test_classify_script_blocks(spark):
+    from kafka_connect_ftp_spark.operators.lang_id import classify_script
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, _, t in _SCRIPT_HELD_OUT] + [(8, None), (9, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.ct_script for r in classify_script(docs).collect()}
+    for i, script, _, _ in _SCRIPT_HELD_OUT:
+        assert got[i] == script, (i, got[i], script)
+    assert got[8] == "und" and got[9] == "und"
+    # keep_cols passthrough + reserved-name guard
+    kept = classify_script(docs, keep_cols=("text",)).columns
+    assert kept == ["doc_id", "ct_script", "text"]
+    with pytest.raises(ValueError, match="collide"):
+        classify_script(docs.withColumnRenamed("doc_id", "_s_0"), id_col="_s_0")
+
+
+def test_routed_classification(spark, routed_profiles):
+    # VERDICT r8 #3 done-criterion: held-out Cyrillic/Greek/CJK text
+    # classifies to its script (or language where profiles exist), and
+    # Latin falls through to the trained CT path unchanged.
+    from kafka_connect_ftp_spark.operators.lang_id import classify_lang_routed
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, _, t in _SCRIPT_HELD_OUT], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.ct_script, r.ct_lang)
+        for r in classify_lang_routed(docs, routed_profiles, top_n=TOP_N).collect()
+    }
+    for i, script, lang, _ in _SCRIPT_HELD_OUT:
+        assert out[i] == (script, lang), (i, out[i], (script, lang))
+    # determinism across partition layouts
+    out7 = {
+        r.doc_id: (r.ct_script, r.ct_lang)
+        for r in classify_lang_routed(
+            docs.repartition(7), routed_profiles, top_n=TOP_N
+        ).collect()
+    }
+    assert out7 == out
+
+
+def test_routed_plan_is_map_side(spark, routed_profiles):
+    from kafka_connect_ftp_spark.operators.lang_id import classify_lang_routed
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, _, t in _SCRIPT_HELD_OUT], "doc_id long, text string"
+    )
+    plan = (
+        classify_lang_routed(docs, routed_profiles, top_n=TOP_N)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_routed_contracts(spark, routed_profiles):
+    from kafka_connect_ftp_spark.operators.lang_id import classify_lang_routed
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="script_of_lang missing"):
+        classify_lang_routed(docs, routed_profiles, script_of_lang={"en": "latin"})
+    with pytest.raises(ValueError, match="unknown scripts"):
+        classify_lang_routed(
+            docs,
+            routed_profiles,
+            script_of_lang={
+                lg: "klingon" for lg in ("en", "de", "es", "fr", "ru", "el")
+            },
+        )
