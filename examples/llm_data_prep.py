@@ -116,25 +116,68 @@ def main() -> int:
     # (and every per-stage count) would otherwise re-execute them
     docs = docs.drop("text").join(masked, "doc_id").localCheckpoint(eager=True)
 
-    # 1 + 1a COMPOSED (round 8): the quality scalar rules AND the Gopher
-    # repetition gate come out of ONE rule_gate pass (operators/
-    # rule_gate.py — two corpus scans total: one map-side projection for
-    # every scalar family, one gram pass for the aggregates) instead of
-    # the two separately-invoked stages rounds 5-7 ran (four scans). The
-    # C4/Gopher doc-rule columns ride along for the audit report; their
-    # keep decisions are NOT applied here — the synthetic docs are
-    # single-line punctuation-free word soup, which the
-    # terminal-punctuation and stopword rules reject wholesale (on a
-    # real crawl corpus, filter on rule_keep after routing per language
-    # with operators/lang_id.py).
-    gate = rule_gate(docs, top_ns=(2,), dup_ns=(5,))
+    # 1 + 1a COMPOSED (round 8) and LANGUAGE-ROUTED (round 9): the
+    # quality scalar rules AND the Gopher repetition gate come out of
+    # ONE rule_gate pass (operators/rule_gate.py — two corpus scans
+    # total: one map-side projection for every scalar family, one gram
+    # pass for the aggregates). The production recipe is
+    # classify-then-route: the trained script+CT classifier names each
+    # document's language map-side, and the SAME gate pass applies that
+    # language's stopword list / line-end regex per row (per-row routed
+    # literal maps — never a scan per language). The C4/Gopher doc-rule
+    # columns ride along for the audit report; their keep decisions are
+    # NOT applied to the synthetic corpus (single-line punctuation-free
+    # word soup fails them wholesale) — the non-English demo pages below
+    # show the routed decision flipping where it matters.
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        NORM_KEEP_ROUTED,
+        SEED_TEXTS_ROUTED,
+        classify_lang_routed,
+        seed_frame,
+        train_char_profiles,
+    )
+
+    demo = spark.createDataFrame(
+        [
+            (-1, "die regierung hat heute einen neuen haushaltsplan vorgestellt.\n"
+                 "die opposition will den entwurf im parlament mit anträgen ändern "
+                 "und die debatte dürfte mehrere wochen dauern.\n"
+                 "viele bürger haben dazu bereits eine klare meinung geäußert."),
+            (-2, "η κυβέρνηση παρουσίασε σήμερα τον νέο προϋπολογισμό στη βουλή;\n"
+                 "η αντιπολίτευση θέλει να αλλάξει το σχέδιο με τροπολογίες;\n"
+                 "οι πολίτες έχουν ήδη εκφράσει τη γνώμη τους με σαφήνεια."),
+        ],
+        "doc_id long, text string",
+    )
+    gate_in = docs.select("doc_id", "text").unionByName(demo)
+    profiles = train_char_profiles(
+        seed_frame(spark, SEED_TEXTS_ROUTED), norm_keep=NORM_KEEP_ROUTED
+    )
+    langed = classify_lang_routed(
+        gate_in, profiles, norm_keep=NORM_KEEP_ROUTED, keep_cols=("text",)
+    )
+    gate = rule_gate(langed, lang_col="ct_lang", top_ns=(2,), dup_ns=(5,))
+    # routing demo: well-formed German/Greek prose fails the ENGLISH
+    # stopword rule but passes once the classifier routes it to its own
+    # language's parameters — the exact mis-gating the routed form fixes
+    routed_demo = {r.doc_id: r for r in gate.filter("doc_id < 0").collect()}
+    english_demo = {r.doc_id: r for r in rule_gate(demo, top_ns=(2,), dup_ns=(5,)).collect()}
+    for i in (-1, -2):
+        assert routed_demo[i].g_stop_hits >= 2 > english_demo[i].g_stop_hits, i
+        assert routed_demo[i].gopher_keep and not english_demo[i].gopher_keep, i
+    print(
+        "lang-routed gate demo: de/el prose stop-hits routed="
+        f"{[routed_demo[i].g_stop_hits for i in (-1, -2)]} vs english="
+        f"{[english_demo[i].g_stop_hits for i in (-1, -2)]}"
+    )
     kept = gate.filter(
-        F.col("qf_keep")
+        (F.col("doc_id") >= 0)
+        & F.col("qf_keep")
         & (F.col("top_2gram_frac") <= 0.2)
         & (F.col("dup_5gram_frac") <= 0.5)
     )
     docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
-    n1 = gate.filter("qf_keep").count()
+    n1 = gate.filter("doc_id >= 0 AND qf_keep").count()
     n1a = docs.count()
 
     # 1b'. model-based quality: train the GPT-3/CCNet-style classifier

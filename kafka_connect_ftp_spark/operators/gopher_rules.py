@@ -38,6 +38,23 @@ GOPHER_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "zu", "von", "mit", "haben"),
     "es": ("el", "la", "de", "que", "y", "con", "ser", "haber"),
     "fr": ("le", "la", "de", "que", "et", "avec", "être", "avoir"),
+    "ru": ("и", "в", "не", "на", "что", "быть", "с", "это"),
+    "el": ("και", "το", "η", "να", "ο", "του", "με", "είναι"),
+}
+
+# the "word contains an alphabetic character" class, routable by
+# language for non-Latin scripts (the paper's rule is script-relative:
+# Greek prose has zero [a-zA-Z] words and would fail alpha_frac_min
+# wholesale). Ranges reuse lang_id.SCRIPT_RANGES spellings (literal
+# characters — Java regex and RE2 parse them identically).
+GOPHER_ALPHA_RX = "[a-zA-Z]"
+GOPHER_ALPHA_RX_BY_LANG: dict[str, str] = {
+    "en": GOPHER_ALPHA_RX,
+    "de": "[a-zA-ZÀ-ɏ]",
+    "es": "[a-zA-ZÀ-ɏ]",
+    "fr": "[a-zA-ZÀ-ɏ]",
+    "ru": "[a-zA-ZÀ-ɏЀ-ӿԀ-ԯ]",
+    "el": "[a-zA-ZÀ-ɏͰ-Ͽἀ-῿]",
 }
 
 _THRESH = {
@@ -56,17 +73,22 @@ def gopher_quality_signals(
     text_col: str = "text",
     decimals: int = 6,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    alpha_rx: str = GOPHER_ALPHA_RX,
 ) -> DataFrame:
     """Per-document Gopher rule signals + the composite ``gopher_keep``
     decision (module doc). Ratio columns are rounded to ``decimals``
     (the repetition_signals convention; the keep decision uses the
-    unrounded values). ``stopwords`` parameterizes the prose-presence
-    rule by language (``GOPHER_STOPWORDS_BY_LANG``) — route documents
-    through a lang-ID gate first (operators/lang_id.py) and apply the
-    matching list per slice, or the English default silently fails
+    unrounded values). ``stopwords`` and ``alpha_rx`` parameterize the
+    prose-presence and alphabetic-word rules by language
+    (``GOPHER_STOPWORDS_BY_LANG``, ``GOPHER_ALPHA_RX_BY_LANG``) — route
+    documents through a lang-ID gate first (operators/lang_id.py) and
+    apply the matching values per slice (or per row via
+    rule_gate's ``lang_col``), or the English defaults silently fail
     well-formed non-English prose."""
     if not stopwords:
         raise ValueError("stopwords must be non-empty")
+    if "'" in alpha_rx:
+        raise ValueError("alpha_rx must not contain a single quote")
     # two-stage projection: the word/line ARRAYS and the raw counts
     # materialize once per row in the inner select — inlining the split
     # at every consumer would re-split the text ~6x per row (the
@@ -86,7 +108,7 @@ def gopher_quality_signals(
         "_nsym",
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '^[-*•]'))").alias("_nbul"),
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '(\\\\.\\\\.\\\\.|…)$'))").alias("_nell"),
-        F.expr("size(filter(_ws, w -> w rlike '[a-zA-Z]'))").alias("_nalp"),
+        F.expr(f"size(filter(_ws, w -> w rlike '{alpha_rx}'))").alias("_nalp"),
         # case-insensitive: the paper's rule is about PROSE presence —
         # 'THE BOARD AND THE COMMITTEE' is running prose and must hit
         F.expr(

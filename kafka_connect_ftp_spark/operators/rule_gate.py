@@ -32,10 +32,20 @@ signals ride along un-thresholded: Gopher's repetition cuts are
 corpus-tuned, so the caller picks them — the example applies the
 top-2gram <= 0.2 / dup-5gram <= 0.5 pair).
 
-Language routing: ``stopwords`` / ``line_end_rx`` take the
-per-language values (gopher_rules.GOPHER_STOPWORDS_BY_LANG,
-c4_filter.C4_LINE_END_BY_LANG) — classify with operators/lang_id.py
-first and gate each language slice with its own parameters.
+Language routing, two ways:
+
+- SLICED: ``stopwords`` / ``line_end_rx`` take one language's values
+  (gopher_rules.GOPHER_STOPWORDS_BY_LANG, c4_filter.C4_LINE_END_BY_LANG)
+  — classify with operators/lang_id.py first and gate each language
+  slice with its own parameters (N scans for N languages).
+- ROUTED (round 9, VERDICT r8 #2): pass ``lang_col`` and the gate
+  routes PER ROW — the per-language stopword arrays and terminal-
+  punctuation regexes ride as literal maps (the classify_lang
+  literal-map technique) and ``element_at(map, lang)`` picks each
+  row's parameters, with the scalar ``stopwords``/``line_end_rx`` as
+  the fallback for unmapped languages. Still exactly TWO corpus scans
+  regardless of how many languages appear (plan-pinned) — the whole
+  point vs the sliced form's scan-per-language.
 """
 
 from __future__ import annotations
@@ -43,15 +53,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_connect_ftp_spark.operators.c4_filter import C4_LINE_END_RX
+from kafka_connect_ftp_spark.operators.c4_filter import (
+    C4_LINE_END_BY_LANG,
+    C4_LINE_END_RX,
+)
 from kafka_connect_ftp_spark.operators.gopher_rules import (
+    GOPHER_ALPHA_RX,
+    GOPHER_ALPHA_RX_BY_LANG,
     GOPHER_STOPWORDS,
+    GOPHER_STOPWORDS_BY_LANG,
     _THRESH,
 )
 from kafka_connect_ftp_spark.operators.repetition import (
     gram_wide,
     signal_columns,
 )
+
+
+def _sql_str(s: str) -> str:
+    return "'{}'".format(s.replace("'", "''"))
 
 
 def rule_gate(
@@ -65,6 +85,7 @@ def rule_gate(
     line_end_rx: str = C4_LINE_END_RX,
     # Gopher doc-rule knobs (gopher_rules.py defaults)
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    alpha_rx: str = GOPHER_ALPHA_RX,
     # quality_filter_flags knobs (its literal thresholds)
     min_tokens: int = 16,
     max_tokens: int = 4096,
@@ -76,6 +97,11 @@ def rule_gate(
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 10),
     decimals: int = 6,
+    # per-row language routing (module doc)
+    lang_col: str | None = None,
+    stopwords_by_lang: dict[str, tuple[str, ...]] | None = None,
+    line_end_rx_by_lang: dict[str, str] | None = None,
+    alpha_rx_by_lang: dict[str, str] | None = None,
 ) -> DataFrame:
     """All four rule families in two corpus scans (module doc). One row
     per input row: the quality columns (``len_ok word_len_ok
@@ -94,17 +120,74 @@ def rule_gate(
     if not stopwords:
         raise ValueError("stopwords must be non-empty")
 
+    if "'" in alpha_rx:
+        raise ValueError("alpha_rx must not contain a single quote")
     t = f"coalesce({text_col}, '')"
+    stops = ", ".join(_sql_str(w) for w in stopwords)
+    if lang_col is None:
+        src = docs
+        rx_expr = f"'{line_end_rx}'"
+        stops_expr = f"array({stops})"
+        alpha_expr = f"'{alpha_rx}'"
+    else:
+        # stage 0: per-row routed parameters — one literal lang->params
+        # map each for the stopword arrays and the line-end regexes,
+        # element_at picks this row's values, the scalar knobs are the
+        # unmapped-language fallback. Pure projection: the gate stays
+        # two corpus scans no matter how many languages appear.
+        clash = {id_col, text_col, lang_col} & {"_stops", "_rx", "_arx"}
+        if clash:
+            raise ValueError(f"column(s) {sorted(clash)} collide with _stops/_rx/_arx")
+        by_lang = (
+            GOPHER_STOPWORDS_BY_LANG if stopwords_by_lang is None else stopwords_by_lang
+        )
+        rx_by_lang = (
+            C4_LINE_END_BY_LANG if line_end_rx_by_lang is None else line_end_rx_by_lang
+        )
+        arx_by_lang = (
+            GOPHER_ALPHA_RX_BY_LANG if alpha_rx_by_lang is None else alpha_rx_by_lang
+        )
+        for what, rxs in (("line_end_rx", rx_by_lang), ("alpha_rx", arx_by_lang)):
+            for lg, rx in rxs.items():
+                if "'" in rx:
+                    raise ValueError(f"{what} for {lg!r} must not contain a single quote")
+        if any(not ws for ws in by_lang.values()):
+            raise ValueError("stopwords_by_lang values must be non-empty")
+        stops_map = "map(" + ", ".join(
+            f"{_sql_str(lg)}, array({', '.join(_sql_str(w) for w in ws)})"
+            for lg, ws in sorted(by_lang.items())
+        ) + ")"
+        rx_map = "map(" + ", ".join(
+            f"{_sql_str(lg)}, {_sql_str(rx)}" for lg, rx in sorted(rx_by_lang.items())
+        ) + ")"
+        arx_map = "map(" + ", ".join(
+            f"{_sql_str(lg)}, {_sql_str(rx)}" for lg, rx in sorted(arx_by_lang.items())
+        ) + ")"
+        src = docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.expr(
+                f"coalesce(element_at({stops_map}, {lang_col}), array({stops}))"
+            ).alias("_stops"),
+            F.expr(
+                f"coalesce(element_at({rx_map}, {lang_col}), '{line_end_rx}')"
+            ).alias("_rx"),
+            F.expr(
+                f"coalesce(element_at({arx_map}, {lang_col}), '{alpha_rx}')"
+            ).alias("_arx"),
+        )
+        rx_expr = "_rx"
+        stops_expr = "_stops"
+        alpha_expr = "_arx"
     line_ok = (
-        f"ln -> ln rlike '{line_end_rx}'"
+        f"ln -> rlike(ln, {rx_expr})"
         f" AND size(filter(split(ln, ' '), w -> w <> '')) >= {int(min_words_per_line)}"
         " AND NOT lower(ln) rlike 'javascript'"
     )
-    stops = ", ".join("'{}'".format(w.replace("'", "''")) for w in stopwords)
 
     # stage 1: every array/count the three scalar families need,
     # materialized ONCE per row (the cross-module arrays-once pass)
-    staged = docs.select(
+    staged = src.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("_n_chars"),
         F.col(text_col).isNull().alias("_null"),
@@ -119,6 +202,10 @@ def rule_gate(
         F.expr(f"size(split({t}, '\\n'))").alias("_nl_all"),
         F.expr(f"array_join(filter(split({t}, '\\n'), {line_ok}), '\\n')").alias("_kt"),
         F.expr(f"size(regexp_extract_all({t}, '#|\\\\.\\\\.\\\\.|…', 0))").alias("_nsym"),
+        # routed mode: the per-row stopword array + alpha class ride to
+        # the second projection (cheap column refs; the line-end regex
+        # was consumed by _kt)
+        *([F.col("_stops"), F.col("_arx")] if lang_col is not None else []),
     ).select(
         id_col,
         "_n_chars",
@@ -133,9 +220,9 @@ def rule_gate(
         "_nl_all",
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '^[-*•]'))").alias("_nbul"),
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '(\\\\.\\\\.\\\\.|…)$'))").alias("_nell"),
-        F.expr("size(filter(_ws, w -> w rlike '[a-zA-Z]'))").alias("_nalp"),
+        F.expr(f"size(filter(_ws, w -> rlike(w, {alpha_expr})))").alias("_nalp"),
         F.expr(
-            f"size(filter(array({stops}),"
+            f"size(filter({stops_expr},"
             " s -> array_contains(transform(_ws, w -> lower(w)), s)))"
         ).alias("_nstop"),
         F.expr("size(split(_kt, '\\n'))").alias("_nkept_raw"),

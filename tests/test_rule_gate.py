@@ -127,3 +127,88 @@ def test_null_id_raises(spark):
     )
     with pytest.raises(Exception, match="NULL doc_id"):
         rule_gate(bad).collect()
+
+
+# ---- round 9: per-row language routing ------------------------------------
+
+_DE_TEXT = (
+    "die regierung hat heute einen neuen haushaltsplan vorgestellt.\n"
+    "die opposition will den entwurf im parlament mit anträgen ändern und "
+    "die debatte dürfte mehrere wochen dauern.\n"
+    "viele bürger haben dazu bereits eine klare meinung geäußert."
+)
+_EN_TEXT = (
+    "the committee published the annual report this morning.\n"
+    "several members have asked to be heard before the vote and that "
+    "request was granted with little debate.\n"
+    "the final decision will be announced at the end of the week."
+)
+_EL_TEXT = (
+    "η κυβέρνηση παρουσίασε σήμερα τον νέο προϋπολογισμό.\n"
+    "η αντιπολίτευση θέλει να αλλάξει το σχέδιο στη βουλή;\n"
+    "οι πολίτες έχουν ήδη εκφράσει τη γνώμη τους με σαφήνεια."
+)
+
+
+def test_routed_gate_matches_sliced_gates(spark):
+    from kafka_connect_ftp_spark.operators.c4_filter import C4_LINE_END_BY_LANG
+    from kafka_connect_ftp_spark.operators.gopher_rules import (
+        GOPHER_ALPHA_RX,
+        GOPHER_ALPHA_RX_BY_LANG,
+        GOPHER_STOPWORDS_BY_LANG,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, _EN_TEXT, "en"), (2, _DE_TEXT, "de"), (3, _EL_TEXT, "el"),
+         (4, _DE_TEXT, "xx"), (5, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    routed = {r.doc_id: r.asDict() for r in rule_gate(mixed, lang_col="lang").collect()}
+    # per-language slice parity: each row equals the SLICED gate run
+    # with that language's parameters ('xx' falls back to the defaults)
+    for doc_id, lang in ((1, "en"), (2, "de"), (3, "el"), (4, "xx"), (5, "en")):
+        sliced = rule_gate(
+            mixed.filter(F.col("doc_id") == doc_id).select("doc_id", "text"),
+            stopwords=GOPHER_STOPWORDS_BY_LANG.get(lang, GOPHER_STOPWORDS_BY_LANG["en"]),
+            line_end_rx=C4_LINE_END_BY_LANG.get(lang, C4_LINE_END_BY_LANG["default"]),
+            alpha_rx=GOPHER_ALPHA_RX_BY_LANG.get(lang, GOPHER_ALPHA_RX),
+        ).first().asDict()
+        assert routed[doc_id] == sliced, (doc_id, lang)
+    # the motivating scenario: German/Greek prose passes its routed
+    # stopword rule but fails under the English defaults
+    unrouted = {r.doc_id: r for r in rule_gate(mixed.select("doc_id", "text")).collect()}
+    assert routed[2]["g_stop_hits"] >= 2 and unrouted[2].g_stop_hits < 2
+    assert routed[3]["g_stop_hits"] >= 2 and unrouted[3].g_stop_hits < 2
+    # Greek question mark ';' counts as a C4 line terminal once routed,
+    # and the routed alpha class stops Greek words reading as non-alpha
+    assert routed[3]["c4_kept_lines"] > unrouted[3].c4_kept_lines
+    assert routed[3]["g_alpha_frac"] == 1.0 and unrouted[3].g_alpha_frac == 0.0
+    assert routed[2]["gopher_keep"] and routed[3]["gopher_keep"]
+    assert not unrouted[2].gopher_keep and not unrouted[3].gopher_keep
+
+
+def test_routed_gate_still_two_scans(spark, tmp_path):
+    mixed = spark.createDataFrame(
+        [(1, _EN_TEXT, "en"), (2, _DE_TEXT, "de")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "mixed")
+    mixed.write.parquet(path)
+    plan = (
+        rule_gate(spark.read.parquet(path), lang_col="lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_routed_gate_contracts(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="single quote"):
+        rule_gate(docs, lang_col="lang", line_end_rx_by_lang={"en": "[.'!]$"})
+    with pytest.raises(ValueError, match="non-empty"):
+        rule_gate(docs, lang_col="lang", stopwords_by_lang={"en": ()})
