@@ -60,6 +60,7 @@ def c4_flags(
     min_words_per_line: int = 3,
     min_sentences: int = 5,
     line_end_rx: str = C4_LINE_END_RX,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document C4 cleaning columns: ``c4_n_lines`` /
     ``c4_kept_lines`` (line counts before/after the line rules),
@@ -68,7 +69,10 @@ def c4_flags(
     (the page decision). NULL text profiles as an empty page
     (0 lines, keep = false). ``line_end_rx`` parameterizes the
     terminal-punctuation class by script (``C4_LINE_END_BY_LANG``) —
-    apply per-language after a lang-ID gate."""
+    apply per-language after a lang-ID gate. ``keep_cols`` are input
+    columns carried verbatim (the classify_lang passthrough
+    convention: the operator is map-side, so a caller needing the
+    flags NEXT TO other per-doc columns chains instead of joining)."""
     if min_words_per_line < 1:
         raise ValueError(f"min_words_per_line must be >= 1, got {min_words_per_line}")
     if min_sentences < 0:
@@ -99,6 +103,7 @@ def c4_flags(
         F.expr(kept_text).alias("c4_text"),
         F.expr(sentences).cast("long").alias("c4_sentences"),
         (F.col(text_col).isNotNull() & F.expr(page_keep)).alias("c4_keep"),
+        *keep_cols,
     )
 
 

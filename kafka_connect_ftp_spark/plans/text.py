@@ -323,61 +323,73 @@ def text_profile(spark, sf_dir):
     )
 
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
-    # the REAL c4 operator over the augmented page (constant above).
+    # ONE map-side projection CHAIN, zero joins (round-9 rework: every
+    # branch — script dispatch, trained CT, C4 flags, token stats — is
+    # a pure projection, so they compose via keep_cols passthrough
+    # instead of four doc_id shuffle joins; the old exploded token-stat
+    # aggregate is replaced by staged array ops on the row, the same
+    # move classify_lang made in round 8):
+    # 1. script dispatch over the probe column (constant above)
+    s1 = classify_script(
+        df.select("doc_id", "text", F.expr(_SCRIPT_PROBE_CASE).alias("_probe")),
+        text_col="_probe",
+        keep_cols=("text",),
+    )
+    # 2. the TRAINED Cavnar–Trenkle classifier: profiles fitted on the
+    # literal seed corpus, embedded as literal gram→rank maps — map-side
+    s2 = classify_lang(
+        s1,
+        train_char_profiles(seed_frame(spark), top_n=_CT_TOPN),
+        top_n=_CT_TOPN,
+        keep_cols=("ct_script", "text"),
+    ).drop("ct_dist")
+    # 3. the REAL c4 operator over the augmented page (constant above).
     # min_sentences=3 EXPLICIT: the operator default is the paper's 5,
     # but the augmented pages retain at most 3 sentences — at 5 the
     # page rule would be vacuously false for every row, and the gate
     # exists to exercise per-row variation (doc_id%4 pages retain 2)
-    c4 = c4_flags(
-        df.select("doc_id", F.expr(_C4_AUG_SPARK).alias("text")),
+    s3 = c4_flags(
+        s2.withColumn("_aug", F.expr(_C4_AUG_SPARK)),
+        text_col="_aug",
         min_sentences=3,
-    ).select(
-        "doc_id", "c4_n_lines", "c4_kept_lines", "c4_sentences", "c4_keep",
-        F.md5(F.col("c4_text").cast("binary")).alias("c4_fp"),
+        keep_cols=("text", "ct_lang", "ct_script"),
     )
-    # the TRAINED Cavnar–Trenkle classifier (operators/lang_id.py):
-    # profiles fitted on the literal seed corpus (bounded, collected at
-    # plan build and embedded as literal gram→rank maps), classification
-    # a pure MAP-SIDE projection — zero shuffles/joins/Python — the
-    # round-8 trained counterpart of the stopword heuristic below
-    ct = classify_lang(
-        df, train_char_profiles(seed_frame(spark), top_n=_CT_TOPN), top_n=_CT_TOPN
-    ).select("doc_id", "ct_lang")
-    # the round-9 script dispatch (operators/lang_id.py classify_script)
-    # over the script-routed probe column (constant above) — also a pure
-    # map-side projection
-    scr = classify_script(
-        df.select("doc_id", F.expr(_SCRIPT_PROBE_CASE).alias("text"))
-    ).select("doc_id", "ct_script")
-    tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
-    lang_of = F.create_map(
-        *[x for lang, ws in _STOPWORDS.items() for w in ws for x in (F.lit(w), F.lit(lang))]
-    )
-    tagged = tok.withColumn("lang", lang_of[F.col("tk")])
-    stats = tagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.count_distinct("tk").alias("n_dist"),
-        F.sum(F.length("tk")).alias("tok_chars"),
-        *[
-            F.sum(F.when(F.col("lang") == lang, 1).otherwise(0)).alias(f"{lang}_ct")
-            for lang in _STOPWORDS
-        ],
-    )
+    # 4. token stats + fingerprints off staged arrays (the _tk alias is
+    # multiply-referenced and non-cheap, so CollapseProject keeps the
+    # boundary and the split happens once per row)
     bpe = F.expr(f"regexp_extract_all(text, '{_TOKEN_RX}', 0)")
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
     )
-    mapside = df.select(
+    s4 = s3.select(
         "doc_id",
+        "ct_lang",
+        "ct_script",
+        "c4_n_lines",
+        "c4_kept_lines",
+        "c4_sentences",
+        "c4_keep",
+        F.md5(F.col("c4_text").cast("binary")).alias("c4_fp"),
         F.length("text").cast("long").alias("n_chars_calc"),
         F.size(bpe).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(bpe)).cast("long").alias("n_distinct_bpe_tokens"),
         F.md5(norm.cast("binary")).alias("norm_fp"),
+        F.expr(_TOKS).alias("_tk"),
+    ).select(
+        "*",
+        F.size("_tk").alias("n_tok"),
+        F.size(F.array_distinct("_tk")).alias("n_dist"),
+        F.expr("aggregate(_tk, 0L, (a, x) -> a + length(x))").alias("tok_chars"),
+        *[
+            F.expr(
+                "size(filter(_tk, x -> x IN ({})))".format(
+                    ", ".join(f"'{w}'" for w in ws)
+                )
+            ).alias(f"{lang}_ct")
+            for lang, ws in _STOPWORDS.items()
+        ],
     )
-    # left join from the docs side + zero-coalesced counts: a document with
-    # no tokens has no exploded rows, and must still profile (n_tokens=0)
-    # rather than vanish
-    hits = {lang: F.coalesce(F.col(f"{lang}_ct"), F.lit(0)) for lang in _STOPWORDS}
+    hits = {lang: F.col(f"{lang}_ct") for lang in _STOPWORDS}
     all_zero = (hits["en"] == 0) & (hits["de"] == 0) & (hits["es"] == 0) & (hits["fr"] == 0)
     pred = (
         F.when(all_zero, "und")
@@ -386,20 +398,20 @@ def text_profile(spark, sf_dir):
         .when(hits["es"] >= hits["fr"], "es")
         .otherwise("fr")
     )
-    n_tok = F.coalesce(F.col("n_tok"), F.lit(0))
-    ratio = F.coalesce(F.col("n_dist"), F.lit(0)).cast("double") / n_tok
+    # a token-less document still profiles (n_tokens=0; the ratio
+    # columns go NULL exactly as the pre-rework left-join form did)
+    n_tok = F.col("n_tok")
+    tok_chars = F.when(n_tok == 0, F.lit(None)).otherwise(F.col("tok_chars"))
+    ratio = F.col("n_dist").cast("double") / n_tok
     return (
-        mapside.join(stats, "doc_id", "left")
-        .join(c4, "doc_id")
-        .join(ct, "doc_id")
-        .join(scr, "doc_id")
+        s4
         .select(
             "doc_id",
             "n_chars_calc",
             n_tok.cast("long").alias("n_tokens"),
             F.coalesce(F.col("n_dist"), F.lit(0)).cast("long").alias("n_distinct_tokens"),
             F.round(ratio, 4).alias("distinct_ratio"),
-            F.round(F.col("tok_chars").cast("double") / n_tok, 4).alias("avg_token_len"),
+            F.round(tok_chars.cast("double") / n_tok, 4).alias("avg_token_len"),
             F.round(ratio * (F.least(n_tok, F.lit(64)) / F.lit(64.0)), 4).alias("quality_score"),
             *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in _STOPWORDS],
             pred.alias("pred_lang"),

@@ -175,3 +175,60 @@ def test_viterbi_window_tracks_model_piece_length(spark):
     assert _viterbi(long_piece, dict(model)) == [long_piece]
     docs = spark.createDataFrame([(1, long_piece)], "doc_id long, text string")
     assert apply_unigram(docs, model).first().pieces == [long_piece]
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SLOW"),
+    reason="production-scale unigram demo (~minutes); set SPARK_GRAFT_SLOW=1",
+)
+def test_production_vocab_unigram_shape(spark):
+    # VERDICT r8 #6: the BPE production smoke's unigram counterpart —
+    # train >= 8k pieces over a >= 30k-distinct-word corpus in bounded
+    # wall time, and sanity-check compression (tokens/doc) against BPE
+    # trained on the SAME corpus: both subword vocabularies must beat
+    # character segmentation by a wide margin and land within a modest
+    # factor of each other.
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_ftp_spark.operators.bpe import apply_bpe, train_bpe
+
+    rng = random.Random(9)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(8, 14)))
+        for _ in range(30_000)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=40))) for i in range(3_000)],
+        "doc_id bigint, text string",
+    )
+    sample = docs.limit(100).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    model = train_unigram(
+        docs, vocab_size=8_192, seed_size=16_384, max_piece_len=8,
+        em_iters=2, prune_frac=0.25,
+    )
+    elapsed = time.time() - t0
+    assert elapsed < 600, f"8k-piece training took {elapsed:.0f}s"
+    pieces = [p for p, _ in model]
+    assert len(pieces) == len(set(pieces))
+    assert len(pieces) >= 8_192 * 0.9  # prune overshoot tolerance
+    assert any(len(p) > 1 for p in pieces)
+
+    def mean_tokens(df):
+        return df.agg(F.avg(F.size(df.columns[-1]))).collect()[0][0]
+
+    uni = mean_tokens(apply_unigram(sample, model))
+    n_chars = (
+        sample.agg(F.avg(F.length(F.replace("text", F.lit(" "), F.lit(""))))).collect()[0][0]
+    )
+    merges = train_bpe(docs, 4_096, batch_size=64)
+    bpe = mean_tokens(apply_bpe(sample, merges))
+    # both subword models compress well below character segmentation,
+    # and unigram's compression is in BPE's ballpark on the same corpus
+    assert uni < n_chars * 0.6, (uni, n_chars)
+    assert uni < bpe * 1.5, (uni, bpe)
+    print(f"# unigram 8k: {elapsed:.0f}s, tokens/doc uni={uni:.1f} bpe={bpe:.1f} chars={n_chars:.1f}")
