@@ -94,7 +94,10 @@ SCRIPT_RANGES: dict[str, str] = {
     "devanagari": "ऀ-ॿ",
 }
 
-# the routed classifier's language->script map for the shipped seeds
+# the routed classifier's language->script map for the shipped seeds.
+# zh/ja ride the han/kana scripts: kanji-heavy Japanese with little
+# kana can dispatch to han and classify zh — the standard script-level
+# ambiguity; kana presence is the ja signal
 SCRIPT_OF_LANG: dict[str, str] = {
     "en": "latin",
     "de": "latin",
@@ -102,13 +105,16 @@ SCRIPT_OF_LANG: dict[str, str] = {
     "fr": "latin",
     "ru": "cyrillic",
     "el": "greek",
+    "zh": "han",
+    "ja": "kana",
 }
 
 # union normalization alphabet for the routed classifier: one norm pass
-# covers every script with trained profiles (latin + cyrillic + greek) —
-# grams from one script never collide with another's profiles, so the
-# union costs nothing in accuracy and keeps classification single-scan
-NORM_KEEP_ROUTED = NORM_KEEP + "а-яёα-ωά-ώϊϋΐΰ"
+# covers every script with trained profiles (latin + cyrillic + greek +
+# han + kana) — grams from one script never collide with another's
+# profiles, so the union costs nothing in accuracy and keeps
+# classification single-scan
+NORM_KEEP_ROUTED = NORM_KEEP + "а-яёα-ωά-ώϊϋΐΰ぀-ヿ㐀-䶿一-鿿"
 
 # Seed corpus: classic public-domain sentences (pangram, Dickens,
 # Tolstoy, Shakespeare, Cervantes, Proust openers and their standard
@@ -181,6 +187,21 @@ SEED_TEXTS_ROUTED: dict[str, str] = {
         "ήταν οι καλύτεροι καιροί, ήταν οι χειρότεροι καιροί. "
         "άνδρα μοι έννεπε μούσα πολύτροπον ος μάλα πολλά πλάγχθη. "
         "η ελευθερία είναι το πολυτιμότερο αγαθό που δόθηκε στους ανθρώπους."
+    ),
+    "zh": (
+        "幸福的家庭都是相似的不幸的家庭各有各的不幸。"
+        "这是最好的时代这是最坏的时代。"
+        "生存还是毁灭这是一个问题。"
+        "人人生而自由在尊严和权利上一律平等。"
+        "学而时习之不亦说乎有朋自远方来不亦乐乎。"
+        "道可道非常道名可名非常名。"
+    ),
+    "ja": (
+        "しあわせなかぞくはみなにている。ふしあわせなかぞくはそれぞれにふしあわせである。"
+        "いきるべきかしぬべきかそれがもんだいだ。"
+        "むかしむかしあるところにおじいさんとおばあさんがすんでいました。"
+        "はるはあけぼのやうやうしろくなりゆくやまぎわすこしあかりて。"
+        "すべてのにんげんはうまれながらにしてじゆうでありそんげんとけんりにおいてびょうどうである。"
     ),
 }
 
@@ -293,10 +314,13 @@ def classify_lang(
     select instead of paying a join — the pq_encode_arrow passthrough
     convention).
 
-    Physical shape (round-8 rework — 7.7s -> ~1.6s warm for the whole
-    text_profile gate query at sf0.1): a document's gram stream is ONE
-    row's array, so the whole classification is a MAP-SIDE projection —
-    zero shuffles, zero joins, zero Python:
+    Physical shape (round-8 rework; the round-9 text_profile gate
+    composes this map-side with the script dispatch, C4 flags and
+    token stats into ONE scan — current gate cost is whatever
+    BENCH_r{N}.json records for text_profile, not a number pinned
+    here): a document's gram stream is ONE row's array, so the whole
+    classification is a MAP-SIDE projection — zero shuffles, zero
+    joins, zero Python:
 
     - the trained profiles are BOUNDED (langs x top_n — the
       PQ-codebook contract), collected once at plan build and embedded
@@ -548,7 +572,12 @@ def classify_lang_routed(
     if "ct_script" in {id_col, *keep_cols}:
         raise ValueError("ct_script collides with the output script column")
     scr = classify_script(
-        docs, id_col=id_col, text_col=text_col, keep_cols=(text_col, *keep_cols)
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        # dedupe: a caller carrying text_col in keep_cols must not
+        # project it twice
+        keep_cols=tuple(dict.fromkeys((text_col, *keep_cols))),
     )
     costs = _distance_frame(
         scr,

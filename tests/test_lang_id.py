@@ -187,9 +187,12 @@ _SCRIPT_HELD_OUT = [
     (4, "greek", "el",
      "σήμερα ο καιρός είναι καλός και αποφασίσαμε να περπατήσουμε στο "
      "πάρκο κοντά στο σπίτι γιατί όλες οι οικογένειες αγαπούν τον ήλιο."),
-    (5, "han", "han", "今天天气很好我们决定去公园散步因为家人都喜欢一起度过时间。"),
-    (6, "kana", "kana", "きょうはてんきがよくてこうえんをさんぽしました。"),
+    # zh/ja have trained profiles under han/kana (held-out prose);
+    # arabic has none -> ct_lang falls back to the script label
+    (5, "han", "zh", "今天天气很好我们决定去公园散步因为家人都喜欢一起度过时间。"),
+    (6, "kana", "ja", "きょうはてんきがよくてこうえんをさんぽしました。"),
     (7, "und", "und", "12345 67890 ++-- ~~ 00"),
+    (8, "arabic", "arabic", "السلام عليكم كيف حالك اليوم الطقس جميل جدا"),
 ]
 
 
@@ -209,13 +212,13 @@ def test_classify_script_blocks(spark):
     from kafka_connect_ftp_spark.operators.lang_id import classify_script
 
     docs = spark.createDataFrame(
-        [(i, t) for i, _, _, t in _SCRIPT_HELD_OUT] + [(8, None), (9, "")],
+        [(i, t) for i, _, _, t in _SCRIPT_HELD_OUT] + [(98, None), (99, "")],
         "doc_id long, text string",
     )
     got = {r.doc_id: r.ct_script for r in classify_script(docs).collect()}
     for i, script, _, _ in _SCRIPT_HELD_OUT:
         assert got[i] == script, (i, got[i], script)
-    assert got[8] == "und" and got[9] == "und"
+    assert got[98] == "und" and got[99] == "und"
     # keep_cols passthrough + reserved-name guard
     kept = classify_script(docs, keep_cols=("text",)).columns
     assert kept == ["doc_id", "ct_script", "text"]
@@ -276,6 +279,7 @@ def test_routed_contracts(spark, routed_profiles):
             docs,
             routed_profiles,
             script_of_lang={
-                lg: "klingon" for lg in ("en", "de", "es", "fr", "ru", "el")
+                lg: "klingon"
+                for lg in ("en", "de", "es", "fr", "ru", "el", "zh", "ja")
             },
         )
