@@ -54,8 +54,11 @@ def main() -> int:
     )
     m = 8
     cb = train_pq(assigned, m=m, ksub=64, vec_col="v")
+    # pq_encode_arrow internally aliases the vector column to "v", so v
+    # itself can't ride passthrough — join it back for the rerank stage
     with_pq = (
-        pq_encode_arrow(assigned, cb, vec_col="v", passthrough=("v", "cell"))
+        pq_encode_arrow(assigned, cb, vec_col="v", passthrough=("cell",))
+        .join(assigned.select("vec_id", "v"), "vec_id")
         .localCheckpoint(eager=True)
     )
 
