@@ -160,13 +160,14 @@ def test_routed_gate_matches_sliced_gates(spark):
 
     mixed = spark.createDataFrame(
         [(1, _EN_TEXT, "en"), (2, _DE_TEXT, "de"), (3, _EL_TEXT, "el"),
-         (4, _DE_TEXT, "xx"), (5, None, "en")],
+         (4, _DE_TEXT, "xx"), (5, None, "en"), (6, _EN_TEXT, None)],
         "doc_id long, text string, lang string",
     )
     routed = {r.doc_id: r.asDict() for r in rule_gate(mixed, lang_col="lang").collect()}
     # per-language slice parity: each row equals the SLICED gate run
-    # with that language's parameters ('xx' falls back to the defaults)
-    for doc_id, lang in ((1, "en"), (2, "de"), (3, "el"), (4, "xx"), (5, "en")):
+    # with that language's parameters ('xx' and a NULL lang fall back
+    # to the defaults — element_at(map, NULL) is NULL, coalesced)
+    for doc_id, lang in ((1, "en"), (2, "de"), (3, "el"), (4, "xx"), (5, "en"), (6, "xx")):
         sliced = rule_gate(
             mixed.filter(F.col("doc_id") == doc_id).select("doc_id", "text"),
             stopwords=GOPHER_STOPWORDS_BY_LANG.get(lang, GOPHER_STOPWORDS_BY_LANG["en"]),
