@@ -158,15 +158,21 @@ def main() -> int:
 
     # per-section breakdown of the heaviest headline query (a 7-stage
     # ingest chain — a regression inside one stage is invisible in the
-    # single total). One timed noop-write per section thunk, warm
-    # (fixture + codegen already paid by the headline runs above).
+    # single total). Same min-of-runs protocol as the headline queries:
+    # a single un-replicated sample would land the documented host
+    # spikes straight in the artifact (review r9).
     from kafka_connect_ftp_spark.plans.crawl_queries import crawl_corpus_sections
 
     crawl_sections: dict[str, float] = {}
+    crawl_section_samples: dict[str, list[float]] = {}
     for sec, thunk in crawl_corpus_sections(spark, sf_dir):
-        t0 = time.time()
-        thunk().write.format("noop").mode("overwrite").save()
-        crawl_sections[sec] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            thunk().write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        crawl_sections[sec] = min(samples)
+        crawl_section_samples[sec] = samples
     print(f"# crawl sections: {crawl_sections}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -190,6 +196,7 @@ def main() -> int:
         "queries_stddev": stddev,
         "queries_samples": all_samples,
         "crawl_sections": crawl_sections,
+        "crawl_section_samples": crawl_section_samples,
         "calib_jvm_sec": calib_sec,
         "runs": runs,
         "agg": "min",

@@ -40,7 +40,15 @@ GOPHER_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "de", "que", "et", "avec", "être", "avoir"),
     "ru": ("и", "в", "не", "на", "что", "быть", "с", "это"),
     "el": ("και", "το", "η", "να", "ο", "του", "με", "είναι"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
+    "ja": ("の", "に", "は", "を", "た", "が", "で", "て"),
 }
+
+# languages whose text is UNSEGMENTED (no whitespace word boundaries):
+# the stopword rule must match by SUBSTRING — array_contains over
+# space-split "words" compares a stop particle against an entire
+# unsegmented line and never hits (review r9)
+GOPHER_SUBSTR_STOPWORD_LANGS = frozenset({"zh", "ja"})
 
 # the "word contains an alphabetic character" class, routable by
 # language for non-Latin scripts (the paper's rule is script-relative:
@@ -55,6 +63,8 @@ GOPHER_ALPHA_RX_BY_LANG: dict[str, str] = {
     "fr": "[a-zA-ZÀ-ɏ]",
     "ru": "[a-zA-ZÀ-ɏЀ-ӿԀ-ԯ]",
     "el": "[a-zA-ZÀ-ɏͰ-Ͽἀ-῿]",
+    "zh": "[a-zA-Z㐀-䶿一-鿿]",
+    "ja": "[a-zA-Z぀-ヿ㐀-䶿一-鿿]",
 }
 
 _THRESH = {
@@ -74,6 +84,7 @@ def gopher_quality_signals(
     decimals: int = 6,
     stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
     alpha_rx: str = GOPHER_ALPHA_RX,
+    stopword_match: str = "word",
 ) -> DataFrame:
     """Per-document Gopher rule signals + the composite ``gopher_keep``
     decision (module doc). Ratio columns are rounded to ``decimals``
@@ -84,11 +95,17 @@ def gopher_quality_signals(
     documents through a lang-ID gate first (operators/lang_id.py) and
     apply the matching values per slice (or per row via
     rule_gate's ``lang_col``), or the English defaults silently fail
-    well-formed non-English prose."""
+    well-formed non-English prose. ``stopword_match="substr"`` matches
+    stop particles as SUBSTRINGS of the lowercased text — required for
+    unsegmented scripts (``GOPHER_SUBSTR_STOPWORD_LANGS``: zh/ja have
+    no whitespace word boundaries, so the word-exact rule would compare
+    a particle against an entire line and never hit)."""
     if not stopwords:
         raise ValueError("stopwords must be non-empty")
     if "'" in alpha_rx:
         raise ValueError("alpha_rx must not contain a single quote")
+    if stopword_match not in ("word", "substr"):
+        raise ValueError(f"stopword_match must be word|substr, got {stopword_match!r}")
     # two-stage projection: the word/line ARRAYS and the raw counts
     # materialize once per row in the inner select — inlining the split
     # at every consumer would re-split the text ~6x per row (the
@@ -101,6 +118,16 @@ def gopher_quality_signals(
         F.expr(f"filter(split(replace({t}, '\\n', ' '), ' '), w -> w <> '')").alias("_ws"),
         F.expr(f"filter(split({t}, '\\n'), ln -> trim(ln) <> '')").alias("_lns"),
         F.expr(f"size(regexp_extract_all({t}, '#|\\\\.\\\\.\\\\.|…', 0))").alias("_nsym"),
+        # substr mode needs the raw text, available only in this stage
+        *(
+            [
+                F.expr(
+                    f"size(filter(array({stops}), s -> contains(lower({t}), s)))"
+                ).alias("_nstop_sub")
+            ]
+            if stopword_match == "substr"
+            else []
+        ),
     ).select(
         id_col,
         F.expr("size(_ws)").alias("_nw"),
@@ -111,9 +138,13 @@ def gopher_quality_signals(
         F.expr(f"size(filter(_ws, w -> w rlike '{alpha_rx}'))").alias("_nalp"),
         # case-insensitive: the paper's rule is about PROSE presence —
         # 'THE BOARD AND THE COMMITTEE' is running prose and must hit
-        F.expr(
-            f"size(filter(array({stops}),"
-            " s -> array_contains(transform(_ws, w -> lower(w)), s)))"
+        (
+            F.expr(
+                f"size(filter(array({stops}),"
+                " s -> array_contains(transform(_ws, w -> lower(w)), s)))"
+            )
+            if stopword_match == "word"
+            else F.col("_nstop_sub")
         ).alias("_nstop"),
     )
 

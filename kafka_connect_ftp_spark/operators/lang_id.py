@@ -275,7 +275,14 @@ def train_char_profiles(
 ) -> DataFrame:
     """Per-language rank profile ``(lang, gram, rank)``, rank 1..top_n
     by (count desc, gram asc) — bounded by langs x top_n, broadcastable
-    at any corpus size. Deterministic: ties break on the gram string."""
+    at any corpus size. Deterministic: ties break on the gram string.
+
+    Raises if any seed language yields ZERO grams under ``norm_keep``
+    (review r9): training SEED_TEXTS_ROUTED with the default Latin-only
+    alphabet would silently drop the ru/el/zh/ja profiles and every
+    such document would quietly fall back to its script label at
+    classification — a build-time error beats that. Training is a
+    bounded seed-corpus job, so the extra action costs nothing."""
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     counts = (
@@ -284,11 +291,21 @@ def train_char_profiles(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     w = Window.partitionBy(lang_col).orderBy(F.desc("_c"), F.asc("gram"))
-    return (
+    out = (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select(F.col(lang_col).alias("lang"), "gram", F.col("rank").cast("int"))
     )
+    seed_langs = {r[0] for r in seed.select(lang_col).distinct().collect()}
+    prof_langs = {r[0] for r in out.select("lang").distinct().collect()}
+    gramless = sorted(seed_langs - prof_langs)
+    if gramless:
+        raise ValueError(
+            f"train_char_profiles: seed language(s) {gramless} normalize to "
+            f"zero grams under norm_keep={norm_keep!r} — pass the alphabet "
+            "covering their script (e.g. NORM_KEEP_ROUTED)"
+        )
+    return out
 
 
 def classify_lang(
@@ -373,14 +390,22 @@ def classify_lang(
 
 
 def _check_reserved(
-    who: str, id_col: str, keep_cols: tuple[str, ...], n_langs: int
+    who: str,
+    id_col: str,
+    keep_cols: tuple[str, ...],
+    n_langs: int = 0,
+    extra: frozenset[str] = frozenset(),
 ) -> None:
-    # reserved-name guard (the repetition_signals convention): a caller
-    # column named like an internal stage alias would silently shadow
-    # or break the staged projections
-    reserved = {"_id", "_cs", "_sg", "_st", "_prof", "_m"} | {
-        f"_d_{i}" for i in range(n_langs)
-    }
+    # THE reserved-name guard (the repetition_signals convention): a
+    # caller column named like an internal stage alias would silently
+    # shadow or break the staged projections. One helper for every
+    # guarded operator in this module — a new internal alias goes in
+    # exactly one place (review r9: three drifting copies collapsed).
+    reserved = (
+        {"_id", "_cs", "_sg", "_st", "_prof", "_m"}
+        | {f"_d_{i}" for i in range(n_langs)}
+        | set(extra)
+    )
     clash = ({id_col, *keep_cols}) & reserved
     if clash:
         raise ValueError(
@@ -488,31 +513,42 @@ def classify_script(
     (VERDICT r8 #3: without it every non-Latin document normalizes to
     empty and classifies ``'und'`` before English-parameterized gates).
 
-    One codepoint-range count per script in ``SCRIPT_RANGES`` (a
-    ``regexp_extract_all`` over literal-character ranges — the one
-    spelling Java regex and RE2 parse identically, so the whole chain
-    re-derives in the DuckDB oracle), argmax with the deterministic
-    script-ascending tie-break, ``'und'`` when no script character
-    occurs. Pure MAP-SIDE projection: counts staged once (multiply
-    referenced by greatest() + the CASE chain), zero shuffles, zero
-    Python — fuses into the scan at any corpus size."""
+    One codepoint-range count per script in ``SCRIPT_RANGES`` — as the
+    LENGTH DIFFERENCE ``length(t) - length(regexp_replace(t, '[range]',
+    ''))`` (each match is one char), never ``regexp_extract_all``:
+    letters are DENSE matches, and materializing an array of every
+    matching character would allocate ~doc-length single-char strings
+    per script per row on the hot path (review r9). Literal-character
+    ranges are the one spelling Java regex and RE2 parse identically,
+    so the whole chain re-derives in the DuckDB oracle. Argmax with the
+    deterministic script-ascending tie-break; ``'und'`` when no script
+    character occurs. Pure MAP-SIDE projection: counts staged once
+    (multiply referenced by greatest() + the CASE chain), zero
+    shuffles, zero Python — fuses into the scan at any corpus size."""
     scripts = sorted(SCRIPT_RANGES)
-    reserved = {f"_s_{i}" for i in range(len(scripts))} | {"_id"}
-    clash = ({id_col, *keep_cols}) & reserved
-    if clash:
-        raise ValueError(
-            f"classify_script: column(s) {sorted(clash)} collide with "
-            f"internal names {sorted(reserved)}"
-        )
+    _check_reserved(
+        "classify_script",
+        id_col,
+        keep_cols,
+        extra=frozenset(f"_s_{i}" for i in range(len(scripts))) | {"_s_len"},
+    )
+    t = f"coalesce({text_col}, '')"
     staged = docs.select(
         F.col(id_col),
         *keep_cols,
+        F.expr(f"length({t})").alias("_s_len"),
         *[
             F.expr(
-                f"size(regexp_extract_all(coalesce({text_col}, ''),"
-                f" '[{SCRIPT_RANGES[s]}]', 0))"
+                f"length(regexp_replace({t}, '[{SCRIPT_RANGES[s]}]', ''))"
             ).alias(f"_s_{i}")
             for i, s in enumerate(scripts)
+        ],
+    ).select(
+        F.col(id_col),
+        *keep_cols,
+        *[
+            (F.col("_s_len") - F.col(f"_s_{i}")).alias(f"_s_{i}")
+            for i in range(len(scripts))
         ],
     )
     cnt = [F.col(f"_s_{i}") for i in range(len(scripts))]

@@ -62,6 +62,7 @@ from kafka_connect_ftp_spark.operators.gopher_rules import (
     GOPHER_ALPHA_RX_BY_LANG,
     GOPHER_STOPWORDS,
     GOPHER_STOPWORDS_BY_LANG,
+    GOPHER_SUBSTR_STOPWORD_LANGS,
     _THRESH,
 )
 from kafka_connect_ftp_spark.operators.repetition import (
@@ -102,6 +103,7 @@ def rule_gate(
     stopwords_by_lang: dict[str, tuple[str, ...]] | None = None,
     line_end_rx_by_lang: dict[str, str] | None = None,
     alpha_rx_by_lang: dict[str, str] | None = None,
+    substr_stopword_langs: frozenset[str] = GOPHER_SUBSTR_STOPWORD_LANGS,
 ) -> DataFrame:
     """All four rule families in two corpus scans (module doc). One row
     per input row: the quality columns (``len_ok word_len_ok
@@ -126,18 +128,18 @@ def rule_gate(
     stops = ", ".join(_sql_str(w) for w in stopwords)
     if lang_col is None:
         src = docs
-        rx_expr = f"'{line_end_rx}'"
         stops_expr = f"array({stops})"
-        alpha_expr = f"'{alpha_rx}'"
+        line_rx_match = lambda var: f"{var} rlike '{line_end_rx}'"  # noqa: E731
+        alpha_match = lambda var: f"{var} rlike '{alpha_rx}'"  # noqa: E731
     else:
         # stage 0: per-row routed parameters — one literal lang->params
         # map each for the stopword arrays and the line-end regexes,
         # element_at picks this row's values, the scalar knobs are the
         # unmapped-language fallback. Pure projection: the gate stays
         # two corpus scans no matter how many languages appear.
-        clash = {id_col, text_col, lang_col} & {"_stops", "_rx", "_arx"}
+        clash = {id_col, text_col, lang_col} & {"_stops", "_lang"}
         if clash:
-            raise ValueError(f"column(s) {sorted(clash)} collide with _stops/_rx/_arx")
+            raise ValueError(f"column(s) {sorted(clash)} collide with _stops/_lang")
         by_lang = (
             GOPHER_STOPWORDS_BY_LANG if stopwords_by_lang is None else stopwords_by_lang
         )
@@ -157,30 +159,37 @@ def rule_gate(
             f"{_sql_str(lg)}, array({', '.join(_sql_str(w) for w in ws)})"
             for lg, ws in sorted(by_lang.items())
         ) + ")"
-        rx_map = "map(" + ", ".join(
-            f"{_sql_str(lg)}, {_sql_str(rx)}" for lg, rx in sorted(rx_by_lang.items())
-        ) + ")"
-        arx_map = "map(" + ", ".join(
-            f"{_sql_str(lg)}, {_sql_str(rx)}" for lg, rx in sorted(arx_by_lang.items())
-        ) + ")"
         src = docs.select(
             F.col(id_col),
             F.col(text_col),
             F.expr(
                 f"coalesce(element_at({stops_map}, {lang_col}), array({stops}))"
             ).alias("_stops"),
-            F.expr(
-                f"coalesce(element_at({rx_map}, {lang_col}), '{line_end_rx}')"
-            ).alias("_rx"),
-            F.expr(
-                f"coalesce(element_at({arx_map}, {lang_col}), '{alpha_rx}')"
-            ).alias("_arx"),
+            F.expr(f"cast({lang_col} as string)").alias("_lang"),
         )
-        rx_expr = "_rx"
+
+        # regexes route as a CASE chain over LITERAL patterns, never as
+        # a per-row pattern column: Spark's RLike caches the compiled
+        # java.util.regex.Pattern only when the pattern side is
+        # FOLDABLE — rlike(x, _rx_col) would recompile the pattern for
+        # every element inside the higher-order filters below (review
+        # r9). One branch per DISTINCT regex keeps the chain short.
+        def rx_case(var: str, rxs: dict[str, str], default: str) -> str:
+            by_rx: dict[str, list[str]] = {}
+            for lg, rx in sorted(rxs.items()):
+                by_rx.setdefault(rx, []).append(lg)
+            branches = " ".join(
+                f"WHEN _lang IN ({', '.join(_sql_str(lg) for lg in lgs)})"
+                f" THEN {var} rlike '{rx}'"
+                for rx, lgs in sorted(by_rx.items())
+            )
+            return f"CASE {branches} ELSE {var} rlike '{default}' END"
+
+        line_rx_match = lambda var: rx_case(var, rx_by_lang, line_end_rx)  # noqa: E731
+        alpha_match = lambda var: rx_case(var, arx_by_lang, alpha_rx)  # noqa: E731
         stops_expr = "_stops"
-        alpha_expr = "_arx"
     line_ok = (
-        f"ln -> rlike(ln, {rx_expr})"
+        f"ln -> ({line_rx_match('ln')})"
         f" AND size(filter(split(ln, ' '), w -> w <> '')) >= {int(min_words_per_line)}"
         " AND NOT lower(ln) rlike 'javascript'"
     )
@@ -202,10 +211,21 @@ def rule_gate(
         F.expr(f"size(split({t}, '\\n'))").alias("_nl_all"),
         F.expr(f"array_join(filter(split({t}, '\\n'), {line_ok}), '\\n')").alias("_kt"),
         F.expr(f"size(regexp_extract_all({t}, '#|\\\\.\\\\.\\\\.|…', 0))").alias("_nsym"),
-        # routed mode: the per-row stopword array + alpha class ride to
-        # the second projection (cheap column refs; the line-end regex
+        # routed mode: the per-row stopword array + lang tag ride to
+        # the second projection (cheap column refs; the line-end CASE
         # was consumed by _kt)
-        *([F.col("_stops"), F.col("_arx")] if lang_col is not None else []),
+        *([F.col("_stops"), F.col("_lang")] if lang_col is not None else []),
+        # unsegmented-script stop hits need the raw text — computed here
+        # (the only stage that has it) and routed per row below
+        *(
+            [
+                F.expr(
+                    f"size(filter(_stops, s -> contains(lower({t}), s)))"
+                ).alias("_nstop_sub")
+            ]
+            if lang_col is not None and substr_stopword_langs
+            else []
+        ),
     ).select(
         id_col,
         "_n_chars",
@@ -220,10 +240,23 @@ def rule_gate(
         "_nl_all",
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '^[-*•]'))").alias("_nbul"),
         F.expr("size(filter(_lns, ln -> trim(ln) rlike '(\\\\.\\\\.\\\\.|…)$'))").alias("_nell"),
-        F.expr(f"size(filter(_ws, w -> rlike(w, {alpha_expr})))").alias("_nalp"),
-        F.expr(
-            f"size(filter({stops_expr},"
-            " s -> array_contains(transform(_ws, w -> lower(w)), s)))"
+        F.expr(f"size(filter(_ws, w -> {alpha_match('w')}))").alias("_nalp"),
+        (
+            F.expr(
+                "CASE WHEN _lang IN ({langs}) THEN _nstop_sub ELSE "
+                "size(filter({stops}, s -> array_contains(transform(_ws, w -> lower(w)), s)))"
+                " END".format(
+                    langs=", ".join(
+                        _sql_str(lg) for lg in sorted(substr_stopword_langs)
+                    ),
+                    stops=stops_expr,
+                )
+            )
+            if lang_col is not None and substr_stopword_langs
+            else F.expr(
+                f"size(filter({stops_expr},"
+                " s -> array_contains(transform(_ws, w -> lower(w)), s)))"
+            )
         ).alias("_nstop"),
         F.expr("size(split(_kt, '\\n'))").alias("_nkept_raw"),
     )

@@ -213,3 +213,39 @@ def test_routed_gate_contracts(spark):
         rule_gate(docs, lang_col="lang", line_end_rx_by_lang={"en": "[.'!]$"})
     with pytest.raises(ValueError, match="non-empty"):
         rule_gate(docs, lang_col="lang", stopwords_by_lang={"en": ()})
+
+
+def test_routed_gate_unsegmented_scripts(spark):
+    # review r9: zh/ja need (a) stopword lists + alpha classes of their
+    # own and (b) SUBSTRING stop matching — unsegmented text has no
+    # whitespace words for array_contains to hit
+    from kafka_connect_ftp_spark.operators.gopher_rules import (
+        GOPHER_ALPHA_RX_BY_LANG,
+        GOPHER_STOPWORDS_BY_LANG,
+        gopher_quality_signals,
+    )
+
+    zh = "今天的天气很好我们在公园里散步了大家都很高兴因为有说有笑一起度过了愉快的时间。"
+    ja = "きょうのてんきはよくてこうえんをさんぽしたのでみんながたのしいじかんをすごしました。"
+    docs = spark.createDataFrame(
+        [(1, zh, "zh"), (2, ja, "ja")], "doc_id long, text string, lang string"
+    )
+    routed = {r.doc_id: r for r in rule_gate(docs, lang_col="lang").collect()}
+    english = {r.doc_id: r for r in rule_gate(docs.select("doc_id", "text")).collect()}
+    for i in (1, 2):
+        assert routed[i].g_stop_hits >= 2 > english[i].g_stop_hits, i
+        assert routed[i].g_alpha_frac > 0.9 and english[i].g_alpha_frac == 0.0, i
+        assert routed[i].gopher_keep and not english[i].gopher_keep, i
+    # parity with the standalone operator in substr mode
+    for i, lang in ((1, "zh"), (2, "ja")):
+        sliced = gopher_quality_signals(
+            docs.filter(F.col("doc_id") == i).select("doc_id", "text"),
+            stopwords=GOPHER_STOPWORDS_BY_LANG[lang],
+            alpha_rx=GOPHER_ALPHA_RX_BY_LANG[lang],
+            stopword_match="substr",
+        ).first()
+        assert routed[i].g_stop_hits == sliced.g_stop_hits, i
+        assert routed[i].g_alpha_frac == sliced.g_alpha_frac, i
+        assert routed[i].gopher_keep == sliced.gopher_keep, i
+    with pytest.raises(ValueError, match="stopword_match"):
+        gopher_quality_signals(docs, stopword_match="bogus")

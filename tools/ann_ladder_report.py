@@ -3,8 +3,11 @@ numbers behind docs/SCALING.md's "which rung do I pick" table.
 
 For each rung (raw IVF, IVF-SQ8, IVF-PQ) at nprobe in {1, 2, 4} with a
 fixed rerank budget: recall@10 against the brute-force ground truth,
-averaged over N held-out query vectors drawn from the table itself, and
-mean per-query wall time. The per-vector storage column is arithmetic
+averaged over N query vectors drawn from the table itself WITH THE
+QUERY'S OWN ROW EXCLUDED from both truth and results (a held-in query
+trivially retrieves itself — recall would be floored at 0.1 per query
+and overstate low-nprobe quality; review r9), and mean per-query wall
+time. The per-vector storage column is arithmetic
 (dim x 8B raw doubles vs dim x 1B SQ codes vs m x 1B PQ codes), not a
 measurement.
 
@@ -62,35 +65,35 @@ def main() -> int:
         .localCheckpoint(eager=True)
     )
 
-    queries = [
-        list(map(float, r.embedding))
-        for r in emb.orderBy("vec_id").limit(n_queries).collect()
-    ]
+    qrows = emb.orderBy("vec_id").limit(n_queries).collect()
+    queries = [list(map(float, r.embedding)) for r in qrows]
+    qids = [r.vec_id for r in qrows]
+    # self-match excluded: fetch k+1 and drop the query's own id
     truth = [
-        {r.vec_id for r in brute_force_topk(emb, q, top_k=10).collect()}
-        for q in queries
+        [r.vec_id for r in brute_force_topk(emb, q, top_k=11).collect() if r.vec_id != qid][:10]
+        for q, qid in zip(queries, qids)
     ]
 
     def bench(fn):
         recs, secs = [], []
-        for q, t in zip(queries, truth):
+        for q, qid, t in zip(queries, qids, truth):
             t0 = time.time()
-            got = {r.vec_id for r in fn(q).collect()}
+            got = [r.vec_id for r in fn(q).collect() if r.vec_id != qid][:10]
             secs.append(time.time() - t0)
-            recs.append(len(got & t) / len(t))
+            recs.append(len(set(got) & set(t)) / len(t))
         return sum(recs) / len(recs), sum(secs) / len(secs)
 
     rows = []
     for nprobe in (1, 2, 4):
-        raw = bench(lambda q, n=nprobe: ivf_search(index, q, top_k=10, nprobe=n))
+        raw = bench(lambda q, n=nprobe: ivf_search(index, q, top_k=11, nprobe=n))
         sq = bench(
             lambda q, n=nprobe: ivf_sq_search(
-                with_sq, index.centroids, bounds, q, top_k=10, nprobe=n, rerank=100
+                with_sq, index.centroids, bounds, q, top_k=11, nprobe=n, rerank=100
             )
         )
         pq = bench(
             lambda q, n=nprobe: ivf_pq_search(
-                with_pq, index.centroids, cb, q, top_k=10, nprobe=n, rerank=100
+                with_pq, index.centroids, cb, q, top_k=11, nprobe=n, rerank=100
             )
         )
         rows.append((nprobe, raw, sq, pq))
