@@ -283,3 +283,38 @@ def test_routed_contracts(spark, routed_profiles):
                 for lg in ("en", "de", "es", "fr", "ru", "el", "zh", "ja")
             },
         )
+
+
+def test_routed_scale_smoke(spark, routed_profiles):
+    # volume shape-check: 20k mixed-script docs through the routed
+    # classifier — the 8-language literal-map distance chain + 9-script
+    # count CASE must survive codegen and classify every row correctly
+    # (grouped counts are exact because each row's script snippet is
+    # keyed by doc_id % 5)
+    from kafka_connect_ftp_spark.operators.lang_id import classify_lang_routed
+
+    snips = {
+        0: _SCRIPT_HELD_OUT[0][3],   # en / latin
+        1: _SCRIPT_HELD_OUT[2][3],   # ru / cyrillic
+        2: _SCRIPT_HELD_OUT[3][3],   # el / greek
+        3: _SCRIPT_HELD_OUT[4][3],   # zh / han
+        4: _SCRIPT_HELD_OUT[6][3],   # und
+    }
+    case = "CASE CAST(id % 5 AS INT) " + " ".join(
+        "WHEN {} THEN '{}'".format(k, v.replace("'", "''")) for k, v in snips.items()
+    ) + " END"
+    docs = spark.range(20_000).selectExpr("id AS doc_id", f"{case} AS text")
+    got = {
+        (r.ct_script, r.ct_lang): r["count"]
+        for r in classify_lang_routed(docs, routed_profiles, top_n=TOP_N)
+        .groupBy("ct_script", "ct_lang")
+        .count()
+        .collect()
+    }
+    assert got == {
+        ("latin", "en"): 4000,
+        ("cyrillic", "ru"): 4000,
+        ("greek", "el"): 4000,
+        ("han", "zh"): 4000,
+        ("und", "und"): 4000,
+    }, got
