@@ -153,9 +153,13 @@ def main() -> int:
     profiles = train_char_profiles(
         seed_frame(spark, SEED_TEXTS_ROUTED), norm_keep=NORM_KEEP_ROUTED
     )
+    # classify → MATERIALIZE → gate (the rule_gate computed-lang_col
+    # contract): a filter on the gate's lang-routed columns would
+    # otherwise re-inline the classifier expression into every routed
+    # CASE branch during predicate pushdown
     langed = classify_lang_routed(
         gate_in, profiles, norm_keep=NORM_KEEP_ROUTED, keep_cols=("text",)
-    )
+    ).localCheckpoint(eager=True)
     gate = rule_gate(langed, lang_col="ct_lang", top_ns=(2,), dup_ns=(5,))
     # routing demo: well-formed German/Greek prose fails the ENGLISH
     # stopword rule but passes once the classifier routes it to its own

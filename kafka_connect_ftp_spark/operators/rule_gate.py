@@ -46,6 +46,20 @@ Language routing, two ways:
   the fallback for unmapped languages. Still exactly TWO corpus scans
   regardless of how many languages appear (plan-pinned) — the whole
   point vs the sliced form's scan-per-language.
+
+COMPUTED lang_col caveat: if ``lang_col`` is itself a large expression
+(classify_lang_routed's ct_lang — literal rank maps + distance folds),
+MATERIALIZE the classified frame (``localCheckpoint``/persist/write)
+before gating whenever a downstream filter touches the lang-routed
+columns (``c4_keep``/``gopher_keep``/``g_stop_hits``): Catalyst's
+predicate pushdown substitutes aliases into pushed predicates with no
+cheapness check, so every routed CASE branch would re-inline the whole
+classifier expression — measured MINUTES of driver-side optimization
+on a 3-row frame. Filters on lang-independent columns (the qf/
+repetition family) are unaffected. The streaming gate
+(streaming/quality_gate.py) checkpoints its micro-batch at this
+boundary; a batch pipeline classifying a full corpus should classify →
+write/checkpoint → gate.
 """
 
 from __future__ import annotations
