@@ -318,3 +318,60 @@ def test_routed_scale_smoke(spark, routed_profiles):
         ("han", "zh"): 4000,
         ("und", "und"): 4000,
     }, got
+
+
+def test_classify_script_property_matches_python(spark):
+    # property check: random mixed-script strings through the Spark
+    # operator equal a pure-Python twin (same ranges, same argmax
+    # tie-break) — generalizes the fixture cases to arbitrary mixes
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        SCRIPT_RANGES,
+        classify_script,
+    )
+
+    def _expand(rng: str) -> str:
+        # a few sample chars per range (endpoints + one inside)
+        out = []
+        i = 0
+        while i < len(rng):
+            if i + 2 < len(rng) and rng[i + 1] == "-":
+                lo, hi = ord(rng[i]), ord(rng[i + 2])
+                out += [chr(lo), chr((lo + hi) // 2), chr(hi)]
+                i += 3
+            else:
+                out.append(rng[i])
+                i += 1
+        return "".join(out)
+
+    pool = "".join(_expand(r) for r in SCRIPT_RANGES.values()) + " .,!?0123456789"
+
+    def _py_script(text: str) -> str:
+        import re
+
+        counts = {
+            s: len(re.findall(f"[{SCRIPT_RANGES[s]}]", text or ""))
+            for s in SCRIPT_RANGES
+        }
+        mx = max(counts.values())
+        if mx == 0:
+            return "und"
+        return min(s for s, c in counts.items() if c == mx)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(st.text(alphabet=pool, max_size=40), min_size=1, max_size=8))
+    def check(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {r.doc_id: r.ct_script for r in classify_script(docs).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == _py_script(t), (t, got[i], _py_script(t))
+
+    check()
