@@ -431,17 +431,19 @@ def _distance_frame(
     distance column per language against its literal gram→rank map,
     plus ``_m`` (doc-profile size). Callers pick the argmin — globally
     (``classify_lang``) or per script (``classify_lang_routed``)."""
-    rank_map = {
-        lang: F.create_map(
-            *[
-                x
-                for r in prows
-                if r.lang == lang
-                for x in (F.lit(r.gram), F.lit(int(r.rank)))
-            ]
+    # one SQL map literal per language, parsed in a single expression
+    # each (round 9: the F.create_map form built 2 x langs x top_n
+    # Column objects through py4j — ~1s of driver time per plan build
+    # at 4 langs x 64 grams, re-paid on every query construction)
+    def _map_sql(lang: str) -> str:
+        pairs = ", ".join(
+            "'{}', {}".format(r.gram.replace("'", "''"), int(r.rank))
+            for r in prows
+            if r.lang == lang
         )
-        for lang in langs
-    }
+        return f"map({pairs})"
+
+    rank_map = {lang: F.expr(_map_sql(lang)) for lang in langs}
     # stage 1: sorted gram array; stage 2: run starts (distinct grams);
     # stage 3: ranked profile. Each alias is multiply-referenced by the
     # next stage, so the projections stay materialized.

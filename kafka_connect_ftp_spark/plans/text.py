@@ -149,6 +149,27 @@ def _script_cte() -> str:
 # argmin. Integer arithmetic end to end, so the hash gate is exact.
 _CT_TOPN = 64
 
+# trained CT profiles memoized per process (the crawl _FIXTURE_CACHE
+# convention): the seed corpus is a module literal, so the profile
+# table is a pure function of _CT_TOPN — retraining it on every
+# text_profile plan build (a Spark job + collect) charged ~1.5s of
+# driver time to each bench sample for identical rows
+_CT_PROF_ROWS: list | None = None
+
+
+def _ct_profiles(spark):
+    global _CT_PROF_ROWS
+    if _CT_PROF_ROWS is None:
+        from kafka_connect_ftp_spark.operators.lang_id import (
+            seed_frame,
+            train_char_profiles,
+        )
+
+        _CT_PROF_ROWS = train_char_profiles(
+            seed_frame(spark), top_n=_CT_TOPN
+        ).collect()
+    return spark.createDataFrame(_CT_PROF_ROWS, "lang string, gram string, rank int")
+
 
 def _ct_norm_duck(col: str) -> str:
     from kafka_connect_ftp_spark.operators.lang_id import NORM_KEEP
@@ -335,11 +356,15 @@ def text_profile(spark, sf_dir):
         text_col="_probe",
         keep_cols=("text",),
     )
-    # 2. the TRAINED Cavnar–Trenkle classifier: profiles fitted on the
-    # literal seed corpus, embedded as literal gram→rank maps — map-side
+    # 2. the TRAINED Cavnar–Trenkle classifier: profiles fitted ONCE
+    # PER PROCESS on the literal seed corpus (bounded langs x top_n
+    # rows, memoized like the crawl fixture cache — the train-once/
+    # classify-many production shape; retraining on every plan build
+    # cost ~1.5s of driver time per bench sample), embedded as literal
+    # gram→rank maps — map-side
     s2 = classify_lang(
         s1,
-        train_char_profiles(seed_frame(spark), top_n=_CT_TOPN),
+        _ct_profiles(spark),
         top_n=_CT_TOPN,
         keep_cols=("ct_script", "text"),
     ).drop("ct_dist")
