@@ -4,8 +4,12 @@ engine's operators:
 
     corpus composition report (know-your-data) + cross-source overlap
       → span-level (C4-style) boilerplate dedup
-      → composed rule gate (ONE two-scan pass: quality scalar rules,
-        Gopher repetition suite, C4 + Gopher doc-rule audit columns)
+      → classify-then-route composed rule gate (trained script+CT
+        language ID map-side, then ONE two-scan pass applying each
+        row's OWN language's stopword/line-end/alpha params: quality
+        scalar rules, Gopher repetition suite, C4 + Gopher doc-rule
+        audit columns — with a de/el demo asserting the routed
+        decision flips vs the English defaults)
       → trained quality classifier (GPT-3-style LR over hashed token
         counts; deterministic Pareto acceptance)
       → unigram-LM fluency scoring (CCNet-style; worst tail cut)
