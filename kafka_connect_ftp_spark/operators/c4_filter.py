@@ -49,6 +49,7 @@ C4_LINE_END_BY_LANG: dict[str, str] = {
     "ja": "[。！？.!?\"]$",
     "hi": "[।.!?\"]$",
     "el": "[.;!?\"]$",  # Greek question mark is ';'
+    "ar": "[.!?؟۔\"]$",  # Arabic question mark + Urdu full stop
 }
 
 

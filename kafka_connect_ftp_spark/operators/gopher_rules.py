@@ -42,13 +42,21 @@ GOPHER_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     "el": ("και", "το", "η", "να", "ο", "του", "με", "είναι"),
     "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
     "ja": ("の", "に", "は", "を", "た", "が", "で", "て"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "هذا", "مع"),
+    # Korean stop material is PARTICLES/ENDINGS agglutinated onto the
+    # word (은/는/이/가/을/를, the 다 verb terminal) — never standalone
+    # whitespace words, so ko routes through substr matching below
+    "ko": ("은", "는", "이", "가", "을", "를", "다", "에"),
+    "hi": ("है", "की", "के", "में", "और", "का", "से", "को"),
 }
 
-# languages whose text is UNSEGMENTED (no whitespace word boundaries):
-# the stopword rule must match by SUBSTRING — array_contains over
-# space-split "words" compares a stop particle against an entire
-# unsegmented line and never hits (review r9)
-GOPHER_SUBSTR_STOPWORD_LANGS = frozenset({"zh", "ja"})
+# languages whose stop material never appears as a standalone
+# whitespace word: zh/ja are UNSEGMENTED (no word boundaries at all),
+# ko is whitespace-segmented but agglutinative — particles attach to
+# the word stem. For all three the stopword rule must match by
+# SUBSTRING: array_contains over space-split "words" compares a stop
+# particle against an entire line/word and never hits (review r9)
+GOPHER_SUBSTR_STOPWORD_LANGS = frozenset({"zh", "ja", "ko"})
 
 # the "word contains an alphabetic character" class, routable by
 # language for non-Latin scripts (the paper's rule is script-relative:
@@ -65,6 +73,9 @@ GOPHER_ALPHA_RX_BY_LANG: dict[str, str] = {
     "el": "[a-zA-ZÀ-ɏͰ-Ͽἀ-῿]",
     "zh": "[a-zA-Z㐀-䶿一-鿿]",
     "ja": "[a-zA-Z぀-ヿ㐀-䶿一-鿿]",
+    "ar": "[a-zA-Z؀-ۿݐ-ݿ]",
+    "ko": "[a-zA-Zᄀ-ᇿ가-힯]",
+    "hi": "[a-zA-Zऀ-ॿ]",
 }
 
 _THRESH = {

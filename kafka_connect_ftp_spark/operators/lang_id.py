@@ -107,14 +107,22 @@ SCRIPT_OF_LANG: dict[str, str] = {
     "el": "greek",
     "zh": "han",
     "ja": "kana",
+    "ar": "arabic",
+    "ko": "hangul",
+    "hi": "devanagari",
 }
 
 # union normalization alphabet for the routed classifier: one norm pass
 # covers every script with trained profiles (latin + cyrillic + greek +
-# han + kana) — grams from one script never collide with another's
-# profiles, so the union costs nothing in accuracy and keeps
-# classification single-scan
-NORM_KEEP_ROUTED = NORM_KEEP + "а-яёα-ωά-ώϊϋΐΰ぀-ヿ㐀-䶿一-鿿"
+# han + kana + arabic + hangul + devanagari) — grams from one script
+# never collide with another's profiles, so the union costs nothing in
+# accuracy and keeps classification single-scan. Letter-bearing
+# subranges only (arabic ء-ۿ skips the ؟/، punctuation codepoints;
+# devanagari ऀ-ॣ/ॱ-ॿ skips the।/॥ dandas and the ०-९ digits — the
+# same letters-only convention the Latin alphabet follows)
+NORM_KEEP_ROUTED = (
+    NORM_KEEP + "а-яёα-ωά-ώϊϋΐΰ぀-ヿ㐀-䶿一-鿿" + "ء-ۿᄀ-ᇿ가-힯ऀ-ॣॱ-ॿ"
+)
 
 # Seed corpus: classic public-domain sentences (pangram, Dickens,
 # Tolstoy, Shakespeare, Cervantes, Proust openers and their standard
@@ -166,9 +174,11 @@ SEED_TEXTS: dict[str, str] = {
 }
 
 
-# the routed seed corpus: SEED_TEXTS plus Cyrillic/Greek classics
-# (Tolstoy, the Russian pangram, Shakespeare/Dickens/Homer standard
-# translations) — same public-domain-opener convention, lowercase
+# the routed seed corpus: SEED_TEXTS plus Cyrillic/Greek/Han/Kana/
+# Arabic/Hangul/Devanagari classics (Tolstoy, the Russian pangram,
+# Shakespeare/Dickens/Homer standard translations, UDHR article 1) —
+# same public-domain-opener convention, lowercase (identity for the
+# caseless scripts)
 SEED_TEXTS_ROUTED: dict[str, str] = {
     **SEED_TEXTS,
     "ru": (
@@ -202,6 +212,33 @@ SEED_TEXTS_ROUTED: dict[str, str] = {
         "むかしむかしあるところにおじいさんとおばあさんがすんでいました。"
         "はるはあけぼのやうやうしろくなりゆくやまぎわすこしあかりて。"
         "すべてのにんげんはうまれながらにしてじゆうでありそんげんとけんりにおいてびょうどうである。"
+    ),
+    # round 9b continuation: the three scripts that previously fell
+    # back to bare script labels get trained profiles (UDHR article 1
+    # + the Tolstoy/Dickens/Shakespeare opener convention)
+    "ar": (
+        "يولد جميع الناس أحرارا متساوين في الكرامة والحقوق "
+        "وقد وهبوا عقلا وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء. "
+        "كل العائلات السعيدة متشابهة لكن كل عائلة تعيسة هي تعيسة بطريقتها الخاصة. "
+        "كان أفضل الأوقات وكان أسوأ الأوقات. "
+        "أن تكون أو لا تكون تلك هي المسألة. "
+        "ذهب الولد إلى المدرسة في الصباح الباكر وقرأ كتابا جديدا عن تاريخ العلوم."
+    ),
+    "ko": (
+        "행복한 가정은 모두 비슷하지만 불행한 가정은 저마다의 이유로 불행하다. "
+        "모든 인간은 태어날 때부터 자유로우며 그 존엄과 권리에 있어 동등하다. "
+        "인간은 천부적으로 이성과 양심을 부여받았으며 서로 형제애의 정신으로 행동하여야 한다. "
+        "최고의 시절이자 최악의 시절이었다. "
+        "사느냐 죽느냐 그것이 문제로다. "
+        "옛날 옛적에 한 마을에 할아버지와 할머니가 살고 있었습니다."
+    ),
+    "hi": (
+        "सभी सुखी परिवार एक जैसे होते हैं लेकिन हर दुखी परिवार अपने अपने ढंग से दुखी होता है। "
+        "सभी मनुष्यों को गौरव और अधिकारों के मामले में जन्मजात स्वतंत्रता और समानता प्राप्त है। "
+        "उन्हें बुद्धि और अंतरात्मा की देन प्राप्त है और परस्पर उन्हें भाईचारे के भाव से बर्ताव करना चाहिए। "
+        "होना या न होना यही प्रश्न है। "
+        "वह सबसे अच्छा समय था और वह सबसे बुरा समय था। "
+        "मैं सुबह जल्दी उठकर किताब पढ़ता हूं और शाम को बगीचे में टहलता हूं।"
     ),
 }
 

@@ -112,11 +112,24 @@ _SCRIPT_PROBE_RU = (
 _SCRIPT_PROBE_EL = "η ελλάδα είναι μια όμορφη χώρα με πλούσια ιστορία"
 _SCRIPT_PROBE_HAN = "今天天气很好我们一起去公园散步吧然后喝茶聊天"
 _SCRIPT_PROBE_NUM = "12345 67890 ++--"
+# round 9b: one probe branch per newly-profiled script (ar/ko/hi/ja)
+# plus a hebrew branch pinning the UNPROFILED-script fallback
+# (ct_lang_routed = the script label) inside the hash gate
+_SCRIPT_PROBE_AR = "الطقس جميل اليوم وذهبنا الى الحديقة في المساء مع الاصدقاء"
+_SCRIPT_PROBE_KO = "오늘은 날씨가 좋아서 우리는 공원에 가서 산책을 하고 차를 마셨다"
+_SCRIPT_PROBE_HI = "आज मौसम अच्छा है और हम बगीचे में टहलने गए फिर चाय पी"
+_SCRIPT_PROBE_JA = "きょうはてんきがよくてこうえんをさんぽしてからおちゃをのみました"
+_SCRIPT_PROBE_HE = "מזג האוויר יפה היום והלכנו לטייל בגן ואחר כך שתינו תה"
 _SCRIPT_PROBE_CASE = (
-    f"CASE WHEN doc_id % 5 = 1 THEN '{_SCRIPT_PROBE_RU}'"
-    f" WHEN doc_id % 5 = 2 THEN '{_SCRIPT_PROBE_EL}'"
-    f" WHEN doc_id % 5 = 3 THEN '{_SCRIPT_PROBE_HAN}'"
-    f" WHEN doc_id % 5 = 4 THEN '{_SCRIPT_PROBE_NUM}'"
+    f"CASE WHEN doc_id % 10 = 1 THEN '{_SCRIPT_PROBE_RU}'"
+    f" WHEN doc_id % 10 = 2 THEN '{_SCRIPT_PROBE_EL}'"
+    f" WHEN doc_id % 10 = 3 THEN '{_SCRIPT_PROBE_HAN}'"
+    f" WHEN doc_id % 10 = 4 THEN '{_SCRIPT_PROBE_NUM}'"
+    f" WHEN doc_id % 10 = 5 THEN '{_SCRIPT_PROBE_AR}'"
+    f" WHEN doc_id % 10 = 6 THEN '{_SCRIPT_PROBE_KO}'"
+    f" WHEN doc_id % 10 = 7 THEN '{_SCRIPT_PROBE_HI}'"
+    f" WHEN doc_id % 10 = 8 THEN '{_SCRIPT_PROBE_JA}'"
+    f" WHEN doc_id % 10 = 9 THEN '{_SCRIPT_PROBE_HE}'"
     " ELSE text END"
 )
 
@@ -171,12 +184,36 @@ def _ct_profiles(spark):
     return spark.createDataFrame(_CT_PROF_ROWS, "lang string, gram string, rank int")
 
 
-def _ct_norm_duck(col: str) -> str:
+_RT_PROF_ROWS: list | None = None
+
+
+def _rt_profiles(spark):
+    """The ROUTED profile table (full seed corpus, union alphabet),
+    memoized like ``_ct_profiles`` — train-once/classify-many."""
+    global _RT_PROF_ROWS
+    if _RT_PROF_ROWS is None:
+        from kafka_connect_ftp_spark.operators.lang_id import (
+            NORM_KEEP_ROUTED,
+            SEED_TEXTS_ROUTED,
+            seed_frame,
+            train_char_profiles,
+        )
+
+        _RT_PROF_ROWS = train_char_profiles(
+            seed_frame(spark, SEED_TEXTS_ROUTED),
+            top_n=_CT_TOPN,
+            norm_keep=NORM_KEEP_ROUTED,
+        ).collect()
+    return spark.createDataFrame(_RT_PROF_ROWS, "lang string, gram string, rank int")
+
+
+def _ct_norm_duck(col: str, norm_keep: str | None = None) -> str:
     from kafka_connect_ftp_spark.operators.lang_id import NORM_KEEP
 
+    keep = NORM_KEEP if norm_keep is None else norm_keep
     t = (
         f"trim(regexp_replace(regexp_replace(lower(coalesce({col}, '')),"
-        f" '[^{NORM_KEEP} ]', ' ', 'g'), ' +', ' ', 'g'))"
+        f" '[^{keep} ]', ' ', 'g'), ' +', ' ', 'g'))"
     )
     return f"CASE WHEN {t} = '' THEN '' ELSE ' ' || {t} || ' ' END"
 
@@ -189,50 +226,67 @@ def _ct_grams_duck(p: str) -> str:
     )
 
 
-def _ct_seed_values() -> str:
-    from kafka_connect_ftp_spark.operators.lang_id import SEED_TEXTS
-
+def _ct_seed_values(texts: dict[str, str]) -> str:
     return ", ".join(
         "('{}', '{}')".format(lang, txt.replace("'", "''"))
-        for lang, txt in sorted(SEED_TEXTS.items())
+        for lang, txt in sorted(texts.items())
     )
 
 
-_CT_CTES = f"""
-    ct_seed(lang, stext) AS (VALUES {_ct_seed_values()}),
-    ct_sg AS (
+def _ct_cte_block(
+    px: str, texts: dict[str, str], doc_expr: str, norm_keep: str | None = None
+) -> str:
+    """The trained-CT oracle twin (seed VALUES → trigram profiles →
+    per-doc ranked profile → out-of-place distance) as a prefixed CTE
+    block — generated once for the unrouted classifier (``ct_``, the 4
+    Latin seeds over ``text``) and once for the ROUTED one (``rt_``,
+    the full routed seed corpus over the script-probe column with the
+    union normalization alphabet). ``{px}_dist`` is (doc_id, lang,
+    dist); callers pick the argmin."""
+    return f"""
+    {px}_seed(lang, stext) AS (VALUES {_ct_seed_values(texts)}),
+    {px}_sg AS (
       SELECT lang, unnest({_ct_grams_duck('p')}) AS gram
-      FROM (SELECT lang, {_ct_norm_duck('stext')} AS p FROM ct_seed)
+      FROM (SELECT lang, {_ct_norm_duck('stext', norm_keep)} AS p FROM {px}_seed)
     ),
-    ct_prof AS (
+    {px}_prof AS (
       SELECT lang, gram, rnk FROM (
         SELECT lang, gram,
                row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rnk
-        FROM (SELECT lang, gram, count(*) AS cnt FROM ct_sg GROUP BY lang, gram)
+        FROM (SELECT lang, gram, count(*) AS cnt FROM {px}_sg GROUP BY lang, gram)
       ) WHERE rnk <= {_CT_TOPN}
     ),
-    ct_dg AS (
+    {px}_dg AS (
       SELECT doc_id, unnest({_ct_grams_duck('p')}) AS gram
-      FROM (SELECT doc_id, {_ct_norm_duck('text')} AS p FROM documents)
+      FROM (SELECT doc_id, {_ct_norm_duck('dtext', norm_keep)} AS p
+            FROM (SELECT doc_id, {doc_expr} AS dtext FROM documents))
     ),
-    ct_dprof AS (
+    {px}_dprof AS (
       SELECT doc_id, gram, drnk FROM (
         SELECT doc_id, gram,
                row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS drnk
-        FROM (SELECT doc_id, gram, count(*) AS cnt FROM ct_dg GROUP BY doc_id, gram)
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM {px}_dg GROUP BY doc_id, gram)
       ) WHERE drnk <= {_CT_TOPN}
     ),
-    ct_m AS (SELECT doc_id, count(*) AS m FROM ct_dprof GROUP BY doc_id),
-    ct_match AS (
+    {px}_m AS (SELECT doc_id, count(*) AS m FROM {px}_dprof GROUP BY doc_id),
+    {px}_match AS (
       SELECT d.doc_id, p.lang, SUM(ABS(d.drnk - p.rnk)) AS msum, COUNT(*) AS mn
-      FROM ct_dprof d JOIN ct_prof p USING (gram) GROUP BY d.doc_id, p.lang
+      FROM {px}_dprof d JOIN {px}_prof p USING (gram) GROUP BY d.doc_id, p.lang
     ),
-    ct_dist AS (
-      SELECT ct_m.doc_id, l.lang,
-             COALESCE(mm.msum, 0) + (ct_m.m - COALESCE(mm.mn, 0)) * {_CT_TOPN} AS dist
-      FROM ct_m CROSS JOIN (SELECT DISTINCT lang FROM ct_prof) l
-      LEFT JOIN ct_match mm ON mm.doc_id = ct_m.doc_id AND mm.lang = l.lang
-    ),
+    {px}_dist AS (
+      SELECT {px}_m.doc_id, l.lang,
+             COALESCE(mm.msum, 0) + ({px}_m.m - COALESCE(mm.mn, 0)) * {_CT_TOPN} AS dist
+      FROM {px}_m CROSS JOIN (SELECT DISTINCT lang FROM {px}_prof) l
+      LEFT JOIN {px}_match mm ON mm.doc_id = {px}_m.doc_id AND mm.lang = l.lang
+    )"""
+
+
+def _ct_ctes() -> str:
+    from kafka_connect_ftp_spark.operators.lang_id import SEED_TEXTS
+
+    return (
+        _ct_cte_block("ct", SEED_TEXTS, "text")
+        + f""",
     ct_best AS (
       SELECT doc_id, lang FROM (
         SELECT doc_id, lang,
@@ -240,6 +294,48 @@ _CT_CTES = f"""
         FROM ct_dist
       ) WHERE rn = 1
     )"""
+    )
+
+
+def _rt_ctes() -> str:
+    """Routed-classifier oracle twin (round 9b): the script dispatch
+    (``scr_best``, shared) restricts the out-of-place argmin to the
+    languages of the document's script (``rt_lsc``); an UNPROFILED
+    script falls back to the script label, a profiled-script document
+    with no grams to ``'und'`` — exactly
+    ``operators/lang_id.py:classify_lang_routed``."""
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        NORM_KEEP_ROUTED,
+        SCRIPT_OF_LANG,
+        SEED_TEXTS_ROUTED,
+    )
+
+    lsc = ", ".join(
+        f"('{lg}', '{SCRIPT_OF_LANG[lg]}')" for lg in sorted(SEED_TEXTS_ROUTED)
+    )
+    profiled = ", ".join(
+        f"'{s}'" for s in sorted({SCRIPT_OF_LANG[lg] for lg in SEED_TEXTS_ROUTED})
+    )
+    return (
+        _ct_cte_block("rt", SEED_TEXTS_ROUTED, _SCRIPT_PROBE_CASE, NORM_KEEP_ROUTED)
+        + f""",
+    rt_lsc(lang, script) AS (VALUES {lsc}),
+    rt_best AS (
+      SELECT doc_id, lang FROM (
+        SELECT d.doc_id, d.lang,
+               row_number() OVER (PARTITION BY d.doc_id ORDER BY d.dist, d.lang) AS rn
+        FROM rt_dist d
+        JOIN rt_lsc l ON l.lang = d.lang
+        JOIN scr_best s ON s.doc_id = d.doc_id AND s.ct_script = l.script
+      ) WHERE rn = 1
+    ),
+    rt_pick AS (
+      SELECT s.doc_id,
+             CASE WHEN s.ct_script NOT IN ({profiled}) THEN s.ct_script
+                  ELSE COALESCE(rt_best.lang, 'und') END AS ct_lang_routed
+      FROM scr_best s LEFT JOIN rt_best USING (doc_id)
+    )"""
+    )
 
 
 # the oracle twin of the operator's line lambda
@@ -271,8 +367,9 @@ _C4_KEPT_DUCK = (
              md5(ktext) AS c4_fp
       FROM c4
     ),
-    {_CT_CTES},
-    {_script_cte()}
+    {_ct_ctes()},
+    {_script_cte()},
+    {_rt_ctes()}
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
            CAST(LEN({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
@@ -290,6 +387,7 @@ _C4_KEPT_DUCK = (
            {_LANG_CASE_DUCK} AS pred_lang,
            COALESCE(ct_best.lang, 'und') AS ct_lang,
            scr_best.ct_script,
+           rt_pick.ct_lang_routed,
            CAST(LEN(regexp_extract_all(text, '{_TOKEN_RX}')) AS BIGINT) AS n_bpe_tokens,
            CAST(LEN(list_distinct(regexp_extract_all(text, '{_TOKEN_RX}'))) AS BIGINT)
              AS n_distinct_bpe_tokens,
@@ -299,6 +397,7 @@ _C4_KEPT_DUCK = (
            c4f.c4_keep, c4f.c4_fp
     FROM documents JOIN c4f USING (doc_id)
     JOIN scr_best USING (doc_id)
+    JOIN rt_pick USING (doc_id)
     LEFT JOIN ct_best USING (doc_id) ORDER BY doc_id
     """,
     doc=(
@@ -307,7 +406,13 @@ _C4_KEPT_DUCK = (
         "(deterministic tie-break en>de>es>fr) PLUS the round-8 TRAINED "
         "Cavnar–Trenkle char-trigram classifier (operators/lang_id.py: "
         "rank profiles fitted on a literal seed corpus, out-of-place "
-        "distance, integer-exact in both engines — ct_lang), "
+        "distance, integer-exact in both engines — ct_lang), the round-9 "
+        "script dispatch (ct_script, codepoint-range count argmax over a "
+        "deterministically script-routed probe column) and the round-9b "
+        "ROUTED classifier (ct_lang_routed: the argmin restricted to the "
+        "probe script's trained languages over the full 11-language seed "
+        "corpus — ru/el/zh/ja/ar/ko/hi probes classify their language, "
+        "the unprofiled hebrew probe falls back to the script label), "
         "BPE-ish regex token counts "
         "(letter runs / digit runs / single punctuation — the GPT-style "
         "pre-tokenizer split), and the md5 of the normalized text "
@@ -338,23 +443,31 @@ def text_profile(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.c4_filter import c4_flags
     from kafka_connect_ftp_spark.operators.lang_id import (
         classify_lang,
-        classify_script,
-        seed_frame,
-        train_char_profiles,
+        classify_lang_routed,
     )
 
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     # ONE map-side projection CHAIN, zero joins (round-9 rework: every
-    # branch — script dispatch, trained CT, C4 flags, token stats — is
-    # a pure projection, so they compose via keep_cols passthrough
-    # instead of four doc_id shuffle joins; the old exploded token-stat
-    # aggregate is replaced by staged array ops on the row, the same
-    # move classify_lang made in round 8):
-    # 1. script dispatch over the probe column (constant above)
-    s1 = classify_script(
-        df.select("doc_id", "text", F.expr(_SCRIPT_PROBE_CASE).alias("_probe")),
-        text_col="_probe",
-        keep_cols=("text",),
+    # branch — script dispatch + routed CT, trained CT, C4 flags, token
+    # stats — is a pure projection, so they compose via keep_cols
+    # passthrough instead of four doc_id shuffle joins; the old
+    # exploded token-stat aggregate is replaced by staged array ops on
+    # the row, the same move classify_lang made in round 8):
+    # 1. the ROUTED classifier over the probe column (constant above):
+    # script dispatch + per-script out-of-place argmin over the full
+    # routed seed corpus — yields both ct_script and ct_lang_routed
+    # in one map-side stage (round 9b; subsumes the bare
+    # classify_script stage this slot held before)
+    s1 = (
+        classify_lang_routed(
+            df.select("doc_id", "text", F.expr(_SCRIPT_PROBE_CASE).alias("_probe")),
+            _rt_profiles(spark),
+            text_col="_probe",
+            top_n=_CT_TOPN,
+            keep_cols=("text",),
+        )
+        .drop("ct_dist")
+        .withColumnRenamed("ct_lang", "ct_lang_routed")
     )
     # 2. the TRAINED Cavnar–Trenkle classifier: profiles fitted ONCE
     # PER PROCESS on the literal seed corpus (bounded langs x top_n
@@ -366,7 +479,7 @@ def text_profile(spark, sf_dir):
         s1,
         _ct_profiles(spark),
         top_n=_CT_TOPN,
-        keep_cols=("ct_script", "text"),
+        keep_cols=("ct_script", "ct_lang_routed", "text"),
     ).drop("ct_dist")
     # 3. the REAL c4 operator over the augmented page (constant above).
     # min_sentences=3 EXPLICIT: the operator default is the paper's 5,
@@ -377,7 +490,7 @@ def text_profile(spark, sf_dir):
         s2.withColumn("_aug", F.expr(_C4_AUG_SPARK)),
         text_col="_aug",
         min_sentences=3,
-        keep_cols=("text", "ct_lang", "ct_script"),
+        keep_cols=("text", "ct_lang", "ct_script", "ct_lang_routed"),
     )
     # 4. token stats + fingerprints off staged arrays (the _tk alias is
     # multiply-referenced and non-cheap, so CollapseProject keeps the
@@ -390,6 +503,7 @@ def text_profile(spark, sf_dir):
         "doc_id",
         "ct_lang",
         "ct_script",
+        "ct_lang_routed",
         "c4_n_lines",
         "c4_kept_lines",
         "c4_sentences",
@@ -442,6 +556,7 @@ def text_profile(spark, sf_dir):
             pred.alias("pred_lang"),
             "ct_lang",
             "ct_script",
+            "ct_lang_routed",
             "n_bpe_tokens",
             "n_distinct_bpe_tokens",
             "norm_fp",

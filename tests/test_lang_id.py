@@ -187,12 +187,18 @@ _SCRIPT_HELD_OUT = [
     (4, "greek", "el",
      "σήμερα ο καιρός είναι καλός και αποφασίσαμε να περπατήσουμε στο "
      "πάρκο κοντά στο σπίτι γιατί όλες οι οικογένειες αγαπούν τον ήλιο."),
-    # zh/ja have trained profiles under han/kana (held-out prose);
-    # arabic has none -> ct_lang falls back to the script label
+    # zh/ja have trained profiles under han/kana (held-out prose)
     (5, "han", "zh", "今天天气很好我们决定去公园散步因为家人都喜欢一起度过时间。"),
     (6, "kana", "ja", "きょうはてんきがよくてこうえんをさんぽしました。"),
     (7, "und", "und", "12345 67890 ++-- ~~ 00"),
-    (8, "arabic", "arabic", "السلام عليكم كيف حالك اليوم الطقس جميل جدا"),
+    # round 9b continuation: arabic/hangul/devanagari gained trained
+    # profiles (ar/ko/hi); hebrew keeps the no-profile script fallback
+    (8, "arabic", "ar", "السلام عليكم كيف حالك اليوم الطقس جميل جدا"),
+    (9, "hangul", "ko",
+     "오늘은 도서관에 가서 새로운 책을 빌리고 친구와 함께 저녁을 먹었다."),
+    (10, "devanagari", "hi",
+     "आज हम बाजार गए और वहां से ताजा फल और सब्जियां खरीद कर घर लौट आए।"),
+    (11, "hebrew", "hebrew", "שלום לכם מה שלומכם היום מזג האוויר נעים מאוד"),
 ]
 
 
@@ -269,7 +275,10 @@ def test_routed_plan_is_map_side(spark, routed_profiles):
 
 
 def test_routed_contracts(spark, routed_profiles):
-    from kafka_connect_ftp_spark.operators.lang_id import classify_lang_routed
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        SEED_TEXTS_ROUTED,
+        classify_lang_routed,
+    )
 
     docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     with pytest.raises(ValueError, match="script_of_lang missing"):
@@ -278,10 +287,7 @@ def test_routed_contracts(spark, routed_profiles):
         classify_lang_routed(
             docs,
             routed_profiles,
-            script_of_lang={
-                lg: "klingon"
-                for lg in ("en", "de", "es", "fr", "ru", "el", "zh", "ja")
-            },
+            script_of_lang=dict.fromkeys(SEED_TEXTS_ROUTED, "klingon"),
         )
 
 

@@ -249,3 +249,67 @@ def test_routed_gate_unsegmented_scripts(spark):
         assert routed[i].gopher_keep == sliced.gopher_keep, i
     with pytest.raises(ValueError, match="stopword_match"):
         gopher_quality_signals(docs, stopword_match="bogus")
+
+
+# ---- round 9b continuation: ar/ko/hi routed params -------------------------
+
+_AR_TEXT = (
+    "ذهبنا اليوم إلى السوق واشترينا من الفواكه الطازجة شيئا كثيرا.\n"
+    "هل تريد أن تذهب معنا إلى الحديقة في المساء؟\n"
+    "كان الطقس جميلا على غير العادة وقضينا وقتا ممتعا مع الأصدقاء."
+)
+_KO_TEXT = (
+    "오늘은 아침부터 비가 내려서 우리는 집에서 책을 읽기로 했다.\n"
+    "도서관에서 빌린 소설이 아주 재미있어서 시간이 금방 지나갔다.\n"
+    "저녁에는 가족과 함께 따뜻한 식사를 준비해서 먹었다."
+)
+_HI_TEXT = (
+    "आज सुबह हम सब लोग बाजार गए और ताजा सब्जियां खरीद कर लाए।\n"
+    "शाम को बच्चों ने आंगन में बैठकर अपनी किताबें पढ़ीं।\n"
+    "मौसम बहुत सुहावना था और सबने मिलकर चाय पी।"
+)
+
+
+def test_routed_gate_ar_ko_hi(spark):
+    # the three scripts that previously fell back to bare script labels:
+    # arabic (word-exact stops, ؟ line terminal), korean (agglutinative
+    # -> substr stop matching), hindi (word-exact stops, । danda line
+    # terminal). Each passes its routed gate and fails — specifically on
+    # the rule its routing fixes — under the English defaults.
+    from kafka_connect_ftp_spark.operators.c4_filter import C4_LINE_END_BY_LANG
+    from kafka_connect_ftp_spark.operators.gopher_rules import (
+        GOPHER_ALPHA_RX_BY_LANG,
+        GOPHER_STOPWORDS_BY_LANG,
+        GOPHER_SUBSTR_STOPWORD_LANGS,
+        gopher_quality_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, _AR_TEXT, "ar"), (2, _KO_TEXT, "ko"), (3, _HI_TEXT, "hi")],
+        "doc_id long, text string, lang string",
+    )
+    routed = {r.doc_id: r for r in rule_gate(docs, lang_col="lang").collect()}
+    english = {r.doc_id: r for r in rule_gate(docs.select("doc_id", "text")).collect()}
+    for i in (1, 2, 3):
+        assert routed[i].g_stop_hits >= 2 > english[i].g_stop_hits, i
+        assert routed[i].g_alpha_frac > 0.9 and english[i].g_alpha_frac == 0.0, i
+        assert routed[i].gopher_keep and not english[i].gopher_keep, i
+    # the script-specific line terminals: ؟ (row 1 line 2) and । (all
+    # three hindi lines) count only once routed
+    assert routed[1].c4_kept_lines == 3 and english[1].c4_kept_lines == 2
+    assert routed[3].c4_kept_lines == 3 and english[3].c4_kept_lines == 0
+    # parity with the standalone operator under each language's params
+    assert "ko" in GOPHER_SUBSTR_STOPWORD_LANGS
+    for i, lang in ((1, "ar"), (2, "ko"), (3, "hi")):
+        sliced = gopher_quality_signals(
+            docs.filter(F.col("doc_id") == i).select("doc_id", "text"),
+            stopwords=GOPHER_STOPWORDS_BY_LANG[lang],
+            alpha_rx=GOPHER_ALPHA_RX_BY_LANG[lang],
+            stopword_match=(
+                "substr" if lang in GOPHER_SUBSTR_STOPWORD_LANGS else "word"
+            ),
+        ).first()
+        assert routed[i].g_stop_hits == sliced.g_stop_hits, i
+        assert routed[i].g_alpha_frac == sliced.g_alpha_frac, i
+        assert routed[i].gopher_keep == sliced.gopher_keep, i
+    assert "ar" in C4_LINE_END_BY_LANG  # ؟/۔ terminals routable
