@@ -381,3 +381,98 @@ def test_classify_script_property_matches_python(spark):
             assert got[i] == _py_script(t), (t, got[i], _py_script(t))
 
     check()
+
+
+def test_routed_property_matches_python(spark, routed_profiles):
+    # property check (round 9b): random mixed-script strings through
+    # classify_lang_routed equal a pure-Python twin of the WHOLE routed
+    # chain — script argmax (name-asc ties), union-alphabet CT profile,
+    # per-script out-of-place argmin (lang-asc ties), unprofiled-script
+    # and gramless fallbacks
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        NORM_KEEP_ROUTED,
+        SCRIPT_OF_LANG,
+        SCRIPT_RANGES,
+        SEED_TEXTS_ROUTED,
+        classify_lang_routed,
+    )
+
+    def _py_script(text: str) -> str:
+        counts = {
+            s: len(re.findall(f"[{SCRIPT_RANGES[s]}]", text or ""))
+            for s in SCRIPT_RANGES
+        }
+        mx = max(counts.values())
+        return "und" if mx == 0 else min(s for s, c in counts.items() if c == mx)
+
+    def _py_norm_r(text: str) -> str:
+        t = re.sub(
+            " +", " ", re.sub(f"[^{NORM_KEEP_ROUTED} ]", " ", (text or "").lower())
+        ).strip()
+        return f" {t} " if t else ""
+
+    def _py_prof_r(text: str, top: int) -> dict[str, int]:
+        p = _py_norm_r(text)
+        grams = [p[i : i + 3] for i in range(len(p) - 2)] if len(p) >= 3 else []
+        ranked = sorted(Counter(grams).items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        return {g: i + 1 for i, (g, _) in enumerate(ranked)}
+
+    prof_py = {lg: _py_prof_r(t, TOP_N) for lg, t in SEED_TEXTS_ROUTED.items()}
+    profiled_scripts = {SCRIPT_OF_LANG[lg] for lg in prof_py}
+
+    def _py_routed(text: str) -> str:
+        script = _py_script(text)
+        if script not in profiled_scripts:
+            return script
+        doc = _py_prof_r(text, TOP_N)
+        if not doc:
+            return "und"
+        best = None
+        for lang in sorted(lg for lg in prof_py if SCRIPT_OF_LANG[lg] == script):
+            prof = prof_py[lang]
+            dist = sum(
+                abs(dr - prof[g]) if g in prof else TOP_N for g, dr in doc.items()
+            )
+            if best is None or dist < best[1]:
+                best = (lang, dist)
+        return best[0]
+
+    def _expand(rng: str) -> str:
+        out, i = [], 0
+        while i < len(rng):
+            if i + 2 < len(rng) and rng[i + 1] == "-":
+                lo, hi = ord(rng[i]), ord(rng[i + 2])
+                out += [chr(lo), chr((lo + hi) // 2), chr(hi)]
+                i += 3
+            else:
+                out.append(rng[i])
+                i += 1
+        return "".join(out)
+
+    # seed-text chars (real letters of every language) + range samples
+    # + punctuation/digits so normalization and dispatch both get hit
+    pool = (
+        "".join(sorted({c for t in SEED_TEXTS_ROUTED.values() for c in t})[:400])
+        + "".join(_expand(r) for r in SCRIPT_RANGES.values())
+        + " .,!?0123456789"
+    )
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(st.lists(st.text(alphabet=pool, max_size=60), min_size=1, max_size=6))
+    def check(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.ct_lang
+            for r in classify_lang_routed(docs, routed_profiles, top_n=TOP_N).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _py_routed(t), (t, got[i], _py_routed(t))
+
+    check()
