@@ -102,10 +102,11 @@ _C4_AUG_DUCK = (
 # Script-level dispatch (operators/lang_id.py classify_script, round 9):
 # the synthetic docs are ASCII-only, so the gate exercises the operator
 # over a deterministically script-routed PROBE column built identically
-# in both engines (the C4/governance augmentation pattern): 1/5 of rows
-# each get a Cyrillic / Greek / Han literal or a digits-only string, the
-# rest keep their real (Latin) text. The oracle twin regenerates the
-# count-argmax chain from the SAME SCRIPT_RANGES literals.
+# in both engines (the C4/governance augmentation pattern): 1/10 of rows
+# each get a Cyrillic / Greek / Han / Arabic / Hangul / Devanagari /
+# Kana / Hebrew literal or a digits-only string, the rest keep their
+# real (Latin) text. The oracle twin regenerates the count-argmax chain
+# from the SAME SCRIPT_RANGES literals.
 _SCRIPT_PROBE_RU = (
     "однажды весною в час заката в москве появились два гражданина"
 )
