@@ -8,8 +8,9 @@ engine's operators:
         language ID map-side, then ONE two-scan pass applying each
         row's OWN language's stopword/line-end/alpha params: quality
         scalar rules, Gopher repetition suite, C4 + Gopher doc-rule
-        audit columns — with a de/el demo asserting the routed
-        decision flips vs the English defaults)
+        audit columns — with a de/el/ko demo asserting the routed
+        decision flips vs the English defaults, ko via substring
+        stop matching on an agglutinative script)
       → trained quality classifier (GPT-3-style LR over hashed token
         counts; deterministic Pareto acceptance)
       → unigram-LM fluency scoring (CCNet-style; worst tail cut)
@@ -150,6 +151,13 @@ def main() -> int:
             (-2, "η κυβέρνηση παρουσίασε σήμερα τον νέο προϋπολογισμό στη βουλή;\n"
                  "η αντιπολίτευση θέλει να αλλάξει το σχέδιο με τροπολογίες;\n"
                  "οι πολίτες έχουν ήδη εκφράσει τη γνώμη τους με σαφήνεια."),
+            # round 9b: an agglutinative-script page — the classifier
+            # must name 'ko' (hangul dispatch) and the routed gate must
+            # switch to SUBSTRING stop matching (particles/endings
+            # attach to the word stem; word-exact matching never hits)
+            (-3, "한국의 가을 날씨는 맑고 시원해서 사람들이 단풍 구경을 많이 간다.\n"
+                 "주말에는 가족과 함께 시장에 가서 과일과 채소를 샀다.\n"
+                 "저녁에는 친구들이 집에 와서 같이 음식을 만들어 먹었다."),
         ],
         "doc_id long, text string",
     )
@@ -170,13 +178,13 @@ def main() -> int:
     # language's parameters — the exact mis-gating the routed form fixes
     routed_demo = {r.doc_id: r for r in gate.filter("doc_id < 0").collect()}
     english_demo = {r.doc_id: r for r in rule_gate(demo, top_ns=(2,), dup_ns=(5,)).collect()}
-    for i in (-1, -2):
+    for i in (-1, -2, -3):
         assert routed_demo[i].g_stop_hits >= 2 > english_demo[i].g_stop_hits, i
         assert routed_demo[i].gopher_keep and not english_demo[i].gopher_keep, i
     print(
-        "lang-routed gate demo: de/el prose stop-hits routed="
-        f"{[routed_demo[i].g_stop_hits for i in (-1, -2)]} vs english="
-        f"{[english_demo[i].g_stop_hits for i in (-1, -2)]}"
+        "lang-routed gate demo: de/el/ko prose stop-hits routed="
+        f"{[routed_demo[i].g_stop_hits for i in (-1, -2, -3)]} vs english="
+        f"{[english_demo[i].g_stop_hits for i in (-1, -2, -3)]}"
     )
     kept = gate.filter(
         (F.col("doc_id") >= 0)
