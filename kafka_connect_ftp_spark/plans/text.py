@@ -922,6 +922,67 @@ def simhash_fingerprint(spark, sf_dir):
 # every document at every SF (V=50 covered everything — vacuous)
 _VOCAB_V = 16
 
+# hybrid-retrieval gate knobs (round 9b, operators/bm25.py): a fixed
+# lexical query over the corpus vocabulary + query-by-example on the
+# lowest vec_id's embedding; top-10 shortlists fused with RRF k=60
+_BM25_TERMS = ("join", "filter", "window", "scan")
+_RETR_TOP = 10
+_RRF_K = 60
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_ctes() -> str:
+    """The hybrid-retrieval oracle twin (operators/bm25.py re-derived:
+    Okapi BM25 with the Lucene idf, query-by-example cosine, top-K
+    shortlist ranks, RRF over the shortlist union) — generated from the
+    SAME knobs the Spark side uses so the two can never drift."""
+    nt = len(_BM25_TERMS)
+    tfs = ", ".join(
+        f"CAST(len(list_filter(toks, w -> w = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(nt)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN tf{i} = 0 THEN 0.0 ELSE"
+        f" LN(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * {_BM25_K1 + 1} / (tf{i} + {_BM25_K1}"
+        f" * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) END)"
+        for i in range(nt)
+    )
+    return f"""
+    bmtf AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tfs}
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    bmstat AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {dfs} FROM bmtf),
+    bm AS (SELECT doc_id, ROUND({terms}, 4) AS bm25 FROM bmtf CROSS JOIN bmstat),
+    bmrank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank
+      FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RETR_TOP}
+    ),
+    cosq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+    cosd AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_dot_product(embedding::DOUBLE[], q.qv)
+                   / (SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * SQRT(list_dot_product(q.qv, q.qv))), 4) AS cos_q
+      FROM embeddings CROSS JOIN cosq q
+    ),
+    cosrank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos_q DESC, doc_id) AS INT) AS cos_rank
+      FROM cosd ORDER BY cos_q DESC, doc_id LIMIT {_RETR_TOP}
+    ),
+    rrfj AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.bm25_rank, c.cos_rank,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + b.bm25_rank), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + c.cos_rank), 0), 6) AS rrf
+      FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
+    )"""
+
 
 @register(
     "vocab_coverage",
@@ -991,7 +1052,8 @@ _VOCAB_V = 16
                           / {_DENOM!r}) + {_ULP!r})) AS gk
       FROM documents d LEFT JOIN dsw w USING (doc_id)
     ),
-    dstop AS (SELECT doc_id FROM dskey ORDER BY gk DESC, doc_id LIMIT {_DSIR_K})
+    dstop AS (SELECT doc_id FROM dskey ORDER BY gk DESC, doc_id LIMIT {_DSIR_K}),
+    {_bm25_ctes()}
     SELECT d.doc_id,
            COALESCE(per.n_tok, 0) AS n_tokens,
            COALESCE(per.n_oov, 0) AS n_oov,
@@ -999,12 +1061,16 @@ _VOCAB_V = 16
                       ELSE CAST(per.n_oov AS DOUBLE) / per.n_tok END, 6) AS oov_rate,
            top.top_term, top.tfidf,
            ROUND(dskey.logw, 4) AS dsir_logw,
-           (dstop.doc_id IS NOT NULL) AS dsir_keep
+           (dstop.doc_id IS NOT NULL) AS dsir_keep,
+           bm.bm25, cosd.cos_q, rrfj.bm25_rank, rrfj.cos_rank, rrfj.rrf
     FROM documents d
     LEFT JOIN per ON per.doc_id = d.doc_id
     LEFT JOIN top ON top.doc_id = d.doc_id
     LEFT JOIN dskey ON dskey.doc_id = d.doc_id
     LEFT JOIN dstop ON dstop.doc_id = d.doc_id
+    LEFT JOIN bm ON bm.doc_id = d.doc_id
+    LEFT JOIN cosd ON cosd.doc_id = d.doc_id
+    LEFT JOIN rrfj ON rrfj.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
     doc=(
@@ -1022,7 +1088,15 @@ _VOCAB_V = 16
         "Xie et al. 2023): hashed unigram+bigram importance log-weight "
         "against the src0-4 target slice and the deterministic "
         "Gumbel-top-100 resampling decision, both re-derived bucket-"
-        "exactly by the oracle via the md5-prefix hash. Implementation "
+        "exactly by the oracle via the md5-prefix hash, plus the round-"
+        "9b HYBRID RETRIEVAL family (operators/bm25.py): Okapi BM25 of "
+        "a fixed lexical query (Lucene idf; corpus stats = one query-"
+        "bounded aggregate broadcast back as a one-row frame, scoring "
+        "map-side), query-by-example cosine to the lowest-vec_id "
+        "embedding (the cosine-gate conventions), and RRF k=60 fusion "
+        "of the two top-10 shortlists — ranks/rrf NULL outside the "
+        "shortlist union, exactly like production fusion output. "
+        "Implementation "
         "is operators/vocab.py with caller-parameterized V. Plan: the "
         "vocab pass is a token-keyed aggregate whose size is bounded by "
         "the VOCABULARY (not the corpus, the lm_score pattern) + "
@@ -1073,9 +1147,45 @@ def vocab_coverage(spark, sf_dir):
     ).select(
         "doc_id", F.round("dsir_logw", 4).alias("dsir_logw"), "dsir_keep"
     )
+    # hybrid retrieval (round 9b, operators/bm25.py): BM25 of the fixed
+    # lexical query (the row's whitespace tokenization), cosine to the
+    # lowest-vec_id embedding (query-by-example, the cosine-gate
+    # conventions: double cast, rank on the ROUNDED score), top-10
+    # shortlists fused with RRF — ranks and rrf are NULL outside the
+    # shortlist union, exactly like production fusion output
+    from kafka_connect_ftp_spark.operators.ann import _DOT
+    from kafka_connect_ftp_spark.operators.bm25 import bm25_scores, rrf_fuse
+
+    bm = bm25_scores(
+        df, _BM25_TERMS, tokens_expr=_TOKS, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.round("bm25", 4).alias("bm25"))
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.orderBy("vec_id").limit(1).select(F.col("v").alias("qv"))
+    dot = F.expr(_DOT.format(a="v", b="qv"))
+    na = F.sqrt(F.expr(_DOT.format(a="v", b="v")))
+    nb = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
+    cos = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(dot / (na * nb), 4).alias("cos_q"),
+    )
+    fused = rrf_fuse(
+        [
+            ("bm25", bm.withColumnRenamed("bm25", "score")),
+            ("cos", cos.withColumnRenamed("cos_q", "score")),
+        ],
+        k=_RRF_K,
+        top=_RETR_TOP,
+    ).select(
+        "doc_id", "bm25_rank", "cos_rank", F.round("rrf", 6).alias("rrf")
+    )
     return (
         cov.join(top, "doc_id", "left")
         .join(dsir, "doc_id", "left")
+        .join(bm, "doc_id", "left")
+        .join(cos, "doc_id", "left")
+        .join(fused, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -1085,6 +1195,11 @@ def vocab_coverage(spark, sf_dir):
             "tfidf",
             "dsir_logw",
             "dsir_keep",
+            "bm25",
+            "cos_q",
+            "bm25_rank",
+            "cos_rank",
+            "rrf",
         )
         .orderBy("doc_id")
     )
