@@ -27,7 +27,9 @@ engine's operators:
 
 plus the retrieval-side coda over the embeddings table: IVF coarse
 quantizer + per-subspace PQ codebooks + BLAS encoding + the
-probe → ADC-shortlist → exact-rerank search funnel (IVF-PQ).
+probe → ADC-shortlist → exact-rerank search funnel (IVF-PQ), the
+batch knn JOIN shape, and lexical+dense HYBRID search (BM25 top-k
+fused with cosine top-k by reciprocal rank).
 
 Every stage is a DataFrame transform — one lazily-composed plan per
 stage boundary, shuffles only where the algorithm demands them (dedup
@@ -430,6 +432,25 @@ def main() -> int:
     batch_hits = knn_join(corpus_vecs, queries, k=3).collect()
     n_batch = len({(r.q_id, r.nn_rank) for r in batch_hits})
 
+    # 11. hybrid retrieval (round 9b): the lexical half (BM25 — corpus
+    # stats one query-bounded aggregate, scoring map-side) fused with
+    # the dense half (the same query vector's cosine top-k) by
+    # reciprocal rank — RRF needs no score calibration between systems,
+    # which is why it is the standard lexical+dense combiner
+    from kafka_connect_ftp_spark.operators.bm25 import bm25_scores, rrf_fuse
+
+    lex = bm25_scores(
+        docs.select("doc_id", "text"), ("join", "filter", "scan")
+    ).withColumnRenamed("bm25", "score")
+    dense = knn_join(corpus_vecs, queries.limit(1), k=10).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score")
+    )
+    fused = rrf_fuse([("bm25", lex), ("dense", dense)], k=60, top=10)
+    hybrid = fused.orderBy(F.desc("rrf"), "doc_id").limit(5).collect()
+    assert 1 <= len(hybrid) <= 5 and fused.count() <= 20
+    # a candidate on BOTH shortlists outranks single-system candidates
+    # at equal ranks by construction (two reciprocal terms vs one)
+
     print(f"corpus:        {n0}")
     print(f"quality-kept:  {n1}")
     print(f"repetition-kept: {n1a}")
@@ -459,6 +480,10 @@ def main() -> int:
         + ", ".join(f"{r.vec_id}@{r.cos_sim:.3f}" for r in hits)
     )
     print(f"knn join:      4 queries x top-3 -> {n_batch} hits")
+    print(
+        "hybrid top-5:  "
+        + ", ".join(f"{r.doc_id}@{r.rrf:.4f}" for r in hybrid)
+    )
     return 0
 
 

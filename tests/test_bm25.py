@@ -125,3 +125,35 @@ def test_rrf_contracts(spark):
         rrf_fuse([("a", a), ("a", a)])
     with pytest.raises(ValueError, match="top"):
         rrf_fuse([("a", a)], top=0)
+
+
+def test_bm25_property_matches_python(spark):
+    # property check: random corpora and query subsets through the
+    # operator equal the pure-Python Okapi reference
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["join", "scan", "filter", "row", "batch", "merge", "x"]
+
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(vocab), max_size=12).map(" ".join),
+            min_size=1,
+            max_size=8,
+        ),
+        st.sets(st.sampled_from(vocab[:4]), min_size=1, max_size=3),
+    )
+    def check(texts, terms):
+        terms = tuple(sorted(terms))
+        rows = list(enumerate(texts))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = _py_bm25(rows, terms)
+        got = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()}
+        assert set(got) == set(ref)
+        for i in ref:
+            assert got[i] == pytest.approx(ref[i], abs=1e-12), (texts, terms, i)
+
+    check()
