@@ -22,6 +22,17 @@ from pyspark.sql import functions as F
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 
 
+def cos_expr(a: str, b: str) -> "F.Column":
+    """Cosine of two array<double> columns as one Column — THE
+    definition (review 9b: plans/similarity.py, plans/text.py and
+    operators/knn.py each re-inlined the dot/norm/divide trio; a fix to
+    the cosine form now lands once)."""
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
 def probe_nearest_cells(
     centroids: list[list[float]], query: list[float], nprobe: int
 ) -> list[int]:

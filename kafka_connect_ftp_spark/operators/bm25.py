@@ -52,8 +52,12 @@ __all__ = ["bm25_scores", "rrf_fuse"]
 
 
 def _term_literal(term: str) -> str:
-    if not term or "'" in term:
-        raise ValueError(f"query term must be non-empty without quotes: {term!r}")
+    # backslashes are rejected too: Spark SQL string literals process
+    # escape sequences, so '\t' would silently match a TAB, not the text
+    if not term or "'" in term or "\\" in term:
+        raise ValueError(
+            f"query term must be non-empty without quotes or backslashes: {term!r}"
+        )
     return f"'{term}'"
 
 
@@ -82,7 +86,7 @@ def bm25_scores(
         raise ValueError("query_terms must be distinct")
     if k1 <= 0 or not (0 <= b <= 1):
         raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got {k1}, {b}")
-    reserved = {"_bt", "_dl", "_n", "_avgdl"} | {
+    reserved = {"_bt", "_dl", "_n", "_avgdl", "bm25"} | {
         f"_tf{i}" for i in range(len(query_terms))
     } | {f"_df{i}" for i in range(len(query_terms))}
     clash = {id_col, *keep_cols} & reserved
@@ -151,6 +155,9 @@ def rrf_fuse(
         raise ValueError(f"system names must be distinct: {names}")
     if k < 1 or top < 1:
         raise ValueError(f"need k >= 1 and top >= 1, got {k}, {top}")
+    out_cols = {f"{n}_rank" for n in names} | {"rrf"}
+    if id_col in out_cols:
+        raise ValueError(f"id_col {id_col!r} collides with output columns")
     fused = None
     for name, df in systems:
         # TakeOrderedAndProject shortlist, then rank WITHIN the K rows

@@ -43,10 +43,15 @@ GOPHER_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
     "ja": ("の", "に", "は", "を", "た", "が", "で", "て"),
     "ar": ("في", "من", "على", "أن", "إلى", "عن", "هذا", "مع"),
-    # Korean stop material is PARTICLES/ENDINGS agglutinated onto the
-    # word (은/는/이/가/을/를, the 다 verb terminal) — never standalone
-    # whitespace words, so ko routes through substr matching below
-    "ko": ("은", "는", "이", "가", "을", "를", "다", "에"),
+    # Korean stop material is PARTICLES agglutinated onto the word
+    # (은/는/이/가/을/를/에/의) — never standalone whitespace words, so
+    # ko routes through substr matching below. SPACE-ANCHORED: a bare
+    # syllable would also match word-INTERNALLY (이 inside 아이폰, 가
+    # inside 가방 — hangul syllables are sub-word phonograms, unlike
+    # zh/ja where the stop characters are morphemes themselves) and a
+    # keyword-spam noun list would pass the rule; the trailing space
+    # pins the match to particle position (word-final)
+    "ko": ("은 ", "는 ", "이 ", "가 ", "을 ", "를 ", "에 ", "의 "),
     "hi": ("है", "की", "के", "में", "और", "का", "से", "को"),
 }
 

@@ -117,12 +117,18 @@ SCRIPT_OF_LANG: dict[str, str] = {
 # covers every script with trained profiles (latin + cyrillic + greek +
 # han + kana + arabic + hangul + devanagari) — grams from one script
 # never collide with another's profiles, so the union costs nothing in
-# accuracy and keeps classification single-scan. Letter-bearing
-# subranges only (arabic ء-ۿ skips the ؟/، punctuation codepoints;
-# devanagari ऀ-ॣ/ॱ-ॿ skips the।/॥ dandas and the ०-९ digits — the
-# same letters-only convention the Latin alphabet follows)
+# accuracy and keeps classification single-scan. Letters and IN-WORD
+# marks only: digits and punctuation are excluded in every script (the
+# Latin convention). Arabic keeps tatweel + harakat (dropping them
+# would split words — non-keep chars normalize to SPACE) but excludes
+# the ؟/،/٪ punctuation, the Arabic-Indic ٠-٩/extended ۰-۹ digits and
+# the ۔ Urdu full stop (it is a C4 LINE TERMINAL — featurizing the
+# sentence mark only for this script would skew its profiles);
+# devanagari skips the ।/॥ dandas and the ०-९ digits.
 NORM_KEEP_ROUTED = (
-    NORM_KEEP + "а-яёα-ωά-ώϊϋΐΰ぀-ヿ㐀-䶿一-鿿" + "ء-ۿᄀ-ᇿ가-힯ऀ-ॣॱ-ॿ"
+    NORM_KEEP
+    + "а-яёα-ωά-ώϊϋΐΰ぀-ヿ㐀-䶿一-鿿"
+    + "ؠ-ٟٮ-ۓە-ۯۺ-ۿᄀ-ᇿ가-힯ऀ-ॣॱ-ॿ"
 )
 
 # Seed corpus: classic public-domain sentences (pangram, Dickens,

@@ -33,17 +33,12 @@ def _emb(spark, sf_dir):
     )
 
 
-# the dot-product template is defined ONCE, in operators/ann.py — same
-# single-definition rule as the hyperplane/lsh imports below, so the
-# oracle-checked plans and the operator library can never drift apart
+# the dot-product template and the cosine Column are defined ONCE, in
+# operators/ann.py — same single-definition rule as the hyperplane/lsh
+# imports below, so the oracle-checked plans and the operator library
+# can never drift apart
 from kafka_connect_ftp_spark.operators.ann import _DOT
-
-
-def _cos(a: str, b: str) -> F.Column:
-    dot = F.expr(_DOT.format(a=a, b=b))
-    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
-    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
-    return dot / (na * nb)
+from kafka_connect_ftp_spark.operators.ann import cos_expr as _cos
 
 
 # the hyperplane matrix and the sign-bit bucketing are defined ONCE in

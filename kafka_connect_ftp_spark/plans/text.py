@@ -185,8 +185,12 @@ def _ct_profiles(spark):
     return spark.createDataFrame(_CT_PROF_ROWS, "lang string, gram string, rank int")
 
 
-# (session, sf_dir, plan) triples — see text_profile's plan-memo note
+# (session, sf_dir, plan) triples — see text_profile's plan-memo note.
+# Bounded: at most _TP_CACHE_MAX entries, oldest evicted — a process
+# that cycles sessions (per-module test fixtures, a service) must not
+# pin every dead session + its analyzed plan tree forever (review 9b)
 _TP_PLAN_CACHE: list = []
+_TP_CACHE_MAX = 4
 
 _RT_PROF_ROWS: list | None = None
 
@@ -585,6 +589,7 @@ def text_profile(spark, sf_dir):
         .orderBy("doc_id")
     )
     _TP_PLAN_CACHE.append((spark, sf_dir, out))
+    del _TP_PLAN_CACHE[:-_TP_CACHE_MAX]
     return out
 
 
@@ -1153,22 +1158,28 @@ def vocab_coverage(spark, sf_dir):
     # conventions: double cast, rank on the ROUNDED score), top-10
     # shortlists fused with RRF — ranks and rrf are NULL outside the
     # shortlist union, exactly like production fusion output
-    from kafka_connect_ftp_spark.operators.ann import _DOT
+    from kafka_connect_ftp_spark.operators.ann import cos_expr
     from kafka_connect_ftp_spark.operators.bm25 import bm25_scores, rrf_fuse
 
-    bm = bm25_scores(
-        df, _BM25_TERMS, tokens_expr=_TOKS, k1=_BM25_K1, b=_BM25_B
-    ).select("doc_id", F.round("bm25", 4).alias("bm25"))
+    # both scored frames feed TWO consumers (the per-doc column join +
+    # rrf_fuse's shortlist) — materialize once, the dsir/tf convention
+    # (exchange/subplan reuse across branches is not guaranteed)
+    bm = (
+        bm25_scores(df, _BM25_TERMS, tokens_expr=_TOKS, k1=_BM25_K1, b=_BM25_B)
+        .select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .localCheckpoint(eager=False)
+    )
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     qv = emb.orderBy("vec_id").limit(1).select(F.col("v").alias("qv"))
-    dot = F.expr(_DOT.format(a="v", b="qv"))
-    na = F.sqrt(F.expr(_DOT.format(a="v", b="v")))
-    nb = F.sqrt(F.expr(_DOT.format(a="qv", b="qv")))
-    cos = emb.crossJoin(F.broadcast(qv)).select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(dot / (na * nb), 4).alias("cos_q"),
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cos_expr("v", "qv"), 4).alias("cos_q"),
+        )
+        .localCheckpoint(eager=False)
     )
     fused = rrf_fuse(
         [

@@ -313,3 +313,12 @@ def test_routed_gate_ar_ko_hi(spark):
         assert routed[i].g_alpha_frac == sliced.g_alpha_frac, i
         assert routed[i].gopher_keep == sliced.gopher_keep, i
     assert "ar" in C4_LINE_END_BY_LANG  # ؟/۔ terminals routable
+    # review 9b: ko stop matching is SPACE-ANCHORED — a keyword-spam
+    # noun list whose words merely CONTAIN the particle syllables
+    # (이 in 아이폰, 가 in 가방, 다 in 다이소) must NOT pass the rule
+    spam = spark.createDataFrame(
+        [(9, "아이폰 갤럭시 아이패드 다이소 가방 노트북 키보드 마우스", "ko")],
+        "doc_id long, text string, lang string",
+    )
+    spam_row = rule_gate(spam, lang_col="lang").first()
+    assert spam_row.g_stop_hits < 2 and not spam_row.gopher_keep
