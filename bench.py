@@ -129,15 +129,26 @@ def main() -> int:
     warm: dict[str, float] = {}
     stddev: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    build_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples = []
+        builds = []
         for _ in range(runs + 1):
             t0 = time.time()
+            # the per-sample time splits into PLAN BUILD (the registry fn:
+            # DataFrame construction + eager analysis — driver-side, paid
+            # per invocation unless the query memoizes its plan) and
+            # EXECUTION; both are recorded (round 9b: text_profile's +94%
+            # "regression" was build cost, invisible in the single total).
+            # `queries`/`value` keep the historical build+exec semantics.
+            df = reg[name].fn(spark, sf_dir)
+            builds.append(round(time.time() - t0, 3))
             # noop write = full materialization of every output row on the
             # executors; a bare count() would let Catalyst skip computing
             # aggregate expressions nothing references
-            reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+        build_samples[name] = builds
         times[name] = round(min(samples[:runs]), 3)
         warm[name] = round(min(samples[1:]), 3)
         # sample stddev over the WARM samples (first discarded — it
@@ -195,6 +206,7 @@ def main() -> int:
         "queries_warm": warm,
         "queries_stddev": stddev,
         "queries_samples": all_samples,
+        "queries_build_samples": build_samples,
         "crawl_sections": crawl_sections,
         "crawl_section_samples": crawl_section_samples,
         "calib_jvm_sec": calib_sec,

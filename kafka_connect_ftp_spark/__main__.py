@@ -173,6 +173,19 @@ def main(argv: list[str] | None = None) -> int:
         def sink(records, epoch: int) -> None:
             inner_sink(convert(records), epoch)
 
+    # ftp.fileconverter parity (FtpSourceConfig.scala:45,
+    # FileConverter.scala): the configured FILE converter runs on the
+    # tick's file bodies BEFORE the record converter (the reference
+    # order: FileConverter makes records from bodies, then
+    # SourceRecordConverter maps 1→N). Same eager resolution.
+    if cfg.file_converter != "nop":
+        from kafka_connect_ftp_spark.ingest.converters import get_file_converter
+
+        fconvert, rec_sink = get_file_converter(cfg.file_converter), sink
+
+        def sink(records, epoch: int) -> None:
+            rec_sink(fconvert(records), epoch)
+
     backoff = ExponentialBackOff(step_seconds=1.0, cap_seconds=cfg.max_backoff_seconds)
     epoch, polled, succeeded = 0, 0, 0
     while True:

@@ -13,6 +13,12 @@ Supported keys (defaults mirror the reference):
     ftp.max.poll.records     int, default 10000
     ftp.monitor.tail         comma list of path:topic (append-delta mode)
     ftp.monitor.update       comma list of path:topic (whole-body mode)
+    ftp.fileconverter        FILE converter registry name (default
+                             "nop" ~= the reference's
+                             SimpleFileConverter; e.g. "gunzip",
+                             "csv_lines" — FtpSourceConfig.scala:45,
+                             applied to file bodies BEFORE the record
+                             converter, FileConverter.scala order)
     ftp.sourcerecordconverter  converter registry name (default "nop";
                              the reference takes a class name — here it
                              selects from converters.register_converter)
@@ -74,6 +80,7 @@ class FtpEngineConfig:
     max_poll_records: int = 10000
     monitors: list[MonitoredPath] = field(default_factory=list)
     converter: str = "nop"
+    file_converter: str = "nop"
     tls: bool = False
 
     @classmethod
@@ -102,6 +109,7 @@ class FtpEngineConfig:
             max_poll_records=int(props.get("ftp.max.poll.records", "10000")),
             monitors=monitors,
             converter=props.get("ftp.sourcerecordconverter", "nop"),
+            file_converter=props.get("ftp.fileconverter", "nop"),
             tls=protocol == "ftps",
         )
 

@@ -60,6 +60,20 @@ def get_record_converter(name: str) -> Converter:
     return get_converter(name)
 
 
+def get_file_converter(name: str) -> Converter:
+    """Resolve a FILE converter (``ftp.fileconverter`` parity —
+    FtpSourceConfig.scala:45, FileConverter.scala: runs on file BODIES
+    before the record converter). Rejects the X1 key-style projections
+    for the same fail-at-startup reason as ``get_record_converter``."""
+    if name in _KEY_STYLE:
+        raise KeyError(
+            f"{name!r} is a key-style (X1) converter; ftp.fileconverter "
+            f"takes a file-body converter — available: "
+            f"{sorted(set(_REGISTRY) - _KEY_STYLE)}"
+        )
+    return get_converter(name)
+
+
 @register_converter("nop")
 def nop(records: DataFrame) -> DataFrame:
     """NopSourceRecordConverter (SourceRecordConverter.scala:14-17)."""

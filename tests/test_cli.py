@@ -184,3 +184,45 @@ def test_cli_print_sink_and_missing_monitors(spark, tmp_path, capsys):
     out = buf.getvalue()
     assert "tick 0: 1 record(s)" in out
     assert "topic=update-topic" in out and "v=1" in out
+
+
+def test_cli_applies_configured_fileconverter(spark, tmp_path):
+    """ftp.fileconverter parity (FtpSourceConfig.scala:45,
+    FileConverter.scala): the configured FILE converter runs on each
+    tick's file bodies BEFORE the record converter — a gzipped CSV drop
+    decodes (gunzip) then splits into lines (csv_lines)."""
+    import gzip
+
+    import pytest
+
+    root = tmp_path / "tree"
+    (root / "updates").mkdir(parents=True)
+    (root / "updates" / "data.csv.gz").write_bytes(gzip.compress(b"a,1\nb,2\n"))
+    props = _write_props(
+        tmp_path,
+        "ftp.fileconverter=gunzip\nftp.sourcerecordconverter=csv_lines\n",
+    )
+    sink_dir = str(tmp_path / "records")
+    args = [
+        "--properties", props,
+        "--local-root", str(root),
+        "--state-dir", str(tmp_path / "state"),
+        "--sink-dir", sink_dir,
+        "--max-polls", "1",
+    ]
+    assert main(args) == 0
+    rows = {
+        (r.line_no, bytes(r.value))
+        for r in spark.read.parquet(sink_dir).filter("topic = 'update-topic'").collect()
+    }
+    assert rows == {(0, b"a,1"), (1, b"b,2")}
+
+    # unknown / key-style names fail at startup, like the record knob
+    for extra, match in (
+        ("ftp.fileconverter=nope\n", "nope"),
+        ("ftp.fileconverter=struct_key\n", "key-style"),
+    ):
+        bad = _write_props(tmp_path, extra)
+        with pytest.raises(KeyError, match=match):
+            main(["--properties", bad, "--local-root", str(root),
+                  "--state-dir", str(tmp_path / "state_bad"), "--max-polls", "1"])

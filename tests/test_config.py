@@ -81,3 +81,9 @@ def test_protocol_ftps_parses_and_validates():
 
     with _pytest.raises(ValueError, match="ftp.protocol"):
         FtpEngineConfig.from_props({"ftp.protocol": "sftp"})
+
+
+def test_fileconverter_parses():
+    cfg = FtpEngineConfig.from_props({"ftp.fileconverter": "gunzip"})
+    assert cfg.file_converter == "gunzip"
+    assert FtpEngineConfig.from_props({}).file_converter == "nop"
