@@ -297,3 +297,46 @@ def test_url_dedup_hot_url_smoke(spark):
     assert out.count() == 101  # 1 hot representative + 100 cold
     hot = out.filter("url_norm = 'http://hot.example/page'").collect()
     assert len(hot) == 1 and hot[0].doc_id == 0
+
+
+def test_bm25_rrf_volume_smoke(spark):
+    """100k synthetic docs through bm25_scores + a 2-system rrf_fuse:
+    the corpus-stats aggregate and map-side scoring must hold at volume
+    (nothing corpus-proportional reaches the driver — the only collect
+    is the fused shortlist union, <= 2*top rows), and the fused winner
+    must be the doc constructed to dominate both systems."""
+    from kafka_connect_ftp_spark.operators.bm25 import bm25_scores, rrf_fuse
+
+    n = 100_000
+    # doc 0 is query-term dense and short; everything else mentions one
+    # query term inside long filler, so doc 0 tops bm25 decisively
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") == 0, F.lit("join filter join scan join filter")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("filler words without signal repeated over and over "),
+                F.lit("more filler padding text here again and again join "),
+                F.col("id").cast("string"),
+            )
+        )
+        .alias("text"),
+    )
+    lex = bm25_scores(docs, ("join", "filter", "scan")).withColumnRenamed(
+        "bm25", "score"
+    )
+    # second system: a deterministic pseudo-score that also ranks doc 0
+    # first (hash-derived for everyone else)
+    dense = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.lit(2.0))
+        .otherwise((F.xxhash64("doc_id") % 1000).cast("double") / 1000.0)
+        .alias("score"),
+    )
+    fused = rrf_fuse([("lex", lex), ("dense", dense)], k=60, top=10).collect()
+    assert len(fused) <= 20
+    best = max(fused, key=lambda r: r.rrf)
+    assert best.doc_id == 0 and best.lex_rank == 1 and best.dense_rank == 1
+    assert best.rrf == 2 / 61
