@@ -29,7 +29,6 @@ retried on the next tick instead of dropped (SURVEY.md §2.8 T5).
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
 
