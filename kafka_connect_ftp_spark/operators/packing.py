@@ -131,3 +131,59 @@ def packing_stats(packed: DataFrame, *, max_tokens: int) -> DataFrame:
         ).alias("mean_fill_ratio"),
         F.sum(F.when(F.col("truncated") == 1, 1).otherwise(0)).alias("n_truncated"),
     )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    stream_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk packing assignment (round 9b) — the GPT-style
+    alternative to bin packing: each STREAM's documents concatenate in
+    ``id_col`` order into one token stream that is cut into fixed
+    ``budget``-token windows, documents crossing a boundary straddle
+    two (or more) sequences. Returns per document: ``pack_off`` (the
+    document's start offset in its stream), ``pack_seq_first`` /
+    ``pack_seq_last`` (the first/last window index it occupies; a
+    zero-token document pins both to the window at its offset).
+
+    This is the packing most large pretraining runs actually use
+    (concatenate + chunk, attention masks handle the seams) — simpler
+    and fill-perfect where ``pack_sequences``' BFD preserves document
+    boundaries at the cost of padding.
+
+    Scale design (100 TB): the assignment is ONE cumulative-sum window
+    PARTITIONED BY the stream — parallel across streams, sequential
+    within one (the semantics are inherently sequential: an offset IS
+    a running total). Production corpora pack per shard/source exactly
+    so this parallelizes; a single giant stream would serialize and
+    should be pre-sharded first (the operator's stream_col is the
+    shard key). Closed-form integer arithmetic — no Python, and the
+    whole chain re-derives in ANSI SQL (the vocab_coverage hash gate
+    carries it)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col(tokens_col).cast("long")
+    off = (F.sum(t).over(w) - t).alias("pack_off")
+    first = F.floor(F.col("pack_off") / budget)
+    last = F.greatest(
+        first, F.floor((F.col("pack_off") + t - 1) / budget)
+    )
+    return df.select(id_col, stream_col, tokens_col, off).select(
+        id_col,
+        stream_col,
+        tokens_col,
+        "pack_off",
+        first.cast("long").alias("pack_seq_first"),
+        last.cast("long").alias("pack_seq_last"),
+    )

@@ -935,6 +935,11 @@ _RETR_TOP = 10
 _RRF_K = 60
 _BM25_K1, _BM25_B = 1.2, 0.75
 
+# concat-and-chunk packing gate knob (operators/packing.py
+# pack_concat_chunks): small enough that synthetic docs straddle
+# window boundaries, so the straddle arithmetic is actually exercised
+_PACK_BUDGET = 64
+
 
 def _bm25_ctes() -> str:
     """The hybrid-retrieval oracle twin (operators/bm25.py re-derived:
@@ -986,6 +991,22 @@ def _bm25_ctes() -> str:
              ROUND(COALESCE(1.0 / ({_RRF_K} + b.bm25_rank), 0)
                    + COALESCE(1.0 / ({_RRF_K} + c.cos_rank), 0), 6) AS rrf
       FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
+    ),
+    pk0 AS (
+      SELECT doc_id, t,
+             SUM(t) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+               AS pack_off
+      FROM (SELECT doc_id, source,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS t FROM documents)
+    ),
+    pk AS (
+      SELECT doc_id, CAST(pack_off AS BIGINT) AS pack_off,
+             CAST(pack_off // {_PACK_BUDGET} AS BIGINT) AS pack_seq_first,
+             CAST(GREATEST(pack_off // {_PACK_BUDGET},
+                           (pack_off + t - 1) // {_PACK_BUDGET}) AS BIGINT)
+               AS pack_seq_last
+      FROM pk0
     )"""
 
 
@@ -1067,7 +1088,8 @@ def _bm25_ctes() -> str:
            top.top_term, top.tfidf,
            ROUND(dskey.logw, 4) AS dsir_logw,
            (dstop.doc_id IS NOT NULL) AS dsir_keep,
-           bm.bm25, cosd.cos_q, rrfj.bm25_rank, rrfj.cos_rank, rrfj.rrf
+           bm.bm25, cosd.cos_q, rrfj.bm25_rank, rrfj.cos_rank, rrfj.rrf,
+           pk.pack_off, pk.pack_seq_first, pk.pack_seq_last
     FROM documents d
     LEFT JOIN per ON per.doc_id = d.doc_id
     LEFT JOIN top ON top.doc_id = d.doc_id
@@ -1076,6 +1098,7 @@ def _bm25_ctes() -> str:
     LEFT JOIN bm ON bm.doc_id = d.doc_id
     LEFT JOIN cosd ON cosd.doc_id = d.doc_id
     LEFT JOIN rrfj ON rrfj.doc_id = d.doc_id
+    LEFT JOIN pk ON pk.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
     doc=(
@@ -1100,7 +1123,11 @@ def _bm25_ctes() -> str:
         "map-side), query-by-example cosine to the lowest-vec_id "
         "embedding (the cosine-gate conventions), and RRF k=60 fusion "
         "of the two top-10 shortlists — ranks/rrf NULL outside the "
-        "shortlist union, exactly like production fusion output. "
+        "shortlist union, exactly like production fusion output — and "
+        "the concat-and-chunk packing assignment (operators/packing.py "
+        "pack_concat_chunks: per-source token streams cut into 64-token "
+        "windows, one cumulative-sum window per stream; pack_off / "
+        "pack_seq_first / pack_seq_last incl. boundary straddles). "
         "Implementation "
         "is operators/vocab.py with caller-parameterized V. Plan: the "
         "vocab pass is a token-keyed aggregate whose size is bounded by "
@@ -1191,12 +1218,24 @@ def vocab_coverage(spark, sf_dir):
     ).select(
         "doc_id", "bm25_rank", "cos_rank", F.round("rrf", 6).alias("rrf")
     )
+    # concat-and-chunk packing assignment (operators/packing.py, round
+    # 9b): per-SOURCE token streams cut into _PACK_BUDGET windows — one
+    # cumulative-sum window per stream, closed-form integer arithmetic
+    from kafka_connect_ftp_spark.operators.packing import pack_concat_chunks
+
+    pk = pack_concat_chunks(
+        df.select(
+            "doc_id", "source", F.size(F.expr(_TOKS)).cast("long").alias("n_tokens")
+        ),
+        budget=_PACK_BUDGET,
+    ).select("doc_id", "pack_off", "pack_seq_first", "pack_seq_last")
     return (
         cov.join(top, "doc_id", "left")
         .join(dsir, "doc_id", "left")
         .join(bm, "doc_id", "left")
         .join(cos, "doc_id", "left")
         .join(fused, "doc_id", "left")
+        .join(pk, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -1211,6 +1250,9 @@ def vocab_coverage(spark, sf_dir):
             "bm25_rank",
             "cos_rank",
             "rrf",
+            "pack_off",
+            "pack_seq_first",
+            "pack_seq_last",
         )
         .orderBy("doc_id")
     )

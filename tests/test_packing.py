@@ -120,3 +120,40 @@ def test_null_token_count_rejected_loudly(spark):
     df = spark.createDataFrame([(1, 5), (2, None)], "doc_id long, n_tokens int")
     with pytest.raises(Exception, match="null token count"):
         pack_sequences(df, max_tokens=10).collect()
+
+
+def test_concat_chunks_matches_hand_computation(spark):
+    """pack_concat_chunks (round 9b): per-stream running offsets, window
+    indices incl. boundary-straddling and zero-token documents."""
+    from kafka_connect_ftp_spark.operators.packing import pack_concat_chunks
+
+    docs = spark.createDataFrame(
+        [
+            # stream a: 6 + 3 + 5 tokens, budget 8 -> doc 2 straddles
+            (1, "a", 6), (2, "a", 3), (3, "a", 5),
+            # stream b: exact-boundary doc, then zero-token doc AT a
+            # boundary, then a 17-token doc spanning 3 windows
+            (10, "b", 8), (11, "b", 0), (12, "b", 17),
+        ],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = {
+        r.doc_id: (r.pack_off, r.pack_seq_first, r.pack_seq_last)
+        for r in pack_concat_chunks(docs, budget=8).collect()
+    }
+    assert out[1] == (0, 0, 0)          # [0,6) in window 0
+    assert out[2] == (6, 0, 1)          # [6,9) straddles 0->1
+    assert out[3] == (9, 1, 1)          # [9,14) inside window 1
+    assert out[10] == (0, 0, 0)         # [0,8) exactly fills window 0
+    assert out[11] == (8, 1, 1)         # zero tokens at offset 8 -> window 1
+    assert out[12] == (8, 1, 3)         # [8,25) spans windows 1..3
+    # determinism across partition layouts
+    out7 = {
+        r.doc_id: (r.pack_off, r.pack_seq_first, r.pack_seq_last)
+        for r in pack_concat_chunks(docs.repartition(5), budget=8).collect()
+    }
+    assert out7 == out
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_concat_chunks(docs, budget=0)
