@@ -324,6 +324,21 @@ def main() -> int:
     )
     packed = pack_sequences(counted, max_tokens=SEQ_BUDGET, n_shards=8)
     stats = packing_stats(packed, max_tokens=SEQ_BUDGET).collect()[0]
+    # the concat-and-chunk twin (round 9b): same token counts, GPT-style
+    # concatenate-and-cut per source stream — fill-perfect by
+    # construction where BFD preserves document boundaries; the window
+    # count is the comparison a pipeline owner reads
+    from kafka_connect_ftp_spark.operators.packing import pack_concat_chunks
+
+    chunked = pack_concat_chunks(
+        counted.join(docs.select("doc_id", "source"), "doc_id"),
+        budget=SEQ_BUDGET,
+    )
+    n_windows = (
+        chunked.groupBy("source").agg(F.max("pack_seq_last").alias("m"))
+        .agg(F.sum(F.col("m") + 1))
+        .collect()[0][0]
+    )
 
     # 8. assemble the deliverable: deterministic hash-shuffled,
     # split-partitioned, size-bounded shards a trainer streams directly
@@ -468,6 +483,10 @@ def main() -> int:
     print(
         f"packed(train): {stats.n_documents} docs -> {stats.n_sequences} sequences "
         f"of <= {SEQ_BUDGET} BPE tokens, mean fill {stats.mean_fill_ratio}"
+    )
+    print(
+        f"concat-chunk:  {n_windows} fill-perfect windows (per-source "
+        f"streams) vs {stats.n_sequences} boundary-preserving sequences"
     )
     print(f"shards:        {shard_counts} -> {shard_dir}")
     print(
