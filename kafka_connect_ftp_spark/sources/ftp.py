@@ -129,13 +129,25 @@ class FtpSource:
         root_files: dict[str, tuple] = {}
         # one driver control connection serves every monitor's shallow base
         # LIST — reconnecting per monitor would pay login/negotiation per
-        # entry and trip servers that cap session churn
+        # entry and trip servers that cap session churn. The listing mode
+        # is STICKY here too (review 9b): the driver probes once, feeds
+        # the outcome back into the source AND ships it to the executor
+        # walks below — a load-balanced farm answering MLSD
+        # intermittently must not flip listing precision (MLSD
+        # second-UTC vs LIST minute-local) between subtrees and polls,
+        # which would re-stamp whole trees as changed.
+        mode = {"mlsd": self._prefer_mlsd}
         ftp = self._connect()
         try:
             for m in monitors:
                 rx = re.compile(glob_to_regex(m.pattern))
                 base = _glob_free_prefix(m.pattern)
-                entries = _list_dir_auto(ftp, base.rstrip("/") or "/")
+                cur = base.rstrip("/") or "/"
+                try:
+                    entries = _list_dir(ftp, cur, mode["mlsd"])
+                except MlsdUnsupported:
+                    mode["mlsd"] = False
+                    entries = _list_dir(ftp, cur, False)
                 for name, is_dir, size, mtime in entries:
                     path = f"{base.rstrip('/')}/{name}"
                     if is_dir:
@@ -144,9 +156,15 @@ class FtpSource:
                         root_files[path] = (path, size, mtime)
         finally:
             _quietly_close(ftp)
+        self._prefer_mlsd = mode["mlsd"]
+        driver_mlsd = mode["mlsd"]
 
         def walk_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ftp = None
+            # seeded from the driver's probe and sticky per CONNECTION
+            # across every subtree this partition walks (review 9b —
+            # mode=None re-probed MLSD per subtree)
+            wmode = {"mlsd": driver_mlsd}
             try:
                 for pdf in batches:
                     if len(pdf) and ftp is None:
@@ -156,7 +174,9 @@ class FtpSource:
                         # the subtree root was listed by the driver, so a
                         # failure here is a real per-dir error: _walk skips
                         # unreadable nested dirs but raises on `subtree`
-                        for path, size, mtime in _walk(ftp, subtree, re.compile(rx_pat)):
+                        for path, size, mtime in _walk(
+                            ftp, subtree, re.compile(rx_pat), mode=wmode
+                        ):
                             rows.append((path, size, mtime))
                     yield pd.DataFrame(rows, columns=["path", "size", "modification_time"])
             finally:
@@ -236,9 +256,17 @@ class FtpSource:
                         ftp = src._connect()
                     bodies = []
                     for p in pdf["path"]:
-                        bodies.append(_retr(ftp, p))
+                        # a file rotated away between LIST and RETR is
+                        # not an error (review 9b): raising would fail
+                        # the TASK, Spark would retry it against the
+                        # same missing file, and the whole fetch job —
+                        # every other partition included — would abort.
+                        # Skip the row; uncommitted state re-detects it
+                        # next tick if it reappears.
+                        bodies.append(_retr_or_none(ftp, p))
                         clock.tick(ftp)  # keepalive between transfers (T2 analog)
-                    yield pdf.assign(content=bodies)
+                    kept = pdf.assign(content=bodies)
+                    yield kept[[b is not None for b in bodies]]
             finally:
                 if ftp is not None:
                     _quietly_close(ftp)
@@ -254,6 +282,17 @@ def _retr(ftp: ftplib.FTP, path: str) -> bytes:
     chunks: list[bytes] = []
     ftp.retrbinary(f"RETR {path}", chunks.append)
     return b"".join(chunks)
+
+
+def _retr_or_none(ftp: ftplib.FTP, path: str):
+    """RETR one file; None if it vanished since planning (550) — a rotated
+    file is not an error, it simply no longer exists to ingest."""
+    try:
+        return _retr(ftp, path)
+    except ftplib.error_perm as exc:
+        if str(exc).startswith("550"):
+            return None
+        raise
 
 
 def _quietly_close(ftp: ftplib.FTP) -> None:
@@ -325,14 +364,6 @@ class _NoopClock:
 
 class MlsdUnsupported(Exception):
     """Server rejected MLSD (RFC 3659 not implemented)."""
-
-
-def _list_dir_auto(ftp: ftplib.FTP, cur: str):
-    """_list_dir with automatic MLSD→LIST fallback for one-shot callers."""
-    try:
-        return _list_dir(ftp, cur, True)
-    except MlsdUnsupported:
-        return _list_dir(ftp, cur, False)
 
 
 # Unix-style `LIST` line, e.g.

@@ -71,7 +71,6 @@ subclass whose ``_make_source`` returns a fake-client ``FtpSource``
 from __future__ import annotations
 
 import datetime as dt
-import ftplib
 from dataclasses import dataclass
 
 from pyspark.errors import PySparkNotImplementedError
@@ -87,7 +86,7 @@ from kafka_connect_ftp_spark.sources.ftp import (
     FtpSource,
     _NoopClock,
     _quietly_close,
-    _retr,
+    _retr_or_none,
 )
 
 SCHEMA_DDL = "path string, size bigint, modification_time timestamp, content binary"
@@ -138,15 +137,9 @@ def _cap_changed(changed: list, max_files: int | None, max_bytes: int | None) ->
     return changed
 
 
-def _retr_or_none(ftp, path: str):
-    """RETR one file; None if it vanished since planning (550) — a rotated
-    file is not an error, it simply no longer exists to ingest."""
-    try:
-        return _retr(ftp, path)
-    except ftplib.error_perm as exc:
-        if str(exc).startswith("550"):
-            return None
-        raise
+# _retr_or_none lives in sources/ftp.py (review 9b): FtpSource.fetch
+# needs the same vanished-file tolerance — one definition, imported
+# in the module header above
 
 
 class FtpFilesDataSource(DataSource):
@@ -172,7 +165,7 @@ class FtpFilesDataSource(DataSource):
         return FtpFilesPartitionedStreamReader(self, schema)
 
     def simpleStreamReader(self, schema) -> "FtpFilesStreamReader":
-        return FtpFilesStreamReader(self)
+        return FtpFilesStreamReader(self, schema)
 
     # -- override point (tests substitute a fake-client source) -----------
     def _make_source(self) -> FtpSource:
@@ -260,8 +253,17 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch = one poll: emit files whose size/mtime changed vs the
     offset's per-path map (requiresFetch, F2), then advance the offset."""
 
-    def __init__(self, ds: FtpFilesDataSource) -> None:
+    def __init__(self, ds: FtpFilesDataSource, schema=None) -> None:
         self.ds = ds
+        # honor the user-provided schema (review 9b: tuples bind
+        # POSITIONALLY to the planned schema — ignoring a narrowed or
+        # reordered .schema() crashed or silently swapped columns; the
+        # batch and partitioned readers already validate/project)
+        names = tuple(f.name for f in schema.fields) if schema is not None else _ALL_FIELDS
+        unknown = set(names) - set(_ALL_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown ftpfiles columns: {sorted(unknown)}")
+        self._names = names
         self.fetch = ds.options.get("fetch", "true").lower() == "true"
         self.prune_deleted = ds.options.get("pruneDeleted", "false").lower() == "true"
         # L1 rate limit (ftp.max.poll.records, FtpSourceTask.scala:31,47-52):
@@ -275,6 +277,15 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         return {"files": {}}
+
+    def _project(self, path, size, mtime, content) -> tuple:
+        vals = {
+            "path": path,
+            "size": size,
+            "modification_time": mtime,
+            "content": content,
+        }
+        return tuple(vals[n] for n in self._names)
 
     def _source(self) -> FtpSource:
         # one FtpSource per reader (not per poll): its sticky MLSD/LIST
@@ -300,8 +311,6 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
                 new_state = {p: m for p, m in state.items() if p in live}
             else:
                 new_state = dict(state)
-            for path, size, mtime in changed:
-                new_state[path] = [size, mtime.isoformat()]
             rows = []
             clock = _NoopClock()
             for path, size, mtime in changed:
@@ -310,8 +319,14 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
                     content = _retr_or_none(ftp, path)
                     clock.tick(ftp)
                     if content is None:
-                        continue  # vanished between LIST and RETR
-                rows.append((path, size, mtime, content))
+                        # vanished between LIST and RETR: do NOT commit
+                        # its metadata (review 9b) — marking it
+                        # delivered would silently skip the file if it
+                        # reappears with identical (size, mtime), e.g.
+                        # restored from backup
+                        continue
+                new_state[path] = [size, mtime.isoformat()]
+                rows.append(self._project(path, size, mtime, content))
             return rows, new_state
         finally:
             _quietly_close(ftp)
@@ -336,7 +351,18 @@ class FtpFilesStreamReader(SimpleDataSourceStreamReader):
             for path in changed:
                 size, mtime_iso = e[path]
                 content = _retr_or_none(ftp, path) if ftp is not None else None
-                rows.append((path, size, dt.datetime.fromisoformat(mtime_iso), content))
+                if ftp is not None and content is None:
+                    # vanished since the offset committed (review 9b):
+                    # the original batch emitted real bytes — a phantom
+                    # NULL-content row would not be a re-derivation, and
+                    # the bytes are genuinely gone. Skip, like _poll
+                    # skips a vanish before first delivery.
+                    continue
+                rows.append(
+                    self._project(
+                        path, size, dt.datetime.fromisoformat(mtime_iso), content
+                    )
+                )
         finally:
             if ftp is not None:
                 _quietly_close(ftp)

@@ -135,6 +135,11 @@ class HttpManifestSource:
                     backoff = ExponentialBackOff(src.backoff_step, src.backoff_cap)
                     for attempt in range(src.retries + 1):
                         attempts = attempt + 1
+                        # reset per attempt (review 9b): a 503 from
+                        # attempt 1 must not survive as the recorded
+                        # status of a final attempt that timed out with
+                        # no HTTP response at all
+                        status = None
                         try:
                             status, body = src.opener(url, headers, src.timeout)
                             err = None
@@ -253,8 +258,12 @@ def incremental_fetch(
         state = spark.createDataFrame([], _STATE_SCHEMA)
     next_v = (versions[-1] if versions else 0) + 1
     # an empty manifest is a normal poll-tick state (crawl not published
-    # yet), not the one-shot fetch's usage error
-    if not isinstance(manifest, DataFrame) and not list(manifest):
+    # yet), not the one-shot fetch's usage error. Materialize ONCE
+    # (review 9b): the emptiness check would otherwise drain a
+    # generator manifest before _manifest_frame consumed it again
+    if not isinstance(manifest, DataFrame):
+        manifest = list(manifest)
+    if not isinstance(manifest, DataFrame) and not manifest:
         man = spark.createDataFrame([], "url string")
     else:
         man = source._manifest_frame(spark, manifest).select("url").dropDuplicates(["url"])
@@ -272,6 +281,14 @@ def incremental_fetch(
         # TakeOrdered, never a full manifest sort
         todo = todo.orderBy(F.col("ok").isNotNull(), "url").limit(max_urls_per_tick)
     todo = todo.select("url")
+    if todo.isEmpty():
+        # idle tick (review 9b): nothing new to fetch — the state is
+        # unchanged, so skip the wholesale rewrite + version flip an
+        # idle tick would otherwise pay on every poll (a full state
+        # read+write at 10^7 tracked URLs), and skip the sink (an
+        # empty epoch append adds nothing). Returns the empty fetched
+        # frame with the normal schema.
+        return source.fetch(spark, todo)
     fetched = source.fetch(spark, todo).localCheckpoint()
     if sink is not None:
         sink(fetched, next_v if epoch is None else epoch)

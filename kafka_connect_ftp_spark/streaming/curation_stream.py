@@ -67,10 +67,16 @@ def make_curation_step(
     top2_max: float = 0.2,
     dup5_max: float = 0.5,
     alpha: float = 9.0,
+    routed_profiles: DataFrame | None = None,
 ):
     """Build the composed foreachBatch function (exposed so tests can
     drive a replayed batch directly — a crash replay IS calling the
-    step again with the same (batch, batch_id))."""
+    step again with the same (batch, batch_id)).
+
+    ``routed_profiles`` passes through to ``gate_micro_batch`` (review
+    9b: the composed one-checkpoint stream subsumes the staged
+    pipeline, so it must expose the round-9 classify-then-route rule
+    stage too, not just the English-parameterized default)."""
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         # exclude_epoch: a torn own-epoch state write from a crashed
@@ -103,6 +109,7 @@ def make_curation_step(
             nd_admitted, model,
             id_col=id_col, text_col=text_col,
             top2_max=top2_max, dup5_max=dup5_max, alpha=alpha,
+            routed_profiles=routed_profiles,
         )
         # delivery BEFORE state commit (the ingest/pipeline.py rule): a
         # crash between the two replays this batch and rewrites the

@@ -72,6 +72,12 @@ def filter_micro_batch(
     admitted_band_keys)``; ``seen_bands`` is the accumulated (band,
     bsig) state or None for the first batch. Exposed separately so
     tests and batch backfills run the exact stream transformation."""
+    # in-batch re-delivery guard (review 9b): an at-least-once upstream
+    # can deliver the same id twice INSIDE one micro-batch. The
+    # signature groupBy collapses them to one keep decision, but the
+    # final left_semi would admit every copy of an admitted id — the
+    # band state only covers CROSS-batch re-delivery
+    batch = batch.dropDuplicates([id_col])
     sig = minhash_signatures(
         batch, id_col, text_col, n_hashes=n_hashes, shingle_width=shingle_width
     )

@@ -180,3 +180,63 @@ def test_torn_state_write_cannot_lose_delivered_rows(spark, model, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == first
     after = {(r.doc_id, r.band, r.bsig) for r in spark.read.parquet(state).collect()}
     assert after == full_state
+
+
+def test_composed_step_routes_languages(spark, model, tmp_path):
+    """Review 9b: the composed one-checkpoint step exposes the round-9
+    classify-then-route rule stage — step output == gate_micro_batch
+    output with the same routed_profiles over the same batch, and the
+    German prose page survives only because routing applied its own
+    language's params (the module-level word-soup fixtures fail the
+    full doc rules under ANY language, so this test carries prose)."""
+    from kafka_connect_ftp_spark.operators.lang_id import (
+        NORM_KEEP_ROUTED,
+        SEED_TEXTS_ROUTED,
+        seed_frame,
+        train_char_profiles,
+    )
+    from kafka_connect_ftp_spark.streaming.curation_stream import make_curation_step
+    from kafka_connect_ftp_spark.streaming.quality_gate import gate_micro_batch
+
+    en_prose = (
+        "the committee published the annual report this morning and that was fine.\n"
+        "several members of the board have asked to be heard before the vote.\n"
+        "the final decision will be announced with the other findings next week.\n"
+        "many people that follow the debate have strong views on the plan.\n"
+        "the chair thanked the members of the committee for their patient work."
+    )
+    de_prose = (
+        "die regierung hat heute einen neuen haushaltsplan mit vielen details vorgestellt.\n"
+        "die opposition will den entwurf im parlament mit mehreren anträgen ändern.\n"
+        "viele bürger haben dazu bereits eine sehr klare meinung geäußert.\n"
+        "die debatte über das thema dürfte noch mehrere wochen dauern.\n"
+        "am ende wird das parlament über den gesamten entwurf abstimmen müssen."
+    )
+    prose_words = sorted(
+        set((en_prose + " " + de_prose).replace("\n", " ").replace(".", "").split())
+    )
+    pos = spark.createDataFrame(
+        [(i, _text(prose_words, i)) for i in range(40)], _SCHEMA
+    )
+    neg = spark.createDataFrame(
+        [(1000 + i, _text(_JUNK, 100 + i)) for i in range(40)], _SCHEMA
+    )
+    pmodel = train_quality_classifier(pos, neg, n_features=1 << 12, max_iter=25)
+    profiles = train_char_profiles(
+        seed_frame(spark, SEED_TEXTS_ROUTED), norm_keep=NORM_KEEP_ROUTED
+    ).cache()
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [(11, en_prose), (12, de_prose), (13, _text(_JUNK, 13))], _SCHEMA
+    )
+    step = make_curation_step(
+        spark, pmodel, out_dir, state_dir, routed_profiles=profiles
+    )
+    step(batch, 0)
+    got = {r.doc_id for r in spark.read.parquet(f"{out_dir}/epoch=0").collect()}
+    want = {
+        r.doc_id
+        for r in gate_micro_batch(batch, pmodel, routed_profiles=profiles).collect()
+    }
+    assert got == want == {11, 12}, (got, want)

@@ -394,3 +394,53 @@ def test_sink_epoch_defaults_to_the_state_version(spark, tmp_path):
     # a fresh epoch per tick: an epoch-keyed sink never overwrites the
     # previous tick's delivery
     assert epochs == [1, 2]
+
+
+def test_incremental_fetch_review_9b_fixes(spark, tmp_path):
+    """Review 9b: (a) a GENERATOR manifest must not be drained by the
+    emptiness check before the frame build consumes it; (b) an idle
+    tick leaves the state untouched — no new version dir, no pruning
+    churn; (c) a stale HTTP status from an earlier retry attempt never
+    attaches to a final failure that carried no code."""
+    from kafka_connect_ftp_spark.sources.http_source import (
+        committed_versions,
+        incremental_fetch,
+    )
+
+    state_dir = str(tmp_path / "state")
+    src = HttpManifestSource(opener=_fake_opener(BODIES))
+    urls = sorted(BODIES)[:3]
+    # (a) generator manifest
+    t1 = incremental_fetch(spark, src, (u for u in urls), state_dir)
+    assert {r.url for r in t1.collect()} == set(urls)
+    v_after_t1 = committed_versions(spark, state_dir)
+    # (b) idle tick: same manifest again -> empty frame, SAME versions
+    sink_calls = []
+    t2 = incremental_fetch(
+        spark, src, urls, state_dir, sink=lambda df, e: sink_calls.append(e)
+    )
+    assert t2.count() == 0
+    assert committed_versions(spark, state_dir) == v_after_t1
+    assert sink_calls == []  # empty epoch appends are skipped too
+
+    # (c) attempt 1 raises with .code 503 (retryable), attempt 2 raises
+    # a plain timeout with NO code: the recorded status must be NULL,
+    # not the dead 503
+    class _FlipFail:
+        def __init__(self):
+            self.n = 0
+
+        def __call__(self, url, headers, timeout):
+            self.n += 1
+            if self.n == 1:
+                e = OSError("server error")
+                e.code = 503
+                raise e
+            raise TimeoutError("timed out")
+
+    flip = HttpManifestSource(
+        opener=_FlipFail(), retries=1, fetch_partitions=1, sleep=lambda s: None
+    )
+    row = flip.fetch(spark, ["https://host.example/x"]).collect()[0]
+    assert row.fetch_error and "TimeoutError" in row.fetch_error
+    assert row.status is None and row.attempts == 2

@@ -218,3 +218,23 @@ def test_uncommitted_state_dir_reads_empty_not_wedged(spark, tmp_path):
     b2 = spark.createDataFrame([(9, _mutate(_BASE, 9))], _SCHEMA)
     step(b2, 1)
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 3]
+
+
+def test_in_batch_redelivery_admits_one_copy(spark):
+    """Review 9b: an at-least-once upstream delivering the same id twice
+    INSIDE one micro-batch must not emit two copies — the band state
+    only covers cross-batch re-delivery."""
+    from kafka_connect_ftp_spark.streaming.neardup_stream import filter_micro_batch
+
+    batch = spark.createDataFrame(
+        [
+            (1, "unique prose about rivers and mountains flowing far"),
+            (1, "unique prose about rivers and mountains flowing far"),
+            (2, "a completely different document concerning city planning"),
+        ],
+        "doc_id long, text string",
+    )
+    admitted, bands = filter_micro_batch(batch, None)
+    rows = admitted.collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]  # one copy each
+    assert bands.select("doc_id").distinct().count() == 2
