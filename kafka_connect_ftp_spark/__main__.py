@@ -132,6 +132,22 @@ def main(argv: list[str] | None = None) -> int:
         print("no ftp.monitor.tail / ftp.monitor.update entries configured", file=sys.stderr)
         return 2
 
+    # resolve the converter knobs BEFORE any Spark startup (review 9b:
+    # "fails at startup" must mean before the ~10s JVM spin-up, and
+    # --list-only must validate them too): both resolutions depend only
+    # on the parsed config
+    from kafka_connect_ftp_spark.ingest.converters import (
+        get_file_converter,
+        get_record_converter,
+    )
+
+    convert = get_record_converter(cfg.converter) if cfg.converter != "nop" else None
+    fconvert = (
+        get_file_converter(cfg.file_converter)
+        if cfg.file_converter != "nop"
+        else None
+    )
+
     spark = get_spark("ftp-engine-cli")
     source = None
     if args.local_root is None:
@@ -158,32 +174,26 @@ def main(argv: list[str] | None = None) -> int:
     sink = _parquet_sink(args.sink_dir) if args.sink_dir else _print_sink
     # ftp.sourcerecordconverter parity (FtpSourceTask.scala:83-87; X2 in
     # SURVEY §2.7): the configured 1→N record converter runs on each
-    # tick's records before delivery. Resolved eagerly — and restricted
-    # to record converters — so a typo or a key-style name fails at
-    # startup, not as a per-tick error spinning through backoff. NB: the
+    # tick's records before delivery (resolved pre-Spark above). NB: the
     # tick metrics line reports SOURCE records/bytes (files fetched, the
     # poll-level semantic), not post-conversion record counts — the
     # converted volume is what lands in the sink.
-    if cfg.converter != "nop":
-        from kafka_connect_ftp_spark.ingest.converters import get_record_converter
+    if convert is not None:
+        inner_sink = sink
 
-        convert, inner_sink = get_record_converter(cfg.converter), sink
-
-        def sink(records, epoch: int) -> None:
-            inner_sink(convert(records), epoch)
+        def sink(records, epoch: int, _c=convert, _s=inner_sink) -> None:
+            _s(_c(records), epoch)
 
     # ftp.fileconverter parity (FtpSourceConfig.scala:45,
     # FileConverter.scala): the configured FILE converter runs on the
     # tick's file bodies BEFORE the record converter (the reference
     # order: FileConverter makes records from bodies, then
-    # SourceRecordConverter maps 1→N). Same eager resolution.
-    if cfg.file_converter != "nop":
-        from kafka_connect_ftp_spark.ingest.converters import get_file_converter
+    # SourceRecordConverter maps 1→N).
+    if fconvert is not None:
+        rec_sink = sink
 
-        fconvert, rec_sink = get_file_converter(cfg.file_converter), sink
-
-        def sink(records, epoch: int) -> None:
-            rec_sink(fconvert(records), epoch)
+        def sink(records, epoch: int, _c=fconvert, _s=rec_sink) -> None:
+            _s(_c(records), epoch)
 
     backoff = ExponentialBackOff(step_seconds=1.0, cap_seconds=cfg.max_backoff_seconds)
     epoch, polled, succeeded = 0, 0, 0

@@ -51,6 +51,25 @@ def parse_iso_duration(text: str) -> float:
     return g["days"] * 86400 + g["hours"] * 3600 + g["minutes"] * 60 + g["seconds"]
 
 
+# the reference's converter knobs are Type.CLASS: a real config pins
+# them with FQCNs. Its two shipped classes are behavioral no-ops here
+# (SimpleFileConverter = the engine's default framing,
+# NopSourceRecordConverter = identity), so a config that names them
+# must keep dropping in unchanged instead of failing the registry
+# lookup (review 9b #1).
+_CLASS_ALIASES = {
+    "simplefileconverter": "nop",
+    "nopsourcerecordconverter": "nop",
+}
+
+
+def _converter_name(raw: str) -> str:
+    """Normalize a converter knob value: the reference's class names
+    (bare or fully qualified) map to their engine registry analogs;
+    anything else passes through for the registry to resolve."""
+    return _CLASS_ALIASES.get(raw.rsplit(".", 1)[-1].lower(), raw)
+
+
 def _parse_monitors(spec: str, *, tail: bool) -> list[MonitoredPath]:
     """"/path/:topic, /other/*.csv:t2" → MonitoredPath list
     (FtpSourceConfig.scala:55-64 keyValuePairListOpt)."""
@@ -108,8 +127,8 @@ class FtpEngineConfig:
             key_style=key_style,
             max_poll_records=int(props.get("ftp.max.poll.records", "10000")),
             monitors=monitors,
-            converter=props.get("ftp.sourcerecordconverter", "nop"),
-            file_converter=props.get("ftp.fileconverter", "nop"),
+            converter=_converter_name(props.get("ftp.sourcerecordconverter", "nop")),
+            file_converter=_converter_name(props.get("ftp.fileconverter", "nop")),
             tls=protocol == "ftps",
         )
 

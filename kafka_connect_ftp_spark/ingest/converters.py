@@ -47,31 +47,35 @@ def get_converter(name: str) -> Converter:
 _KEY_STYLE = frozenset({"string_key", "struct_key"})
 
 
-def get_record_converter(name: str) -> Converter:
-    """Resolve an X2 record converter (1→N mapper); rejects the X1
-    key-style projections, which would break record-schema consumers
-    mid-poll instead of failing fast at configuration time."""
+def _get_non_key_converter(name: str, knob: str) -> Converter:
+    """Resolve a converter for ``knob``, rejecting the X1 key-style
+    projections (they would break record-schema consumers mid-poll —
+    fail at configuration time instead). The unknown-name error lists
+    ONLY the names the knob actually accepts (review 9b: advertising
+    key-style names the same knob then rejects sent users into a
+    second startup failure)."""
+    avail = sorted(set(_REGISTRY) - _KEY_STYLE)
     if name in _KEY_STYLE:
         raise KeyError(
-            f"{name!r} is a key-style (X1) converter; ftp.sourcerecordconverter "
-            f"takes a record converter — available: "
-            f"{sorted(set(_REGISTRY) - _KEY_STYLE)}"
+            f"{name!r} is a key-style (X1) converter; {knob} takes a "
+            f"non-key-style converter — available: {avail}"
         )
-    return get_converter(name)
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown converter {name!r} for {knob}; available: {avail}")
+    return _REGISTRY[name]
+
+
+def get_record_converter(name: str) -> Converter:
+    """Resolve an X2 record converter (1→N mapper) —
+    ``ftp.sourcerecordconverter``."""
+    return _get_non_key_converter(name, "ftp.sourcerecordconverter")
 
 
 def get_file_converter(name: str) -> Converter:
     """Resolve a FILE converter (``ftp.fileconverter`` parity —
     FtpSourceConfig.scala:45, FileConverter.scala: runs on file BODIES
-    before the record converter). Rejects the X1 key-style projections
-    for the same fail-at-startup reason as ``get_record_converter``."""
-    if name in _KEY_STYLE:
-        raise KeyError(
-            f"{name!r} is a key-style (X1) converter; ftp.fileconverter "
-            f"takes a file-body converter — available: "
-            f"{sorted(set(_REGISTRY) - _KEY_STYLE)}"
-        )
-    return get_converter(name)
+    before the record converter)."""
+    return _get_non_key_converter(name, "ftp.fileconverter")
 
 
 @register_converter("nop")

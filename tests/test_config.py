@@ -87,3 +87,19 @@ def test_fileconverter_parses():
     cfg = FtpEngineConfig.from_props({"ftp.fileconverter": "gunzip"})
     assert cfg.file_converter == "gunzip"
     assert FtpEngineConfig.from_props({}).file_converter == "nop"
+
+
+def test_reference_class_names_alias_to_nop():
+    # the reference's Type.CLASS knob values must keep dropping in
+    # unchanged (review 9b): its two shipped classes are behavioral
+    # no-ops here
+    cfg = FtpEngineConfig.from_props({
+        "ftp.fileconverter":
+            "com.eneco.trading.kafka.connect.ftp.source.SimpleFileConverter",
+        "ftp.sourcerecordconverter":
+            "com.eneco.trading.kafka.connect.ftp.source.NopSourceRecordConverter",
+    })
+    assert cfg.file_converter == "nop" and cfg.converter == "nop"
+    assert FtpEngineConfig.from_props(
+        {"ftp.fileconverter": "SimpleFileConverter"}
+    ).file_converter == "nop"
