@@ -164,8 +164,11 @@ def main(argv: list[str] | None = None) -> int:
     pipeline = cfg.build_pipeline(spark, args.state_dir, local_root=args.local_root)
 
     if args.list_only:
+        # metadata only: listing for printing must not open any file
         listing = (
-            source.listing(spark, cfg.monitors) if source else pipeline.default_listing()
+            source.listing(spark, cfg.monitors)
+            if source
+            else pipeline.default_meta_listing()
         )
         for r in listing.orderBy("path").select("path", "size", "modification_time").collect():
             print(f"{r.size:>10}  {r.modification_time}  {r.path}")

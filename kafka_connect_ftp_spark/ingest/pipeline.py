@@ -31,14 +31,19 @@ from kafka_connect_ftp_spark.ingest.snapshot import empty_state, snapshot
 
 
 def local_listing(spark: SparkSession, base_dir: str, *, leaf_glob: str | None = None) -> DataFrame:
-    """List + fetch files under ``base_dir`` as LISTING_SCHEMA rows.
+    """List + fetch EVERY file under ``base_dir`` as LISTING_SCHEMA rows.
 
     ``leaf_glob`` (the monitor pattern's file-name segment, e.g. ``*.csv``)
     is pushed into the source as ``pathGlobFilter`` so non-matching files
-    are pruned at listing time and their content is never read — the
-    engine-side analog of the reference applying the name glob during LIST
-    (FtpFileLister.scala:40).
-    """
+    are pruned at listing time — the engine-side analog of the reference
+    applying the name glob during LIST (FtpFileLister.scala:40).
+
+    NOTE (review 9b): this is the EAGER form — the scan's required
+    schema includes ``content``, so binaryFile reads every matched
+    file's bytes. The poll loop no longer uses it: per-tick I/O must be
+    proportional to the DELTA, not the corpus
+    (``PollPipeline.default_listing``'s metadata-join-fetch pipeline).
+    Retained for small trees and explicit full-ingest callers."""
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     if leaf_glob and leaf_glob != "*":
         reader = reader.option("pathGlobFilter", leaf_glob)
@@ -49,6 +54,49 @@ def local_listing(spark: SparkSession, base_dir: str, *, leaf_glob: str | None =
         F.col("length").alias("size"),
         F.col("modificationTime").alias("modification_time"),
         F.col("content"),
+    )
+
+
+def local_meta_listing(
+    spark: SparkSession, base_dir: str, *, leaf_glob: str | None = None
+) -> DataFrame:
+    """Metadata-only listing (path, size, modification_time): binaryFile
+    with ``content`` pruned out of the required schema never opens the
+    files — the LIST round-trip of the reference, bytes untouched."""
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if leaf_glob and leaf_glob != "*":
+        reader = reader.option("pathGlobFilter", leaf_glob)
+    return reader.load(base_dir).select(
+        F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("modification_time"),
+    )
+
+
+def _local_fetch(meta: DataFrame) -> DataFrame:
+    """Attach content to a metadata frame by reading each file INSIDE its
+    partition (the FtpSource.fetch shape for the local/shared-FS source):
+    bytes never pass through the driver and per-tick read volume is
+    bounded by the rows given, not the corpus. A file that vanished
+    between listing and read is skipped (the rotated-file rule)."""
+    from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA
+
+    def fetch_partition(batches):
+        import pandas as pd  # noqa: F401  (arrow batch type)
+
+        for pdf in batches:
+            contents = []
+            for p in pdf["path"]:
+                try:
+                    with open(p, "rb") as fh:
+                        contents.append(fh.read())
+                except (FileNotFoundError, IsADirectoryError, PermissionError):
+                    contents.append(None)
+            kept = pdf.assign(content=contents)
+            yield kept[[c is not None for c in contents]]
+
+    return meta.select("path", "size", "modification_time").mapInPandas(
+        fetch_partition, LISTING_SCHEMA
     )
 
 
@@ -170,22 +218,62 @@ class PollPipeline:
             if m and int(m.group(1)) <= cutoff:
                 shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
 
-    def default_listing(self) -> DataFrame:
-        """Listing over the monitors' common base dirs via ``local_listing``."""
+    def default_meta_listing(self) -> DataFrame:
+        """Metadata-only listing over the monitors' common base dirs —
+        (path, size, modification_time), file bytes never read."""
+        from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA
+
         bases = {(_glob_base(m.path), _leaf_glob(m.pattern)) for m in self.monitors}
         # a missing monitored dir lists as empty, like FTP LIST on a
         # nonexistent path (FtpFileLister.scala:37-50 None case)
         parts = [
-            local_listing(self.spark, b, leaf_glob=g) for b, g in sorted(bases) if os.path.isdir(b)
+            local_meta_listing(self.spark, b, leaf_glob=g)
+            for b, g in sorted(bases)
+            if os.path.isdir(b)
         ]
         if not parts:
-            from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA
-
-            parts = [self.spark.createDataFrame([], LISTING_SCHEMA)]
+            parts = [
+                self.spark.createDataFrame([], LISTING_SCHEMA).select(
+                    "path", "size", "modification_time"
+                )
+            ]
         listing = parts[0]
         for p in parts[1:]:
             listing = listing.unionByName(p)
         return listing.dropDuplicates(["path"])
+
+    def default_listing(self) -> DataFrame:
+        """Incremental listing over the monitors' base dirs: a METADATA
+        scan joined to the persisted state decides which files need
+        bytes (the reference's list-then-filter-then-fetch ordering,
+        FtpMonitor.scala:110-119), and only those are opened — per-tick
+        read volume is proportional to the DELTA, not the corpus
+        (review 9b: the eager ``local_listing`` re-read every tracked
+        byte on every poll; at 1 TB tracked / one changed file, each
+        tick paid ~1 TB of I/O for one record). Unchanged rows carry
+        NULL content — exactly the ``FtpSource.incremental_fetch``
+        contract the snapshot plan already accepts; its own state join
+        re-derives requires_fetch and never touches content for them."""
+        meta = self.default_meta_listing()
+        prev = self.load_state().select(
+            F.col("path").alias("s_path"),
+            F.col("size").alias("s_size"),
+            F.col("timestamp").alias("s_timestamp"),
+        )
+        tagged = meta.join(prev, meta["path"] == prev["s_path"], "left")
+        needs = (
+            F.col("s_path").isNull()
+            | (F.col("s_size") != F.col("size"))
+            | (F.col("s_timestamp") != F.col("modification_time"))
+        )
+        to_fetch = tagged.filter(needs).select("path", "size", "modification_time")
+        unchanged = tagged.filter(~needs).select(
+            "path",
+            "size",
+            "modification_time",
+            F.lit(None).cast("binary").alias("content"),
+        )
+        return _local_fetch(to_fetch).unionByName(unchanged)
 
     # -- the poll ---------------------------------------------------------
     def poll(

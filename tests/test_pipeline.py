@@ -290,3 +290,31 @@ def test_poll_metrics_per_tick(spark, tree, tmp_path):
     m = pipe.last_metrics
     assert m["epoch"] == 8 and m["n_changed"] == 0 and m["bytes_emitted"] == 0
     assert m["n_tracked_paths"] == 2
+
+
+def test_poll_reads_only_changed_bytes(spark, tree, tmp_path):
+    """Review 9b: per-tick read volume must be proportional to the
+    DELTA, not the corpus — an unchanged file made UNREADABLE after the
+    first poll must not break (or be opened by) the next polls."""
+    import os as _os
+
+    state_dir = str(tmp_path / "state")
+    write(tree, "updates/stable", b"big stable body", T0)
+    write(tree, "updates/hot", b"v1", T0)
+    pipe = PollPipeline(spark, monitors(tree), state_dir, drop_empty=True)
+    assert pipe.poll().count() == 2
+
+    # unchanged file becomes unreadable: the eager listing would fail
+    # here (binaryFile reads every matched file's bytes per scan)
+    stable = _os.path.join(str(tree), "updates", "stable")
+    _os.chmod(stable, 0o000)
+    try:
+        write(tree, "updates/hot", b"v2!", T0 + 60)
+        got = {
+            (r.topic, bytes(r.value)) for r in pipe.poll().collect()
+        }
+        assert got == {("updates", b"v2!")}
+        # idle tick over the still-unreadable tree
+        assert pipe.poll().count() == 0
+    finally:
+        _os.chmod(stable, 0o644)
