@@ -129,3 +129,25 @@ def _glob_body(glob: str) -> str:
             out.append(re.escape(c))
         i += 1
     return "".join(out)
+
+def glob_free_prefix(pattern: str) -> str:
+    """Longest glob-free DIRECTORY prefix of a monitor pattern — the
+    tree-walk root (the reference's pathParts.init split,
+    FtpFileLister.scala:32-34). A fixed path (no glob metacharacters,
+    as recognized by ``glob_to_regex``: ``*?[{``) walks its parent.
+    ONE definition (review 9b: sources/ftp.py and ingest/pipeline.py
+    carried divergent copies that had to track glob_to_regex's
+    metacharacter set in lockstep)."""
+    parts = pattern.split("/")
+    out = []
+    hit_glob = False
+    for part in parts:
+        if any(ch in part for ch in "*?[{"):
+            hit_glob = True
+            break
+        out.append(part)
+    if not hit_glob:
+        # fixed path: the last segment names the file — or is the ''
+        # of a trailing slash — either way the walk root is the parent
+        out = out[:-1]
+    return "/".join(out) or "/"

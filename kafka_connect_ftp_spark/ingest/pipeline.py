@@ -7,11 +7,12 @@ and commits the merged state. Restartability comes from the state table
 exactly like Connect's offset store (SURVEY.md §3.3): a new PollPipeline
 over the same ``state_dir`` resumes incrementally.
 
-The listing uses Spark's ``binaryFile`` source, whose columns (path,
-modificationTime, length, content) are the reference's AbsoluteFtpFile +
-fetched body (SURVEY.md §1.4). Content is read lazily per matched file, so
-the age/glob filters prune transfers like the reference's listing-first
-design (FtpMonitor.scala:110-119).
+The listing is INCREMENTAL (round 9b): a metadata-only ``binaryFile``
+scan (content pruned from the scan schema — files never opened) joins
+the persisted state, and only changed files are read, inside their
+partitions — the reference's list-then-filter-then-fetch ordering
+(FtpMonitor.scala:110-119) with per-tick I/O proportional to the
+delta, not the corpus.
 
 For a live FTP remote, substitute ``ftp_listing`` from sources/ftp.py —
 the snapshot plan is source-agnostic.
@@ -103,9 +104,15 @@ def _local_fetch(meta: DataFrame) -> DataFrame:
 class PollPipeline:
     """Stateful poll loop over a local directory tree.
 
-    State is a parquet table under ``state_dir`` (atomic replace per poll:
-    write to a versioned subdir, then point the 'current' marker at it —
-    cheap and restart-safe on a real cluster's object store as well).
+    State is a parquet table under ``state_dir`` (atomic replace per
+    poll: write to a versioned subdir, then point the 'current' marker
+    at it). The marker/prune bookkeeping uses driver-local file IO, so
+    ``state_dir`` must be driver-local or a driver-mounted shared FS —
+    this pipeline's SOURCE is the local tree, so that is its natural
+    deployment; the object-store-portable ``_SUCCESS``-versioned state
+    pattern lives in ``hadoop_fs.py`` and is what the FTP/HTTP sources
+    use (review 9b: the previous docstring claimed object-store safety
+    this bookkeeping does not have).
     """
 
     def __init__(
@@ -131,8 +138,10 @@ class PollPipeline:
         # state_dir/history (valid-from = last_inspected; the current
         # version lives in the versioned snapshot as usual)
         self.keep_history = keep_history
-        # bucket_state=N stores each state version as a managed table
-        # bucketed by path: the snapshot join (J1, the poll loop's only
+        # bucket_state=N stores each state version as an EXTERNAL
+        # bucketed table (data under state_dir, catalog entry
+        # re-registerable by any session — round 9b) clustered by path:
+        # the snapshot join (J1, the poll loop's only
         # shuffle) then reads the state side bucket-aligned with NO
         # Exchange — at 10^8 tracked files only the fresh listing
         # shuffles per tick, never the accumulated state (SURVEY.md §4
@@ -140,10 +149,9 @@ class PollPipeline:
         # spark.sql.shuffle.partitions so the listing shuffle lands
         # directly on the bucket layout.
         self.bucket_state = bucket_state
-        # parquet-mode retention: superseded version dirs strictly older
+        # retention (both modes): superseded version dirs strictly older
         # than the last `keep_versions` are deleted after each commit, so a
-        # long-running loop doesn't grow state_dir without bound (bucketed
-        # mode already drops the superseded table per commit). Minimum 1
+        # long-running loop doesn't grow state_dir without bound. Minimum 1
         # kept behind the marker preserves crash-recovery headroom: the
         # marker flip is atomic, but a reader mid-scan of the previous
         # version must not have files deleted under it within the same
@@ -165,29 +173,82 @@ class PollPipeline:
         digest = hashlib.md5(self.state_dir.encode()).hexdigest()[:10]
         return f"ftp_state_{digest}_{version}"
 
+    def _read_marker(self) -> tuple[str, int | None] | None:
+        """(version, buckets-or-None) from the CURRENT marker, or None.
+        Line 2 (``buckets=N``, round 9b) records the bucket count the
+        version was WRITTEN with — re-registering its files under a
+        different count would silently mis-bucket the join; single-line
+        markers from older state dirs read as buckets-unknown."""
+        if not os.path.exists(self._marker):
+            return None
+        with open(self._marker) as fh:
+            lines = fh.read().split("\n")
+        version = lines[0].strip()
+        buckets = None
+        for ln in lines[1:]:
+            if ln.strip().startswith("buckets="):
+                buckets = int(ln.strip().removeprefix("buckets="))
+        return version, buckets
+
+    def _bucket_dir(self, version: str) -> str:
+        return os.path.join(self.state_dir, f"bucket_{version}")
+
     def load_state(self) -> DataFrame:
-        if os.path.exists(self._marker):
-            with open(self._marker) as fh:
-                version = fh.read().strip()
-            if self.bucket_state:
-                return self.spark.table(self._table_name(version))
-            return self.spark.read.schema(STATE_SCHEMA).parquet(
-                os.path.join(self.state_dir, version)
-            )
-        return empty_state(self.spark)
+        mk = self._read_marker()
+        if mk is None:
+            return empty_state(self.spark)
+        version, buckets = mk
+        if self.bucket_state:
+            name = self._table_name(version)
+            if not self.spark.catalog.tableExists(name):
+                # a NEW session's catalog is empty (in-memory by
+                # default) — the data files are fine under state_dir,
+                # so re-register the EXTERNAL bucketed table over them
+                # (review 9b: the managed-table form stranded all state
+                # on restart — TABLE_OR_VIEW_NOT_FOUND with the files
+                # intact in a dead session's warehouse)
+                bdir = self._bucket_dir(version)
+                if not os.path.isdir(bdir):
+                    # a pre-9b managed-table state dir: the files lived
+                    # in the old session's warehouse — unreachable;
+                    # fail loudly rather than silently starting empty
+                    raise FileNotFoundError(
+                        f"bucketed state {version} has no data dir {bdir} "
+                        "(written by a pre-round-9b managed-table build?); "
+                        "remove the CURRENT marker to start fresh"
+                    )
+                n = buckets or self.bucket_state
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in STATE_SCHEMA.fields
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                    f"CLUSTERED BY (path) SORTED BY (path) INTO {n} BUCKETS "
+                    f"LOCATION '{bdir}'"
+                )
+            return self.spark.table(name)
+        return self.spark.read.schema(STATE_SCHEMA).parquet(
+            os.path.join(self.state_dir, version)
+        )
 
     def _commit_state(self, new_state: DataFrame) -> None:
         version, prev_version = "v0", None
-        if os.path.exists(self._marker):
-            with open(self._marker) as fh:
-                prev_version = fh.read().strip()
+        mk = self._read_marker()
+        if mk is not None:
+            prev_version = mk[0]
             version = f"v{int(prev_version[1:]) + 1}"
         if self.bucket_state:
-            # managed bucketed table per version; sortBy(path) gives the
-            # sort-merge join pre-sorted bucket files as well
+            # EXTERNAL bucketed table per version — data under
+            # state_dir, catalog entry disposable (review 9b: managed
+            # tables pinned the state to one session's in-memory
+            # catalog; a restarted process could never load it).
+            # sortBy(path) gives the sort-merge join pre-sorted bucket
+            # files as well.
             (
                 new_state.write.bucketBy(self.bucket_state, "path")
                 .sortBy("path")
+                .option("path", self._bucket_dir(version))
                 .mode("overwrite")
                 .saveAsTable(self._table_name(version))
             )
@@ -196,25 +257,30 @@ class PollPipeline:
         tmp = self._marker + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
+            if self.bucket_state:
+                fh.write(f"\nbuckets={self.bucket_state}")
         os.replace(tmp, self._marker)
         if self.bucket_state and prev_version is not None:
-            # the marker is the source of truth, so the superseded
-            # version's table can go; a crash before this DROP leaves an
-            # orphan table, never a wrong state
+            # drop the superseded CATALOG entry only — external-table
+            # DROP leaves the files, so a reader mid-scan of the
+            # previous version keeps its data (the keep_versions>=2
+            # invariant parquet mode enforces; review 9b: the managed
+            # form deleted those files in the same tick). The file
+            # dirs age out through the same retention window below.
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(prev_version)}")
-        elif not self.bucket_state:
-            self._prune_versions(current=int(version[1:]))
+        self._prune_versions(current=int(version[1:]))
 
     def _prune_versions(self, *, current: int) -> None:
-        """Delete parquet version dirs older than the retention window.
-        The marker has already moved, so anything pruned is unreferenced;
-        a crash mid-prune leaves stale dirs, never a missing current."""
+        """Delete version dirs (parquet ``vN`` or bucketed
+        ``bucket_vN``) older than the retention window. The marker has
+        already moved, so anything pruned is unreferenced; a crash
+        mid-prune leaves stale dirs, never a missing current."""
         import re
         import shutil
 
         cutoff = current - self.keep_versions
         for entry in os.listdir(self.state_dir):
-            m = re.fullmatch(r"v(\d+)", entry)
+            m = re.fullmatch(r"(?:bucket_)?v(\d+)", entry)
             if m and int(m.group(1)) <= cutoff:
                 shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
 
@@ -321,12 +387,16 @@ class PollPipeline:
         # snapshot() is deterministic given the old state.
         if sink is not None:
             sink(records, epoch)
-        # counted BEFORE the commit: in bucketed mode the commit drops the
-        # superseded table new_state's lineage still reads, so a
-        # post-commit count would hit deleted files; pre-commit it is also
-        # the metrics gauge, avoiding a per-tick re-scan of the new table
-        n_tracked = new_state.count()
+        # the tracked-paths gauge piggybacks on the commit write's job
+        # via an Observation (review 9b: a separate count() re-scanned
+        # the merged state every tick purely for metrics — at 10^8
+        # tracked paths that doubled the heaviest per-tick state I/O)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_state = new_state.observe(obs, F.count(F.lit(1)).alias("n"))
         self._commit_state(new_state)
+        n_tracked = obs.get["n"]
         # The previous tick's localCheckpoint blocks are reclaimed by the
         # ContextCleaner once unreferenced — keep only the latest.
         self._last_records = records
@@ -377,19 +447,10 @@ def _leaf_glob(pattern: str) -> str:
 
 
 def _glob_base(path: str) -> str:
-    """Longest glob-free directory prefix of a monitored path."""
-    parts = path.split("/")
-    out = []
-    hit_glob = False
-    for part in parts:
-        if any(ch in part for ch in "*?[{"):
-            hit_glob = True
-            break
-        out.append(part)
-    base = "/".join(out)
-    if hit_glob:
-        return base or "/"
-    # glob-free path: the last segment names a file (or trailing "/")
-    if not base.endswith("/"):
-        base = os.path.dirname(base) or "/"
-    return base
+    """Longest glob-free directory prefix — ONE definition in
+    ingest/model.py (review 9b; the previous local copy differed only
+    in keeping a trailing slash, which every caller treats as the same
+    directory)."""
+    from kafka_connect_ftp_spark.ingest.model import glob_free_prefix
+
+    return glob_free_prefix(path)

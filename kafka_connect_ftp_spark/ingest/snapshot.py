@@ -15,8 +15,13 @@ Semantics are byte-exact with FtpMonitor.handleFetchedFile
 (FtpMonitor.scala:70-105), including the subtle cases:
 - "requires fetch" is size-or-*timestamp* change (FtpMonitor.scala:35-46)
   but "changed" after fetching is size-or-*hash* change (:72);
-- a refetched-but-unchanged file emits an EMPTY body record and only
-  touches last_inspected (:96-99);
+- a refetched-but-unchanged file emits an EMPTY body record; UNLIKE
+  the reference (which only touches last_inspected, :96-99) the engine
+  also commits the fresh listing timestamp — a DELIBERATE divergence
+  (pinned by test_snapshot.py::test_refetched_unchanged_emits_empty_record):
+  the reference re-fetches and re-emits an empty record on EVERY
+  subsequent tick until the bytes change, the engine exactly once per
+  metadata change;
 - tail mode: grown + intact prefix (sha256 of first prev_size bytes equals
   the stored hash) emits only the suffix at offset prev_size (:76-81);
   grown + mutated prefix falls back to the whole body at offset 0 (:82-85);
@@ -90,8 +95,9 @@ def snapshot(
     (the reference emits them; its tests filter them, EndToEnd.scala:89-94).
 
     ``max_files`` is the reference's ftp.max.poll.records rate limit (L1,
-    FtpSourceTask.scala:47-52): at most N files are processed per tick, in
-    path order; the rest keep their previous state, so the next tick picks
+    FtpSourceTask.scala:47-52): at most N files are processed per tick,
+    OLDEST modification first (starvation-free; path tie-break); the
+    rest keep their previous state, so the next tick picks
     them up — the same carry-over-by-not-committing semantics as the
     reference's buffer. (In streaming deployments prefer
     ``maxFilesPerTrigger`` on the source; this explicit form exists for
@@ -128,8 +134,22 @@ def snapshot(
         # could cut between the duplicates — emitting to one topic while
         # committing the new hash, so the other topic never sees the
         # change. Path-level limiting keeps all of a file's monitor rows
-        # together and counts the file once against the cap.
-        keep_paths = fetched.select("path").distinct().orderBy("path").limit(max_files)
+        # together and counts the file once against the cap. OLDEST
+        # change first (review 9b): a pure path ordering let a set of
+        # constantly-churning early-sorting paths re-claim every slot
+        # each tick, starving later paths forever; with mtime-ascending
+        # ordering a churning file's fresh timestamp sends it to the
+        # back of the queue, so every pending change eventually drains
+        # (the reference's buffer delivers everything listed before
+        # re-listing — no starvation there either). Path tie-break
+        # keeps the cut deterministic.
+        keep_paths = (
+            fetched.groupBy("path")
+            .agg(F.min("modification_time").alias("_mt"))
+            .orderBy("_mt", "path")
+            .limit(max_files)
+            .select("path")
+        )
         fetched = fetched.join(F.broadcast(keep_paths), "path", "left_semi")
 
     # oversized bodies: fail loudly instead of mis-slicing (see module doc)
@@ -181,6 +201,13 @@ def snapshot(
         # changing between the two scans would commit a hash the emitted
         # record never saw. Eager localCheckpoint also truncates the plan,
         # which keeps long-running poll loops' plans from growing.
+        # Durability note (review 9b): localCheckpoint blocks live on
+        # EXECUTORS — under dynamic allocation / spot reclamation a lost
+        # executor makes the tick unrecoverable mid-poll (the poll
+        # fails; at-least-once delivery re-derives next tick, so no data
+        # is lost, but the tick is). Deployments that cannot retry a
+        # tick should set a reliable spark checkpoint dir and swap this
+        # for df.checkpoint().
         extracted = extracted.localCheckpoint(eager=True)
 
     records = extracted.select(

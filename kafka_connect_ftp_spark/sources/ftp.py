@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_connect_ftp_spark.ingest.model import LISTING_SCHEMA, MonitoredPath, glob_to_regex
+from kafka_connect_ftp_spark.ingest.model import (
+    LISTING_SCHEMA,
+    MonitoredPath,
+    glob_free_prefix,
+    glob_to_regex,
+)
 
 _META_SCHEMA = T.StructType(
     [
@@ -305,20 +310,9 @@ def _quietly_close(ftp: ftplib.FTP) -> None:
             pass
 
 
-def _glob_free_prefix(pattern: str) -> str:
-    parts = pattern.split("/")
-    out = []
-    hit_glob = False
-    for part in parts:
-        if any(ch in part for ch in "*?[{"):
-            hit_glob = True
-            break
-        out.append(part)
-    if not hit_glob:
-        # fixed path: the last segment is the file name — walk its parent
-        # (the reference's pathParts.init split, FtpFileLister.scala:32-34)
-        out = out[:-1]
-    return "/".join(out) or "/"
+# the glob-free walk root is defined once in ingest/model.py next to
+# glob_to_regex (review 9b)
+_glob_free_prefix = glob_free_prefix
 
 
 def _enable_tcp_keepalive(ftp: ftplib.FTP, idle_seconds: int = 15) -> None:
