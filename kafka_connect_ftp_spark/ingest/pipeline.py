@@ -232,7 +232,10 @@ class PollPipeline:
             os.path.join(self.state_dir, version)
         )
 
-    def _commit_state(self, new_state: DataFrame) -> None:
+    def _commit_state(self, new_state: DataFrame) -> DataFrame:
+        """Write the next state version, flip the marker, prune; returns
+        a frame READING the just-committed files (for metadata-priced
+        post-commit gauges)."""
         version, prev_version = "v0", None
         mk = self._read_marker()
         if mk is not None:
@@ -269,6 +272,11 @@ class PollPipeline:
             # dirs age out through the same retention window below.
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(prev_version)}")
         self._prune_versions(current=int(version[1:]))
+        if self.bucket_state:
+            return self.spark.table(self._table_name(version))
+        return self.spark.read.schema(STATE_SCHEMA).parquet(
+            os.path.join(self.state_dir, version)
+        )
 
     def _prune_versions(self, *, current: int) -> None:
         """Delete version dirs (parquet ``vN`` or bucketed
@@ -387,16 +395,17 @@ class PollPipeline:
         # snapshot() is deterministic given the old state.
         if sink is not None:
             sink(records, epoch)
-        # the tracked-paths gauge piggybacks on the commit write's job
-        # via an Observation (review 9b: a separate count() re-scanned
-        # the merged state every tick purely for metrics — at 10^8
-        # tracked paths that doubled the heaviest per-tick state I/O)
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        new_state = new_state.observe(obs, F.count(F.lit(1)).alias("n"))
-        self._commit_state(new_state)
-        n_tracked = obs.get["n"]
+        committed = self._commit_state(new_state)
+        # tracked-paths gauge from the COMMITTED files, not a re-scan of
+        # the merge plan (review 9b: the old pre-commit count() re-ran
+        # the whole state merge per tick purely for metrics): a count()
+        # over parquet with no columns required decodes nothing — row
+        # counts come from the row-group metadata, so this is
+        # metadata-priced at any state size. (An Observation on the
+        # commit write was tried and reverted: registering one makes
+        # the session's ObservationManager non-serializable, which
+        # poisons every later closure capturing an ML model summary.)
+        n_tracked = committed.count()
         # The previous tick's localCheckpoint blocks are reclaimed by the
         # ContextCleaner once unreferenced — keep only the latest.
         self._last_records = records
