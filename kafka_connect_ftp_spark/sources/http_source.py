@@ -281,15 +281,16 @@ def incremental_fetch(
         # TakeOrdered, never a full manifest sort
         todo = todo.orderBy(F.col("ok").isNotNull(), "url").limit(max_urls_per_tick)
     todo = todo.select("url")
-    if todo.isEmpty():
-        # idle tick (review 9b): nothing new to fetch — the state is
+    fetched = source.fetch(spark, todo).localCheckpoint()
+    if fetched.isEmpty():
+        # idle tick (review 9b): nothing new fetched — the state is
         # unchanged, so skip the wholesale rewrite + version flip an
         # idle tick would otherwise pay on every poll (a full state
         # read+write at 10^7 tracked URLs), and skip the sink (an
-        # empty epoch append adds nothing). Returns the empty fetched
-        # frame with the normal schema.
-        return source.fetch(spark, todo)
-    fetched = source.fetch(spark, todo).localCheckpoint()
+        # empty epoch append adds nothing). Checking the CHECKPOINTED
+        # result is free; a pre-fetch todo.isEmpty() would execute the
+        # manifest-state join twice per busy tick.
+        return fetched
     if sink is not None:
         sink(fetched, next_v if epoch is None else epoch)
     tick = fetched.select(
