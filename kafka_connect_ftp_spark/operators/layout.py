@@ -85,8 +85,13 @@ def bucketize(col: Column | str, lo: float, hi: float, *, bits: int = 16) -> Col
     scaled = F.floor((c - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * (1 << bits))
     clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(cap)).cast("long")
     # greatest/least SKIP nulls (greatest(NULL, 0) = 0) — guard so a NULL
-    # input stays NULL instead of silently landing in bucket 0
-    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(clamped)
+    # input stays NULL instead of silently landing in bucket 0. NaN gets
+    # the same route (review 9b): floor(NaN) casts to 0, which would
+    # cluster NaN rows into bucket 0 indistinguishably from lo-valued
+    # rows — the exact silent landing this guard exists to prevent
+    return F.when(c.isNull() | F.isnan(c), F.lit(None).cast("long")).otherwise(
+        clamped
+    )
 
 
 def write_zordered(

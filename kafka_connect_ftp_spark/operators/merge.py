@@ -126,7 +126,17 @@ def corpus_diff(
             )
         )
 
-    joined = digest(old, "_old").join(digest(new, "_new"), id_col, "full_outer")
+    # null-safe id equality (review 9b): each side's NULL-id rows digest
+    # into one group, but a plain equality join never matches NULL to
+    # NULL — an unchanged NULL-id document would report as BOTH 'added'
+    # and 'removed', over-counting churn every run
+    do = digest(old, "_old").withColumnRenamed(id_col, "_old_id")
+    dn = digest(new, "_new").withColumnRenamed(id_col, "_new_id")
+    joined = (
+        do.join(dn, F.col("_old_id").eqNullSafe(F.col("_new_id")), "full_outer")
+        .withColumn(id_col, F.coalesce("_old_id", "_new_id"))
+        .drop("_old_id", "_new_id")
+    )
     return joined.select(
         id_col,
         F.when(F.col("_old_h").isNull(), F.lit("added"))

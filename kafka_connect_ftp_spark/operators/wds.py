@@ -51,7 +51,13 @@ _EXT_JSON = "json"
 
 def _member_bytes(value, ext: str) -> bytes:
     if ext == _EXT_TEXT:
-        return str(value).encode("utf-8")
+        # fail-loudly convention (review 9b): a binary column mis-mapped
+        # to txt would otherwise write Python repr garbage (b'...')
+        if not isinstance(value, str):
+            raise TypeError(
+                f"txt member expects a string column, got {type(value).__name__}"
+            )
+        return value.encode("utf-8")
     if ext == _EXT_JSON:
         # the column is an ALREADY-JSON string (build it JVM-side with
         # F.to_json) written verbatim; parse-validate so a non-JSON
@@ -93,6 +99,10 @@ def write_wds_shards(
         raise ValueError(f"field extensions must be unique, got {fields}")
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "_k" in {id_col, *fields}:
+        # the sharding.py reserved-name rule (review 9b): withColumn
+        # would silently overwrite the user's column with hash values
+        raise ValueError("column '_k' is reserved by write_wds_shards")
     os.makedirs(out_dir, exist_ok=True)
 
     key = F.xxhash64(F.lit(salt), F.col(id_col))
@@ -115,12 +125,22 @@ def write_wds_shards(
         path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
         tmp = path + f".tmp-{TaskContext.get().taskAttemptId()}"
         n = 0
+        prev_key = None
         with tarfile.open(tmp, "w") as tar:
             for row in rows:
                 rid = row[id_col]
                 if rid is None:
                     raise ValueError(f"write_wds_shards: NULL {id_col}")
                 sample_key = f"{rid:012d}" if isinstance(rid, int) else str(rid)
+                # duplicate ids always land in the same shard (same hash)
+                # and sort adjacent — a colliding tar member would merge
+                # last-wins on read-back, silent row loss (review 9b)
+                if sample_key == prev_key:
+                    raise ValueError(
+                        f"write_wds_shards: duplicate {id_col} {rid!r} — "
+                        "sample keys must be unique (dedup or re-key first)"
+                    )
+                prev_key = sample_key
                 for col, ext in field_items:
                     val = row[col]
                     if val is None:
@@ -141,6 +161,16 @@ def write_wds_shards(
     # a splittable columnar sink, and the per-task temp+rename gives the
     # same can't-observe-a-torn-file property the writer protocol does
     routed.rdd.foreachPartition(lambda it: write_partition(it))
+    # stale-shard sweep (review 9b): a re-export with a SMALLER n_shards
+    # into the same dir leaves higher-numbered shards from the previous
+    # run, and read/reshard glob every *.tar — duplicated samples with
+    # no error. The overwrite-cleanly guarantee must cover the count.
+    import re as _re
+
+    for entry in os.listdir(out_dir):
+        m = _re.fullmatch(r"shard-(\d{5})\.tar", entry)
+        if m and int(m.group(1)) >= n_shards:
+            os.remove(os.path.join(out_dir, entry))
     return [os.path.join(out_dir, f"shard-{i:05d}.tar") for i in range(n_shards)]
 
 
@@ -244,6 +274,13 @@ def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame
                     # iterating the open tar streams member-at-a-time;
                     # getmembers() would also work but scans ahead
                     for m in tar:
+                        # foreign shards may carry directory entries or
+                        # dotless members — skip them instead of dying
+                        # in the executor with an unpack/attribute error
+                        # (review 9b); only regular dotted members are
+                        # samples in the webdataset convention
+                        if not m.isfile() or "." not in m.name:
+                            continue
                         keypart, ext = m.name.rsplit(".", 1)
                         data = tar.extractfile(m).read()
                         d = samples.setdefault(keypart, {})
