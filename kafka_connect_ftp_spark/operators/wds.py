@@ -11,9 +11,17 @@ members of one sample adjacent — the contract webdataset loaders rely
 on for sequential streaming.
 
 Scale design:
-- routing reuses the sharding operator's ``xxhash64(salt, id)`` key —
+- routing uses an ``xxhash64(salt, id)`` key on the RAW id column —
   deterministic (a crashed export re-runs to byte-identical shards),
-  uniform, one map-side column; each shard is ONE task's partition, so
+  uniform, one map-side column. NB (review 9b, deliberate-for-now):
+  this is NOT byte-compatible with sharding.py (which casts the id to
+  string first) nor with ``reshard_wds`` (which keys on the
+  zero-padded string sample_key) — for an integer-id corpus the three
+  routings differ, so parquet shards and wds shards of the same corpus
+  do not correspond, and a same-knob reshard relays rows. Each path is
+  SELF-consistent and replay-deterministic; unifying the key spelling
+  would re-layout every existing shard set, queued for a round with a
+  migration story. Each shard is ONE task's partition, so
   the export is embarrassingly parallel and no executor ever holds more
   than its stream position in memory (tarfile writes member-by-member);
 - tar members are written in the partition's deterministic hash order
@@ -242,11 +250,15 @@ def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame
     writer targets a shared POSIX filesystem — module doc): the driver
     lists shard PATHS only (metadata), one row per tar; each task
     streams its tar with ``tarfile.open(path)`` member by member in an
-    Arrow-batched ``mapInPandas`` — no whole-shard byte blob ever
-    materializes (a ``binaryFile`` scan would hold each tar in memory
-    AND hard-fail past 2 GB, a normal WDS shard size), bytes never
-    shuffle, and the driver never holds samples. An existing but empty
-    shard dir reads as an empty frame."""
+    Arrow-batched ``mapInPandas`` — no whole-shard byte BLOB ever
+    materializes (a ``binaryFile`` scan would hold each tar as one
+    value AND hard-fail past 2 GB). Honest caveat (review 9b): the
+    parse currently accumulates each shard's DECODED samples into one
+    pandas frame before yielding (~2-3x shard bytes per task at peak),
+    so multi-GB shards need executor memory sized accordingly;
+    chunked per-N-samples yields are the known fix, queued. Bytes
+    never shuffle and the driver never holds samples. An existing but
+    empty shard dir reads as an empty frame."""
     import glob as _glob
 
     field_items = sorted(fields.items())
