@@ -56,18 +56,22 @@ def parse_iso_duration(text: str) -> float:
 # (SimpleFileConverter = the engine's default framing,
 # NopSourceRecordConverter = identity), so a config that names them
 # must keep dropping in unchanged instead of failing the registry
-# lookup (review 9b #1).
+# lookup (review 9b #1). The alias map is PER KNOB: SimpleFileConverter
+# only belongs to ftp.fileconverter and NopSourceRecordConverter only
+# to ftp.sourcerecordconverter — a swapped-knob misconfiguration must
+# reach the registry and fail there, not silently alias to 'nop'.
 _CLASS_ALIASES = {
-    "simplefileconverter": "nop",
-    "nopsourcerecordconverter": "nop",
+    "record": {"nopsourcerecordconverter": "nop"},
+    "file": {"simplefileconverter": "nop"},
 }
 
 
-def _converter_name(raw: str) -> str:
-    """Normalize a converter knob value: the reference's class names
-    (bare or fully qualified) map to their engine registry analogs;
-    anything else passes through for the registry to resolve."""
-    return _CLASS_ALIASES.get(raw.rsplit(".", 1)[-1].lower(), raw)
+def _converter_name(raw: str, knob: str) -> str:
+    """Normalize a converter knob value: the reference class that
+    belongs to THIS knob ('record' or 'file', bare or fully qualified)
+    maps to its engine registry analog; anything else passes through
+    for the registry to resolve (and fail loudly on unknown names)."""
+    return _CLASS_ALIASES[knob].get(raw.rsplit(".", 1)[-1].lower(), raw)
 
 
 def _parse_monitors(spec: str, *, tail: bool) -> list[MonitoredPath]:
@@ -127,8 +131,8 @@ class FtpEngineConfig:
             key_style=key_style,
             max_poll_records=int(props.get("ftp.max.poll.records", "10000")),
             monitors=monitors,
-            converter=_converter_name(props.get("ftp.sourcerecordconverter", "nop")),
-            file_converter=_converter_name(props.get("ftp.fileconverter", "nop")),
+            converter=_converter_name(props.get("ftp.sourcerecordconverter", "nop"), "record"),
+            file_converter=_converter_name(props.get("ftp.fileconverter", "nop"), "file"),
             tls=protocol == "ftps",
         )
 

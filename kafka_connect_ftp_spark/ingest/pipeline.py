@@ -130,6 +130,15 @@ class PollPipeline:
     ) -> None:
         self.spark = spark
         self.monitors = list(monitors)
+        # the bucketed-state path is interpolated into a CREATE TABLE
+        # ... LOCATION '<dir>' clause on restart re-registration; a
+        # quote would make that SQL malformed with an opaque parse
+        # error, so reject it here where the message can say why
+        if "'" in state_dir:
+            raise ValueError(
+                f"state_dir must not contain a single quote: {state_dir!r} "
+                "(it is interpolated into a CREATE TABLE LOCATION clause)"
+            )
         self.state_dir = state_dir
         self.max_age_seconds = max_age_seconds
         self.drop_empty = drop_empty

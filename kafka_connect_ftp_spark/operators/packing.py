@@ -175,9 +175,14 @@ def pack_concat_chunks(
     )
     t = F.col(tokens_col).cast("long")
     off = (F.sum(t).over(w) - t).alias("pack_off")
-    first = F.floor(F.col("pack_off") / budget)
+    # integer `div` end-to-end: floor(double / budget) loses exactness
+    # once cumulative offsets approach 2^53 — `div` stays bigint and is
+    # symbolically identical to the DuckDB oracle twin's `//`
+    budget = int(budget)
+    first = F.expr(f"pack_off div {budget}")
     last = F.greatest(
-        first, F.floor((F.col("pack_off") + t - 1) / budget)
+        first,
+        F.expr(f"(pack_off + cast(`{tokens_col}` as bigint) - 1) div {budget}"),
     )
     return df.select(id_col, stream_col, tokens_col, off).select(
         id_col,

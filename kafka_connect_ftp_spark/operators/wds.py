@@ -239,7 +239,75 @@ def reshard_wds(
     )
 
 
-def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame:
+def _iter_sample_chunks(
+    path: str,
+    field_items: list[tuple[str, str]],
+    *,
+    chunk_rows: int = 2048,
+    chunk_bytes: int = 64 << 20,
+):
+    """Stream one tar shard as chunks of sample tuples ``(sample_key,
+    shard, <field values...>)`` — at most ``chunk_rows`` samples or
+    ~``chunk_bytes`` decoded bytes per chunk, whichever hits first.
+
+    Samples are grouped by MEMBER ADJACENCY (members of one sample
+    consecutive in the tar) — the webdataset contract the writer
+    enforces and every webdataset loader relies on; a foreign shard
+    with the same key split across non-adjacent runs yields one
+    partial row per run rather than merging across the whole archive
+    (a whole-shard merge is exactly the unbounded buffering this
+    streaming read exists to avoid)."""
+    shard = os.path.basename(path)
+    rows: list[tuple] = []
+    pending = 0
+
+    def tuples(key, d):
+        return (key, shard, *[d.get(c) for c, _ in field_items])
+
+    with tarfile.open(path, "r") as tar:
+        cur_key: str | None = None
+        cur: dict = {}
+        # iterating the open tar streams member-at-a-time;
+        # getmembers() would also work but scans ahead
+        for m in tar:
+            # foreign shards may carry directory entries or dotless
+            # members — skip them instead of dying in the executor
+            # with an unpack/attribute error (review 9b); only regular
+            # dotted members are samples in the webdataset convention
+            if not m.isfile() or "." not in m.name:
+                continue
+            keypart, ext = m.name.rsplit(".", 1)
+            if keypart != cur_key:
+                if cur_key is not None:
+                    rows.append(tuples(cur_key, cur))
+                    if len(rows) >= chunk_rows or pending >= chunk_bytes:
+                        yield rows
+                        rows, pending = [], 0
+                cur_key, cur = keypart, {}
+            for col, fext in field_items:
+                if fext == ext:
+                    data = tar.extractfile(m).read()
+                    cur[col] = (
+                        data.decode("utf-8")
+                        if ext in (_EXT_TEXT, _EXT_JSON)
+                        else data
+                    )
+                    pending += len(data)
+                    break
+        if cur_key is not None:
+            rows.append(tuples(cur_key, cur))
+    if rows:
+        yield rows
+
+
+def read_wds_shards(
+    spark,
+    out_dir: str,
+    *,
+    fields: dict[str, str],
+    chunk_rows: int = 2048,
+    chunk_bytes: int = 64 << 20,
+) -> DataFrame:
     """Read an exported shard set back to a frame (shard audits,
     resharding, round-trip verification — loaders stream the tars
     directly). Returns one row per sample: ``(sample_key, shard,
@@ -252,13 +320,15 @@ def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame
     streams its tar with ``tarfile.open(path)`` member by member in an
     Arrow-batched ``mapInPandas`` — no whole-shard byte BLOB ever
     materializes (a ``binaryFile`` scan would hold each tar as one
-    value AND hard-fail past 2 GB). Honest caveat (review 9b): the
-    parse currently accumulates each shard's DECODED samples into one
-    pandas frame before yielding (~2-3x shard bytes per task at peak),
-    so multi-GB shards need executor memory sized accordingly;
-    chunked per-N-samples yields are the known fix, queued. Bytes
-    never shuffle and the driver never holds samples. An existing but
-    empty shard dir reads as an empty frame."""
+    value AND hard-fail past 2 GB), and decoded samples leave the task
+    as bounded Arrow batches of at most ``chunk_rows`` samples /
+    ~``chunk_bytes`` decoded bytes each (round 10: per-task peak is
+    now chunk-sized, not shard-sized — a 10 GB production shard reads
+    under the same memory as a 10 MB test one). Bytes never shuffle
+    and the driver never holds samples. Samples group by member
+    adjacency (the webdataset layout contract the writer enforces);
+    row order follows tar order, not key order. An existing but empty
+    shard dir reads as an empty frame."""
     import glob as _glob
 
     field_items = sorted(fields.items())
@@ -278,33 +348,10 @@ def read_wds_shards(spark, out_dir: str, *, fields: dict[str, str]) -> DataFrame
 
         cols = ["sample_key", "shard", *[c for c, _ in field_items]]
         for pdf in batches:
-            rows = []
             for path in pdf["path"]:
-                shard = os.path.basename(path)
-                samples: dict[str, dict] = {}
-                with tarfile.open(path, "r") as tar:
-                    # iterating the open tar streams member-at-a-time;
-                    # getmembers() would also work but scans ahead
-                    for m in tar:
-                        # foreign shards may carry directory entries or
-                        # dotless members — skip them instead of dying
-                        # in the executor with an unpack/attribute error
-                        # (review 9b); only regular dotted members are
-                        # samples in the webdataset convention
-                        if not m.isfile() or "." not in m.name:
-                            continue
-                        keypart, ext = m.name.rsplit(".", 1)
-                        data = tar.extractfile(m).read()
-                        d = samples.setdefault(keypart, {})
-                        for col, fext in field_items:
-                            if fext == ext:
-                                d[col] = (
-                                    data.decode("utf-8")
-                                    if ext in (_EXT_TEXT, _EXT_JSON)
-                                    else data
-                                )
-                for k, d in sorted(samples.items()):
-                    rows.append((k, shard, *[d.get(c) for c, _ in field_items]))
-            yield pd.DataFrame(rows, columns=cols)
+                for rows in _iter_sample_chunks(
+                    path, field_items, chunk_rows=chunk_rows, chunk_bytes=chunk_bytes
+                ):
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema)

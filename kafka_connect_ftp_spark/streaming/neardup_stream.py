@@ -76,8 +76,21 @@ def filter_micro_batch(
     # can deliver the same id twice INSIDE one micro-batch. The
     # signature groupBy collapses them to one keep decision, but the
     # final left_semi would admit every copy of an admitted id — the
-    # band state only covers CROSS-batch re-delivery
-    batch = batch.dropDuplicates([id_col])
+    # band state only covers CROSS-batch re-delivery. The pick must be
+    # DETERMINISTIC: dropDuplicates keeps an arbitrary row, so a crash
+    # replay of the same batch could sign a different payload variant
+    # than the first delivery. Order by a full-row content hash and
+    # keep the minimum — same id + different payloads is upstream
+    # corruption, but the stream's replay-determinism invariant holds.
+    from pyspark.sql import Window as _W
+
+    _row_h = F.sha2(F.to_json(F.struct(*[F.col(c) for c in batch.columns])), 256)
+    _w_dedup = _W.partitionBy(id_col).orderBy(_row_h)
+    batch = (
+        batch.withColumn("_ndg_rn", F.row_number().over(_w_dedup))
+        .filter(F.col("_ndg_rn") == 1)
+        .drop("_ndg_rn")
+    )
     sig = minhash_signatures(
         batch, id_col, text_col, n_hashes=n_hashes, shingle_width=shingle_width
     )

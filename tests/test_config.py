@@ -103,3 +103,18 @@ def test_reference_class_names_alias_to_nop():
     assert FtpEngineConfig.from_props(
         {"ftp.fileconverter": "SimpleFileConverter"}
     ).file_converter == "nop"
+
+
+def test_swapped_converter_knobs_do_not_alias(tmp_path):
+    """ADVICE r9: the alias map is per knob — the reference class that
+    belongs to the OTHER knob must pass through un-aliased so the
+    registry validation catches the swapped-knob misconfiguration
+    instead of silently running 'nop'."""
+    cfg = FtpEngineConfig.from_props({
+        "ftp.fileconverter":
+            "com.eneco.trading.kafka.connect.ftp.source.NopSourceRecordConverter",
+        "ftp.sourcerecordconverter":
+            "com.eneco.trading.kafka.connect.ftp.source.SimpleFileConverter",
+    })
+    assert cfg.file_converter.endswith("NopSourceRecordConverter")
+    assert cfg.converter.endswith("SimpleFileConverter")

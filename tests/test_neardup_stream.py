@@ -238,3 +238,32 @@ def test_in_batch_redelivery_admits_one_copy(spark):
     rows = admitted.collect()
     assert sorted(r.doc_id for r in rows) == [1, 2]  # one copy each
     assert bands.select("doc_id").distinct().count() == 2
+
+
+def test_in_batch_redelivery_pick_is_deterministic(spark):
+    """ADVICE r9: when one micro-batch carries the same id with
+    DIFFERENT payloads (upstream corruption), the admitted variant must
+    be deterministic — min full-row content hash — so a crash replay of
+    the batch re-signs the SAME variant."""
+    import hashlib
+
+    from kafka_connect_ftp_spark.streaming.neardup_stream import filter_micro_batch
+
+    variants = [
+        "unique prose about rivers and mountains flowing far variant alpha",
+        "unique prose about rivers and mountains flowing far variant beta",
+    ]
+    batch = spark.createDataFrame(
+        [(7, v) for v in variants], "doc_id long, text string"
+    )
+    # the guard orders by sha2(to_json(struct(all cols))) and keeps min
+    expect = min(
+        variants,
+        key=lambda v: hashlib.sha256(
+            f'{{"doc_id":7,"text":"{v}"}}'.encode()
+        ).hexdigest(),
+    )
+    for _ in range(2):  # same pick on replay
+        admitted, _ = filter_micro_batch(batch, None)
+        rows = admitted.collect()
+        assert len(rows) == 1 and rows[0].text == expect

@@ -360,3 +360,12 @@ def test_bucketed_state_survives_catalog_loss(spark, tree, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_quoted_state_dir_rejected(spark, tmp_path):
+    """ADVICE r9: a state_dir containing a single quote would reach the
+    bucketed restart's CREATE TABLE ... LOCATION f-string and die with
+    an opaque SQL parse error — reject it at construction instead."""
+    bad = str(tmp_path / "it's-state")
+    with pytest.raises(ValueError, match="single quote"):
+        PollPipeline(spark, monitors(str(tmp_path)), bad)
