@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from kafka_connect_ftp_spark.hadoop_fs import data_file_sizes
 
 
-def zorder_key(cols: list[Column | str], *, bits: int = 16) -> Column:
+def zorder_key(
+    cols: list[Column | str], *, bits: int = 16, null_bucket: int | None = None
+) -> Column:
     """The Morton key of ``len(cols)`` pre-bucketed int columns.
 
     Each input must already be a NON-NEGATIVE int below ``2**bits``
@@ -39,16 +41,42 @@ def zorder_key(cols: list[Column | str], *, bits: int = 16) -> Column:
     the cap would silently collide, so callers own the bucketing.
     Returns a BIGINT column: bit ``i`` of column ``j`` lands at output
     position ``i * len(cols) + j``. ``bits * len(cols)`` must fit 63.
+
+    NULL policy (round 10 — a NULL dimension used to NULL-poison the
+    whole key, and ``repartitionByRange`` piles every NULL-key row into
+    ONE partition: a skew cliff on exactly the nullable-score curation
+    tables this layout targets): ``null_bucket=k`` routes a NULL
+    dimension to bucket ``k`` (pick ``0`` or ``2**bits - 1`` so NULLs
+    sort to a key-range edge), letting null-bearing rows still
+    interleave — and therefore distribute — on their other dimensions.
+    With the default ``null_bucket=None`` a NULL dimension fails the
+    job loudly at execution instead of silently skewing the write.
     """
     n = len(cols)
     if n < 1:
         raise ValueError("zorder_key needs at least one column")
     if bits * n > 63:
         raise ValueError(f"bits * n_cols = {bits * n} exceeds a signed 64-bit key")
+    if null_bucket is not None and not 0 <= null_bucket < (1 << bits):
+        raise ValueError(f"null_bucket must be in [0, 2**{bits}), got {null_bucket}")
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
         col = col.cast("long")
+        if null_bucket is not None:
+            col = F.coalesce(col, F.lit(int(null_bucket)).cast("long"))
+        else:
+            col = F.when(
+                col.isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"zorder_key: NULL in dimension {j} — pass "
+                        "null_bucket= to route NULLs (or filter them); a "
+                        "NULL Morton key would skew the clustered write "
+                        "into one partition"
+                    )
+                ).cast("long"),
+            ).otherwise(col)
         for i in range(bits):
             key = key.bitwiseOR(
                 F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + j)
@@ -56,19 +84,28 @@ def zorder_key(cols: list[Column | str], *, bits: int = 16) -> Column:
     return key
 
 
-def zorder_key_sql(col_names: list[str], *, bits: int = 16) -> str:
+def zorder_key_sql(
+    col_names: list[str], *, bits: int = 16, null_bucket: int | None = None
+) -> str:
     """The same interleave as a portable SQL expression (explicit
     shift-and-mask sum, no engine bit builtins beyond ``>>``/``<<``/
     ``&``) — used by the oracle-checked plan so the key definition is
     hash-pinned across engines. Each extracted bit is widened to BIGINT
     BEFORE the left shift: engines that keep INT32 arithmetic for INT32
     operands (DuckDB) would otherwise overflow at shift positions >= 31,
-    while the Spark twin casts to long up front."""
+    while the Spark twin casts to long up front. ``null_bucket`` mirrors
+    :func:`zorder_key`'s NULL routing as a ``COALESCE`` (SQL has no
+    raise-on-NULL analog; the None form simply propagates NULL)."""
     n = len(col_names)
+    cols = (
+        col_names
+        if null_bucket is None
+        else [f"COALESCE({c}, {int(null_bucket)})" for c in col_names]
+    )
     terms = [
         f"((CAST(({c} >> {i}) & 1 AS BIGINT)) << {i * n + j})"
         for i in range(bits)
-        for j, c in enumerate(col_names)
+        for j, c in enumerate(cols)
     ]
     return "(" + " | ".join(terms) + ")"
 
