@@ -1,7 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+headline JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...} as the LAST line of stdout.
+
+Emission order is truncation-proof (round 10: the driver's tail capture
+cut the FRONT of round 9's single long line, losing value/warm_value
+while keeping sample arrays): the bulky per-sample/build detail goes out
+first on its own `headline_queries_detail` JSON line, and the compact
+verdict-critical headline (totals, subtotals, per-query mins, stddev,
+calib) is printed last — any tail-biased capture retains it intact.
 
 No warm-up (cold numbers are the honest ones for a per-round driver), but
 the session is reused so JVM startup is excluded from per-query times.
@@ -195,6 +202,21 @@ def main() -> int:
     missing = [q for q in R1_R3_COMPARABLE if q not in times]
     assert not missing, f"comparable queries missing from HEADLINE run: {missing}"
     r3_subset = list(R1_R3_COMPARABLE)
+    # bulky arrays FIRST on their own line; compact headline LAST so a
+    # tail-biased capture (BENCH_r09 lost its totals this way) always
+    # retains the verdict-critical numbers
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries_warm": warm,
+        "queries_stddev": stddev,
+        "queries_samples": all_samples,
+        "queries_build_samples": build_samples,
+        "crawl_sections": crawl_sections,
+        "crawl_section_samples": crawl_section_samples,
+    }
+    print(json.dumps(detail))
+    # the final line must stay comfortably under the driver's 2000-char
+    # tail cap — totals, subtotals, and per-query mins only
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
@@ -203,18 +225,14 @@ def main() -> int:
         "r1_r3_comparable_subtotal_warm": round(sum(warm[q] for q in r3_subset), 3),
         "unit": "sec",
         "queries": times,
-        "queries_warm": warm,
-        "queries_stddev": stddev,
-        "queries_samples": all_samples,
-        "queries_build_samples": build_samples,
-        "crawl_sections": crawl_sections,
-        "crawl_section_samples": crawl_section_samples,
         "calib_jvm_sec": calib_sec,
         "runs": runs,
         "agg": "min",
         "sf": float(sf) if sf else None,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) <= 1900, f"headline line {len(line)} chars risks tail truncation"
+    print(line)
     return 0
 
 
