@@ -40,6 +40,27 @@ def epoch_salt(salt: str, epoch: int) -> str:
     return f"{salt}:epoch{epoch}"
 
 
+def sample_key_col(df: DataFrame, id_col: str):
+    """THE canonical shard-routing identity: the id as the exact string
+    the wds writer embeds in tar member names — zero-padded ``%012d``
+    for integral id columns, plain string cast otherwise.
+
+    One spelling, shared by :func:`shuffled_shards`,
+    ``wds.write_wds_shards`` and ``wds.reshard_wds`` (round 10: the
+    three writers previously hashed three DIFFERENT forms of the same
+    id — raw value, ``cast("string")``, zero-padded read-back key — so
+    parquet shards, wds shards, and a same-knob reshard of one corpus
+    silently did not correspond). Routing on the sample-key STRING
+    makes a reshard of a shard set byte-identical to a direct export
+    with the same knobs, because the read-back key IS the routing key."""
+    from pyspark.sql.types import IntegralType
+
+    col = F.col(id_col)
+    if isinstance(df.schema[id_col].dataType, IntegralType):
+        return F.format_string("%012d", col)
+    return col.cast("string")
+
+
 def shuffled_shards(
     df: DataFrame,
     *,
@@ -47,6 +68,7 @@ def shuffled_shards(
     salt: str = "v1",
     n_shards: int | None = None,
     sort_prefix: tuple[str, ...] = (),
+    legacy_key: bool = False,
 ) -> DataFrame:
     """The shuffle half of shard assembly, as a frame: deterministic
     hash-random order, ``n_shards`` hash partitions, internal sort.
@@ -59,7 +81,15 @@ def shuffled_shards(
     destroying the hash order (caught by test_order_is_hash_random...).
     Sorting (split, key) ourselves satisfies the writer's requirement,
     so no extra sort is planned and the key stays the secondary order
-    within each split."""
+    within each split.
+
+    ``legacy_key=True`` keeps the pre-round-10 routing spelling
+    (``xxhash64(salt, cast(id AS string))`` — integral ids UNpadded) so
+    an existing shard set stays byte-stable across upgrades; the
+    default routes on the canonical :func:`sample_key_col` shared with
+    the wds writers. Migrating a legacy layout is one deterministic
+    re-export with the default knob (or keep passing legacy_key=True
+    forever — both spellings are self-consistent and replay-safe)."""
     spark = df.sparkSession
     if n_shards is not None and n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -72,7 +102,10 @@ def shuffled_shards(
     n = n_shards if n_shards is not None else int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    key = F.xxhash64(F.lit(salt), F.col(id_col).cast("string"))
+    key_id = (
+        F.col(id_col).cast("string") if legacy_key else sample_key_col(df, id_col)
+    )
+    key = F.xxhash64(F.lit(salt), key_id)
     # id_col as the sort tie-break: equal hash keys (duplicate ids) would
     # otherwise land in nondeterministic relative order across re-runs
     # (shuffle fetch order is arbitrary and the sort is not stable),
@@ -98,6 +131,7 @@ def write_training_shards(
     n_shards: int | None = None,
     max_records_per_file: int = 0,
     fmt: str = "parquet",
+    legacy_key: bool = False,
 ) -> DataFrame:
     """Write ``df`` as randomly-ordered, split-partitioned shards; returns
     the per-split row counts (one tiny action over the written data, so
@@ -113,6 +147,7 @@ def write_training_shards(
         salt=salt,
         n_shards=n_shards,
         sort_prefix=(split_col,) if split_col is not None else (),
+        legacy_key=legacy_key,
     )
     # dropping the key is a projection: partitioning and intra-partition
     # order survive into the write

@@ -11,17 +11,19 @@ members of one sample adjacent — the contract webdataset loaders rely
 on for sequential streaming.
 
 Scale design:
-- routing uses an ``xxhash64(salt, id)`` key on the RAW id column —
-  deterministic (a crashed export re-runs to byte-identical shards),
-  uniform, one map-side column. NB (review 9b, deliberate-for-now):
-  this is NOT byte-compatible with sharding.py (which casts the id to
-  string first) nor with ``reshard_wds`` (which keys on the
-  zero-padded string sample_key) — for an integer-id corpus the three
-  routings differ, so parquet shards and wds shards of the same corpus
-  do not correspond, and a same-knob reshard relays rows. Each path is
-  SELF-consistent and replay-deterministic; unifying the key spelling
-  would re-layout every existing shard set, queued for a round with a
-  migration story. Each shard is ONE task's partition, so
+- routing uses ``xxhash64(salt, sample_key)`` where ``sample_key`` is
+  the CANONICAL id string (``sharding.sample_key_col``: zero-padded
+  ``%012d`` for integral ids — exactly the tar member key — plain
+  string cast otherwise). Deterministic (a crashed export re-runs to
+  byte-identical shards), uniform, one map-side column, and — round
+  10 — ONE spelling across ``write_wds_shards``, ``sharding.py`` and
+  ``reshard_wds``: parquet shards and wds shards of the same corpus
+  now correspond, and a same-knob reshard is byte-identical to a
+  direct export (the read-back key IS the routing key). Shard sets
+  written before round 10 used the raw-id spelling; re-routing them is
+  one deterministic reshard with today's knobs (``legacy_key=True``
+  reproduces the old layout if byte-stability across the upgrade
+  matters more). Each shard is ONE task's partition, so
   the export is embarrassingly parallel and no executor ever holds more
   than its stream position in memory (tarfile writes member-by-member);
 - tar members are written in the partition's deterministic hash order
@@ -86,6 +88,7 @@ def write_wds_shards(
     id_col: str = "doc_id",
     n_shards: int = 8,
     salt: str = "v1",
+    legacy_key: bool = False,
 ) -> list[str]:
     """Export ``df`` as ``n_shards`` webdataset tar shards under
     ``out_dir``; returns the shard paths. ``fields`` maps column name →
@@ -93,9 +96,12 @@ def write_wds_shards(
     string column — build it JVM-side with ``F.to_json``; validated at
     write — anything else raw bytes from a binary column, e.g.
     ``{"text": "txt", "meta": "json", "content": "jpg"}``). Sample keys are the zero-padded
-    ``id_col`` values; rows land in shards by ``xxhash64(salt, id)`` and
-    are tar'd in deterministic hash order (same corpus + salt →
-    byte-identical shards)."""
+    ``id_col`` values; rows land in shards by ``xxhash64(salt,
+    sample_key)`` (the canonical ``sharding.sample_key_col`` spelling;
+    ``legacy_key=True`` keeps the pre-round-10 raw-id routing for
+    byte-stability with existing shard sets) and are tar'd in
+    deterministic hash order (same corpus + salt → byte-identical
+    shards)."""
     if not fields:
         raise ValueError("fields must be non-empty")
     missing = [c for c in fields if c not in df.columns]
@@ -113,9 +119,15 @@ def write_wds_shards(
         raise ValueError("column '_k' is reserved by write_wds_shards")
     os.makedirs(out_dir, exist_ok=True)
 
-    key = F.xxhash64(F.lit(salt), F.col(id_col))
+    from kafka_connect_ftp_spark.operators.sharding import sample_key_col
+
+    narrowed = df.select(id_col, *fields)
+    key = F.xxhash64(
+        F.lit(salt),
+        F.col(id_col) if legacy_key else sample_key_col(narrowed, id_col),
+    )
     routed = (
-        df.select(id_col, *fields)
+        narrowed
         .withColumn("_k", key)
         # hash partitioning on the deterministic key: same corpus + salt
         # + n_shards -> same rows per shard, every run
