@@ -53,6 +53,7 @@ GOPHER_STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
     # pins the match to particle position (word-final)
     "ko": ("은 ", "는 ", "이 ", "가 ", "을 ", "를 ", "에 ", "의 "),
     "hi": ("है", "की", "के", "में", "और", "का", "से", "को"),
+    "he": ("של", "את", "על", "הוא", "זה", "עם", "לא", "כל"),
 }
 
 # languages whose stop material never appears as a standalone
@@ -81,6 +82,7 @@ GOPHER_ALPHA_RX_BY_LANG: dict[str, str] = {
     "ar": "[a-zA-Z؀-ۿݐ-ݿ]",
     "ko": "[a-zA-Zᄀ-ᇿ가-힯]",
     "hi": "[a-zA-Zऀ-ॿ]",
+    "he": "[a-zA-Zא-ת]",
 }
 
 _THRESH = {

@@ -93,6 +93,11 @@ SCRIPT_RANGES: dict[str, str] = {
     "arabic": "؀-ۿݐ-ݿ",
     "hebrew": "֐-׿",
     "devanagari": "ऀ-ॿ",
+    # no trained language rides thai (round 10, deliberate): it keeps a
+    # REAL unprofiled-script fallback path under hash-gate coverage now
+    # that hebrew has a trained profile — Thai prose routes to the
+    # script label with the gate's default params
+    "thai": "฀-๿",
 }
 
 # the routed classifier's language->script map for the shipped seeds.
@@ -111,6 +116,7 @@ SCRIPT_OF_LANG: dict[str, str] = {
     "ar": "arabic",
     "ko": "hangul",
     "hi": "devanagari",
+    "he": "hebrew",
 }
 
 # union normalization alphabet for the routed classifier: one norm pass
@@ -129,6 +135,10 @@ NORM_KEEP_ROUTED = (
     NORM_KEEP
     + "а-яёα-ωά-ώϊϋΐΰ぀-ヿ㐀-䶿一-鿿"
     + "ؠ-ٟٮ-ۓە-ۯۺ-ۿᄀ-ᇿ가-힯ऀ-ॣॱ-ॿ"
+    # hebrew letters incl. final forms (round 10: trained he profile);
+    # niqqud marks excluded — modern prose is unpointed, and pointed
+    # seed grams would never match it
+    + "א-ת"
 )
 
 # Seed corpus: classic public-domain sentences (pangram, Dickens,
@@ -246,6 +256,17 @@ SEED_TEXTS_ROUTED: dict[str, str] = {
         "होना या न होना यही प्रश्न है। "
         "वह सबसे अच्छा समय था और वह सबसे बुरा समय था। "
         "मैं सुबह जल्दी उठकर किताब पढ़ता हूं और शाम को बगीचे में टहलता हूं।"
+    ),
+    # round 10: hebrew trained profile (same UDHR article 1 +
+    # Tolstoy/Dickens/Shakespeare opener convention); closes the last
+    # unprofiled SCRIPT_OF_LANG gap — the fallback path now rides thai
+    "he": (
+        "כל בני האדם נולדו בני חורין ושווים בערכם ובזכויותיהם. "
+        "כולם חוננו בתבונה ובמצפון לפיכך חובה עליהם לנהוג איש ברעהו ברוח של אחווה. "
+        "כל המשפחות המאושרות דומות זו לזו אך כל משפחה אומללה היא אומללה בדרכה שלה. "
+        "אלה היו הטובים שבזמנים אלה היו הרעים שבזמנים. "
+        "להיות או לא להיות זו היא השאלה. "
+        "הילד הלך לבית הספר בבוקר וקרא ספר חדש על תולדות המדע."
     ),
 }
 
@@ -519,7 +540,7 @@ def _distance_frame(
     reads an off-script distance, and the fold (doc_top map lookups,
     each a linear scan of a top_n literal map) is the hot term — gating
     cuts the per-row fold count from len(langs) to the languages of one
-    script (~10x at 11 trained languages; measured 2.14s -> 1.39s over
+    script (~10x at 12 trained languages; measured 2.14s -> 1.39s over
     5k docs at sf0.1)."""
     # one SQL map literal per language, parsed in a single expression
     # each (round 9: the F.create_map form built 2 x langs x top_n

@@ -104,8 +104,8 @@ _C4_AUG_DUCK = (
 # over a deterministically script-routed PROBE column built identically
 # in both engines (the C4/governance augmentation pattern): 1/10 of rows
 # each get a Cyrillic / Greek / Han / Arabic / Hangul / Devanagari /
-# Kana / Hebrew literal or a digits-only string, the rest keep their
-# real (Latin) text. The oracle twin regenerates the count-argmax chain
+# Kana / Hebrew / Thai literal or a digits-only string, the rest keep
+# their real (Latin) text. The oracle twin regenerates the count-argmax chain
 # from the SAME SCRIPT_RANGES literals.
 _SCRIPT_PROBE_RU = (
     "однажды весною в час заката в москве появились два гражданина"
@@ -113,24 +113,31 @@ _SCRIPT_PROBE_RU = (
 _SCRIPT_PROBE_EL = "η ελλάδα είναι μια όμορφη χώρα με πλούσια ιστορία"
 _SCRIPT_PROBE_HAN = "今天天气很好我们一起去公园散步吧然后喝茶聊天"
 _SCRIPT_PROBE_NUM = "12345 67890 ++--"
-# round 9b: one probe branch per newly-profiled script (ar/ko/hi/ja)
-# plus a hebrew branch pinning the UNPROFILED-script fallback
-# (ct_lang_routed = the script label) inside the hash gate
+# round 9b: one probe branch per newly-profiled script (ar/ko/hi/ja);
+# round 10: hebrew joined the trained set and THAI pins the
+# UNPROFILED-script fallback (ct_lang_routed = the script label)
+# inside the hash gate
 _SCRIPT_PROBE_AR = "الطقس جميل اليوم وذهبنا الى الحديقة في المساء مع الاصدقاء"
 _SCRIPT_PROBE_KO = "오늘은 날씨가 좋아서 우리는 공원에 가서 산책을 하고 차를 마셨다"
 _SCRIPT_PROBE_HI = "आज मौसम अच्छा है और हम बगीचे में टहलने गए फिर चाय पी"
 _SCRIPT_PROBE_JA = "きょうはてんきがよくてこうえんをさんぽしてからおちゃをのみました"
 _SCRIPT_PROBE_HE = "מזג האוויר יפה היום והלכנו לטייל בגן ואחר כך שתינו תה"
+# round 10: hebrew is TRAINED now (he profile) — the unprofiled-script
+# fallback moves to a thai probe branch, so both paths keep hash-gate
+# coverage; the modulus widens 10 -> 11 to fit it (identically in both
+# engines — the probe is the same literal CASE)
+_SCRIPT_PROBE_TH = "อากาศวันนี้ดีมากเราไปเดินเล่นในสวนสาธารณะแล้วดื่มชากัน"
 _SCRIPT_PROBE_CASE = (
-    f"CASE WHEN doc_id % 10 = 1 THEN '{_SCRIPT_PROBE_RU}'"
-    f" WHEN doc_id % 10 = 2 THEN '{_SCRIPT_PROBE_EL}'"
-    f" WHEN doc_id % 10 = 3 THEN '{_SCRIPT_PROBE_HAN}'"
-    f" WHEN doc_id % 10 = 4 THEN '{_SCRIPT_PROBE_NUM}'"
-    f" WHEN doc_id % 10 = 5 THEN '{_SCRIPT_PROBE_AR}'"
-    f" WHEN doc_id % 10 = 6 THEN '{_SCRIPT_PROBE_KO}'"
-    f" WHEN doc_id % 10 = 7 THEN '{_SCRIPT_PROBE_HI}'"
-    f" WHEN doc_id % 10 = 8 THEN '{_SCRIPT_PROBE_JA}'"
-    f" WHEN doc_id % 10 = 9 THEN '{_SCRIPT_PROBE_HE}'"
+    f"CASE WHEN doc_id % 11 = 1 THEN '{_SCRIPT_PROBE_RU}'"
+    f" WHEN doc_id % 11 = 2 THEN '{_SCRIPT_PROBE_EL}'"
+    f" WHEN doc_id % 11 = 3 THEN '{_SCRIPT_PROBE_HAN}'"
+    f" WHEN doc_id % 11 = 4 THEN '{_SCRIPT_PROBE_NUM}'"
+    f" WHEN doc_id % 11 = 5 THEN '{_SCRIPT_PROBE_AR}'"
+    f" WHEN doc_id % 11 = 6 THEN '{_SCRIPT_PROBE_KO}'"
+    f" WHEN doc_id % 11 = 7 THEN '{_SCRIPT_PROBE_HI}'"
+    f" WHEN doc_id % 11 = 8 THEN '{_SCRIPT_PROBE_JA}'"
+    f" WHEN doc_id % 11 = 9 THEN '{_SCRIPT_PROBE_HE}'"
+    f" WHEN doc_id % 11 = 10 THEN '{_SCRIPT_PROBE_TH}'"
     " ELSE text END"
 )
 
@@ -418,9 +425,9 @@ _C4_KEPT_DUCK = (
         "script dispatch (ct_script, codepoint-range count argmax over a "
         "deterministically script-routed probe column) and the round-9b "
         "ROUTED classifier (ct_lang_routed: the argmin restricted to the "
-        "probe script's trained languages over the full 11-language seed "
-        "corpus — ru/el/zh/ja/ar/ko/hi probes classify their language, "
-        "the unprofiled hebrew probe falls back to the script label), "
+        "probe script's trained languages over the full 12-language seed "
+        "corpus — ru/el/zh/ja/ar/ko/hi/he probes classify their language, "
+        "the unprofiled thai probe falls back to the script label), "
         "BPE-ish regex token counts "
         "(letter runs / digit runs / single punctuation — the GPT-style "
         "pre-tokenizer split), and the md5 of the normalized text "

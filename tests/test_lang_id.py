@@ -198,7 +198,10 @@ _SCRIPT_HELD_OUT = [
      "오늘은 도서관에 가서 새로운 책을 빌리고 친구와 함께 저녁을 먹었다."),
     (10, "devanagari", "hi",
      "आज हम बाजार गए और वहां से ताजा फल और सब्जियां खरीद कर घर लौट आए।"),
-    (11, "hebrew", "hebrew", "שלום לכם מה שלומכם היום מזג האוויר נעים מאוד"),
+    # round 10: hebrew gained a trained profile (held-out prose, not in
+    # the seed); thai takes over the unprofiled-script fallback path
+    (11, "hebrew", "he", "שלום לכם מה שלומכם היום מזג האוויר נעים מאוד"),
+    (12, "thai", "thai", "สวัสดีครับวันนี้อากาศดีมากเราไปทะเลกันเถอะ"),
 ]
 
 
