@@ -118,6 +118,7 @@ def rule_gate(
     line_end_rx_by_lang: dict[str, str] | None = None,
     alpha_rx_by_lang: dict[str, str] | None = None,
     substr_stopword_langs: frozenset[str] = GOPHER_SUBSTR_STOPWORD_LANGS,
+    include_repetition: bool = True,
 ) -> DataFrame:
     """All four rule families in two corpus scans (module doc). One row
     per input row: the quality columns (``len_ok word_len_ok
@@ -126,7 +127,16 @@ def rule_gate(
     c4_keep``), the Gopher columns (``g_symbol_ratio g_bullet_frac
     g_ellipsis_frac g_alpha_frac g_stop_hits gopher_keep``), the
     repetition columns (``n_tokens dup_token_frac top_{n}gram_frac
-    dup_{n}gram_frac``), and ``rule_keep``."""
+    dup_{n}gram_frac``), and ``rule_keep``.
+
+    ``include_repetition=False`` (round 10) returns ONLY the scalar
+    families (len/word-len/diversity flags + the full C4 and Gopher
+    doc columns) from the single map-side scan — no gram pass, no
+    shuffle, and no ``top_bigram_frac``/``qf_keep``/``rule_keep``
+    (both composites read the bigram fraction). For callers embedding
+    the routed c4/gopher decisions into a query that aggregates
+    elsewhere (the repetition_profile hash gate); bit-parity with the
+    full form's shared columns is test-pinned."""
     if min_words_per_line < 1:
         raise ValueError(f"min_words_per_line must be >= 1, got {min_words_per_line}")
     if min_sentences < 0:
@@ -343,6 +353,25 @@ def rule_gate(
         gopher_keep.alias("gopher_keep"),
     )
 
+    # NULL-id guard on the output id (the repetition_signals contract —
+    # a NULL key would otherwise get silently-NULL gram signals via the
+    # left join below instead of failing loudly). Boundary caveat: the
+    # guard rides the output column, so projecting the id away before
+    # an action prunes the check with it.
+    id_checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"rule_gate: NULL {id_col} (ids must be unique non-null)")
+        ),
+    ).otherwise(F.col(id_col))
+
+    if not include_repetition:
+        # scalar-only mode: one map-side scan, zero shuffles
+        return scalar.select(
+            id_checked.alias(id_col),
+            *[c for c in scalar.columns if c not in (id_col, "_tk", "_n_chars")],
+        )
+
     # the ONE gram pass: the aggregate side of repetition_signals (its
     # docs-grain join-back side is the staged projection above — that's
     # the scan this composition saves), emitting the repetition suite
@@ -367,17 +396,6 @@ def rule_gate(
     qf_keep = (
         F.col("len_ok") & F.col("word_len_ok") & F.col("diversity_ok") & rep_ok
     )
-    # NULL-id guard on the output id (the repetition_signals contract —
-    # a NULL key would otherwise get silently-NULL gram signals via the
-    # left join above instead of failing loudly). Same boundary caveat:
-    # the guard rides the output column, so projecting the id away
-    # before an action prunes the check with it.
-    id_checked = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(
-            F.lit(f"rule_gate: NULL {id_col} (ids must be unique non-null)")
-        ),
-    ).otherwise(F.col(id_col))
     return (
         rep
         .select(

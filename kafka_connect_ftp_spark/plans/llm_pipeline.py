@@ -178,6 +178,137 @@ _GOPHER_AUG_DUCK = (
 )
 
 
+# Routed-gate hash coverage (round 10, VERDICT r9 #6): the per-row
+# routed keep flags (rule_gate(lang_col=...) with the zh/ja/ar/ko/hi/he
+# stopword/line-end/alpha params) enter the driver gate here. Routing
+# rides a DETERMINISTIC language column derived from the same doc_id
+# branch that picks the script probe (plans/text.py) — the production
+# contract is classify -> MATERIALIZE -> gate (rule_gate module doc),
+# so the gate row models the post-materialization state; the CLASSIFIER
+# itself is hash-gated separately (text_profile's ct_lang_routed). A
+# per-row terminal mark (mod-3) makes the routed line-end regex the
+# live signal: '。' passes only for zh/ja, '.' everywhere — with
+# min_words_per_line=1 so the unsegmented zh/ja/th probes (no spaces)
+# reach the terminal-punctuation rule at all, and min_sentences=1 so
+# c4_keep varies per row instead of pinning false.
+_RT_MARK = "CASE WHEN doc_id % 3 = 0 THEN '。' WHEN doc_id % 3 = 1 THEN '.' ELSE '' END"
+_RT_LANG_CASE = (
+    "CASE WHEN doc_id % 11 = 1 THEN 'ru' WHEN doc_id % 11 = 2 THEN 'el'"
+    " WHEN doc_id % 11 = 3 THEN 'zh' WHEN doc_id % 11 = 4 THEN 'und'"
+    " WHEN doc_id % 11 = 5 THEN 'ar' WHEN doc_id % 11 = 6 THEN 'ko'"
+    " WHEN doc_id % 11 = 7 THEN 'hi' WHEN doc_id % 11 = 8 THEN 'ja'"
+    " WHEN doc_id % 11 = 9 THEN 'he' WHEN doc_id % 11 = 10 THEN 'thai'"
+    " ELSE 'en' END"
+)
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _rt_gate_ctes() -> str:
+    """DuckDB twin of the ROUTED scalar gate over the probe page:
+    the lang->params routing (stopword lists, substr-vs-word match,
+    line-end and alpha regex CASEs) regenerated from the SAME dicts
+    rule_gate routes with, so the two engines cannot drift."""
+    from kafka_connect_ftp_spark.operators.c4_filter import (
+        C4_LINE_END_BY_LANG,
+        C4_LINE_END_RX,
+    )
+    from kafka_connect_ftp_spark.operators.gopher_rules import (
+        GOPHER_ALPHA_RX,
+        GOPHER_ALPHA_RX_BY_LANG,
+        GOPHER_STOPWORDS,
+        GOPHER_STOPWORDS_BY_LANG,
+        GOPHER_SUBSTR_STOPWORD_LANGS,
+    )
+    from kafka_connect_ftp_spark.plans.text import _SCRIPT_PROBE_CASE
+
+    def dlist(ws):
+        return "[" + ", ".join(_sq(w) for w in ws) + "]"
+
+    def rx_case(var, rxs, default):
+        by_rx: dict[str, list[str]] = {}
+        for lg, rx in sorted(rxs.items()):
+            by_rx.setdefault(rx, []).append(lg)
+        branches = " ".join(
+            f"WHEN rt_lang IN ({', '.join(_sq(lg) for lg in lgs)})"
+            f" THEN regexp_matches({var}, {_sq(rx)})"
+            for rx, lgs in sorted(by_rx.items())
+        )
+        return f"CASE {branches} ELSE regexp_matches({var}, {_sq(default)}) END"
+
+    stops_case = (
+        "CASE rt_lang "
+        + " ".join(
+            f"WHEN {_sq(lg)} THEN {dlist(ws)}"
+            for lg, ws in sorted(GOPHER_STOPWORDS_BY_LANG.items())
+        )
+        + f" ELSE {dlist(GOPHER_STOPWORDS)} END"
+    )
+    sub_langs = ", ".join(_sq(lg) for lg in sorted(GOPHER_SUBSTR_STOPWORD_LANGS))
+    kept = (
+        "list_filter(string_split(pc, chr(10)), ln -> ("
+        + rx_case("ln", C4_LINE_END_BY_LANG, C4_LINE_END_RX)
+        + ") AND len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 1"
+        " AND NOT regexp_matches(lower(ln), 'javascript'))"
+    )
+    alpha = rx_case("w", GOPHER_ALPHA_RX_BY_LANG, GOPHER_ALPHA_RX)
+    paug = f"(({_SCRIPT_PROBE_CASE}) || ({_RT_MARK}))"
+    return f"""
+    rt0 AS (
+      SELECT doc_id, {paug} AS p, COALESCE({paug}, '') AS pc,
+             {_RT_LANG_CASE} AS rt_lang
+      FROM documents
+    ),
+    rt1 AS (
+      SELECT doc_id, rt_lang, p, pc,
+             {stops_case} AS stops,
+             list_filter(string_split(replace(pc, chr(10), ' '), ' '), w -> w <> '') AS ws,
+             list_filter(string_split(pc, chr(10)), ln -> trim(ln) <> '') AS lns,
+             {kept} AS kept,
+             len(regexp_extract_all(pc, '#|\\.\\.\\.|…')) AS nsym
+      FROM rt0
+    ),
+    rt2 AS (
+      SELECT doc_id, rt_lang, p, pc, kept,
+             CASE WHEN rt_lang IN ({sub_langs})
+                  THEN len(list_filter(stops, s -> contains(lower(pc), s)))
+                  ELSE len(list_filter(stops,
+                           s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+             END AS nstop,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ws, w -> {alpha})) AS DOUBLE) / len(ws)
+             END AS alp,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE CAST(nsym AS DOUBLE) / len(ws) END AS sym,
+             CASE WHEN len(lns) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(lns, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS DOUBLE)
+                 / len(lns) END AS bul,
+             CASE WHEN len(lns) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(lns, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                 / len(lns) END AS ell,
+             len(ws) AS nw,
+             -- array_to_string([]) is NULL in DuckDB, not ''
+             len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''),
+                                    '[.!?]')) AS sent
+      FROM rt1
+    ),
+    rt3 AS (
+      SELECT doc_id, rt_lang,
+             CAST(nstop AS BIGINT) AS rt_stop_hits,
+             ROUND(alp, 6) AS rt_alpha_frac,
+             CAST(COALESCE(len(kept), 0) AS BIGINT) AS rt_kept_lines,
+             CAST(sent AS BIGINT) AS rt_sentences,
+             (p IS NOT NULL AND sent >= 1
+              AND NOT contains(lower(pc), 'lorem ipsum')
+              AND NOT contains(pc, '{{')) AS rt_c4_keep,
+             (nw > 0 AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+              AND alp >= 0.8 AND nstop >= 2) AS rt_gopher_keep
+      FROM rt2
+    )"""
+
+
 @register(
     "repetition_profile",
     f"""
@@ -240,7 +371,8 @@ _GOPHER_AUG_DUCK = (
                   AS BIGINT) AS stop_hits,
              len(ws) AS nw
       FROM gop
-    )
+    ),
+    {_rt_gate_ctes()}
     SELECT t.doc_id,
            CAST(LEN(tk) AS BIGINT) AS n_tokens,
            ROUND(CASE WHEN LEN(tk) = 0 THEN 0.0
@@ -258,10 +390,14 @@ _GOPHER_AUG_DUCK = (
            gopf.stop_hits AS g_stop_hits,
            (gopf.nw > 0 AND gopf.sym <= 0.1 AND gopf.bul <= 0.9
             AND gopf.ell <= 0.3 AND gopf.alp >= 0.8
-            AND gopf.stop_hits >= 2) AS gopher_keep
+            AND gopf.stop_hits >= 2) AS gopher_keep,
+           rt3.rt_lang, rt3.rt_stop_hits, rt3.rt_alpha_frac,
+           rt3.rt_kept_lines, rt3.rt_sentences, rt3.rt_c4_keep,
+           rt3.rt_gopher_keep
     FROM t LEFT JOIN piv ON piv.doc_id = t.doc_id
     LEFT JOIN pivd ON pivd.doc_id = t.doc_id
     JOIN gopf ON gopf.doc_id = t.doc_id
+    JOIN rt3 ON rt3.doc_id = t.doc_id
     ORDER BY t.doc_id
     """,
     doc=(
@@ -282,13 +418,22 @@ _GOPHER_AUG_DUCK = (
         "fraction, required-stopword hits and the composite gopher_keep "
         "— the real operator over a deterministically-augmented "
         "multi-line page (augmentation comment above), value-checked "
-        "per row."
+        "per row. Round 10 adds the ROUTED rule gate to the hash: "
+        "rule_gate(lang_col=...) in scalar-only mode over the script-"
+        "probe page (plans/text.py constants + a mod-3 terminal mark), "
+        "routed by the deterministic probe language — per-row routed "
+        "stopword hits (substr-matched for zh/ja/ko), alpha fraction, "
+        "line-end-kept lines, and the c4/gopher keep decisions, with "
+        "the whole lang->params chain regenerated in the DuckDB twin "
+        "from the same dicts (rt_* columns)."
     ),
 )
 def repetition_profile(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.gopher_rules import (
         gopher_quality_signals,
     )
+    from kafka_connect_ftp_spark.operators.rule_gate import rule_gate
+    from kafka_connect_ftp_spark.plans.text import _SCRIPT_PROBE_CASE
 
     docs = balanced(
         load_tables(spark, sf_dir, "documents")["documents"], spark, "doc_id"
@@ -296,9 +441,35 @@ def repetition_profile(spark, sf_dir):
     gop = gopher_quality_signals(
         docs.select("doc_id", F.expr(_GOPHER_AUG_SPARK).alias("text"))
     )
+    # the ROUTED scalar gate over the script-probe page (constants
+    # above): the REAL rule_gate in scalar-only mode — one extra
+    # map-side scan, the flags join back on the co-partitioned doc_id
+    probe = docs.select(
+        "doc_id",
+        F.expr(f"concat({_SCRIPT_PROBE_CASE}, {_RT_MARK})").alias("_p"),
+        F.expr(_RT_LANG_CASE).alias("_rt_lang"),
+    )
+    rt = rule_gate(
+        probe,
+        text_col="_p",
+        lang_col="_rt_lang",
+        min_words_per_line=1,
+        min_sentences=1,
+        include_repetition=False,
+    ).select(
+        "doc_id",
+        F.expr(_RT_LANG_CASE).alias("rt_lang"),
+        F.col("g_stop_hits").alias("rt_stop_hits"),
+        F.col("g_alpha_frac").alias("rt_alpha_frac"),
+        F.col("c4_kept_lines").alias("rt_kept_lines"),
+        F.col("c4_sentences").alias("rt_sentences"),
+        F.col("c4_keep").alias("rt_c4_keep"),
+        F.col("gopher_keep").alias("rt_gopher_keep"),
+    )
     return (
         repetition_signals(docs, top_ns=(2, 3, 4), dup_ns=(5, 10), decimals=6)
         .join(gop, "doc_id")
+        .join(rt, "doc_id")
         .orderBy("doc_id")
     )
 

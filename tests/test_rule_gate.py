@@ -322,3 +322,25 @@ def test_routed_gate_ar_ko_hi(spark):
     )
     spam_row = rule_gate(spam, lang_col="lang").first()
     assert spam_row.g_stop_hits < 2 and not spam_row.gopher_keep
+
+
+def test_scalar_only_mode_bit_parity_and_plan(spark):
+    """Round 10: include_repetition=False returns the scalar families
+    from one map-side scan — bit-parity with the full form's shared
+    columns, no gram pass (zero exchanges in the plan)."""
+    mixed = spark.createDataFrame(
+        [(1, _EN_TEXT, "en"), (2, _DE_TEXT, "de"), (3, _EL_TEXT, "el"),
+         (4, _DE_TEXT, "xx"), (5, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    full = rule_gate(mixed, lang_col="lang").orderBy("doc_id")
+    scalar = rule_gate(
+        mixed, lang_col="lang", include_repetition=False
+    ).orderBy("doc_id")
+    shared = [c for c in scalar.columns if c in full.columns]
+    assert "c4_keep" in shared and "gopher_keep" in shared
+    assert "top_bigram_frac" not in scalar.columns
+    assert full.select(shared).collect() == scalar.select(shared).collect()
+    unordered = rule_gate(mixed, lang_col="lang", include_repetition=False)
+    plan = unordered._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
