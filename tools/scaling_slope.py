@@ -1,0 +1,124 @@
+"""Measured scaling slopes for the heaviest text operators (VERDICT r9
+#8): run the real registry queries on 1x / 10x (and with
+SPARK_GRAFT_SLOW=1, 100x) replications of the sf0.1 documents table and
+report the per-decade scaling exponent — the empirical check on the 100
+TB story's "costs are scan/aggregate-bound, not superlinear" claim.
+
+Method: a temp sf-dir is built per scale with documents.parquet
+replicated k times (doc_id shifted by k*10^9 per replica so ids stay
+unique and every id-keyed shuffle/group sees real cardinality growth);
+every other table is symlinked from sf0.1 unchanged, so only the
+documents-driven cost scales. Each query runs twice and the MIN is
+kept (first run pays codegen; the bench.py protocol). The slope between
+scales a and b is log(t_b/t_a)/log(rows_b/rows_a) — 1.0 is perfectly
+linear, <1 means fixed overhead still dominates, >1 superlinear.
+
+Usage:
+    python tools/scaling_slope.py            # 1x + 10x (~2 min)
+    SPARK_GRAFT_SLOW=1 python tools/scaling_slope.py   # + 100x
+
+Prints one JSON line per query plus a markdown table (paste into
+docs/SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = ["text_profile", "repetition_profile", "corpus_report", "governance_profile"]
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def build_scaled_dir(spark, scale: int, root: str) -> str:
+    out = os.path.join(root, f"x{scale}")
+    os.makedirs(out, exist_ok=True)
+    for name in os.listdir(BASE_SF):
+        if name == "documents.parquet":
+            continue
+        dst = os.path.join(out, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE_SF, name), dst)
+    docs_path = os.path.join(out, "documents.parquet")
+    if os.path.exists(docs_path):
+        return out
+    from pyspark.sql import functions as F
+
+    from kafka_connect_ftp_spark.session import load_tables
+
+    docs = load_tables(spark, BASE_SF, "documents")["documents"]
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**9))
+        for i in range(scale)
+    ]
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    # one file set, partitioned like a real corpus slice
+    tmp = docs_path + ".dir"
+    rep.repartition(32, "doc_id").write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, docs_path)  # load_tables reads a dir or a file
+    return out
+
+
+def main() -> int:
+    from kafka_connect_ftp_spark.plans import registry
+    from kafka_connect_ftp_spark.session import get_spark
+
+    scales = [1, 10] + ([100] if os.environ.get("SPARK_GRAFT_SLOW") else [])
+    spark = get_spark("scaling-slope")
+    reg = registry()
+    root = tempfile.mkdtemp(prefix="spark_graft_slope_")
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    try:
+        for scale in scales:
+            sf_dir = build_scaled_dir(spark, scale, root)
+            for q in QUERIES:
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    reg[q].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    samples.append(time.time() - t0)
+                results[q][scale] = round(min(samples), 3)
+                print(
+                    f"# {q} x{scale}: {results[q][scale]}s {samples}",
+                    file=sys.stderr,
+                )
+        rows = []
+        for q in QUERIES:
+            r = results[q]
+            slopes = {}
+            for a, b in zip(scales, scales[1:]):
+                slopes[f"x{a}->x{b}"] = round(
+                    math.log(r[b] / r[a]) / math.log(b / a), 2
+                )
+            rows.append({"query": q, "sec": r, "slope": slopes})
+            print(json.dumps(rows[-1]))
+        print("\n| query | " + " | ".join(f"x{s} sec" for s in scales) + " | "
+              + " | ".join(f"slope x{a}→x{b}" for a, b in zip(scales, scales[1:]))
+              + " |")
+        print("|---" * (1 + len(scales) + len(scales) - 1) + "|")
+        for row in rows:
+            print(
+                f"| {row['query']} | "
+                + " | ".join(str(row["sec"][s]) for s in scales)
+                + " | "
+                + " | ".join(str(v) for v in row["slope"].values())
+                + " |"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
