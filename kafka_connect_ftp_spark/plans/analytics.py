@@ -177,7 +177,12 @@ def setop_family(spark, sf_dir):
                 WHEN p_retailprice < 1500 THEN 'mid'
                 ELSE 'premium' END AS price_band,
            CAST({zexpr} AS BIGINT) AS zval,
-           unorm.url_norm, unorm.url_norm2
+           unorm.url_norm, unorm.url_norm2,
+           'shop' || CAST(p_partkey % 5 AS VARCHAR) || '.example.com' AS u1_host,
+           'example.com' AS u1_domain,
+           p_partkey % 5 = 0 AS u1_blocked,
+           p_partkey % 3 = 1 AS u2_blocked,
+           'shop' || CAST(p_partkey % 7 AS VARCHAR) || '.co.uk' AS u3_domain
     FROM part JOIN unorm USING (p_partkey) ORDER BY p_partkey
     """.format(zexpr=_Z_DUCK),
     doc=(
@@ -193,12 +198,27 @@ def setop_family(spark, sf_dir):
         "(mixed-case scheme/host, userinfo, default ports, tracking "
         "params in every position, fragments, empty paths) — the "
         "oracle states the hand-derived canonical forms, so the whole "
-        "rule set is value-checked per row. Round 1's "
-        "scalar_string_funcs + scalar_math_funcs + "
+        "rule set is value-checked per row. Round 10 adds the URL "
+        "blocklist family (operators/url_filter.py — the C4/UT1-style "
+        "domain-filter curation step): host extraction (userinfo/port "
+        "stripped), the registered-domain heuristic including the "
+        "multi-label-TLD branch (u3's *.co.uk), and literal-blocklist "
+        "decisions with subdomain semantics (u1 blocked by exact host "
+        "for partkey%5=0, u2 by entry ex1.com for partkey%3=1) — the "
+        "oracle states the hand-derived hosts/domains/decisions, so "
+        "the extraction+heuristic+match chain is value-checked per "
+        "row; the frame-blocklist scale path (broadcast equi-joins) "
+        "is plan- and value-pinned in tests/test_url_filter.py. Round "
+        "1's scalar_string_funcs + scalar_math_funcs + "
         "case_when_price_buckets merged onto the part table."
     ),
 )
 def scalar_funcs(spark, sf_dir):
+    from kafka_connect_ftp_spark.operators.url_filter import (
+        host_blocked,
+        registered_domain,
+        url_host,
+    )
     from kafka_connect_ftp_spark.operators.url_norm import normalize_url
 
     t = load_tables(spark, sf_dir, "part")
@@ -220,6 +240,11 @@ def scalar_funcs(spark, sf_dir):
         .when(F.col("p_retailprice") < 1500, "mid")
         .otherwise("premium")
     )
+    # round 10: the URL blocklist family (operators/url_filter.py) over
+    # a third constructed URL exercising the multi-label-TLD branch;
+    # the oracle states the hand-derived hosts/domains/decisions
+    u3 = F.concat(F.lit("http://WWW.Shop"), (pk % 7).cast("string"), F.lit(".co.UK/p"))
+    _block = ("shop0.example.com", "ex1.com")
     return (
         t["part"]
         .select(
@@ -240,6 +265,11 @@ def scalar_funcs(spark, sf_dir):
             ).alias("zval"),
             normalize_url(u1).alias("url_norm"),
             normalize_url(u2).alias("url_norm2"),
+            url_host(u1).alias("u1_host"),
+            registered_domain(url_host(u1)).alias("u1_domain"),
+            host_blocked(url_host(u1), _block).alias("u1_blocked"),
+            host_blocked(url_host(u2), _block).alias("u2_blocked"),
+            registered_domain(url_host(u3)).alias("u3_domain"),
         )
         .orderBy("p_partkey")
     )

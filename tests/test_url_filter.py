@@ -1,0 +1,114 @@
+"""URL/domain blocklist filtering (operators/url_filter.py): host
+extraction, registered-domain heuristic, literal and frame blocklists.
+Reference scope note: the reference connector has no URL surface at
+all; this is the C4/UT1-style curation step (SURVEY §2.11 extension
+class), value-checked in the scalar_funcs driver gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_ftp_spark.operators.url_filter import (
+    filter_by_blocklist,
+    host_blocked,
+    registered_domain,
+    url_host,
+)
+
+_URLS = [
+    (1, "https://Shop0.Example.COM:443/x?a=1", "shop0.example.com", "example.com"),
+    (2, "http://user:pw@ADS.Tracker.co.uk/p", "ads.tracker.co.uk", "tracker.co.uk"),
+    (3, "http://example.com/", "example.com", "example.com"),
+    (4, "ftp://files.example.com.au:21/f", "files.example.com.au", "example.com.au"),
+    (5, "relative/path only", None, None),
+    (6, "http://10.0.0.1:8080/admin", "10.0.0.1", "10.0.0.1"),
+    (7, "https://localhost/x", "localhost", "localhost"),
+    (8, None, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, u, _, _ in _URLS], "doc_id long, url string"
+    )
+
+
+def test_host_and_registered_domain(spark, urls):
+    got = {
+        r.doc_id: (r.h, r.d)
+        for r in urls.select(
+            "doc_id",
+            url_host("url").alias("h"),
+            registered_domain(url_host("url")).alias("d"),
+        ).collect()
+    }
+    for i, _, host, dom in _URLS:
+        assert got[i] == (host, dom), (i, got[i], (host, dom))
+
+
+def test_host_blocked_literal_list(spark, urls):
+    flags = {
+        r.doc_id: (r.b_sub, r.b_exact)
+        for r in urls.select(
+            "doc_id",
+            host_blocked(url_host("url"), ("example.com", "tracker.co.uk")).alias(
+                "b_sub"
+            ),
+            host_blocked(
+                url_host("url"),
+                ("example.com",),
+                include_subdomains=False,
+            ).alias("b_exact"),
+        ).collect()
+    }
+    # subdomain semantics: an entry blocks itself and everything below,
+    # never a superdomain
+    assert flags[1] == (True, False)  # shop0.example.com via example.com
+    assert flags[2] == (True, False)  # ads.tracker.co.uk via tracker.co.uk
+    assert flags[3] == (True, True)  # exact example.com
+    assert flags[4] == (False, False)  # example.com.AU is a different tree
+    assert flags[5] == (False, False) and flags[8] == (False, False)  # no host
+    with pytest.raises(ValueError, match="non-empty"):
+        host_blocked(url_host("url"), ())
+
+
+def test_filter_by_blocklist_frame(spark, urls):
+    bl = spark.createDataFrame(
+        [("Example.com",), ("ads.tracker.co.uk",), ("",)], "domain string"
+    )
+    kept = sorted(
+        r.doc_id for r in filter_by_blocklist(urls, bl, url_col="url").collect()
+    )
+    # 1 and 3 blocked by registered domain example.com; 2 by exact host;
+    # 4 (example.com.au) survives; hostless rows survive
+    assert kept == [4, 5, 6, 7, 8]
+    blocked = sorted(
+        r.doc_id
+        for r in filter_by_blocklist(
+            urls, bl, url_col="url", keep_blocked=True
+        ).collect()
+    )
+    assert blocked == [1, 2, 3]
+    # column set untouched
+    assert filter_by_blocklist(urls, bl, url_col="url").columns == urls.columns
+
+
+def test_filter_plan_is_broadcast_equi_joins(spark, urls):
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    plan = (
+        filter_by_blocklist(urls, bl, url_col="url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reserved_columns_rejected(spark, urls):
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    with pytest.raises(ValueError, match="reserved"):
+        filter_by_blocklist(urls.withColumn("_ufb_host", F.lit("x")), bl, url_col="url")
