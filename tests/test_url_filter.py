@@ -112,3 +112,56 @@ def test_reserved_columns_rejected(spark, urls):
     bl = spark.createDataFrame([("example.com",)], "domain string")
     with pytest.raises(ValueError, match="reserved"):
         filter_by_blocklist(urls.withColumn("_ufb_host", F.lit("x")), bl, url_col="url")
+
+
+def test_url_chain_matches_python_reference_property(spark):
+    """Property: host extraction + registered-domain heuristic agree
+    with an independent pure-Python derivation over generated URLs
+    (random case, userinfo, ports, paths, multi-label TLDs, IPs)."""
+    import re
+
+    from kafka_connect_ftp_spark.operators.url_filter import MULTI_LABEL_TLDS
+
+    hosts = [
+        "Example.COM", "a.b.Example.com", "WWW.Shop.co.uk", "x.COM.au",
+        "files.example.com.au", "10.0.0.1", "localhost", "ads.tracker.co.jp",
+    ]
+    cases = []
+    i = 0
+    for h in hosts:
+        for user in ("", "u:p@"):
+            for port in ("", ":8080"):
+                for path in ("", "/", "/A/b?q=1"):
+                    cases.append((i, f"https://{user}{h}{port}{path}"))
+                    i += 1
+    cases += [(i, "no scheme here"), (i + 1, None), (i + 2, "http://"), (i + 3, "")]
+
+    def py_host(u):
+        if u is None:
+            return None
+        m = re.match(r"^[^:/?#]+://(?:[^/@?#]*@)?([^/?#:]+)", u.strip())
+        return m.group(1).lower() if m and m.group(1) else None
+
+    def py_domain(h):
+        if h is None:
+            return None
+        if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", h):
+            return h
+        parts = h.split(".")
+        if len(parts) <= 2:
+            return h
+        last2 = ".".join(parts[-2:])
+        return ".".join(parts[-3:]) if last2 in MULTI_LABEL_TLDS else last2
+
+    df = spark.createDataFrame(cases, "i long, url string")
+    got = {
+        r.i: (r.h, r.d)
+        for r in df.select(
+            "i",
+            url_host("url").alias("h"),
+            registered_domain(url_host("url")).alias("d"),
+        ).collect()
+    }
+    for i_, u in cases:
+        h = py_host(u)
+        assert got[i_] == (h, py_domain(h)), (u, got[i_], (h, py_domain(h)))

@@ -362,3 +362,21 @@ def test_unified_routing_key_across_writers(spark, docs, tmp_path):
         tmp_path / "legacy" / "shard-00000.tar", "rb"
     ) as fb:
         assert fa.read() != fb.read()
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SLOW"),
+    reason="volume smoke (~1 min); set SPARK_GRAFT_SLOW=1",
+)
+def test_chunked_read_volume_smoke(spark, tmp_path):
+    """20k-sample single shard reads back complete through small chunks
+    — the production-shape memory claim exercised at volume."""
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body of document "), F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "vol")
+    write_wds_shards(docs, out, fields={"text": "txt"}, n_shards=1)
+    back = read_wds_shards(spark, out, fields={"text": "txt"}, chunk_rows=512)
+    assert back.count() == 20_000
+    assert back.select(F.count_distinct("sample_key")).first()[0] == 20_000
