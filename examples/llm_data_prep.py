@@ -102,6 +102,21 @@ def main() -> int:
         key_col="_pfx",
     ).orderBy(F.desc("est_common")).show(3, truncate=False)
 
+    # 0a. URL/domain blocklist (round 10, operators/url_filter.py): the
+    # cheapest highest-precision cut runs FIRST, before any content
+    # gate pays for a document a blocklist would have dropped. The
+    # synthetic table has no url column, so derive the provenance URL
+    # from the source tag (a real crawl carries its fetch URL); src3
+    # plays the blocked domain.
+    from kafka_connect_ftp_spark.operators.url_filter import filter_by_blocklist
+
+    with_urls = docs.withColumn(
+        "url", F.concat(F.lit("https://cdn."), F.col("source"), F.lit(".example.org/doc"))
+    )
+    blocklist = spark.createDataFrame([("src3.example.org",)], "domain string")
+    docs = filter_by_blocklist(with_urls, blocklist, url_col="url").drop("url")
+    n_blocked = n0 - docs.count()
+
     # 0b. C4-style span dedup: strip corpus-wide repeated lines before
     # document-level filtering (boilerplate distorts quality signals)
     deduped_text = dedup_spans(docs, unit="line").select("doc_id", "text")
@@ -467,6 +482,7 @@ def main() -> int:
     # at equal ranks by construction (two reciprocal terms vs one)
 
     print(f"corpus:        {n0}")
+    print(f"url-blocked:   {n_blocked}")
     print(f"quality-kept:  {n1}")
     print(f"repetition-kept: {n1a}")
     print(f"classifier-kept: {n1c}")

@@ -108,28 +108,35 @@ def filter_by_blocklist(
     url_col: str = "url",
     entry_col: str = "domain",
     keep_blocked: bool = False,
-    multi_tlds: frozenset[str] = MULTI_LABEL_TLDS,
 ) -> DataFrame:
     """Remove (or, with ``keep_blocked=True``, keep only) rows whose URL
     host or registered domain appears in the ``blocklist`` frame — the
     scale path for list sizes where a literal expression is wrong
     (UT1-class lists run to millions of entries).
 
-    Matching: an entry blocks its exact host AND every subdomain, by
-    joining the row's exact host and its registered domain against the
-    entry set. Subdomain entries deeper than the registered domain
-    (``ads.tracker.example.com``) match by exact host; registered-
-    domain entries match the whole domain tree — the two probes cover
-    the standard blocklist semantics without a per-entry scan.
+    Matching is the FULL standard blocklist semantics: an entry blocks
+    its exact host and every subdomain at any depth — the row's host is
+    expanded into its dot-suffix chain (``cdn.src3.example.org`` →
+    itself, ``src3.example.org``, ``example.org``) and any suffix
+    hitting the entry set blocks the row. Suffixes keep >= 2 labels, so
+    a bare-TLD entry can never match (blocklists don't ship those); a
+    single-label host (``localhost``) matches only itself.
 
-    Two broadcast hash EQUI-joins, no corpus shuffle: the blocklist
-    (lowercased, deduped) ships once per executor, the corpus side
-    stays in its scan partitions; an OR-of-equalities join condition
-    would silently degrade to a nested-loop join, so the host probe
-    and the domain probe are separate equi-joins. For lists too big
-    even to broadcast, pre-bucket both sides on the domain instead
-    (the bucket_state pattern) — the semantics here don't change."""
-    clash = {"_ufb_host", "_ufb_dom", "_ufb_h1", "_ufb_h2"} & set(df.columns)
+    Plan shape — equi-joins only (an OR/array-membership condition
+    would silently degrade to a nested-loop join):
+    1. DISTINCT hosts (one shuffle, bounded by distinct-host
+       cardinality — short strings, ~10^7-10^8 rows at crawl scale,
+       never corpus-proportional) explode into their suffix chains
+       (bounded by host label depth, ~3-6);
+    2. a broadcast left-semi against the (lowercased, deduped) entry
+       set yields the BLOCKED host set — bounded by distinct blocked
+       hosts;
+    3. one broadcast equi left-join marks corpus rows; the corpus
+       itself never shuffles and never multiplies.
+    For entry sets too big to broadcast, pre-bucket hosts and entries
+    on the registered domain (the bucket_state pattern) — the
+    semantics here don't change."""
+    clash = {"_ufb_host", "_ufb_hit", "_ufb_sfx", "_ufb_entry"} & set(df.columns)
     if clash:
         raise ValueError(f"df carries reserved column(s) {sorted(clash)}")
     entries = (
@@ -139,20 +146,27 @@ def filter_by_blocklist(
         .filter(F.col("_ufb_entry") != "")
         .distinct()
     )
-    probed = df.withColumn("_ufb_host", url_host(url_col)).withColumn(
-        "_ufb_dom", registered_domain(F.col("_ufb_host"), multi_tlds=multi_tlds)
+    probed = df.withColumn("_ufb_host", url_host(url_col))
+    # all dot-suffixes with >= 2 labels, plus the host itself
+    sfx = F.expr(
+        "array_union(array(_ufb_host), transform("
+        " sequence(1, greatest(size(split(_ufb_host, '[.]')) - 2, 0)),"
+        " i -> array_join(slice(split(_ufb_host, '[.]'), i + 1, 1000), '.')))"
     )
-    # entries are distinct, so each equi left-join matches at most one
-    # row — no duplication; a non-null marker means "blocked by this probe"
+    bad_hosts = (
+        probed.select("_ufb_host")
+        .filter(F.col("_ufb_host").isNotNull())
+        .distinct()
+        .select("_ufb_host", F.explode(sfx).alias("_ufb_sfx"))
+        .join(
+            F.broadcast(entries), F.col("_ufb_sfx") == F.col("_ufb_entry"), "left_semi"
+        )
+        .select(F.col("_ufb_host").alias("_ufb_hit"))
+        .distinct()
+    )
     marked = probed.join(
-        F.broadcast(entries.withColumnRenamed("_ufb_entry", "_ufb_h1")),
-        F.col("_ufb_host") == F.col("_ufb_h1"),
-        "left",
-    ).join(
-        F.broadcast(entries.withColumnRenamed("_ufb_entry", "_ufb_h2")),
-        F.col("_ufb_dom") == F.col("_ufb_h2"),
-        "left",
+        F.broadcast(bad_hosts), F.col("_ufb_host") == F.col("_ufb_hit"), "left"
     )
-    blocked = F.col("_ufb_h1").isNotNull() | F.col("_ufb_h2").isNotNull()
+    blocked = F.col("_ufb_hit").isNotNull()
     out = marked.filter(blocked if keep_blocked else ~blocked)
-    return out.drop("_ufb_host", "_ufb_dom", "_ufb_h1", "_ufb_h2")
+    return out.drop("_ufb_host", "_ufb_hit")

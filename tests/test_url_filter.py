@@ -81,9 +81,26 @@ def test_filter_by_blocklist_frame(spark, urls):
     kept = sorted(
         r.doc_id for r in filter_by_blocklist(urls, bl, url_col="url").collect()
     )
-    # 1 and 3 blocked by registered domain example.com; 2 by exact host;
+    # 1 and 3 blocked by suffix example.com; 2 by exact host;
     # 4 (example.com.au) survives; hostless rows survive
     assert kept == [4, 5, 6, 7, 8]
+
+    # full suffix-chain semantics: a MID-LEVEL entry (between registered
+    # domain and host) blocks deeper hosts — the UT1 shape that a
+    # host+registered-domain two-probe design misses (round-10 example
+    # pipeline caught exactly this)
+    deep = spark.createDataFrame(
+        [(1, "https://cdn.src3.example.org/doc"), (2, "https://src3.example.org/x"),
+         (3, "https://example.org/clean"), (4, "https://othersrc3.example.org/y")],
+        "doc_id long, url string",
+    )
+    mid = spark.createDataFrame([("src3.example.org",)], "domain string")
+    kept_deep = sorted(
+        r.doc_id for r in filter_by_blocklist(deep, mid, url_col="url").collect()
+    )
+    # 1 via suffix, 2 exact; 3 is the superdomain (never blocked);
+    # 4 merely ENDS with the string but is a different label
+    assert kept_deep == [3, 4]
     blocked = sorted(
         r.doc_id
         for r in filter_by_blocklist(
