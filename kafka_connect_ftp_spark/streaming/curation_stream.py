@@ -68,6 +68,8 @@ def make_curation_step(
     dup5_max: float = 0.5,
     alpha: float = 9.0,
     routed_profiles: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
 ):
     """Build the composed foreachBatch function (exposed so tests can
     drive a replayed batch directly — a crash replay IS calling the
@@ -76,9 +78,24 @@ def make_curation_step(
     ``routed_profiles`` passes through to ``gate_micro_batch`` (review
     9b: the composed one-checkpoint stream subsumes the staged
     pipeline, so it must expose the round-9 classify-then-route rule
-    stage too, not just the English-parameterized default)."""
+    stage too, not just the English-parameterized default).
+
+    ``blocklist`` (round 10, with ``url_col``): a domain-blocklist
+    frame applied as stage 0, BEFORE the near-dup filter — the batch
+    pipeline's cheapest-cut-first order (examples/llm_data_prep.py
+    0a), and blocked documents must not enter the band state either
+    (they were never admitted, so a later clean near-duplicate of a
+    blocked page is NOT a duplicate). A static frame joined inside
+    foreachBatch; deterministic per row, so the replay argument is
+    unchanged."""
 
     def _step(batch: DataFrame, batch_id: int) -> None:
+        if blocklist is not None:
+            from kafka_connect_ftp_spark.operators.url_filter import (
+                filter_by_blocklist,
+            )
+
+            batch = filter_by_blocklist(batch, blocklist, url_col=url_col)
         # exclude_epoch: a torn own-epoch state write from a crashed
         # first attempt must be invisible to the replay, or partially-
         # covered docs would self-collide and the epoch rewrite would

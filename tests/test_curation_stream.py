@@ -240,3 +240,51 @@ def test_composed_step_routes_languages(spark, model, tmp_path):
         for r in gate_micro_batch(batch, pmodel, routed_profiles=profiles).collect()
     }
     assert got == want == {11, 12}, (got, want)
+
+
+def test_blocklist_stage_runs_first_and_skips_band_state(spark, model, tmp_path):
+    """Round 10: the composed stream exposes the URL blocklist as stage
+    0 — a blocked document is neither delivered NOR signed into the
+    band state, so a later CLEAN near-duplicate of a blocked page is
+    not treated as a duplicate."""
+    from pyspark.sql import functions as F
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    bl = spark.createDataFrame([("bad.example.com",)], "domain string")
+    step = make_curation_step(
+        spark, model, out, state, alpha=9.0, blocklist=bl, url_col="url"
+    )
+    urls = {
+        1: "https://ok.example.org/a",
+        2: "https://cdn.bad.example.com/p",   # blocked (suffix)
+        5: "https://ok.example.org/b",
+    }
+    b1 = spark.createDataFrame(
+        [(i, t, urls.get(i, "https://ok.example.org/x")) for i, t in _B1],
+        "doc_id long, text string, url string",
+    )
+    step(b1, 0)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 2 not in got1 and 1 in got1
+    # band state carries no keys for the blocked doc
+    state_ids = {r.doc_id for r in spark.read.parquet(state).collect()}
+    assert 2 not in state_ids
+    # a near-duplicate of the BLOCKED text arriving later from a clean
+    # host is admitted (it was never in the state)
+    blocked_text = dict(_B1)[2]
+    b2 = spark.createDataFrame(
+        [(20, blocked_text, "https://ok.example.org/c")],
+        "doc_id long, text string, url string",
+    )
+    step(b2, 1)
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 20 in got2
+    # replay of batch 1 is byte-identical (blocklist is deterministic)
+    before = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    )
+    step(b2, 1)
+    after = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    )
+    assert before == after
