@@ -31,7 +31,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SPLITTERS = {"paragraph": "\n\n", "line": "\n"}
+# unit -> (split regex, rejoin separator). For paragraph/line the
+# separator IS the split pattern, so reconstruction is exact. The
+# sentence unit (round 10 — C4's actual dedup granularity is sentence
+# spans) splits AFTER terminal punctuation with a lookbehind, keeping
+# the punctuation inside its span, and rejoins with a single space —
+# exact for prose with single-space sentence separation; the usual
+# naive-splitter caveat applies (abbreviations like "Dr." over-split,
+# which only makes spans SHORTER, never merges distinct sentences).
+_SPLITTERS = {
+    "paragraph": ("\n\n", "\n\n"),
+    "line": ("\n", "\n"),
+    "sentence": (r"(?<=[.!?])\s+", " "),
+}
 
 
 def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "text") -> DataFrame:
@@ -40,7 +52,7 @@ def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "tex
     spacing semantics, but never participate in dedup."""
     if unit not in _SPLITTERS:
         raise ValueError(f"unit must be one of {sorted(_SPLITTERS)}, got {unit!r}")
-    sep = _SPLITTERS[unit]
+    sep = _SPLITTERS[unit][0]
     # NULL text coalesces to "" so the document still yields one (empty)
     # span — posexplode of NULL would emit zero rows and the document
     # would silently vanish from the rebuilt corpus
@@ -65,7 +77,7 @@ def dedup_spans(
     dropped — deduplicating one-word spans destroys ordinary prose).
     """
     units = span_units(docs, unit, text_col=text_col)
-    sep = _SPLITTERS[unit]
+    sep = _SPLITTERS[unit][1]
 
     eligible = (F.length("span") >= min_chars) & (F.trim(F.col("span")) != "")
     # metadata-only decision frame: only (hash, doc_id, idx) triples

@@ -59,7 +59,7 @@ def test_line_unit_and_bad_unit(spark, docs):
     out = {r.doc_id: r.text for r in dedup_spans(df, "line").collect()}
     assert out == {1: "x\ny", 2: "z"}
     with pytest.raises(ValueError, match="unit"):
-        span_units(df, "sentence")
+        span_units(df, "clause")
 
 
 def test_decision_shuffle_carries_no_text(spark, docs):
@@ -104,3 +104,43 @@ def test_chunk_documents_skips_zero_token_docs(spark, tmp_path):
     docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
     out = registry()["chunk_documents"].fn(spark, sf).collect()
     assert {r.doc_id for r in out} == {1}  # whitespace-only doc: no chunks
+
+
+def test_sentence_unit_dedups_c4_granularity(spark):
+    """Round 10: the sentence unit — C4's actual span granularity — a
+    sentence repeated across documents survives only at its first
+    (doc_id, idx) occurrence; unique prose is untouched. Pinned against
+    a pure-Python re-derivation of the same first-occurrence rule."""
+    import re
+
+    rows = [
+        (1, "The quick fox jumps. All rights reserved. It was sunny!"),
+        (2, "All rights reserved. A different thought entirely. The quick fox jumps."),
+        (3, "A fresh document with its own words? All rights reserved."),
+    ]
+    out = {
+        r.doc_id: (r.text, r.n_spans, r.n_dropped)
+        for r in dedup_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), unit="sentence"
+        ).collect()
+    }
+    # python reference: first occurrence by (doc_id, idx), min_chars=1
+    seen, want = set(), {}
+    for doc_id, text in rows:
+        spans = re.split(r"(?<=[.!?])\s+", text)
+        kept = []
+        dropped = 0
+        for s in spans:
+            elig = len(s) >= 1 and s.strip() != ""
+            if not elig or s not in seen:
+                kept.append(s)
+                if elig:
+                    seen.add(s)
+            else:
+                dropped += 1
+        want[doc_id] = (" ".join(kept), len(spans), dropped)
+    assert out == want
+    # the boilerplate sentence survives exactly once, in doc 1
+    assert "All rights reserved." in out[1][0]
+    assert "All rights reserved." not in out[2][0]
+    assert "All rights reserved." not in out[3][0]
