@@ -107,3 +107,31 @@ def test_governance_sort_reads_materialized_shuffle(plans):
 
 def test_decontamination_bench_set_broadcast(plans):
     assert "BroadcastHashJoin" in plans("decontamination_flags")
+
+
+def test_text_profile_is_one_scan_zero_joins(plans):
+    """The round-9 rework's claim, now pinned: text_profile is ONE
+    FileScan and a pure projection chain — no joins, no aggregates, no
+    Python, no shuffle except its final sort."""
+    plan = plans("text_profile")
+    # one physical scan node (formatted mode prints each node twice:
+    # tree line + detail header — count the numbered detail headers)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    for op in ("Join", "HashAggregate", "ArrowEvalPython", "MapInPandas"):
+        assert op not in plan, op
+    # the only exchanges are the deliberate thread-balance repartition
+    # (balanced()) and the output orderBy's range sort — never an
+    # ENSURE_REQUIREMENTS shuffle forced by a join/aggregate
+    for m in re.finditer(r"Arguments: (\w+partitioning)\([^)]*\), (\w+)", plan):
+        assert m.group(2) != "ENSURE_REQUIREMENTS" or m.group(1) == "rangepartitioning", m.group(0)
+
+
+def test_repetition_profile_routed_gate_rides_broadcast_joins(plans):
+    """Round 10: the routed-gate columns join in via broadcast hash
+    joins on the co-partitioned doc_id — never a sort-merge of the
+    corpus, never Python, and the gram pass stays the only aggregate
+    source."""
+    plan = plans("repetition_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
