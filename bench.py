@@ -231,7 +231,13 @@ def main() -> int:
         "sf": float(sf) if sf else None,
     }
     line = json.dumps(out)
-    assert len(line) <= 1900, f"headline line {len(line)} chars risks tail truncation"
+    if len(line) > 1900:
+        # never crash the artifact: if the registry grows the per-query
+        # map past the tail cap, move it to the detail line and keep
+        # the totals (the verdict-critical numbers) in the final line
+        detail["queries"] = out.pop("queries")
+        print(json.dumps(detail))
+        line = json.dumps(out)
     print(line)
     return 0
 
