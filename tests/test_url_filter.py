@@ -182,3 +182,27 @@ def test_url_chain_matches_python_reference_property(spark):
     for i_, u in cases:
         h = py_host(u)
         assert got[i_] == (h, py_domain(h)), (u, got[i_], (h, py_domain(h)))
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SLOW"),
+    reason="volume smoke (~1 min); set SPARK_GRAFT_SLOW=1",
+)
+def test_blocklist_volume_smoke(spark):
+    """100k-entry blocklist frame x 200k-URL corpus through the
+    broadcast suffix-chain path — the UT1-scale shape; result checked
+    against the modular-arithmetic ground truth."""
+    corpus = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://cdn.site"),
+            (F.col("id") % 150_000).cast("string"),
+            F.lit(".example.net/p"),
+        ).alias("url"),
+    )
+    bl = spark.range(100_000).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example.net")).alias("domain")
+    )
+    kept = filter_by_blocklist(corpus, bl, url_col="url")
+    # blocked: id % 150k < 100k -> kept = ids with id % 150000 >= 100000
+    assert kept.count() == corpus.filter("id % 150000 >= 100000").count()
