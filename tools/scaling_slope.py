@@ -33,7 +33,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["text_profile", "repetition_profile", "corpus_report", "governance_profile"]
+# override with SPARK_GRAFT_SLOPE_QUERIES="a,b,c" — any documents-driven
+# registry query works (the embeddings/lineitem tables stay pinned)
+QUERIES = [
+    q.strip()
+    for q in os.environ.get(
+        "SPARK_GRAFT_SLOPE_QUERIES",
+        "text_profile,repetition_profile,corpus_report,governance_profile",
+    ).split(",")
+    if q.strip()
+]
 BASE_SF = "/root/testdata/sf0.1"
 
 
