@@ -27,6 +27,14 @@ the KMV sketch staging; union-by-min-root with path compression yields
 byte-identical (min-reachable-id) labels. Above the threshold — the
 100 TB regime where the pair graph itself is huge — the pointer-jumping
 loop runs exactly as before (tests force it with ``driver_threshold=0``).
+
+Threshold placement, measured (round 10, local[32], 5M directed
+chain-ish edges): the two paths break even at ~30s each — the raw
+union-find is ~2s, the rest is the Arrow collect + the pandas→Spark
+re-frame of the label table, which scales with node count. Below ~1M
+edges the driver path wins outright (sub-second vs whole-cluster join
+rounds); past the break-even the distributed loop pulls ahead, so the
+1M default sits safely inside the driver-wins regime with headroom.
 """
 
 from __future__ import annotations
