@@ -367,3 +367,126 @@ def read_wds_shards(
                     yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema)
+
+
+def manifest_wds_shards(spark, out_dir: str) -> DataFrame:
+    """Integrity manifest of a shard set: one row per tar —
+    ``(shard, n_bytes, sha256, n_samples)``. The audit/resume
+    companion to the byte-deterministic writers: because same corpus +
+    salt + n_shards → byte-identical shards, the sha256 set IS the
+    delivery's identity, so a resumed/re-run export, a copy to another
+    filesystem, or a months-later training run can verify the shards
+    without reading any parquet lineage.
+
+    Distributed like the reader: the driver lists PATHS only; each
+    task streams its tar in fixed-size chunks (hash state + one chunk
+    in memory — never the shard; a ``binaryFile`` scan would hold
+    whole tars and die past 2 GB) and counts samples by member
+    adjacency, the same rule ``read_wds_shards`` groups by."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(out_dir, "*.tar")))
+    schema = "shard string, n_bytes long, sha256 string, n_samples long"
+    if not paths:
+        return spark.createDataFrame([], schema)
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+
+    def digest(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                h = hashlib.sha256()
+                n_bytes = 0
+                with open(path, "rb") as fh:
+                    while True:
+                        chunk = fh.read(8 << 20)
+                        if not chunk:
+                            break
+                        h.update(chunk)
+                        n_bytes += len(chunk)
+                # a corrupted/unparseable tar must surface as a manifest
+                # row (verify reports it as a mismatch via the hash and
+                # the -1 sample sentinel), never crash the audit job
+                n_samples = -1
+                try:
+                    with tarfile.open(path, "r") as tar:
+                        n_samples, prev = 0, None
+                        for m in tar:
+                            if not m.isfile() or "." not in m.name:
+                                continue
+                            key = m.name.rsplit(".", 1)[0]
+                            if key != prev:
+                                n_samples += 1
+                                prev = key
+                except (tarfile.TarError, OSError):
+                    pass
+                rows.append((os.path.basename(path), n_bytes, h.hexdigest(), n_samples))
+            yield pd.DataFrame(
+                rows, columns=["shard", "n_bytes", "sha256", "n_samples"]
+            )
+
+    return files.mapInPandas(digest, schema)
+
+
+def write_wds_manifest(spark, out_dir: str) -> str:
+    """Persist the manifest as ``_manifest.json`` beside the shards
+    (underscore-prefixed: invisible to the ``*.tar`` globs the readers
+    use and to Hadoop hidden-path scans). Returns the manifest path.
+    Written via tmp+rename like the shards — never torn."""
+    rows = manifest_wds_shards(spark, out_dir).orderBy("shard").collect()
+    path = os.path.join(out_dir, "_manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            [
+                {
+                    "shard": r.shard,
+                    "n_bytes": r.n_bytes,
+                    "sha256": r.sha256,
+                    "n_samples": r.n_samples,
+                }
+                for r in rows
+            ],
+            fh,
+            indent=0,
+            sort_keys=True,
+        )
+    os.replace(tmp, path)
+    return path
+
+
+def verify_wds_shards(spark, out_dir: str) -> DataFrame:
+    """Re-hash the shard set and diff it against ``_manifest.json``:
+    returns ONLY the discrepancies — ``(shard, problem)`` where problem
+    is ``missing`` (in the manifest, no tar), ``unexpected`` (tar not
+    in the manifest), or ``mismatch`` (bytes/hash/samples differ). An
+    empty result is a verified delivery. The expensive side is the
+    same bounded-memory distributed hash as the manifest build; the
+    manifest itself is one tiny driver-side JSON read."""
+    path = os.path.join(out_dir, "_manifest.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no _manifest.json under {out_dir}")
+    with open(path) as fh:
+        want = {e["shard"]: e for e in json.load(fh)}
+    got = {r.shard: r for r in manifest_wds_shards(spark, out_dir).collect()}
+    problems = []
+    for shard in sorted(set(want) | set(got)):
+        if shard not in got:
+            problems.append((shard, "missing"))
+        elif shard not in want:
+            problems.append((shard, "unexpected"))
+        else:
+            w, g = want[shard], got[shard]
+            if (
+                w["n_bytes"] != g.n_bytes
+                or w["sha256"] != g.sha256
+                or w["n_samples"] != g.n_samples
+            ):
+                problems.append((shard, "mismatch"))
+    return spark.createDataFrame(problems, "shard string, problem string")

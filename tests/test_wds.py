@@ -380,3 +380,54 @@ def test_chunked_read_volume_smoke(spark, tmp_path):
     back = read_wds_shards(spark, out, fields={"text": "txt"}, chunk_rows=512)
     assert back.count() == 20_000
     assert back.select(F.count_distinct("sample_key")).first()[0] == 20_000
+
+
+def test_manifest_and_verify_cycle(spark, docs, tmp_path):
+    """Round 10: shard-set integrity manifests — per-shard sha256
+    (checked against hashlib ground truth), byte and sample counts;
+    verify returns empty on an intact set and names the corrupted /
+    missing / unexpected shards afterwards."""
+    from kafka_connect_ftp_spark.operators.wds import (
+        manifest_wds_shards,
+        verify_wds_shards,
+        write_wds_manifest,
+        write_wds_shards,
+    )
+
+    out = str(tmp_path / "wds")
+    paths = write_wds_shards(docs, out, fields=FIELDS, n_shards=3)
+    man = {r.shard: r for r in manifest_wds_shards(spark, out).collect()}
+    assert len(man) == 3
+    total = 0
+    for p in paths:
+        name = p.rsplit("/", 1)[1]
+        with open(p, "rb") as fh:
+            data = fh.read()
+        assert man[name].sha256 == hashlib.sha256(data).hexdigest()
+        assert man[name].n_bytes == len(data)
+        total += man[name].n_samples
+    assert total == 40
+
+    mpath = write_wds_manifest(spark, out)
+    assert mpath.endswith("_manifest.json")
+    # the sidecar is invisible to the readers' *.tar glob
+    assert read_wds_shards(spark, out, fields=FIELDS).count() == 40
+    assert verify_wds_shards(spark, out).count() == 0
+
+    # corrupt one shard, delete another, add a foreign one
+    with open(paths[0], "r+b") as fh:
+        fh.seek(10)
+        fh.write(b"X")
+    import os as _os
+
+    _os.remove(paths[1])
+    with tarfile.open(str(tmp_path / "wds" / "shard-99999.tar"), "w"):
+        pass
+    problems = {
+        r.shard: r.problem for r in verify_wds_shards(spark, out).collect()
+    }
+    assert problems == {
+        "shard-00000.tar": "mismatch",
+        "shard-00001.tar": "missing",
+        "shard-99999.tar": "unexpected",
+    }
