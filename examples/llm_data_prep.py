@@ -406,7 +406,11 @@ def main() -> int:
     # the same curated corpus in the webdataset tar layout (the delivery
     # format multimodal loaders stream) — deterministic byte-identical
     # shards, metadata JSON built JVM-side
-    from kafka_connect_ftp_spark.operators.wds import write_wds_shards
+    from kafka_connect_ftp_spark.operators.wds import (
+        verify_wds_shards,
+        write_wds_manifest,
+        write_wds_shards,
+    )
 
     wds_dir = os.path.join(tempfile.mkdtemp(prefix="llm_prep_"), "wds")
     wds_paths = write_wds_shards(
@@ -415,6 +419,12 @@ def main() -> int:
         fields={"text": "txt", "meta": "json"},
         n_shards=4,
     )
+    # delivery integrity (round 10): persist the sha256 manifest beside
+    # the shards and verify the set — byte-deterministic shards make the
+    # hash set the delivery's identity, so a copy/resume/late audit can
+    # re-check without any parquet lineage
+    write_wds_manifest(spark, wds_dir)
+    n_shard_problems = verify_wds_shards(spark, wds_dir).count()
 
     # 9. retrieval-side coda: compress + index the embeddings table with
     # the faiss-style IVF-PQ funnel (coarse cells prune WHAT is scanned,
@@ -509,7 +519,8 @@ def main() -> int:
         f"compaction:    {report['n_files']} files -> {report['n_files_after']}, "
         f"mean doc_id envelope {env_before:.3f} -> {env_after:.3f}"
     )
-    print(f"wds shards:    {len(wds_paths)} tars -> {wds_dir}")
+    print(f"wds shards:    {len(wds_paths)} tars -> {wds_dir} "
+          f"(manifest verified, {n_shard_problems} problems)")
     print(
         "ivf-pq top-5:  "
         + ", ".join(f"{r.vec_id}@{r.cos_sim:.3f}" for r in hits)
