@@ -161,6 +161,39 @@ def setop_family(spark, sf_dir):
                || '?id=' || CAST(p_partkey AS VARCHAR) || '&ok=1' AS url_norm,
              'http://ex' || CAST(p_partkey % 3 AS VARCHAR) || '.com/' AS url_norm2
       FROM uraw
+    ),
+    -- frame-blocklist oracle twin (round 11): the FULL suffix-chain
+    -- semi-join re-derived in DuckDB over bounded host probes (u2's 3
+    -- distinct hosts, u3's 7) — host extraction by the same authority
+    -- regex, proper dot-suffixes only when the host has > 2 labels
+    -- (bare-TLD entries like 'com'/'uk' in the seeded list must match
+    -- nothing), semi-join against the entry frame, decision joined
+    -- back on the modular key
+    blf AS (
+      SELECT * FROM (VALUES ('com'), ('ex1.com'), ('shop2.co.uk'), ('uk')) b(domain)
+    ),
+    probes AS (
+      SELECT 2 AS fam, i AS k,
+             lower(regexp_extract('HTTP://Ex' || CAST(i AS VARCHAR) || '.COM:80/x',
+                   '^[^:/?#]+://(?:[^/@?#]*@)?([^/?#:]+)', 1)) AS h
+      FROM generate_series(0, 2) s(i)
+      UNION ALL
+      SELECT 3 AS fam, i AS k,
+             lower(regexp_extract('http://WWW.Shop' || CAST(i AS VARCHAR) || '.co.UK/p',
+                   '^[^:/?#]+://(?:[^/@?#]*@)?([^/?#:]+)', 1)) AS h
+      FROM generate_series(0, 6) s(i)
+    ),
+    psfx AS (
+      SELECT fam, k, u.sfx FROM (
+        SELECT fam, k, h, string_split(h, '.') AS parts FROM probes
+      ) p, UNNEST(list_prepend(p.h,
+          CASE WHEN len(p.parts) > 2
+               THEN list_transform(generate_series(2, len(p.parts) - 1),
+                                   i -> array_to_string(p.parts[i:], '.'))
+               ELSE [] END)) AS u(sfx)
+    ),
+    pblocked AS (
+      SELECT DISTINCT fam, k FROM psfx SEMI JOIN blf ON psfx.sfx = blf.domain
     )
     SELECT p_partkey,
            UPPER(p_name) AS name_upper,
@@ -182,8 +215,13 @@ def setop_family(spark, sf_dir):
            'example.com' AS u1_domain,
            p_partkey % 5 = 0 AS u1_blocked,
            p_partkey % 3 = 1 AS u2_blocked,
-           'shop' || CAST(p_partkey % 7 AS VARCHAR) || '.co.uk' AS u3_domain
-    FROM part JOIN unorm USING (p_partkey) ORDER BY p_partkey
+           'shop' || CAST(p_partkey % 7 AS VARCHAR) || '.co.uk' AS u3_domain,
+           b2.k IS NOT NULL AS u2_fb,
+           b3.k IS NOT NULL AS u3_fb
+    FROM part JOIN unorm USING (p_partkey)
+    LEFT JOIN (SELECT k FROM pblocked WHERE fam = 2) b2 ON p_partkey % 3 = b2.k
+    LEFT JOIN (SELECT k FROM pblocked WHERE fam = 3) b3 ON p_partkey % 7 = b3.k
+    ORDER BY p_partkey
     """.format(zexpr=_Z_DUCK),
     doc=(
         "Scalar-function projection over one scan: string functions "
@@ -207,14 +245,21 @@ def setop_family(spark, sf_dir):
         "for partkey%5=0, u2 by entry ex1.com for partkey%3=1) — the "
         "oracle states the hand-derived hosts/domains/decisions, so "
         "the extraction+heuristic+match chain is value-checked per "
-        "row; the frame-blocklist scale path (broadcast equi-joins) "
-        "is plan- and value-pinned in tests/test_url_filter.py. Round "
-        "1's scalar_string_funcs + scalar_math_funcs + "
-        "case_when_price_buckets merged onto the part table."
+        "row. Round 11 hash-gates the FRAME blocklist path too "
+        "(u2_fb/u3_fb): filter_by_blocklist's suffix-chain explode + "
+        "semi-join runs over bounded probe frames and the oracle "
+        "re-derives the whole chain in DuckDB (regexp host extraction, "
+        ">2-label proper-suffix UNNEST, SEMI JOIN against the entry "
+        "frame) — seeded entries pin bare-TLD non-matching at 2-label "
+        "depth (the r10 sequence(1,0) regression) and mid-level-entry "
+        "subdomain blocking. Round 1's scalar_string_funcs + "
+        "scalar_math_funcs + case_when_price_buckets merged onto the "
+        "part table."
     ),
 )
 def scalar_funcs(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.url_filter import (
+        filter_by_blocklist,
         host_blocked,
         registered_domain,
         url_host,
@@ -245,8 +290,40 @@ def scalar_funcs(spark, sf_dir):
     # the oracle states the hand-derived hosts/domains/decisions
     u3 = F.concat(F.lit("http://WWW.Shop"), (pk % 7).cast("string"), F.lit(".co.UK/p"))
     _block = ("shop0.example.com", "ex1.com")
+    # round 11: the FRAME blocklist path (filter_by_blocklist — suffix
+    # chain explode + semi-join) hash-gated, not just plan/property
+    # pinned. The corpus's u2/u3 hosts depend only on pk%3 / pk%7, so
+    # the operator runs over BOUNDED probe frames (3 + 7 distinct
+    # hosts) and the decision joins back on the modular key — the gate
+    # exercises the real chain while every broadcast stays O(1) in SF.
+    # Seeded entries cover: a bare TLD at 2-label-host depth ('com' vs
+    # exN.com — the r10 sequence(1,0) regression), an exact 2-label
+    # host (ex1.com), a MID-LEVEL 3-label entry under a 4-label host
+    # (shop2.co.uk vs www.shop2.co.uk — the shape a two-probe design
+    # misses), and a bare ccTLD ('uk').
+    _bl = spark.createDataFrame(
+        [("com",), ("ex1.com",), ("shop2.co.uk",), ("uk",)], "domain string"
+    )
+    _p2 = spark.range(3).select(
+        F.col("id").alias("_k2"),
+        F.concat(F.lit("HTTP://Ex"), F.col("id").cast("string"), F.lit(".COM:80/x"))
+        .alias("url"),
+    )
+    _p3 = spark.range(7).select(
+        F.col("id").alias("_k3"),
+        F.concat(F.lit("http://WWW.Shop"), F.col("id").cast("string"), F.lit(".co.UK/p"))
+        .alias("url"),
+    )
+    _b2 = filter_by_blocklist(
+        _p2, _bl, keep_blocked=True, max_broadcast_entries=None
+    ).select("_k2", F.lit(True).alias("_fb2"))
+    _b3 = filter_by_blocklist(
+        _p3, _bl, keep_blocked=True, max_broadcast_entries=None
+    ).select("_k3", F.lit(True).alias("_fb3"))
     return (
         t["part"]
+        .join(F.broadcast(_b2), pk % 3 == F.col("_k2"), "left")
+        .join(F.broadcast(_b3), pk % 7 == F.col("_k3"), "left")
         .select(
             "p_partkey",
             F.upper("p_name").alias("name_upper"),
@@ -270,6 +347,8 @@ def scalar_funcs(spark, sf_dir):
             host_blocked(url_host(u1), _block).alias("u1_blocked"),
             host_blocked(url_host(u2), _block).alias("u2_blocked"),
             registered_domain(url_host(u3)).alias("u3_domain"),
+            F.coalesce(F.col("_fb2"), F.lit(False)).alias("u2_fb"),
+            F.coalesce(F.col("_fb3"), F.lit(False)).alias("u3_fb"),
         )
         .orderBy("p_partkey")
     )

@@ -95,7 +95,12 @@ def make_curation_step(
                 filter_by_blocklist,
             )
 
-            batch = filter_by_blocklist(batch, blocklist, url_col=url_col)
+            # max_broadcast_entries=None: the count guard would re-count
+            # the same static frame EVERY micro-batch; sizing a stream's
+            # blocklist is a setup-time decision, made once by the caller
+            batch = filter_by_blocklist(
+                batch, blocklist, url_col=url_col, max_broadcast_entries=None
+            )
         # exclude_epoch: a torn own-epoch state write from a crashed
         # first attempt must be invisible to the replay, or partially-
         # covered docs would self-collide and the epoch rewrite would

@@ -25,6 +25,10 @@ _URLS = [
     (6, "http://10.0.0.1:8080/admin", "10.0.0.1", "10.0.0.1"),
     (7, "https://localhost/x", "localhost", "localhost"),
     (8, None, None, None),
+    # bracketed IPv6 literals: colons are address bytes, the port comes
+    # after the bracket; brackets are kept (canonical v6 entry form)
+    (9, "http://[2001:db8::1]:8080/x", "[2001:db8::1]", "[2001:db8::1]"),
+    (10, "https://[::ffff:10.0.0.1]/y", "[::ffff:10.0.0.1]", "[::ffff:10.0.0.1]"),
 ]
 
 
@@ -82,8 +86,8 @@ def test_filter_by_blocklist_frame(spark, urls):
         r.doc_id for r in filter_by_blocklist(urls, bl, url_col="url").collect()
     )
     # 1 and 3 blocked by suffix example.com; 2 by exact host;
-    # 4 (example.com.au) survives; hostless rows survive
-    assert kept == [4, 5, 6, 7, 8]
+    # 4 (example.com.au) survives; hostless and v6 rows survive
+    assert kept == [4, 5, 6, 7, 8, 9, 10]
 
     # full suffix-chain semantics: a MID-LEVEL entry (between registered
     # domain and host) blocks deeper hosts — the UT1 shape that a
@@ -125,6 +129,97 @@ def test_filter_plan_is_broadcast_equi_joins(spark, urls):
     assert "CartesianProduct" not in plan
 
 
+def test_frame_suffix_chain_never_emits_bare_tlds(spark):
+    """A bare-TLD (or single-label) blocklist entry must never match —
+    including against <= 2-label hosts. Round-10 regression: the suffix
+    chain built sequence(1, 0), which Spark evaluates DESCENDING as
+    [1, 0], so 2-label hosts gained a bare-TLD suffix and entry 'org'
+    blocked example.org (and 'localhost' matched foo.localhost only at
+    depth 1 while ALSO matching via the phantom i=0 self-suffix)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "https://example.org/a"),        # 2-label host
+            (2, "https://a.example.org/b"),      # 3-label host
+            (3, "https://localhost/c"),          # single-label host
+            (4, "https://foo.localhost/d"),      # subdomain of single-label
+            (5, "http://[2001:db8::1]/e"),       # bracket IPv6
+        ],
+        "doc_id long, url string",
+    )
+    # bare TLD + single-label + bracket-v6 entries
+    bl = spark.createDataFrame(
+        [("org",), ("localhost",), ("[2001:db8::1]",)], "domain string"
+    )
+    blocked = sorted(
+        r.doc_id
+        for r in filter_by_blocklist(
+            corpus, bl, url_col="url", keep_blocked=True
+        ).collect()
+    )
+    # 'org' blocks NOTHING (dotless entries match exact-host only, and
+    # no host IS 'org'); 'localhost' blocks exactly host 3 —
+    # foo.localhost has 2 labels, so its chain is just itself and the
+    # single-label entry never appears in it; the bracket v6 entry
+    # blocks 5 exactly.
+    assert blocked == [3, 5]
+
+    # literal-path parity: host_blocked must agree on every decision
+    # (round 11 aligned dotless entries to exact-host-only there too)
+    flags = {
+        r.doc_id: r.b
+        for r in corpus.select(
+            "doc_id",
+            host_blocked(url_host("url"), ("org", "localhost", "[2001:db8::1]"))
+            .alias("b"),
+        ).collect()
+    }
+    assert flags == {1: False, 2: False, 3: True, 4: False, 5: True}
+
+
+def test_filter_by_blocklist_shuffle_mode(spark, urls):
+    """join_mode='shuffle': identical result set with no FORCED
+    broadcast in the static plan — the scale path for entry sets too
+    big to ship to every executor."""
+    bl = spark.createDataFrame(
+        [("Example.com",), ("ads.tracker.co.uk",)], "domain string"
+    )
+    b_kept = sorted(
+        r.doc_id for r in filter_by_blocklist(urls, bl, url_col="url").collect()
+    )
+    s_kept = sorted(
+        r.doc_id
+        for r in filter_by_blocklist(
+            urls, bl, url_col="url", join_mode="shuffle"
+        ).collect()
+    )
+    assert s_kept == b_kept
+    # static (pre-AQE) plan: merge-hinted equi-joins, nothing forced to
+    # broadcast; AQE may demote runtime-small sides — that's safe and
+    # not asserted against
+    plan = (
+        filter_by_blocklist(urls, bl, url_col="url", join_mode="shuffle")
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_by_blocklist_broadcast_guard(spark, urls):
+    bl = spark.createDataFrame([(f"h{i}.example.com",) for i in range(64)],
+                               "domain string")
+    with pytest.raises(ValueError, match="join_mode='shuffle'"):
+        filter_by_blocklist(urls, bl, url_col="url", max_broadcast_entries=10)
+    # None skips the count; bad mode rejected
+    assert filter_by_blocklist(
+        urls, bl, url_col="url", max_broadcast_entries=None
+    ).columns == urls.columns
+    with pytest.raises(ValueError, match="join_mode"):
+        filter_by_blocklist(urls, bl, url_col="url", join_mode="hash")
+
+
 def test_reserved_columns_rejected(spark, urls):
     bl = spark.createDataFrame([("example.com",)], "domain string")
     with pytest.raises(ValueError, match="reserved"):
@@ -142,6 +237,7 @@ def test_url_chain_matches_python_reference_property(spark):
     hosts = [
         "Example.COM", "a.b.Example.com", "WWW.Shop.co.uk", "x.COM.au",
         "files.example.com.au", "10.0.0.1", "localhost", "ads.tracker.co.jp",
+        "[2001:DB8::1]", "[::ffff:10.0.0.1]",
     ]
     cases = []
     i = 0
@@ -156,13 +252,13 @@ def test_url_chain_matches_python_reference_property(spark):
     def py_host(u):
         if u is None:
             return None
-        m = re.match(r"^[^:/?#]+://(?:[^/@?#]*@)?([^/?#:]+)", u.strip())
+        m = re.match(r"^[^:/?#]+://(?:[^/@?#]*@)?(\[[^\]/?#]*\]|[^/?#:]+)", u.strip())
         return m.group(1).lower() if m and m.group(1) else None
 
     def py_domain(h):
         if h is None:
             return None
-        if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", h):
+        if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", h) or h.startswith("["):
             return h
         parts = h.split(".")
         if len(parts) <= 2:
