@@ -34,15 +34,24 @@ from pyspark.sql import functions as F
 # unit -> (split regex, rejoin separator). For paragraph/line the
 # separator IS the split pattern, so reconstruction is exact. The
 # sentence unit (round 10 — C4's actual dedup granularity is sentence
-# spans) splits AFTER terminal punctuation with a lookbehind, keeping
-# the punctuation inside its span, and rejoins with a single space —
-# exact for prose with single-space sentence separation; the usual
+# spans) is GLUE-PRESERVING (round 11): instead of splitting on the
+# inter-sentence whitespace (which consumed it, so every rebuilt
+# document — deduplicated or not — had its newlines/double-spaces
+# silently normalized to single spaces), a sentinel (U+001F, the ASCII
+# unit separator — effectively absent from text; a document that does
+# contain it splits at that point, which at worst over-splits) is
+# injected AFTER each terminal-punctuation-plus-whitespace run and the
+# text splits on the sentinel alone. Each span then CARRIES its
+# trailing whitespace, rejoin is '', and reconstruction is exact for
+# every unit; the dedup key is the trailing-whitespace-stripped span,
+# so the same sentence followed by different glue still deduplicates. The usual
 # naive-splitter caveat applies (abbreviations like "Dr." over-split,
 # which only makes spans SHORTER, never merges distinct sentences).
+_SENTINEL = "\x1f"
 _SPLITTERS = {
     "paragraph": ("\n\n", "\n\n"),
     "line": ("\n", "\n"),
-    "sentence": (r"(?<=[.!?])\s+", " "),
+    "sentence": (_SENTINEL, ""),
 }
 
 
@@ -56,11 +65,15 @@ def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "tex
     # NULL text coalesces to "" so the document still yields one (empty)
     # span — posexplode of NULL would emit zero rows and the document
     # would silently vanish from the rebuilt corpus
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    if unit == "sentence":
+        # inject the sentinel after each [.!?]+whitespace run, then
+        # split on the sentinel — the whitespace stays INSIDE the
+        # preceding span (glue), so rejoining with '' is exact
+        txt = F.regexp_replace(txt, r"(?<=[.!?])(\s+)", "$1" + _SENTINEL)
     return docs.select(
         "doc_id",
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1)
-        ).alias("idx", "span"),
+        F.posexplode(F.split(txt, F.lit(sep), -1)).alias("idx", "span"),
     )
 
 
@@ -73,13 +86,26 @@ def dedup_spans(
 ) -> DataFrame:
     """Corpus-wide span dedup. Returns ``(doc_id, text, n_spans,
     n_dropped)`` with ``text`` rebuilt from the surviving spans in their
-    original order. Spans shorter than ``min_chars`` are exempt (never
-    dropped — deduplicating one-word spans destroys ordinary prose).
+    original order — byte-exact for every unit: paragraph/line spans
+    never contain their separator, and sentence spans carry their own
+    trailing whitespace (glue), so a document with nothing deduplicated
+    is returned unchanged. Spans shorter than ``min_chars`` are exempt
+    (never dropped — deduplicating one-word spans destroys ordinary
+    prose). The sentence-unit dedup key is the span with trailing
+    whitespace stripped, so the same sentence followed by different
+    glue still deduplicates (the kept occurrence keeps its OWN glue).
     """
     units = span_units(docs, unit, text_col=text_col)
     sep = _SPLITTERS[unit][1]
 
-    eligible = (F.length("span") >= min_chars) & (F.trim(F.col("span")) != "")
+    # NOT F.rtrim: Spark's trim family strips only the space character,
+    # and sentence glue includes newlines/tabs
+    key = (
+        F.regexp_replace(F.col("span"), r"\s+$", "")
+        if unit == "sentence"
+        else F.col("span")
+    )
+    eligible = (F.length(key) >= min_chars) & (F.trim(F.col("span")) != "")
     # metadata-only decision frame: only (hash, doc_id, idx) triples
     # shuffle, never the span text. The first occurrence per hash is a
     # MIN-STRUCT AGGREGATION, not a row_number window: min() partially
@@ -91,7 +117,7 @@ def dedup_spans(
     # joins). Same semantics: min(struct(doc_id, idx)) == the row that
     # row_number() over (partition by h order by doc_id, idx) ranks 1.
     meta = units.select(
-        F.xxhash64("span").alias("h"), "doc_id", "idx", eligible.alias("elig")
+        F.xxhash64(key).alias("h"), "doc_id", "idx", eligible.alias("elig")
     )
     winners = (
         meta.filter("elig")

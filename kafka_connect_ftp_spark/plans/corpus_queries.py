@@ -52,6 +52,16 @@ from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import load_tables
 
 _SPAN_W = 8  # tokens per derived paragraph
+# tokens per derived SENTENCE for the sentence-grain section (round 11)
+# — deliberately different from _SPAN_W so the two grains make
+# different keep/drop decisions on the same corpus. The derived
+# sentences end with '.' and alternate ' ' / '\n' glue by position, so
+# the gate exercises BOTH round-11 properties: glue preservation
+# (rebuilt fp covers the exact glue bytes) and the glue-insensitive
+# dedup key (the same sentence text behind different glue still
+# deduplicates). Tokens in the testdata corpus contain no [.!?], so
+# the sentence splitter can never fire mid-sentence.
+_SENT_W = 6
 _HH_N = 3  # n-gram width for the boilerplate section
 _HH_K = 20  # top-k n-grams reported
 # Oracle-side token-position cap — ONE definition for the whole repo
@@ -120,11 +130,43 @@ _PFX_DUCK = "array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[
              COUNT(*) AS n_spans,
              CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
       FROM decided GROUP BY doc_id
+    ),
+    -- sentence-grain section (round 11): {_SENT_W}-token sentences
+    -- ending '.', glue alternating space/newline by position, none
+    -- after the last; keep/drop keys on the PRE-GLUE sentence text (the
+    -- operator strips trailing whitespace from the key), while the
+    -- rebuilt fingerprint covers the kept spans WITH their glue
+    ssp AS (
+      SELECT doc_id, CAST((i - 1) / {_SENT_W} AS BIGINT) AS idx,
+             array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + {_SENT_W - 1}], ' ') || '.' AS sent,
+             CASE WHEN i + {_SENT_W} <= LEN(tk)
+                  THEN CASE WHEN ((i - 1) // {_SENT_W}) % 2 = 0
+                            THEN ' ' ELSE chr(10) END
+                  ELSE '' END AS glue
+      FROM toks, generate_series(1, {_ORACLE_MAX_TOKENS}) AS s(i)
+      WHERE (i - 1) % {_SENT_W} = 0 AND i <= LEN(tk)
+    ),
+    sdec AS (
+      SELECT doc_id, idx, sent, glue,
+             ROW_NUMBER() OVER (PARTITION BY sent ORDER BY doc_id, idx) = 1 AS keep
+      FROM ssp
+    ),
+    sagg AS (
+      SELECT doc_id,
+             md5(COALESCE(string_agg(sent || glue, '' ORDER BY idx)
+                          FILTER (WHERE keep), '')) AS st_text_fp,
+             COUNT(*) AS st_n_spans,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS st_n_dropped
+      FROM sdec GROUP BY doc_id
     )
     SELECT d.doc_id, COALESCE(a.text_fp, md5('')) AS text_fp,
            COALESCE(a.n_spans, 1) AS n_spans,
-           COALESCE(a.n_dropped, 0) AS n_dropped
-    FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           COALESCE(s.st_text_fp, md5('')) AS st_text_fp,
+           COALESCE(s.st_n_spans, 1) AS st_n_spans,
+           COALESCE(s.st_n_dropped, 0) AS st_n_dropped
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN sagg s USING (doc_id) ORDER BY d.doc_id
     """,
     doc=(
         "C4-style corpus-wide span dedup over a deterministically "
@@ -140,9 +182,8 @@ def span_dedup_decision(spark, sf_dir):
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     # materialize the token array before the transform lambda — inlining
     # the tokenizer would re-split the text once per span position
-    paragraphized = docs.select(
-        "doc_id", F.expr(_TOKS).alias("_tk")
-    ).select(
+    tokenized = docs.select("doc_id", F.expr(_TOKS).alias("_tk"))
+    paragraphized = tokenized.select(
         "doc_id",
         F.expr(
             f"concat_ws('\\n\\n',"
@@ -150,13 +191,34 @@ def span_dedup_decision(spark, sf_dir):
             f"  i -> concat_ws(' ', slice(_tk, i, {_SPAN_W}))))"
         ).alias("text"),
     )
-    deduped = dedup_spans(paragraphized, "paragraph")
-    return deduped.select(
+    # sentence-ized corpus: W-token sentences ending '.', alternating
+    # ' '/'\n' glue, no glue after the last. The empty-token-array guard
+    # mirrors the paragraph construction's implicit one ('' in, '' out)
+    # — without it, sequence(1, 0) is [1, 0] and an empty doc would
+    # yield a phantom '.' sentence the oracle never generates.
+    sentized = tokenized.select(
+        "doc_id",
+        F.expr(
+            f"if(size(_tk) = 0, '', concat_ws('',"
+            f" transform(filter(sequence(1, size(_tk)), i -> (i - 1) % {_SENT_W} = 0),"
+            f"  i -> concat(concat_ws(' ', slice(_tk, i, {_SENT_W})), '.',"
+            f"    if(i + {_SENT_W} <= size(_tk),"
+            f"       if(((i - 1) div {_SENT_W}) % 2 = 0, ' ', '\\n'), '')))))"
+        ).alias("text"),
+    )
+    para = dedup_spans(paragraphized, "paragraph").select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("text_fp"),
         F.col("n_spans").cast("long").alias("n_spans"),
         F.col("n_dropped").cast("long").alias("n_dropped"),
-    ).orderBy("doc_id")
+    )
+    sent = dedup_spans(sentized, "sentence").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("st_text_fp"),
+        F.col("n_spans").cast("long").alias("st_n_spans"),
+        F.col("n_dropped").cast("long").alias("st_n_dropped"),
+    )
+    return para.join(sent, "doc_id").orderBy("doc_id")
 
 
 @register(

@@ -114,7 +114,9 @@ def test_sentence_unit_dedups_c4_granularity(spark):
     import re
 
     rows = [
-        (1, "The quick fox jumps. All rights reserved. It was sunny!"),
+        # mixed inter-sentence glue (double space, newline) — round 11:
+        # glue is PRESERVED, and the dedup key is glue-insensitive
+        (1, "The quick fox jumps.  All rights reserved.\nIt was sunny!"),
         (2, "All rights reserved. A different thought entirely. The quick fox jumps."),
         (3, "A fresh document with its own words? All rights reserved."),
     ]
@@ -124,23 +126,51 @@ def test_sentence_unit_dedups_c4_granularity(spark):
             spark.createDataFrame(rows, "doc_id long, text string"), unit="sentence"
         ).collect()
     }
-    # python reference: first occurrence by (doc_id, idx), min_chars=1
+    # python reference: first occurrence by (doc_id, idx) of the rtrim'd
+    # span, min_chars=1; spans carry their trailing glue and rejoin ''
     seen, want = set(), {}
     for doc_id, text in rows:
-        spans = re.split(r"(?<=[.!?])\s+", text)
+        spans = re.sub(r"(?<=[.!?])(\s+)", "\\1\x1f", text).split("\x1f")
         kept = []
         dropped = 0
         for s in spans:
-            elig = len(s) >= 1 and s.strip() != ""
-            if not elig or s not in seen:
+            k = s.rstrip()
+            elig = len(k) >= 1 and s.strip() != ""
+            if not elig or k not in seen:
                 kept.append(s)
                 if elig:
-                    seen.add(s)
+                    seen.add(k)
             else:
                 dropped += 1
-        want[doc_id] = (" ".join(kept), len(spans), dropped)
+        want[doc_id] = ("".join(kept), len(spans), dropped)
     assert out == want
-    # the boilerplate sentence survives exactly once, in doc 1
+    # the boilerplate sentence survives exactly once, in doc 1 — even
+    # though doc 1's copy is followed by '\n' and doc 2's by ' '
     assert "All rights reserved." in out[1][0]
     assert "All rights reserved." not in out[2][0]
-    assert "All rights reserved." not in out[3][0]
+    # doc 1 deduplicated nothing FROM it: returned byte-identical,
+    # double space and newline intact (the round-10 form rewrote every
+    # document's whitespace)
+    assert out[1][0] == rows[0][1]
+
+
+def test_sentence_unit_reconstruction_is_exact(spark):
+    """A corpus with NO cross-document duplication round-trips
+    byte-identically through sentence-unit dedup — newlines, runs of
+    spaces, tabs between sentences, trailing glue, and text with no
+    terminal punctuation at all."""
+    rows = [
+        (1, "One two three.\n\nFour five!  Six seven?\tEight."),
+        (2, "no terminal punctuation here at all"),
+        (3, "Trailing glue stays. "),
+        (4, ""),
+        (5, None),
+    ]
+    got = {
+        r.doc_id: r.text
+        for r in dedup_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), unit="sentence"
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == (text or ""), (doc_id, repr(got[doc_id]))
