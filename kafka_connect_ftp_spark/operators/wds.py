@@ -191,6 +191,15 @@ def write_wds_shards(
         m = _re.fullmatch(r"shard-(\d{5})\.tar", entry)
         if m and int(m.group(1)) >= n_shards:
             os.remove(os.path.join(out_dir, entry))
+    # a pre-existing integrity manifest describes the PREVIOUS export —
+    # after a re-export with different knobs it would assert wrong
+    # hashes for the current shards until write_wds_manifest reruns, so
+    # the same sweep that removes stale tars must remove it (review
+    # r10: verify_wds_shards against a stale manifest reports every
+    # shard corrupted/mismatched on a perfectly good export)
+    manifest = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(manifest):
+        os.remove(manifest)
     return [os.path.join(out_dir, f"shard-{i:05d}.tar") for i in range(n_shards)]
 
 

@@ -79,12 +79,36 @@ def filter_micro_batch(
     # band state only covers CROSS-batch re-delivery. The pick must be
     # DETERMINISTIC: dropDuplicates keeps an arbitrary row, so a crash
     # replay of the same batch could sign a different payload variant
-    # than the first delivery. Order by a full-row content hash and
-    # keep the minimum — same id + different payloads is upstream
+    # than the first delivery. Order by a row content hash and keep
+    # the minimum — same id + different payloads is upstream
     # corruption, but the stream's replay-determinism invariant holds.
+    # Round 11 (review r10): to_json rejects some column types (e.g.
+    # MapType with non-string keys) at ANALYSIS time, and this guard
+    # must never make a schema unstreamable that round 9 accepted —
+    # the hash covers only the to_json-serializable columns (always
+    # including id/text), and a row differing ONLY in an unhashable
+    # column falls back to an arbitrary-but-single pick among hash-
+    # equal rows (row_number still keeps exactly one).
     from pyspark.sql import Window as _W
+    from pyspark.sql import types as _T
 
-    _row_h = F.sha2(F.to_json(F.struct(*[F.col(c) for c in batch.columns])), 256)
+    def _json_safe(dt) -> bool:
+        if isinstance(dt, _T.ArrayType):
+            return _json_safe(dt.elementType)
+        if isinstance(dt, _T.StructType):
+            return all(_json_safe(f.dataType) for f in dt.fields)
+        if isinstance(dt, _T.MapType):
+            return isinstance(dt.keyType, _T.StringType) and _json_safe(dt.valueType)
+        if isinstance(dt, (_T.UserDefinedType, _T.VariantType)):
+            return False
+        return True  # atomic types (incl. binary -> base64)
+
+    hashable = [f.name for f in batch.schema.fields if _json_safe(f.dataType)]
+    _row_h = (
+        F.sha2(F.to_json(F.struct(*[F.col(c) for c in hashable])), 256)
+        if hashable
+        else F.lit("")
+    )
     _w_dedup = _W.partitionBy(id_col).orderBy(_row_h)
     batch = (
         batch.withColumn("_ndg_rn", F.row_number().over(_w_dedup))

@@ -267,3 +267,27 @@ def test_in_batch_redelivery_pick_is_deterministic(spark):
         admitted, _ = filter_micro_batch(batch, None)
         rows = admitted.collect()
         assert len(rows) == 1 and rows[0].text == expect
+
+
+def test_in_batch_guard_tolerates_unjsonable_columns(spark):
+    """ADVICE r10: the deterministic-pick guard hashes the row via
+    to_json, which REJECTS some column types at analysis time (e.g. a
+    map with non-string keys) — a schema that streamed fine before the
+    guard must still stream. Unhashable columns are excluded from the
+    pick hash; the guard still admits exactly one copy per id, and the
+    pick stays deterministic across the hashable columns."""
+    from kafka_connect_ftp_spark.streaming.neardup_stream import filter_micro_batch
+
+    batch = spark.createDataFrame(
+        [
+            (1, "unique prose about rivers and mountains flowing far", {10: "a"}),
+            (1, "unique prose about rivers and mountains flowing far", {20: "b"}),
+            (2, "a completely different document concerning city planning", {30: "c"}),
+        ],
+        "doc_id long, text string, meta map<int,string>",
+    )
+    for _ in range(2):  # analysis must not raise; one copy per id
+        admitted, bands = filter_micro_batch(batch, None)
+        rows = admitted.collect()
+        assert sorted(r.doc_id for r in rows) == [1, 2]
+        assert bands.select("doc_id").distinct().count() == 2

@@ -431,3 +431,27 @@ def test_manifest_and_verify_cycle(spark, docs, tmp_path):
         "shard-00001.tar": "missing",
         "shard-99999.tar": "unexpected",
     }
+
+
+def test_reexport_sweeps_stale_manifest(spark, docs, tmp_path):
+    """Round 11 (review r10): a re-export into the same dir must remove
+    a pre-existing _manifest.json along with stale higher-numbered
+    shards — otherwise the old manifest asserts wrong hashes for the
+    new export and verify reports a good shard set as corrupted."""
+    import os as _os
+
+    from kafka_connect_ftp_spark.operators.wds import (
+        verify_wds_shards,
+        write_wds_manifest,
+        write_wds_shards,
+    )
+
+    out = str(tmp_path / "wds")
+    write_wds_shards(docs, out, fields=FIELDS, n_shards=3)
+    write_wds_manifest(spark, out)
+    # re-export with different knobs (fewer shards, new salt)
+    write_wds_shards(docs, out, fields=FIELDS, n_shards=2, salt="v2")
+    assert not _os.path.exists(_os.path.join(out, "_manifest.json"))
+    # a fresh manifest over the new export verifies clean
+    write_wds_manifest(spark, out)
+    assert verify_wds_shards(spark, out).count() == 0

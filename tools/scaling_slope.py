@@ -4,10 +4,26 @@ SPARK_GRAFT_SLOW=1, 100x) replications of the sf0.1 documents table and
 report the per-decade scaling exponent — the empirical check on the 100
 TB story's "costs are scan/aggregate-bound, not superlinear" claim.
 
-Method: a temp sf-dir is built per scale with documents.parquet
-replicated k times (doc_id shifted by k*10^9 per replica so ids stay
-unique and every id-keyed shuffle/group sees real cardinality growth);
-every other table is symlinked from sf0.1 unchanged, so only the
+Two corpus-construction methods (VERDICT r10 #2):
+
+- ``replica`` (default): documents.parquet replicated k times (doc_id
+  shifted by k*10^9 per replica so ids stay unique and every id-keyed
+  shuffle/group sees real cardinality growth). Honest for scan/agg
+  queries; DISHONEST for pair-grain queries — replication multiplies
+  every duplicate GROUP k x, so true candidate pairs grow ~k^2, a
+  blow-up real corpus growth does not produce.
+- ``synthetic`` (SPARK_GRAFT_SLOPE_MODE=synthetic): k*5000 UNIQUE
+  synthetic documents (60 hash-derived tokens from a 50k vocabulary —
+  cross-document shingle collisions ~0) with a CONTROLLED 5% near-
+  duplicate rate: every 20th document is the previous document plus
+  one appended token (shingle Jaccard ~0.98, groups of exactly 2).
+  True pair count grows LINEARLY in k — the honest shape for
+  measuring minhash/cluster slopes under real corpus growth; the
+  cluster edge set stays under the 1M-edge driver-resolution
+  threshold until the honest edge count crosses it. Default query
+  set switches to the pair-grain family.
+
+Every other table is symlinked from sf0.1 unchanged, so only the
 documents-driven cost scales. Each query runs twice and the MIN is
 kept (first run pays codegen; the bench.py protocol). The slope between
 scales a and b is log(t_b/t_a)/log(rows_b/rows_a) — 1.0 is perfectly
@@ -16,6 +32,8 @@ linear, <1 means fixed overhead still dominates, >1 superlinear.
 Usage:
     python tools/scaling_slope.py            # 1x + 10x (~2 min)
     SPARK_GRAFT_SLOW=1 python tools/scaling_slope.py   # + 100x
+    SPARK_GRAFT_SLOPE_MODE=synthetic python tools/scaling_slope.py
+        # pair-grain queries on the controlled-duplicate-rate corpus
 
 Prints one JSON line per query plus a markdown table (paste into
 docs/SCALING.md).
@@ -33,17 +51,72 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+MODE = os.environ.get("SPARK_GRAFT_SLOPE_MODE", "replica")
+if MODE not in ("replica", "synthetic"):
+    raise SystemExit(f"SPARK_GRAFT_SLOPE_MODE must be replica|synthetic, got {MODE}")
 # override with SPARK_GRAFT_SLOPE_QUERIES="a,b,c" — any documents-driven
 # registry query works (the embeddings/lineitem tables stay pinned)
 QUERIES = [
     q.strip()
     for q in os.environ.get(
         "SPARK_GRAFT_SLOPE_QUERIES",
-        "text_profile,repetition_profile,corpus_report,governance_profile",
+        "text_profile,repetition_profile,corpus_report,governance_profile"
+        if MODE == "replica"
+        else "minhash_lsh_pairs,dedup_cluster_decision",
     ).split(",")
     if q.strip()
 ]
 BASE_SF = "/root/testdata/sf0.1"
+SYNTH_BASE_N = 5000  # matches sf0.1's documents row count at scale 1
+SYNTH_TOKENS = 60
+SYNTH_VOCAB = 50_000
+SYNTH_DUP_EVERY = 20  # every 20th doc near-duplicates its predecessor
+
+
+def build_synth_docs(spark, n: int):
+    """n unique synthetic documents with a controlled near-dup rate.
+
+    Token p of document d is ``'w' || (xxhash64(d, p) mod 50k)`` — fully
+    deterministic, distributed generation (no driver loop, no RNG
+    state), and 60 draws from 50k give cross-document 8-shingle
+    collisions ~0, so UNIQUE documents never form candidate pairs.
+    Every SYNTH_DUP_EVERY-th document instead copies its predecessor's
+    text plus one appended token: shingle Jaccard ~0.98 (a certain
+    near-dup) in groups of exactly 2, so true pairs grow linearly in n.
+    """
+    from pyspark.sql import functions as F
+
+    base = F.when(
+        F.col("doc_id") % SYNTH_DUP_EVERY == SYNTH_DUP_EVERY - 1,
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("_b", base)
+        .withColumn(
+            "text",
+            F.expr(
+                f"array_join(transform(sequence(1, {SYNTH_TOKENS}),"
+                f" p -> concat('w', cast(pmod(xxhash64(concat(cast(_b as string),"
+                f" ':', cast(p as string))), {SYNTH_VOCAB}) as string))), ' ')"
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % SYNTH_DUP_EVERY == SYNTH_DUP_EVERY - 1,
+                F.concat(F.col("text"), F.lit(" wdupmark")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    return df.select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
 
 
 def build_scaled_dir(spark, scale: int, root: str) -> str:
@@ -62,14 +135,17 @@ def build_scaled_dir(spark, scale: int, root: str) -> str:
 
     from kafka_connect_ftp_spark.session import load_tables
 
-    docs = load_tables(spark, BASE_SF, "documents")["documents"]
-    parts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**9))
-        for i in range(scale)
-    ]
-    rep = parts[0]
-    for p in parts[1:]:
-        rep = rep.unionByName(p)
+    if MODE == "synthetic":
+        rep = build_synth_docs(spark, SYNTH_BASE_N * scale)
+    else:
+        docs = load_tables(spark, BASE_SF, "documents")["documents"]
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**9))
+            for i in range(scale)
+        ]
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.unionByName(p)
     # one file set, partitioned like a real corpus slice
     tmp = docs_path + ".dir"
     rep.repartition(32, "doc_id").write.mode("overwrite").parquet(tmp)
@@ -110,7 +186,7 @@ def main() -> int:
                 slopes[f"x{a}->x{b}"] = round(
                     math.log(r[b] / r[a]) / math.log(b / a), 2
                 )
-            rows.append({"query": q, "sec": r, "slope": slopes})
+            rows.append({"query": q, "mode": MODE, "sec": r, "slope": slopes})
             print(json.dumps(rows[-1]))
         print("\n| query | " + " | ".join(f"x{s} sec" for s in scales) + " | "
               + " | ".join(f"slope x{a}→x{b}" for a, b in zip(scales, scales[1:]))
