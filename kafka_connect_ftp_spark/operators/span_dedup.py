@@ -94,18 +94,62 @@ def dedup_spans(
     prose). The sentence-unit dedup key is the span with trailing
     whitespace stripped, so the same sentence followed by different
     glue still deduplicates (the kept occurrence keeps its OWN glue).
-    """
-    units = span_units(docs, unit, text_col=text_col)
-    sep = _SPLITTERS[unit][1]
 
-    # NOT F.rtrim: Spark's trim family strips only the space character,
-    # and sentence glue includes newlines/tabs
-    key = (
-        F.regexp_replace(F.col("span"), r"\s+$", "")
-        if unit == "sentence"
-        else F.col("span")
+    Thin wrapper over :func:`dedup_spans_multi` (one implementation of
+    the decision/reconstruction logic for both entry points)."""
+    out = dedup_spans_multi(
+        [(unit, docs, unit)], text_col=text_col, min_chars=min_chars
     )
-    eligible = (F.length(key) >= min_chars) & (F.trim(F.col("span")) != "")
+    return out.select(
+        "doc_id",
+        F.col(f"text_{unit}").alias("text"),
+        F.col(f"n_spans_{unit}").alias("n_spans"),
+        F.col(f"n_dropped_{unit}").alias("n_dropped"),
+    )
+
+
+def dedup_spans_multi(
+    inputs: list[tuple[str, DataFrame, str]],
+    *,
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide span dedup over SEVERAL grains in ONE pass — e.g.
+    paragraph- and sentence-level dedup of (two derivations of) the
+    same corpus. ``inputs`` is ``[(name, docs, unit), ...]`` with
+    unique names; the result has one row per ``doc_id`` with columns
+    ``text_<name>``, ``n_spans_<name>``, ``n_dropped_<name>`` per
+    input (NULL text/0 counts for a doc absent from that input).
+
+    Why one pass: the grain frames union behind a grain tag, so the
+    winner aggregation, the home-key join-back, and the reconstruction
+    aggregation each run ONCE over the union — running k separate
+    dedup passes costs k winner shuffles, k reconstructions, and k-1
+    result joins; measured ~2x wall-clock for k=2 at bench scale, and
+    k extra corpus-summary shuffles at 100 TB. Grains never cross-
+    deduplicate: the hash key is (grain, span).
+    """
+    names = [n for n, _, _ in inputs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"input names must be unique, got {names}")
+
+    def _key(unit):
+        # NOT F.rtrim: Spark's trim family strips only the space
+        # character, and sentence glue includes newlines/tabs
+        return (
+            F.regexp_replace(F.col("span"), r"\s+$", "")
+            if unit == "sentence"
+            else F.col("span")
+        )
+
+    unioned = None
+    for name, docs, unit in inputs:
+        part = span_units(docs, unit, text_col=text_col).select(
+            F.lit(name).alias("grain"), "doc_id", "idx", "span",
+            _key(unit).alias("_k"),
+        )
+        unioned = part if unioned is None else unioned.unionByName(part)
+    eligible = (F.length("_k") >= min_chars) & (F.trim(F.col("span")) != "")
     # metadata-only decision frame: only (hash, doc_id, idx) triples
     # shuffle, never the span text. The first occurrence per hash is a
     # MIN-STRUCT AGGREGATION, not a row_number window: min() partially
@@ -116,14 +160,18 @@ def dedup_spans(
     # split (no skew mitigation exists for windows; AQE only splits
     # joins). Same semantics: min(struct(doc_id, idx)) == the row that
     # row_number() over (partition by h order by doc_id, idx) ranks 1.
-    meta = units.select(
-        F.xxhash64(key).alias("h"), "doc_id", "idx", eligible.alias("elig")
+    # The grain tag rides the hash (and the min-struct, where it is
+    # constant per group), so grains stay separate dedup universes.
+    meta = unioned.select(
+        F.xxhash64("grain", "_k").alias("h"),
+        "grain", "doc_id", "idx", eligible.alias("elig"),
     )
     winners = (
         meta.filter("elig")
         .groupBy("h")
-        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .agg(F.min(F.struct("doc_id", "idx", "grain")).alias("w"))
         .select(
+            F.col("w.grain").alias("grain"),
             F.col("w.doc_id").alias("doc_id"),
             F.col("w.idx").alias("idx"),
             F.lit(True).alias("is_winner"),
@@ -131,26 +179,37 @@ def dedup_spans(
     )
     # join on the data's home key (uniform, skew-free); eligibility is
     # recomputed as a column, so exempt spans keep without a winner row
-    decided = units.join(winners, ["doc_id", "idx"], "left").withColumn(
+    decided = unioned.join(
+        winners, ["grain", "doc_id", "idx"], "left"
+    ).withColumn(
         "keep",
         ~eligible | F.coalesce(F.col("is_winner"), F.lit(False)),
     )
-    rebuilt = (
-        decided.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("keep"), F.struct("idx", "span"))
-                        )
+    aggs = []
+    for name, _, unit in inputs:
+        g = F.col("grain") == name
+        sep = _SPLITTERS[unit][1]
+        aggs.append(
+            F.when(
+                F.sum(F.when(g, 1).otherwise(0)) > 0,
+                F.concat_ws(
+                    sep,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(g & F.col("keep"), F.struct("idx", "span"))
+                            )
+                        ),
+                        lambda s: s.span,
                     ),
-                    lambda s: s.span,
                 ),
-            ).alias("text"),
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+            ).alias(f"text_{name}")
         )
-    )
-    return rebuilt.select("doc_id", "text", "n_spans", "n_dropped")
+        aggs.append(
+            F.sum(F.when(g, 1).otherwise(0)).alias(f"n_spans_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(g & ~F.col("keep"), 1).otherwise(0))
+            .alias(f"n_dropped_{name}")
+        )
+    return decided.groupBy("doc_id").agg(*aggs)

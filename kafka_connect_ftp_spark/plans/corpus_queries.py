@@ -47,7 +47,7 @@ from kafka_connect_ftp_spark.operators.mixing import (
     temperature_rates,
 )
 from kafka_connect_ftp_spark.operators.overlap import corpus_overlap
-from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans
+from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans_multi
 from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import load_tables
 
@@ -206,19 +206,22 @@ def span_dedup_decision(spark, sf_dir):
             f"       if(((i - 1) div {_SENT_W}) % 2 = 0, ' ', '\\n'), '')))))"
         ).alias("text"),
     )
-    para = dedup_spans(paragraphized, "paragraph").select(
-        "doc_id",
-        F.md5(F.col("text").cast("binary")).alias("text_fp"),
-        F.col("n_spans").cast("long").alias("n_spans"),
-        F.col("n_dropped").cast("long").alias("n_dropped"),
+    # ONE dedup pass for both grains (dedup_spans_multi): the winner
+    # aggregation, home-key join-back, and reconstruction run once over
+    # the grain-tagged union — two separate dedup_spans passes + a
+    # result join measured ~2x the wall-clock at sf0.1
+    both = dedup_spans_multi(
+        [("p", paragraphized, "paragraph"), ("s", sentized, "sentence")]
     )
-    sent = dedup_spans(sentized, "sentence").select(
+    return both.select(
         "doc_id",
-        F.md5(F.col("text").cast("binary")).alias("st_text_fp"),
-        F.col("n_spans").cast("long").alias("st_n_spans"),
-        F.col("n_dropped").cast("long").alias("st_n_dropped"),
-    )
-    return para.join(sent, "doc_id").orderBy("doc_id")
+        F.md5(F.col("text_p").cast("binary")).alias("text_fp"),
+        F.col("n_spans_p").cast("long").alias("n_spans"),
+        F.col("n_dropped_p").cast("long").alias("n_dropped"),
+        F.md5(F.col("text_s").cast("binary")).alias("st_text_fp"),
+        F.col("n_spans_s").cast("long").alias("st_n_spans"),
+        F.col("n_dropped_s").cast("long").alias("st_n_dropped"),
+    ).orderBy("doc_id")
 
 
 @register(
