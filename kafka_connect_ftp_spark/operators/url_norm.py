@@ -43,8 +43,11 @@ def normalize_url(col: Column | str) -> Column:
     prefix = F.lower(F.regexp_extract(c, r"^([^:/?#]+://[^/?#]*)", 1))
     rest = F.regexp_replace(c, r"^[^:/?#]+://[^/?#]*", "")
     prefix = F.regexp_replace(prefix, r"^([a-z0-9+.-]+://)[^/@]*@", "$1")  # 3
-    prefix = F.regexp_replace(prefix, r"^(http://[^:]*):80$", "$1")  # 4
-    prefix = F.regexp_replace(prefix, r"^(https://[^:]*):443$", "$1")
+    # 4: the host alternative admits bracketed IPv6 literals, whose
+    # colons are address bytes — a plain [^:]* can never reach the port
+    # and http://[2001:db8::1]:80/ would keep its default port
+    prefix = F.regexp_replace(prefix, r"^(http://(?:\[[^\]]*\]|[^:]*)):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://(?:\[[^\]]*\]|[^:]*)):443$", "$1")
     # 5: tracking params — applied to the QUERY alone (a literal
     # '&utm_x=' inside the PATH is part of the resource name; running
     # the '&p=v' removal over path+query would delete from there to the

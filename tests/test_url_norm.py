@@ -29,6 +29,12 @@ CASES = [
     ("mailto:a@b.c", "mailto:a@b.c"),
     ("/relative/path#f", "/relative/path"),
     ("  http://h/x  ", "http://h/x"),  # trimmed
+    # bracketed IPv6 literals (round 11): default port stripped through
+    # the bracket form, non-default kept, address lowercased
+    ("http://[2001:DB8::1]:80/x", "http://[2001:db8::1]/x"),
+    ("https://[2001:db8::1]:443/x", "https://[2001:db8::1]/x"),
+    ("http://[2001:db8::1]:8080/x", "http://[2001:db8::1]:8080/x"),
+    ("http://u:p@[::1]/y#f", "http://[::1]/y"),
 ]
 
 
