@@ -69,7 +69,10 @@ def url_host(col: Column | str) -> Column:
     no host to block on). Bracketed IPv6 literals keep their brackets
     (``http://[2001:db8::1]:8080/x`` -> ``[2001:db8::1]``) — the
     bracket form is the canonical blocklist-entry spelling for v6."""
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    # regexp strip, not F.trim: trim() removes only the space character,
+    # and crawl data pads URLs with tabs/newlines too
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
     host = F.lower(F.regexp_extract(c, _HOST_RX, 1))
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 

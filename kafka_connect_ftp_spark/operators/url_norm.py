@@ -38,7 +38,10 @@ _TRACKING = "(utm_[^=&]*|fbclid|gclid|ref_src)"
 
 def normalize_url(col: Column | str) -> Column:
     """The normalization chain (module doc). NULL in → NULL out."""
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    # regexp strip, not F.trim: trim() removes only the space character,
+    # and crawl data pads URLs with tabs/newlines too
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
     c = F.regexp_replace(c, r"#.*$", "")  # 1: fragment
     prefix = F.lower(F.regexp_extract(c, r"^([^:/?#]+://[^/?#]*)", 1))
     rest = F.regexp_replace(c, r"^[^:/?#]+://[^/?#]*", "")

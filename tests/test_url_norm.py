@@ -29,6 +29,7 @@ CASES = [
     ("mailto:a@b.c", "mailto:a@b.c"),
     ("/relative/path#f", "/relative/path"),
     ("  http://h/x  ", "http://h/x"),  # trimmed
+    ("\t http://h/x \n", "http://h/x"),  # tabs/newlines too, not just spaces
     # bracketed IPv6 literals (round 11): default port stripped through
     # the bracket form, non-default kept, address lowercased
     ("http://[2001:DB8::1]:80/x", "http://[2001:db8::1]/x"),
