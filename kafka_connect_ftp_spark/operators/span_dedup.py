@@ -28,7 +28,7 @@ span; swap a 128-bit hash for forensic-grade exactness).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # unit -> (split regex, rejoin separator). For paragraph/line the
@@ -74,6 +74,21 @@ def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "tex
     return docs.select(
         "doc_id",
         F.posexplode(F.split(txt, F.lit(sep), -1)).alias("idx", "span"),
+    )
+
+
+def span_key(unit: str) -> Column:
+    """The dedup KEY of a ``span`` column for the given unit: the span
+    itself, except the sentence unit strips trailing whitespace (glue
+    rides the span for exact reconstruction but must not split dedup
+    groups). NOT F.rtrim: Spark's trim family strips only the space
+    character, and sentence glue includes newlines/tabs."""
+    if unit not in _SPLITTERS:
+        raise ValueError(f"unit must be one of {sorted(_SPLITTERS)}, got {unit!r}")
+    return (
+        F.regexp_replace(F.col("span"), r"\s+$", "")
+        if unit == "sentence"
+        else F.col("span")
     )
 
 
@@ -133,20 +148,11 @@ def dedup_spans_multi(
     if len(set(names)) != len(names):
         raise ValueError(f"input names must be unique, got {names}")
 
-    def _key(unit):
-        # NOT F.rtrim: Spark's trim family strips only the space
-        # character, and sentence glue includes newlines/tabs
-        return (
-            F.regexp_replace(F.col("span"), r"\s+$", "")
-            if unit == "sentence"
-            else F.col("span")
-        )
-
     unioned = None
     for name, docs, unit in inputs:
         part = span_units(docs, unit, text_col=text_col).select(
             F.lit(name).alias("grain"), "doc_id", "idx", "span",
-            _key(unit).alias("_k"),
+            span_key(unit).alias("_k"),
         )
         unioned = part if unioned is None else unioned.unionByName(part)
     eligible = (F.length("_k") >= min_chars) & (F.trim(F.col("span")) != "")

@@ -8,6 +8,10 @@ failure/replay windows have to be reasoned about independently
 
 Per micro-batch:
 
+0. (optional) URL/domain blocklist — stage 0a, cheapest cut first; and
+   C4-style span dedup against the cross-batch span-hash state
+   (streaming/span_dedup_stream.py) — stage 0b, the batch pipeline's
+   order (examples/llm_data_prep.py).
 1. ``filter_micro_batch`` — drop documents whose LSH band keys collide
    with anything previously admitted (cross-batch state) or with an
    earlier in-batch near-duplicate (the batch CC rule). Exact
@@ -41,6 +45,7 @@ shuffles at micro-batch size, map-side scoring), cross-batch state is
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.operators.text_dedup import (
     band_signatures,
@@ -70,6 +75,8 @@ def make_curation_step(
     routed_profiles: DataFrame | None = None,
     blocklist: DataFrame | None = None,
     url_col: str = "url",
+    span_unit: str | None = None,
+    span_state_dir: str | None = None,
 ):
     """Build the composed foreachBatch function (exposed so tests can
     drive a replayed batch directly — a crash replay IS calling the
@@ -87,7 +94,19 @@ def make_curation_step(
     (they were never admitted, so a later clean near-duplicate of a
     blocked page is NOT a duplicate). A static frame joined inside
     foreachBatch; deterministic per row, so the replay argument is
-    unchanged."""
+    unchanged.
+
+    ``span_unit`` + ``span_state_dir`` (round 11): C4-style span dedup
+    as stage 0b, matching the batch pipeline's order (blocklist → span
+    dedup → gates; examples/llm_data_prep.py). Spans are admitted into
+    the span-hash state for EVERY document that reaches the stage,
+    whether or not a later gate drops the document — the staged
+    semantics, same rationale as quality-rejected docs entering the
+    band state. Blocked documents never reach it. The per-doc
+    n_spans/n_dropped counters are stage diagnostics and are dropped
+    so the delivered schema is unchanged."""
+    if (span_unit is None) != (span_state_dir is None):
+        raise ValueError("span_unit and span_state_dir must be set together")
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         if blocklist is not None:
@@ -101,6 +120,32 @@ def make_curation_step(
             batch = filter_by_blocklist(
                 batch, blocklist, url_col=url_col, max_broadcast_entries=None
             )
+        admitted_spans = None
+        if span_unit is not None:
+            from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
+                dedup_spans_micro_batch,
+                read_span_state,
+            )
+
+            seen_spans = read_span_state(
+                spark, span_state_dir, exclude_epoch=batch_id
+            )
+            batch, admitted_spans = dedup_spans_micro_batch(
+                batch, seen_spans,
+                unit=span_unit, id_col=id_col, text_col=text_col,
+            )
+            batch = batch.drop("n_spans", "n_dropped")
+            # a document whose EVERY span was a known duplicate rebuilds
+            # to empty text; it must be dropped here, not delivered —
+            # an empty text has no shingles, so the near-dup filter
+            # can't catch it and an empty shell would reach the sink
+            batch = batch.filter(
+                F.coalesce(F.trim(F.col(text_col)), F.lit("")) != ""
+            )
+            # the rebuilt batch feeds the whole near-dup/gate chain (and
+            # is referenced several times inside it); checkpoint so the
+            # span chain executes once per batch
+            batch = batch.localCheckpoint(eager=True)
         # exclude_epoch: a torn own-epoch state write from a crashed
         # first attempt must be invisible to the replay, or partially-
         # covered docs would self-collide and the epoch rewrite would
@@ -124,8 +169,15 @@ def make_curation_step(
         nd_admitted = nd_admitted.localCheckpoint(eager=True)
         if nd_admitted.isEmpty():
             # an all-duplicate batch (with the own epoch excluded, a
-            # replay can never self-collide): nothing to deliver or to
-            # remember — skip both writes
+            # replay can never self-collide): nothing to deliver, no
+            # band keys to remember. The SPAN stage's admissions still
+            # persist — staged semantics: the span gate ran before the
+            # near-dup verdict, and skipping its state write would
+            # re-admit those spans from a later batch's documents
+            if admitted_spans is not None:
+                admitted_spans.write.mode("overwrite").parquet(
+                    f"{span_state_dir}/epoch={batch_id}"
+                )
             return
         curated = gate_micro_batch(
             nd_admitted, model,
@@ -147,6 +199,11 @@ def make_curation_step(
         band_signatures(sig, band_size=band_size).write.mode("overwrite").parquet(
             f"{state_dir}/epoch={batch_id}"
         )
+        if admitted_spans is not None:
+            # same per-epoch overwrite + delivery-before-state contract
+            admitted_spans.write.mode("overwrite").parquet(
+                f"{span_state_dir}/epoch={batch_id}"
+            )
 
     return _step
 

@@ -288,3 +288,74 @@ def test_blocklist_stage_runs_first_and_skips_band_state(spark, model, tmp_path)
         (r.doc_id, r.text) for r in spark.read.parquet(f"{out}/epoch=1").collect()
     )
     assert before == after
+
+
+def test_span_stage_dedups_across_batches_and_persists_on_empty(
+    spark, model, tmp_path
+):
+    """Round 11: the composed stream exposes C4 span dedup as stage 0b.
+    A paragraph admitted in batch 0 is stripped from batch 1's
+    documents BEFORE the gates run; blocked docs never reach the span
+    state; and an all-near-dup batch still persists its span
+    admissions (staged semantics — the span gate ran)."""
+    from pyspark.sql import functions as F
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    span_state = str(tmp_path / "span_state")
+    bl = spark.createDataFrame([("bad.example.com",)], "domain string")
+    step = make_curation_step(
+        spark, model, out, state, alpha=9.0,
+        blocklist=bl, url_col="url",
+        span_unit="paragraph", span_state_dir=span_state,
+    )
+    boiler = "all rights reserved by the example site"
+    blocked_only = "paragraph seen only on the blocked host"
+    b0 = spark.createDataFrame(
+        [
+            (1, f"{_text(_GOOD, 1)}\n\n{boiler}", "https://ok.example.org/a"),
+            (2, f"{blocked_only}\n\n{boiler}", "https://bad.example.com/p"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    step(b0, 0)
+    got0 = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert got0 == {1: f"{_text(_GOOD, 1)}\n\n{boiler}"}  # doc 2 blocked
+    # the blocked doc's unique paragraph is NOT in the span state
+    hashes = {r.h for r in spark.read.parquet(span_state).collect()}
+    blocked_h = spark.sql(
+        f"select xxhash64('{blocked_only}') as h"
+    ).collect()[0].h
+    assert blocked_h not in hashes and len(hashes) == 2
+    # batch 1: the boiler paragraph is stripped from a fresh doc before
+    # any gate, and the doc is otherwise delivered intact
+    b1 = spark.createDataFrame(
+        [(5, f"{_text(_GOOD, 5)}\n\n{boiler}", "https://ok.example.org/b")],
+        "doc_id long, text string, url string",
+    )
+    step(b1, 1)
+    got1 = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    assert got1 == {5: _text(_GOOD, 5)}
+    # delivered schema carries no stage diagnostics
+    assert "n_spans" not in spark.read.parquet(f"{out}/epoch=1").columns
+    # batch 2 re-delivers doc 5's pre-strip text: its only span is
+    # already in the span state, the doc rebuilds to empty and is
+    # dropped (an empty text has no shingles for the near-dup filter
+    # to catch) — nothing is delivered, but the span stage still
+    # persists its (empty) epoch so the staged-semantics contract of
+    # "span state written whenever the stage ran" holds
+    b2 = spark.createDataFrame(
+        [(5, f"{_text(_GOOD, 5)}", "https://ok.example.org/c")],
+        "doc_id long, text string, url string",
+    )
+    step(b2, 2)
+    assert not os.path.exists(f"{out}/epoch=2")  # nothing delivered
+    assert os.path.exists(f"{span_state}/epoch=2")  # span stage persisted
+    # replay byte-identity with the span stage on
+    step(b1, 1)
+    assert got1 == {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
