@@ -80,6 +80,10 @@ def main() -> int:
         os.path.join(work, "band_state"),
         os.path.join(work, "ckpt"),  # the ONE checkpoint
         alpha=2.0,  # llm_data_prep's keep-rate knob; 9.0 near-hard-thresholds
+        # round 11: C4 span dedup as stage 0b — the batch pipeline's
+        # order (llm_data_prep 0b), cross-batch span-hash state
+        span_unit="line",
+        span_state_dir=os.path.join(work, "span_state"),
     )
 
     try:
