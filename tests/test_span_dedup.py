@@ -174,3 +174,63 @@ def test_sentence_unit_reconstruction_is_exact(spark):
     }
     for doc_id, text in rows:
         assert got[doc_id] == (text or ""), (doc_id, repr(got[doc_id]))
+
+
+def test_sentence_roundtrip_and_dedup_property(spark):
+    """Hypothesis property: for arbitrary corpora of printable text with
+    arbitrary whitespace (including U+001F-free control-ish spacing),
+    sentence-unit dedup_spans (a) rebuilds every document byte-
+    identically when its own spans all survive, and (b) agrees exactly
+    with an independent pure-Python first-occurrence model on both the
+    rebuilt text and the counters."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(
+        alphabet=st.sampled_from("ab.!? "), min_size=0, max_size=12
+    )
+    ws = st.sampled_from([" ", "  ", "\n", "\t", " \n ", ""])
+    doc = st.lists(
+        st.tuples(words, ws), min_size=0, max_size=6
+    ).map(lambda parts: "".join(w + g for w, g in parts))
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    def py_model(texts):
+        import re
+
+        seen, out = set(), {}
+        for i, t in enumerate(texts):
+            spans = re.sub(r"(?<=[.!?])(\s+)", "\\1\x1f", t or "").split("\x1f")
+            kept, dropped = [], 0
+            for s in spans:
+                k = re.sub(r"\s+$", "", s)
+                elig = len(k) >= 1 and s.strip() != ""
+                if not elig or k not in seen:
+                    kept.append(s)
+                    if elig:
+                        seen.add(k)
+                else:
+                    dropped += 1
+            out[i] = ("".join(kept), len(spans), dropped)
+        return out
+
+    @settings(
+        max_examples=15, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=corpus)
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.text, r.n_spans, r.n_dropped)
+            for r in dedup_spans(df, unit="sentence").collect()
+        }
+        want = py_model(texts)
+        assert got == want, (texts, got, want)
+        for i, t in enumerate(texts):
+            if want[i][2] == 0:  # nothing dropped -> byte-identical
+                assert got[i][0] == t
+
+    run()
