@@ -77,6 +77,7 @@ def make_curation_step(
     url_col: str = "url",
     span_unit: str | None = None,
     span_state_dir: str | None = None,
+    span_state_buckets: int | None = None,
 ):
     """Build the composed foreachBatch function (exposed so tests can
     drive a replayed batch directly — a crash replay IS calling the
@@ -128,7 +129,8 @@ def make_curation_step(
             )
 
             seen_spans = read_span_state(
-                spark, span_state_dir, exclude_epoch=batch_id
+                spark, span_state_dir,
+                exclude_epoch=batch_id, buckets=span_state_buckets,
             )
             batch, admitted_spans = dedup_spans_micro_batch(
                 batch, seen_spans,
@@ -175,8 +177,13 @@ def make_curation_step(
             # near-dup verdict, and skipping its state write would
             # re-admit those spans from a later batch's documents
             if admitted_spans is not None:
-                admitted_spans.write.mode("overwrite").parquet(
-                    f"{span_state_dir}/epoch={batch_id}"
+                from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
+                    write_span_state,
+                )
+
+                write_span_state(
+                    spark, admitted_spans, span_state_dir, batch_id,
+                    buckets=span_state_buckets,
                 )
             return
         curated = gate_micro_batch(
@@ -201,8 +208,13 @@ def make_curation_step(
         )
         if admitted_spans is not None:
             # same per-epoch overwrite + delivery-before-state contract
-            admitted_spans.write.mode("overwrite").parquet(
-                f"{span_state_dir}/epoch={batch_id}"
+            from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
+                write_span_state,
+            )
+
+            write_span_state(
+                spark, admitted_spans, span_state_dir, batch_id,
+                buckets=span_state_buckets,
             )
 
     return _step

@@ -20,12 +20,17 @@ partitioned ``epoch=N`` per batch exactly like the near-dup band state
 read EXCLUDES the calling batch's own epoch, so a replay recomputes
 against exactly the pre-batch state and rewrites sink and state
 byte-identically no matter how torn the first attempt was. At 100 TB
-the state is (distinct spans ever admitted) longs; bucket it on ``h``
-(the ingest bucket_state pattern, ingest/pipeline.py) to make the
-per-batch anti-join bucket-local instead of a full state shuffle.
+the state is (distinct spans ever admitted) longs; pass ``buckets=N``
+to store it as an EXTERNAL epoch-partitioned table CLUSTERED BY (h)
+(the ingest bucket_state pattern, ingest/pipeline.py): the per-batch
+anti-join then reads the state bucket-aligned with NO state-side
+Exchange — only the micro-batch's own (small) span frame shuffles into
+bucket alignment, however large the accumulated state grows.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,12 +41,74 @@ from kafka_connect_ftp_spark.operators.span_dedup import (
     span_units,
 )
 
+_BUCKETS_MARKER = "BUCKETS"
+
+
+def _span_table_name(state_dir: str) -> str:
+    import hashlib
+
+    digest = hashlib.md5(state_dir.encode()).hexdigest()[:10]
+    return f"span_state_{digest}"
+
+
+def _ensure_span_table(spark, state_dir: str, buckets: int) -> str:
+    """Create-or-re-register the EXTERNAL bucketed span-state table
+    (ingest/pipeline.py conventions): data under ``state_dir/bucketed``,
+    catalog entry disposable — a NEW session re-creates it over the
+    existing files and recovers the epoch partitions with MSCK REPAIR
+    (CREATE TABLE over a LOCATION does not discover them by itself).
+    The bucket count is pinned in a ``BUCKETS`` marker: re-opening with
+    a different count would silently mis-bucket the join."""
+    if "'" in state_dir:
+        raise ValueError(
+            f"state_dir must not contain a single quote: {state_dir!r} "
+            "(it is interpolated into a CREATE TABLE LOCATION clause)"
+        )
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, _BUCKETS_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            recorded = int(fh.read().strip())
+        if recorded != buckets:
+            raise ValueError(
+                f"span state at {state_dir} was written with buckets="
+                f"{recorded}; reopening with buckets={buckets} would "
+                "mis-bucket the anti-join — pass the recorded count"
+            )
+    else:
+        if any(e.startswith("epoch=") for e in os.listdir(state_dir)):
+            raise ValueError(
+                f"span state at {state_dir} holds PLAIN-mode epoch dirs; "
+                "a bucketed table over them would read unbucketed files "
+                "as bucketed and return wrong joins — use a fresh dir"
+            )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(buckets))
+        os.replace(tmp, marker)
+    name = _span_table_name(state_dir)
+    if not spark.catalog.tableExists(name):
+        data_dir = os.path.join(state_dir, "bucketed")
+        # MSCK (and some listing paths) fail on a LOCATION that does
+        # not exist yet — the genuine first batch creates it empty
+        os.makedirs(data_dir, exist_ok=True)
+        spark.sql(
+            f"CREATE TABLE {name} (h BIGINT, epoch INT) USING parquet "
+            f"PARTITIONED BY (epoch) CLUSTERED BY (h) INTO {buckets} BUCKETS "
+            f"LOCATION '{data_dir}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    return name
+
 
 def read_span_state(
     spark,
     state_dir: str,
     *,
     exclude_epoch: int | None = None,
+    buckets: int | None = None,
 ) -> DataFrame | None:
     """Read the admitted-span-hash state, or None for the genuine first
     batch. Reading WITH an explicit schema matters for crash recovery:
@@ -53,24 +120,75 @@ def read_span_state(
     ``exclude_epoch`` drops the calling batch's own ``epoch=N`` rows: a
     crash DURING that write can leave a torn subset of the batch's span
     hashes visible, and a replay reading them would drop the partially-
-    covered documents' own spans as "duplicates" of themselves."""
+    covered documents' own spans as "duplicates" of themselves.
+
+    ``buckets`` switches to the bucketed external table (module doc);
+    must match the count the state was created with on every call."""
     from pyspark.errors import AnalysisException
 
-    try:
-        seen = spark.read.schema("h long, epoch integer").parquet(state_dir)
-    except AnalysisException as exc:
-        # ONLY the genuine first-batch case may proceed stateless; any
-        # other read failure (corrupt footer, FS hiccup) must fail the
-        # batch, or every span would bypass the cross-batch check and
-        # boilerplate already removed upstream would re-enter the corpus
-        if "PATH_NOT_FOUND" not in str(exc):
-            raise
-        return None
+    if buckets is not None:
+        seen = spark.table(_ensure_span_table(spark, state_dir, buckets))
+    else:
+        if os.path.exists(os.path.join(state_dir, _BUCKETS_MARKER)):
+            raise ValueError(
+                f"span state at {state_dir} is BUCKETED — pass buckets=N "
+                "(reading its files as plain epoch dirs would miss the "
+                "bucketed/ data entirely)"
+            )
+        try:
+            seen = spark.read.schema("h long, epoch integer").parquet(state_dir)
+        except AnalysisException as exc:
+            # ONLY the genuine first-batch case may proceed stateless;
+            # any other read failure (corrupt footer, FS hiccup) must
+            # fail the batch, or every span would bypass the cross-batch
+            # check and boilerplate already removed upstream would
+            # re-enter the corpus
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return None
     if exclude_epoch is not None:
         seen = seen.filter(
             F.col("epoch").isNull() | (F.col("epoch") != exclude_epoch)
         )
     return seen.drop("epoch")
+
+
+def write_span_state(
+    spark,
+    admitted: DataFrame,
+    state_dir: str,
+    epoch: int,
+    *,
+    buckets: int | None = None,
+) -> None:
+    """Persist one batch's admitted span hashes under its own epoch —
+    OVERWRITE semantics either way, so a crash replay rewrites its own
+    epoch idempotently and never touches another batch's.
+
+    Bucketed mode uses a STATIC-partition ``INSERT OVERWRITE ...
+    PARTITION (epoch=N)`` — measured: the DataFrameWriter
+    ``partitionOverwriteMode=dynamic`` option is NOT honored by
+    ``insertInto`` in this Spark build, and the session default is
+    STATIC, under which a plain overwrite insert would WIPE every other
+    epoch on replay; the explicit partition spec targets exactly one
+    partition regardless of that conf. The pre-insert
+    ``repartition(buckets, h)`` aligns writer tasks with buckets (one
+    file per bucket instead of tasks x buckets)."""
+    if buckets is not None:
+        name = _ensure_span_table(spark, state_dir, buckets)
+        view = f"_{name}_admit"
+        admitted.select(F.col("h").cast("long").alias("h")).repartition(
+            buckets, F.col("h")
+        ).createOrReplaceTempView(view)
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {name} PARTITION (epoch={int(epoch)}) "
+            f"SELECT h FROM {view}"
+        )
+        spark.catalog.dropTempView(view)
+    else:
+        admitted.write.mode("overwrite").parquet(
+            f"{state_dir}/epoch={int(epoch)}"
+        )
 
 
 def dedup_spans_micro_batch(
@@ -157,6 +275,7 @@ def make_span_dedup_step(
     text_col: str = "text",
     min_chars: int = 1,
     idempotent: bool = False,
+    buckets: int | None = None,
 ):
     """Build the foreachBatch function (exposed so tests can drive a
     replayed batch directly — a crash replay IS calling the step again
@@ -167,7 +286,9 @@ def make_span_dedup_step(
     rewrites both the sink epoch and the state epoch byte-identically."""
 
     def _step(batch: DataFrame, batch_id: int) -> None:
-        seen = read_span_state(spark, state_dir, exclude_epoch=batch_id)
+        seen = read_span_state(
+            spark, state_dir, exclude_epoch=batch_id, buckets=buckets
+        )
         out, admitted = dedup_spans_micro_batch(
             batch, seen,
             unit=unit, id_col=id_col, text_col=text_col, min_chars=min_chars,
@@ -186,7 +307,7 @@ def make_span_dedup_step(
         # per-epoch overwrite, not a flat append: a replay rewrites its
         # OWN epoch idempotently and read_span_state's exclude_epoch
         # makes a torn first attempt invisible to it (module doc)
-        admitted.write.mode("overwrite").parquet(f"{state_dir}/epoch={batch_id}")
+        write_span_state(spark, admitted, state_dir, batch_id, buckets=buckets)
 
     return _step
 

@@ -158,3 +158,93 @@ def test_first_batch_and_state_read_edges(spark, tmp_path):
         dedup_spans_micro_batch(batch, None, unit="word")
     with pytest.raises(ValueError, match="reserved"):
         dedup_spans_micro_batch(batch.withColumn("n_spans", F.lit(1)), None)
+
+
+def test_bucketed_state_semantics_replay_and_plan(spark, tmp_path):
+    """buckets=N: identical cross-batch semantics, replay overwrites
+    ONLY its own epoch partition (measured round 11: insertInto ignores
+    the per-write dynamic-overwrite option and the session default is
+    STATIC — a plain overwrite insert would wipe every other epoch, so
+    the writer uses a static-partition INSERT OVERWRITE), the anti-join
+    reads the state side bucket-aligned with NO state-side Exchange,
+    and a fresh catalog (session restart) re-registers the table over
+    the existing files with its partitions recovered."""
+    import re
+
+    from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
+        _span_table_name,
+        write_span_state,
+    )
+
+    out = str(tmp_path / "o")
+    state = str(tmp_path / "s")
+    step = make_span_dedup_step(spark, out, state, buckets=8)
+    step(_df(spark, _B1), 0)
+    step(_df(spark, _B2), 1)
+    got = {
+        r.doc_id: (r.text, r.n_spans, r.n_dropped)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.text, r.n_spans, r.n_dropped)
+        for r in dedup_spans(_df(spark, _B1 + _B2), "paragraph").collect()
+    }
+    assert got == want  # byte-parity with the plain mode / batch operator
+
+    name = _span_table_name(state)
+    t = spark.table(name)
+    epoch0 = sorted(r.h for r in t.filter("epoch = 0").collect())
+    assert len(epoch0) == 4
+    # replay of epoch 1 must not touch epoch 0
+    step(_df(spark, _B2), 1)
+    assert epoch0 == sorted(r.h for r in t.filter("epoch = 0").collect())
+
+    # plan pin: with broadcast disabled, the ONLY exchange is the
+    # (small) batch side shuffling into bucket alignment
+    seen = read_span_state(spark, state, exclude_epoch=2, buckets=8)
+    probe = spark.range(100).select(F.xxhash64("id").alias("h"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            probe.join(seen, "h", "left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    # "session restart": the catalog entry is disposable — drop it and
+    # re-read; the table re-registers over the files with partitions
+    # recovered (MSCK)
+    spark.sql(f"DROP TABLE {name}")
+    seen2 = read_span_state(spark, state, buckets=8)
+    # 4 spans admitted by batch 0 + 3 fresh ones by batch 1
+    assert seen2.count() == 7
+
+    # guards: bucket-count mismatch, plain-mode read of a bucketed dir
+    with pytest.raises(ValueError, match="mis-bucket"):
+        read_span_state(spark, state, buckets=16)
+    with pytest.raises(ValueError, match="BUCKETED"):
+        read_span_state(spark, state)
+
+
+def test_bucketed_mode_rejects_plain_dirs_and_quotes(spark, tmp_path):
+    import os
+
+    from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
+        write_span_state,
+    )
+
+    # a plain-mode state dir cannot be reopened as bucketed
+    plain = str(tmp_path / "plain")
+    admitted = spark.range(3).select(F.xxhash64("id").alias("h"))
+    write_span_state(spark, admitted, plain, 0)
+    with pytest.raises(ValueError, match="PLAIN-mode"):
+        read_span_state(spark, plain, buckets=8)
+    # quote guard (the CREATE TABLE LOCATION interpolation)
+    with pytest.raises(ValueError, match="quote"):
+        read_span_state(spark, str(tmp_path / "we'rd"), buckets=8)
