@@ -58,37 +58,23 @@ from kafka_connect_ftp_spark.operators.text_dedup import (
 )
 
 
-def filter_micro_batch(
-    batch: DataFrame,
-    seen_bands: DataFrame | None,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_hashes: int = 16,
-    shingle_width: int = 8,
-    band_size: int = 4,
-) -> tuple[DataFrame, DataFrame]:
-    """One batch through the near-dup gate. Returns ``(admitted_docs,
-    admitted_band_keys)``; ``seen_bands`` is the accumulated (band,
-    bsig) state or None for the first batch. Exposed separately so
-    tests and batch backfills run the exact stream transformation."""
-    # in-batch re-delivery guard (review 9b): an at-least-once upstream
-    # can deliver the same id twice INSIDE one micro-batch. The
-    # signature groupBy collapses them to one keep decision, but the
-    # final left_semi would admit every copy of an admitted id — the
-    # band state only covers CROSS-batch re-delivery. The pick must be
-    # DETERMINISTIC: dropDuplicates keeps an arbitrary row, so a crash
-    # replay of the same batch could sign a different payload variant
-    # than the first delivery. Order by a row content hash and keep
-    # the minimum — same id + different payloads is upstream
-    # corruption, but the stream's replay-determinism invariant holds.
-    # Round 11 (review r10): to_json rejects some column types (e.g.
-    # MapType with non-string keys) at ANALYSIS time, and this guard
-    # must never make a schema unstreamable that round 9 accepted —
-    # the hash covers only the to_json-serializable columns (always
-    # including id/text), and a row differing ONLY in an unhashable
-    # column falls back to an arbitrary-but-single pick among hash-
-    # equal rows (row_number still keeps exactly one).
+def deterministic_id_pick(batch: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """In-batch re-delivery guard (review 9b): an at-least-once upstream
+    can deliver the same id twice INSIDE one micro-batch; per-id state
+    only covers CROSS-batch re-delivery. The pick must be
+    DETERMINISTIC: dropDuplicates keeps an arbitrary row, so a crash
+    replay of the same batch could sign/deliver a different payload
+    variant than the first attempt. Order by a row content hash and
+    keep the minimum — same id + different payloads is upstream
+    corruption, but the stream's replay-determinism invariant holds.
+    Round 11 (review r10): to_json rejects some column types (e.g.
+    MapType with non-string keys) at ANALYSIS time, and this guard
+    must never make a schema unstreamable that round 9 accepted —
+    the hash covers only the to_json-serializable columns (always
+    including id/text), and a row differing ONLY in an unhashable
+    column falls back to an arbitrary-but-single pick among hash-
+    equal rows (row_number still keeps exactly one). Shared by the
+    near-dup and span-dedup stages (both group by id downstream)."""
     from pyspark.sql import Window as _W
     from pyspark.sql import types as _T
 
@@ -110,11 +96,31 @@ def filter_micro_batch(
         else F.lit("")
     )
     _w_dedup = _W.partitionBy(id_col).orderBy(_row_h)
-    batch = (
+    return (
         batch.withColumn("_ndg_rn", F.row_number().over(_w_dedup))
         .filter(F.col("_ndg_rn") == 1)
         .drop("_ndg_rn")
     )
+
+
+def filter_micro_batch(
+    batch: DataFrame,
+    seen_bands: DataFrame | None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_width: int = 8,
+    band_size: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One batch through the near-dup gate. Returns ``(admitted_docs,
+    admitted_band_keys)``; ``seen_bands`` is the accumulated (band,
+    bsig) state or None for the first batch. Exposed separately so
+    tests and batch backfills run the exact stream transformation."""
+    # the signature groupBy collapses duplicate ids to one keep
+    # decision, but the final left_semi would admit every copy of an
+    # admitted id — guard first (docstring above)
+    batch = deterministic_id_pick(batch, id_col)
     sig = minhash_signatures(
         batch, id_col, text_col, n_hashes=n_hashes, shingle_width=shingle_width
     )

@@ -213,6 +213,15 @@ def dedup_spans_micro_batch(
     clash = {"n_spans", "n_dropped"} & (set(batch.columns) - {text_col})
     if clash:
         raise ValueError(f"batch carries reserved column(s) {sorted(clash)}")
+    # an at-least-once upstream can deliver one id twice INSIDE a batch;
+    # the rebuild groups spans by doc, so two payload variants of one id
+    # would merge into one garbled document — deterministic pick first
+    # (shared guard; same replay-determinism bar as the near-dup stage)
+    from kafka_connect_ftp_spark.streaming.neardup_stream import (
+        deterministic_id_pick,
+    )
+
+    batch = deterministic_id_pick(batch, id_col)
     sep = _SPLITTERS[unit][1]
     units = span_units(
         batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),

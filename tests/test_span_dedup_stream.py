@@ -248,3 +248,25 @@ def test_bucketed_mode_rejects_plain_dirs_and_quotes(spark, tmp_path):
     # quote guard (the CREATE TABLE LOCATION interpolation)
     with pytest.raises(ValueError, match="quote"):
         read_span_state(spark, str(tmp_path / "we'rd"), buckets=8)
+
+
+def test_in_batch_duplicate_ids_resolve_to_one_document(spark, tmp_path):
+    """An at-least-once upstream delivering one id twice INSIDE a batch
+    must yield exactly one rebuilt document (deterministic pick — the
+    near-dup stage's shared guard), never a garbled merge of both
+    copies' spans."""
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    step = make_span_dedup_step(spark, out, state)
+    dup = _df(
+        spark,
+        [(1, "alpha paragraph\n\nbeta paragraph"),
+         (1, "alpha paragraph\n\nbeta paragraph"),
+         (2, "another unrelated document")],
+    )
+    step(dup, 0)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    got1 = [r for r in rows if r.doc_id == 1][0]
+    # one copy's spans exactly — not four spans from two merged copies
+    assert got1.n_spans == 2
+    assert got1.text == "alpha paragraph\n\nbeta paragraph"
