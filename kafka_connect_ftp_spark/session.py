@@ -26,6 +26,25 @@ def get_spark(app_name: str = "kafka_connect_ftp_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces DOWN only — shuffle.partitions is a hard CEILING
+        # it can never split past (skew-join splitting covers joins, not
+        # aggregates). Measured round 11: a 100x corpus replication drove
+        # repetition_profile's aggregate shuffle into spill at 32
+        # partitions (183s; 45s at 256) and the scaling slope read a
+        # phantom 1.39 superlinear term — AQE starts every shuffle at
+        # this count and merges to the advisory size, so big shuffles
+        # fan out while small-SF queries coalesce back to a handful of
+        # partitions: same results, same plan shapes. 256 chosen by
+        # interleaved A/B at both scales: the full x100 win, and within
+        # host noise (±5%) of 32 on the sf0.1 bench set, where 1024's
+        # per-map 1024-bucket shuffle writes cost a real ~10%. On a
+        # real cluster raise it toward executor-count x cores (the
+        # same knob, spark.sql.adaptive.coalescePartitions.
+        # initialPartitionNum).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata parquet stores naive timestamp[us]; read as TimestampType
