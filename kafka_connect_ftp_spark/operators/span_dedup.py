@@ -38,21 +38,50 @@ from pyspark.sql import functions as F
 # inter-sentence whitespace (which consumed it, so every rebuilt
 # document — deduplicated or not — had its newlines/double-spaces
 # silently normalized to single spaces), a sentinel (U+001F, the ASCII
-# unit separator — effectively absent from text; a document that does
-# contain it splits at that point, which at worst over-splits) is
-# injected AFTER each terminal-punctuation-plus-whitespace run and the
-# text splits on the sentinel alone. Each span then CARRIES its
-# trailing whitespace, rejoin is '', and reconstruction is exact for
-# every unit; the dedup key is the trailing-whitespace-stripped span,
-# so the same sentence followed by different glue still deduplicates. The usual
-# naive-splitter caveat applies (abbreviations like "Dr." over-split,
-# which only makes spans SHORTER, never merges distinct sentences).
+# unit separator) is injected AFTER each terminal-punctuation-plus-
+# whitespace run and the text splits on the sentinel alone. Each span
+# then CARRIES its trailing whitespace, rejoin is '', and
+# reconstruction is exact for every unit; the dedup key is the
+# trailing-whitespace-stripped span, so the same sentence followed by
+# different glue still deduplicates. Pre-existing sentinel bytes are
+# ESCAPED before injection (round 12 — previously a document already
+# containing U+001F split there and the byte silently vanished from the
+# rebuilt text even when nothing deduplicated): U+001E -> U+001E '0',
+# U+001F -> U+001E '1' before the split, reversed after the rebuild, so
+# the only U+001F in the split input is the injected sentinel and
+# reconstruction is byte-exact UNCONDITIONALLY. The escape is injective
+# and whitespace-free, so dedup keys stay consistent corpus-wide and
+# the splitter/rtrim regexes are undisturbed; for sentinel-free text
+# (all real corpora) both passes are no-ops. The usual naive-splitter
+# caveat applies (abbreviations like "Dr." over-split, which only makes
+# spans SHORTER, never merges distinct sentences).
 _SENTINEL = "\x1f"
+_ESC = "\x1e"
 _SPLITTERS = {
     "paragraph": ("\n\n", "\n\n"),
     "line": ("\n", "\n"),
     "sentence": (_SENTINEL, ""),
 }
+
+
+def _encode_sentinel(txt: Column) -> Column:
+    """Escape pre-existing U+001E/U+001F so the injected sentinel is
+    unambiguous (module doc). Escape-lead first: the '0'-suffixed pairs
+    this pass writes are never re-touched by the sentinel pass."""
+    return F.regexp_replace(
+        F.regexp_replace(txt, _ESC, _ESC + "0"), _SENTINEL, _ESC + "1"
+    )
+
+
+def _decode_sentinel(txt: Column) -> Column:
+    """Reverse :func:`_encode_sentinel` on rebuilt text. Order matters
+    and is safe: in encoded text U+001E appears only as an escape lead,
+    so 'U+001E 1' exactly identifies original sentinels (an original
+    literal 'U+001E 1' encodes to 'U+001E 0 1', which this pass cannot
+    match)."""
+    return F.regexp_replace(
+        F.regexp_replace(txt, _ESC + "1", _SENTINEL), _ESC + "0", _ESC
+    )
 
 
 def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "text") -> DataFrame:
@@ -67,9 +96,12 @@ def span_units(docs: DataFrame, unit: str = "paragraph", *, text_col: str = "tex
     # would silently vanish from the rebuilt corpus
     txt = F.coalesce(F.col(text_col), F.lit(""))
     if unit == "sentence":
-        # inject the sentinel after each [.!?]+whitespace run, then
-        # split on the sentinel — the whitespace stays INSIDE the
-        # preceding span (glue), so rejoining with '' is exact
+        # escape pre-existing control bytes, then inject the sentinel
+        # after each [.!?]+whitespace run and split on the sentinel —
+        # the whitespace stays INSIDE the preceding span (glue), so
+        # rejoining with '' and decoding is exact (module doc). Spans
+        # are therefore in ESCAPED form until the rebuild decodes.
+        txt = _encode_sentinel(txt)
         txt = F.regexp_replace(txt, r"(?<=[.!?])(\s+)", "$1" + _SENTINEL)
     return docs.select(
         "doc_id",
@@ -104,7 +136,10 @@ def dedup_spans(
     original order — byte-exact for every unit: paragraph/line spans
     never contain their separator, and sentence spans carry their own
     trailing whitespace (glue), so a document with nothing deduplicated
-    is returned unchanged. Spans shorter than ``min_chars`` are exempt
+    is returned unchanged — UNCONDITIONALLY, including documents that
+    already contain U+001E/U+001F bytes (escaped around the sentinel
+    split, round 12; ``min_chars`` measures the escaped key, so a key
+    made purely of those control bytes counts 2 chars per byte). Spans shorter than ``min_chars`` are exempt
     (never dropped — deduplicating one-word spans destroys ordinary
     prose). The sentence-unit dedup key is the span with trailing
     whitespace stripped, so the same sentence followed by different
@@ -195,21 +230,24 @@ def dedup_spans_multi(
     for name, _, unit in inputs:
         g = F.col("grain") == name
         sep = _SPLITTERS[unit][1]
-        aggs.append(
-            F.when(
-                F.sum(F.when(g, 1).otherwise(0)) > 0,
-                F.concat_ws(
-                    sep,
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(g & F.col("keep"), F.struct("idx", "span"))
-                            )
-                        ),
-                        lambda s: s.span,
-                    ),
+        rebuilt = F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(g & F.col("keep"), F.struct("idx", "span"))
+                    )
                 ),
-            ).alias(f"text_{name}")
+                lambda s: s.span,
+            ),
+        )
+        if unit == "sentence":
+            # sentence spans are in escaped form (span_units) — decode
+            # the rebuilt text so pre-existing control bytes round-trip
+            rebuilt = _decode_sentinel(rebuilt)
+        aggs.append(
+            F.when(F.sum(F.when(g, 1).otherwise(0)) > 0, rebuilt)
+            .alias(f"text_{name}")
         )
         aggs.append(
             F.sum(F.when(g, 1).otherwise(0)).alias(f"n_spans_{name}")

@@ -75,6 +75,7 @@ def make_curation_step(
     routed_profiles: DataFrame | None = None,
     blocklist: DataFrame | None = None,
     url_col: str = "url",
+    blocklist_join_mode: str = "broadcast",
     span_unit: str | None = None,
     span_state_dir: str | None = None,
     span_state_buckets: int | None = None,
@@ -105,9 +106,23 @@ def make_curation_step(
     semantics, same rationale as quality-rejected docs entering the
     band state. Blocked documents never reach it. The per-doc
     n_spans/n_dropped counters are stage diagnostics and are dropped
-    so the delivered schema is unchanged."""
+    so the delivered schema is unchanged.
+
+    ``blocklist_join_mode`` (round 12): passes through to
+    ``filter_by_blocklist``'s ``join_mode``. The step skips that
+    function's broadcast-size count guard (setup-time sizing — counting
+    the same static frame every micro-batch is waste), which made the
+    guard's own escape hatch unreachable: a composed stream whose entry
+    set is past broadcast size had no path to the shuffle mode. Pass
+    ``'shuffle'`` here for huge entry sets (one batch repartition on
+    the host key, no broadcast — url_filter.py docstring)."""
     if (span_unit is None) != (span_state_dir is None):
         raise ValueError("span_unit and span_state_dir must be set together")
+    if blocklist_join_mode not in ("broadcast", "shuffle"):
+        raise ValueError(
+            "blocklist_join_mode must be broadcast|shuffle, got "
+            f"{blocklist_join_mode!r}"
+        )
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         if blocklist is not None:
@@ -118,8 +133,10 @@ def make_curation_step(
             # max_broadcast_entries=None: the count guard would re-count
             # the same static frame EVERY micro-batch; sizing a stream's
             # blocklist is a setup-time decision, made once by the caller
+            # (who can opt into join_mode='shuffle' — docstring above)
             batch = filter_by_blocklist(
-                batch, blocklist, url_col=url_col, max_broadcast_entries=None
+                batch, blocklist, url_col=url_col,
+                join_mode=blocklist_join_mode, max_broadcast_entries=None,
             )
         admitted_spans = None
         if span_unit is not None:
@@ -138,16 +155,24 @@ def make_curation_step(
             )
             batch = batch.drop("n_spans", "n_dropped")
             # a document whose EVERY span was a known duplicate rebuilds
-            # to empty text; it must be dropped here, not delivered —
-            # an empty text has no shingles, so the near-dup filter
-            # can't catch it and an empty shell would reach the sink
+            # to empty OR whitespace-only text (a kept first-seen blank
+            # span between dropped content spans); it must be dropped
+            # here, not delivered — such text has no shingles, so the
+            # near-dup filter can't catch it and an empty shell would
+            # reach the sink. rlike(\S), not trim: Spark's trim strips
+            # only the space character, and a tab/newline-only shell
+            # would slip through (the url_norm convention)
             batch = batch.filter(
-                F.coalesce(F.trim(F.col(text_col)), F.lit("")) != ""
+                F.coalesce(F.col(text_col), F.lit("")).rlike(r"\S")
             )
             # the rebuilt batch feeds the whole near-dup/gate chain (and
-            # is referenced several times inside it); checkpoint so the
-            # span chain executes once per batch
+            # is referenced several times inside it), and admitted_spans
+            # feeds the end-of-step state write — checkpoint BOTH so the
+            # span decision chain (including the span-state read)
+            # executes once per batch, not again when write_span_state
+            # runs (the standalone make_span_dedup_step already does)
             batch = batch.localCheckpoint(eager=True)
+            admitted_spans = admitted_spans.localCheckpoint(eager=True)
         # exclude_epoch: a torn own-epoch state write from a crashed
         # first attempt must be invisible to the replay, or partially-
         # covered docs would self-collide and the epoch rewrite would

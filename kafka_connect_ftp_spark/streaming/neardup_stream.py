@@ -28,7 +28,10 @@ the state here is epoch-partitioned parquet (one overwrite-able dir
 per micro-batch — crash-torn writes are replay-invisible, see
 ``read_band_state``) re-read per batch — stream-static join, re-planned
 every micro-batch, which is exactly Spark's documented pattern for
-slowly-growing side state.
+slowly-growing side state. Epoch PARTITIONS accrue one per trigger;
+fold old ones periodically with
+``streaming.state_compaction.compact_epoch_state`` (key set preserved
+exactly, replay contract intact — that module's doc has the argument).
 
 Delivery: at-least-once, like every foreachBatch sink here — a crash
 between the sink append and the state append re-admits that batch's
@@ -71,10 +74,18 @@ def deterministic_id_pick(batch: DataFrame, id_col: str = "doc_id") -> DataFrame
     MapType with non-string keys) at ANALYSIS time, and this guard
     must never make a schema unstreamable that round 9 accepted —
     the hash covers only the to_json-serializable columns (always
-    including id/text), and a row differing ONLY in an unhashable
-    column falls back to an arbitrary-but-single pick among hash-
-    equal rows (row_number still keeps exactly one). Shared by the
-    near-dup and span-dedup stages (both group by id downstream)."""
+    including id/text). Round 12 (VERDICT r11 #5): rows differing ONLY
+    in a non-serializable column no longer fall to an arbitrary pick —
+    each such column is folded in as a SECONDARY order key after being
+    rewritten into an orderable shape (maps become entry arrays sorted
+    by key, recursively, so two semantically-equal maps built in
+    different orders compare equal regardless of physical encoding;
+    arrays/structs recurse in place). Only UDT and Variant columns —
+    which Spark can neither serialize, hash, nor order — remain outside
+    the key; rows differing ONLY there still get an arbitrary-but-
+    single pick (row_number keeps exactly one), documented residue.
+    Shared by the near-dup and span-dedup stages (both group by id
+    downstream)."""
     from pyspark.sql import Window as _W
     from pyspark.sql import types as _T
 
@@ -89,13 +100,54 @@ def deterministic_id_pick(batch: DataFrame, id_col: str = "doc_id") -> DataFrame
             return False
         return True  # atomic types (incl. binary -> base64)
 
+    def _orderable(dt) -> bool:
+        # can _as_orderable rewrite this type into one Spark can sort?
+        if isinstance(dt, _T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, _T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, _T.MapType):
+            return _orderable(dt.keyType) and _orderable(dt.valueType)
+        return not isinstance(dt, (_T.UserDefinedType, _T.VariantType))
+
+    def _as_orderable(c, dt):
+        if isinstance(dt, _T.MapType):
+            # sorted entry array: deterministic whatever the map's
+            # physical entry order (array_sort on struct compares the
+            # key field first; map keys are unique, so ties never reach
+            # the value)
+            return F.array_sort(
+                F.transform(
+                    F.map_entries(c),
+                    lambda e: F.struct(
+                        _as_orderable(e.key, dt.keyType).alias("k"),
+                        _as_orderable(e.value, dt.valueType).alias("v"),
+                    ),
+                )
+            )
+        if isinstance(dt, _T.ArrayType):
+            return F.transform(c, lambda x: _as_orderable(x, dt.elementType))
+        if isinstance(dt, _T.StructType):
+            return F.struct(
+                *[
+                    _as_orderable(c[f.name], f.dataType).alias(f.name)
+                    for f in dt.fields
+                ]
+            )
+        return c
+
     hashable = [f.name for f in batch.schema.fields if _json_safe(f.dataType)]
     _row_h = (
         F.sha2(F.to_json(F.struct(*[F.col(c) for c in hashable])), 256)
         if hashable
         else F.lit("")
     )
-    _w_dedup = _W.partitionBy(id_col).orderBy(_row_h)
+    extra_keys = [
+        _as_orderable(F.col(f.name), f.dataType)
+        for f in batch.schema.fields
+        if not _json_safe(f.dataType) and _orderable(f.dataType)
+    ]
+    _w_dedup = _W.partitionBy(id_col).orderBy(_row_h, *extra_keys)
     return (
         batch.withColumn("_ndg_rn", F.row_number().over(_w_dedup))
         .filter(F.col("_ndg_rn") == 1)

@@ -26,6 +26,12 @@ to store it as an EXTERNAL epoch-partitioned table CLUSTERED BY (h)
 anti-join then reads the state bucket-aligned with NO state-side
 Exchange — only the micro-batch's own (small) span frame shuffles into
 bucket alignment, however large the accumulated state grows.
+
+The per-batch epoch PARTITIONS (not the keys) grow without bound at
+one per trigger; fold old epochs periodically with
+``streaming.state_compaction.compact_epoch_state`` (works on both
+plain and bucketed layouts; the replay contract is preserved — that
+module's doc carries the argument).
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_ftp_spark.operators.span_dedup import (
     _SPLITTERS,
+    _decode_sentinel,
     span_key,
     span_units,
 )
@@ -173,18 +180,28 @@ def write_span_state(
     epoch on replay; the explicit partition spec targets exactly one
     partition regardless of that conf. The pre-insert
     ``repartition(buckets, h)`` aligns writer tasks with buckets (one
-    file per bucket instead of tasks x buckets)."""
+    file per bucket instead of tasks x buckets).
+
+    The view + INSERT run on ``admitted``'s OWN session, not the
+    ``spark`` argument: inside a real foreachBatch the micro-batch
+    frame belongs to a cloned session, temp views are session-scoped,
+    and registering on the clone while SQL-ing on the outer session
+    raises TABLE_OR_VIEW_NOT_FOUND on every batch (round 12 — caught
+    by the start_span_dedup passthrough test; hand-driven step tests
+    share one session and never hit it). Catalog TABLES are shared
+    across the clones, so _ensure_span_table is session-agnostic."""
     if buckets is not None:
-        name = _ensure_span_table(spark, state_dir, buckets)
+        sess = admitted.sparkSession
+        name = _ensure_span_table(sess, state_dir, buckets)
         view = f"_{name}_admit"
         admitted.select(F.col("h").cast("long").alias("h")).repartition(
             buckets, F.col("h")
         ).createOrReplaceTempView(view)
-        spark.sql(
+        sess.sql(
             f"INSERT OVERWRITE TABLE {name} PARTITION (epoch={int(epoch)}) "
             f"SELECT h FROM {view}"
         )
-        spark.catalog.dropTempView(view)
+        sess.catalog.dropTempView(view)
     else:
         admitted.write.mode("overwrite").parquet(
             f"{state_dir}/epoch={int(epoch)}"
@@ -264,11 +281,16 @@ def dedup_spans_micro_batch(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
     )
+    new_text = F.col("_rebuilt_text")
+    if unit == "sentence":
+        # sentence spans are in escaped form (span_units) — decode so
+        # pre-existing control bytes round-trip (batch-operator parity)
+        new_text = _decode_sentinel(new_text)
     out = (
         batch.join(
             rebuilt.withColumnRenamed("doc_id", id_col), id_col, "inner"
         )
-        .withColumn(text_col, F.col("_rebuilt_text"))
+        .withColumn(text_col, new_text)
         .drop("_rebuilt_text")
     )
     return out, winners.select("h")
@@ -332,15 +354,20 @@ def start_span_dedup(
     text_col: str = "text",
     min_chars: int = 1,
     idempotent: bool = False,
+    buckets: int | None = None,
     trigger: str | None = None,
 ):
     """Wire the step into writeStream.foreachBatch. ``trigger`` is a
     processing-time interval ('5 seconds') or None for as-fast-as-
-    possible micro-batches."""
+    possible micro-batches. ``buckets`` passes through to the step: the
+    bucketed external span-state table (module doc) is reachable from
+    the one-call entry point, not only from hand-wired steps — without
+    it, a stream pointed at an existing bucketed state dir fails every
+    batch on the BUCKETS-marker check."""
     step = make_span_dedup_step(
         stream.sparkSession, out_dir, state_dir,
         unit=unit, id_col=id_col, text_col=text_col,
-        min_chars=min_chars, idempotent=idempotent,
+        min_chars=min_chars, idempotent=idempotent, buckets=buckets,
     )
     writer = stream.writeStream.foreachBatch(step).option(
         "checkpointLocation", checkpoint_dir

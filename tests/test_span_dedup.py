@@ -165,6 +165,12 @@ def test_sentence_unit_reconstruction_is_exact(spark):
         (3, "Trailing glue stays. "),
         (4, ""),
         (5, None),
+        # round 12: pre-existing U+001F/U+001E bytes survive byte-exact
+        # (escaped around the sentinel split) — including the escape
+        # sequences themselves appearing literally in the input
+        (6, "Odd\x1fbyte here. Next\x1e one too! \x1e1\x1e0\x1f1 end."),
+        (7, "\x1f"),
+        (8, "\x1e"),
     ]
     got = {
         r.doc_id: r.text
@@ -178,16 +184,18 @@ def test_sentence_unit_reconstruction_is_exact(spark):
 
 def test_sentence_roundtrip_and_dedup_property(spark):
     """Hypothesis property: for arbitrary corpora of printable text with
-    arbitrary whitespace (including U+001F-free control-ish spacing),
-    sentence-unit dedup_spans (a) rebuilds every document byte-
-    identically when its own spans all survive, and (b) agrees exactly
-    with an independent pure-Python first-occurrence model on both the
-    rebuilt text and the counters."""
+    arbitrary whitespace — INCLUDING pre-existing U+001E/U+001F bytes
+    (round 12: escaped around the sentinel split, so exactness is
+    unconditional) — sentence-unit dedup_spans (a) rebuilds every
+    document byte-identically when its own spans all survive, and (b)
+    agrees exactly with an independent pure-Python first-occurrence
+    model (which applies the same escape) on both the rebuilt text and
+    the counters."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     words = st.text(
-        alphabet=st.sampled_from("ab.!? "), min_size=0, max_size=12
+        alphabet=st.sampled_from("ab.!? \x1e\x1f"), min_size=0, max_size=12
     )
     ws = st.sampled_from([" ", "  ", "\n", "\t", " \n ", ""])
     doc = st.lists(
@@ -198,20 +206,33 @@ def test_sentence_roundtrip_and_dedup_property(spark):
     def py_model(texts):
         import re
 
+        def enc(t):
+            return t.replace("\x1e", "\x1e0").replace("\x1f", "\x1e1")
+
+        def dec(t):
+            return t.replace("\x1e1", "\x1f").replace("\x1e0", "\x1e")
+
+        # Java's \s is exactly [ \t\n\x0b\f\r]; Python's also matches
+        # \x1c-\x1f (Unicode whitespace), so the model must spell the
+        # Java class out or it would treat the escape byte as glue
+        _JWS = r"[ \t\n\x0b\f\r]"
         seen, out = set(), {}
         for i, t in enumerate(texts):
-            spans = re.sub(r"(?<=[.!?])(\s+)", "\\1\x1f", t or "").split("\x1f")
+            spans = re.sub(
+                rf"(?<=[.!?])({_JWS}+)", "\\1\x1f", enc(t or "")
+            ).split("\x1f")
             kept, dropped = [], 0
-            for s in spans:
-                k = re.sub(r"\s+$", "", s)
-                elig = len(k) >= 1 and s.strip() != ""
+            for s in spans:  # spans (and dedup keys) are in escaped form
+                k = re.sub(rf"{_JWS}+$", "", s)
+                # Spark's F.trim strips the space character only
+                elig = len(k) >= 1 and s.strip(" ") != ""
                 if not elig or k not in seen:
                     kept.append(s)
                     if elig:
                         seen.add(k)
                 else:
                     dropped += 1
-            out[i] = ("".join(kept), len(spans), dropped)
+            out[i] = (dec("".join(kept)), len(spans), dropped)
         return out
 
     @settings(

@@ -270,3 +270,55 @@ def test_in_batch_duplicate_ids_resolve_to_one_document(spark, tmp_path):
     # one copy's spans exactly — not four spans from two merged copies
     assert got1.n_spans == 2
     assert got1.text == "alpha paragraph\n\nbeta paragraph"
+
+
+def test_start_span_dedup_forwards_buckets(spark, tmp_path):
+    """Round 12 (ADVICE r11): the one-call stream entry point exposes
+    the bucketed external state table — start_span_dedup(buckets=N)
+    reaches make_span_dedup_step, the BUCKETS marker is written, and
+    the cross-batch dedup semantics hold through a real stream.
+    Without the passthrough, pointing the wrapper at a bucketed state
+    dir raised on every batch (BUCKETS-marker check)."""
+    import os
+
+    from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
+        start_span_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def feed(rows):
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = start_span_dedup(stream, out, state, ckpt, buckets=4)
+    try:
+        feed(_B1)
+        q.processAllAvailable()
+        feed(_B2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # bucketed layout, not plain epoch dirs at the root
+    assert os.path.exists(os.path.join(state, "BUCKETS"))
+    with open(os.path.join(state, "BUCKETS")) as fh:
+        assert fh.read().strip() == "4"
+    # stream == batch over the concatenated corpus (monotone ids)
+    got = {
+        r.doc_id: (r.text, r.n_spans, r.n_dropped)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.text, r.n_spans, r.n_dropped)
+        for r in dedup_spans(_df(spark, _B1 + _B2), "paragraph").collect()
+    }
+    assert got == want
+    # the accumulated state is readable back in bucketed mode only
+    assert read_span_state(spark, state, buckets=4).count() > 0
+    with pytest.raises(ValueError, match="BUCKETED"):
+        read_span_state(spark, state)
