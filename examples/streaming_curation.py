@@ -63,13 +63,17 @@ def main() -> int:
     )
     model = load_quality_model(spark, model_path)
 
-    # stage the corpus as two "arriving" micro-batches, the second
+    # stage the corpus as three "arriving" micro-batches, the second
     # re-delivering a slice of the first (at-least-once upstream)
     src = os.path.join(work, "src")
     os.makedirs(src)
-    half = docs.count() // 2
-    b1 = docs.filter(F.col("doc_id") < half)
-    b2 = docs.filter(F.col("doc_id") >= half).unionByName(b1.limit(20))
+    third = docs.count() // 3
+    b1 = docs.filter(F.col("doc_id") < third)
+    b2 = (
+        docs.filter(F.col("doc_id").between(third, 2 * third - 1))
+        .unionByName(b1.limit(20))
+    )
+    b3 = docs.filter(F.col("doc_id") >= 2 * third)
 
     stream = spark.readStream.schema(docs.schema).parquet(src)
     gate_out = os.path.join(work, "curated")
@@ -87,11 +91,30 @@ def main() -> int:
     )
 
     try:
-        for batch in (b1, b2):
+        for batch in (b1, b2, b3):
             batch.coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
     finally:
         q.stop()
+
+    # maintenance (round 12): fold old per-batch state epochs into one
+    # consolidated partition — the key SET is preserved exactly and the
+    # replay contract stays intact, but a long-running stream no longer
+    # accrues one state partition per trigger forever
+    from kafka_connect_ftp_spark.streaming.state_compaction import (
+        compact_epoch_state,
+    )
+
+    for state_name in ("band_state", "span_state"):
+        state_dir = os.path.join(work, state_name)
+        keys_before = spark.read.parquet(state_dir).drop("epoch").distinct().count()
+        res = compact_epoch_state(spark, state_dir, keep_epochs=1)
+        keys_after = spark.read.parquet(state_dir).drop("epoch").distinct().count()
+        assert keys_after == keys_before, (state_name, keys_before, keys_after)
+        print(
+            f"compacted {state_name}: epochs {res['folded']} -> "
+            f"epoch={res['target']} ({keys_after} keys, unchanged)"
+        )
 
     n_in = docs.count()
     curated = spark.read.parquet(gate_out)
