@@ -79,6 +79,7 @@ def make_curation_step(
     span_unit: str | None = None,
     span_state_dir: str | None = None,
     span_state_buckets: int | None = None,
+    band_state_buckets: int | None = None,
 ):
     """Build the composed foreachBatch function (exposed so tests can
     drive a replayed batch directly — a crash replay IS calling the
@@ -115,7 +116,12 @@ def make_curation_step(
     guard's own escape hatch unreachable: a composed stream whose entry
     set is past broadcast size had no path to the shuffle mode. Pass
     ``'shuffle'`` here for huge entry sets (one batch repartition on
-    the host key, no broadcast — url_filter.py docstring)."""
+    the host key, no broadcast — url_filter.py docstring).
+
+    ``band_state_buckets`` (round 12): like ``span_state_buckets`` but
+    for the near-dup band state — bucketed external table CLUSTERED BY
+    (band, bsig), state-side-Exchange-free collision check
+    (streaming/bucketed_state.py)."""
     if (span_unit is None) != (span_state_dir is None):
         raise ValueError("span_unit and span_state_dir must be set together")
     if blocklist_join_mode not in ("broadcast", "shuffle"):
@@ -181,7 +187,7 @@ def make_curation_step(
             spark, state_dir, batch,
             id_col=id_col, text_col=text_col, n_hashes=n_hashes,
             shingle_width=shingle_width, band_size=band_size,
-            exclude_epoch=batch_id,
+            exclude_epoch=batch_id, buckets=band_state_buckets,
         )
         nd_admitted, _ = filter_micro_batch(
             batch, seen,
@@ -228,8 +234,13 @@ def make_curation_step(
         )
         # per-epoch overwrite (the neardup_stream rationale): a torn
         # first attempt is excluded on replay and rewritten whole
-        band_signatures(sig, band_size=band_size).write.mode("overwrite").parquet(
-            f"{state_dir}/epoch={batch_id}"
+        from kafka_connect_ftp_spark.streaming.neardup_stream import (
+            write_band_state,
+        )
+
+        write_band_state(
+            spark, band_signatures(sig, band_size=band_size), state_dir,
+            batch_id, buckets=band_state_buckets,
         )
         if admitted_spans is not None:
             # same per-epoch overwrite + delivery-before-state contract

@@ -21,14 +21,16 @@ batch agree definitionally):
 State = (band, bsig) keys of admitted documents only — ~n_bands rows
 per ADMITTED doc, the same footprint the batch pipeline's LSH stage
 shuffles, and strictly smaller than storing signatures (a band key is
-one long). At 100 TB the state table should be written bucketed on
-(band, bsig) so the per-batch anti-join prunes (the
-``PollPipeline(bucket_state=N)`` pattern in ingest/pipeline.py);
-the state here is epoch-partitioned parquet (one overwrite-able dir
-per micro-batch — crash-torn writes are replay-invisible, see
-``read_band_state``) re-read per batch — stream-static join, re-planned
-every micro-batch, which is exactly Spark's documented pattern for
-slowly-growing side state. Epoch PARTITIONS accrue one per trigger;
+one long). Default layout: epoch-partitioned parquet (one
+overwrite-able dir per micro-batch — crash-torn writes are
+replay-invisible, see ``read_band_state``) re-read per batch —
+stream-static join, re-planned every micro-batch, Spark's documented
+pattern for slowly-growing side state. At 100 TB pass ``buckets=N``
+(round 12): the state becomes an EXTERNAL epoch-partitioned table
+CLUSTERED BY (band, bsig) (streaming/bucketed_state.py — the span
+state's round-11 machinery, shared), so the per-batch collision
+semi-join reads the state bucket-aligned with NO state-side Exchange
+and per-batch cost is bounded by the batch, not by history. Epoch PARTITIONS accrue one per trigger;
 fold old ones periodically with
 ``streaming.state_compaction.compact_epoch_state`` (key set preserved
 exactly, replay contract intact — that module's doc has the argument).
@@ -231,6 +233,16 @@ def _migrate_flat_state(spark, state_dir: str) -> None:
             raise IOError(f"flat-state migration failed: {src} -> {dest}")
 
 
+def _band_spec_for(batch: DataFrame, id_col: str):
+    """Band-state StateSpec with the doc_id DDL type taken from the
+    batch's actual id column — the state stores whatever id type the
+    corpus uses (long here, string elsewhere), pinned by the shared
+    STATE_SPEC marker against cross-type reopens."""
+    from kafka_connect_ftp_spark.streaming.bucketed_state import band_spec
+
+    return band_spec(batch.schema[id_col].dataType.simpleString())
+
+
 def read_band_state(
     spark,
     state_dir: str,
@@ -242,6 +254,7 @@ def read_band_state(
     shingle_width: int = 8,
     band_size: int = 4,
     exclude_epoch: int | None = None,
+    buckets: int | None = None,
 ) -> DataFrame | None:
     """Read the cross-batch band-key state, or None for the genuine
     first batch. The schema is exactly what the steps write — derived
@@ -274,9 +287,37 @@ def read_band_state(
     flat files for the next read to move); batch ids are >= 0, so
     ``exclude_epoch`` never drops the migrated partition. Shared by the
     single-gate step below and the composed curation step
-    (streaming/curation_stream.py)."""
+    (streaming/curation_stream.py).
+
+    ``buckets`` (round 12) switches to the bucketed EXTERNAL state
+    table (streaming/bucketed_state.py) CLUSTERED BY (band, bsig) —
+    the per-batch semi-join then reads the state bucket-aligned with
+    NO state-side Exchange, so per-batch cost is bounded by the batch,
+    not by history; must match the count the state was created with on
+    every call. The flat-layout migration is plain-mode-only (a
+    bucketed dir never held flat files)."""
     from pyspark.errors import AnalysisException
 
+    from kafka_connect_ftp_spark.streaming.bucketed_state import (
+        is_bucketed_dir,
+        read_table,
+    )
+
+    if buckets is not None:
+        seen = read_table(
+            spark, state_dir, buckets, _band_spec_for(batch, id_col)
+        )
+        if exclude_epoch is not None:
+            seen = seen.filter(
+                F.col("epoch").isNull() | (F.col("epoch") != exclude_epoch)
+            )
+        return seen.drop("epoch")
+    if is_bucketed_dir(state_dir):
+        raise ValueError(
+            f"band state at {state_dir} is BUCKETED — pass buckets=N "
+            "(reading its files as plain epoch dirs would miss the "
+            "bucketed/ data entirely)"
+        )
     _migrate_flat_state(spark, state_dir)
 
     state_schema = band_signatures(
@@ -304,6 +345,32 @@ def read_band_state(
     return seen.drop("epoch")
 
 
+def write_band_state(
+    spark,
+    bands: DataFrame,
+    state_dir: str,
+    epoch: int,
+    *,
+    buckets: int | None = None,
+) -> None:
+    """Persist one batch's admitted band keys under its own epoch —
+    OVERWRITE semantics either way, so a crash replay rewrites its own
+    epoch idempotently and never touches another batch's (the
+    ``read_band_state`` exclude_epoch contract). Bucketed mode goes
+    through the shared static-partition INSERT OVERWRITE
+    (streaming/bucketed_state.py). ``bands`` carries (doc_id, band,
+    bsig) as produced by ``band_signatures``."""
+    if buckets is not None:
+        from kafka_connect_ftp_spark.streaming.bucketed_state import write_epoch
+
+        write_epoch(
+            spark, bands, state_dir, epoch, buckets,
+            _band_spec_for(bands, "doc_id"),
+        )
+    else:
+        bands.write.mode("overwrite").parquet(f"{state_dir}/epoch={int(epoch)}")
+
+
 def make_near_dup_step(
     spark,
     out_dir: str,
@@ -315,6 +382,7 @@ def make_near_dup_step(
     shingle_width: int = 8,
     band_size: int = 4,
     idempotent: bool = False,
+    buckets: int | None = None,
 ):
     """Build the foreachBatch function (exposed so tests can drive a
     replayed batch directly). ``idempotent=True`` writes each batch to
@@ -332,7 +400,7 @@ def make_near_dup_step(
             spark, state_dir, batch,
             id_col=id_col, text_col=text_col, n_hashes=n_hashes,
             shingle_width=shingle_width, band_size=band_size,
-            exclude_epoch=batch_id,
+            exclude_epoch=batch_id, buckets=buckets,
         )
         admitted, _ = filter_micro_batch(
             batch,
@@ -366,8 +434,9 @@ def make_near_dup_step(
         # on replay with identical output — at-least-once, exactly the
         # delivery contract already documented — instead of silently
         # LOSING rows to self-collision against a torn state subset.
-        band_signatures(sig, band_size=band_size).write.mode("overwrite").parquet(
-            f"{state_dir}/epoch={batch_id}"
+        write_band_state(
+            spark, band_signatures(sig, band_size=band_size), state_dir,
+            batch_id, buckets=buckets,
         )
 
     return _step
@@ -385,10 +454,12 @@ def start_near_dup_filter(
     shingle_width: int = 8,
     band_size: int = 4,
     idempotent: bool = False,
+    buckets: int | None = None,
 ):
     """Start the incremental near-dup filter: admitted documents to
     ``out_dir`` (epoch-partitioned effectively-once when ``idempotent``,
-    plain append otherwise), their band keys to ``state_dir``. Returns
+    plain append otherwise), their band keys to ``state_dir`` (bucketed
+    external table when ``buckets`` is set — module doc). Returns
     the StreamingQuery."""
     step = make_near_dup_step(
         stream.sparkSession,
@@ -400,6 +471,7 @@ def start_near_dup_filter(
         shingle_width=shingle_width,
         band_size=band_size,
         idempotent=idempotent,
+        buckets=buckets,
     )
     return (
         stream.writeStream.foreachBatch(step)

@@ -48,66 +48,18 @@ from kafka_connect_ftp_spark.operators.span_dedup import (
     span_units,
 )
 
-_BUCKETS_MARKER = "BUCKETS"
-
-
-def _span_table_name(state_dir: str) -> str:
-    import hashlib
-
-    digest = hashlib.md5(state_dir.encode()).hexdigest()[:10]
-    return f"span_state_{digest}"
-
-
 def _ensure_span_table(spark, state_dir: str, buckets: int) -> str:
-    """Create-or-re-register the EXTERNAL bucketed span-state table
-    (ingest/pipeline.py conventions): data under ``state_dir/bucketed``,
-    catalog entry disposable — a NEW session re-creates it over the
-    existing files and recovers the epoch partitions with MSCK REPAIR
-    (CREATE TABLE over a LOCATION does not discover them by itself).
-    The bucket count is pinned in a ``BUCKETS`` marker: re-opening with
-    a different count would silently mis-bucket the join."""
-    if "'" in state_dir:
-        raise ValueError(
-            f"state_dir must not contain a single quote: {state_dir!r} "
-            "(it is interpolated into a CREATE TABLE LOCATION clause)"
-        )
-    if buckets < 1:
-        raise ValueError(f"buckets must be >= 1, got {buckets}")
-    os.makedirs(state_dir, exist_ok=True)
-    marker = os.path.join(state_dir, _BUCKETS_MARKER)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            recorded = int(fh.read().strip())
-        if recorded != buckets:
-            raise ValueError(
-                f"span state at {state_dir} was written with buckets="
-                f"{recorded}; reopening with buckets={buckets} would "
-                "mis-bucket the anti-join — pass the recorded count"
-            )
-    else:
-        if any(e.startswith("epoch=") for e in os.listdir(state_dir)):
-            raise ValueError(
-                f"span state at {state_dir} holds PLAIN-mode epoch dirs; "
-                "a bucketed table over them would read unbucketed files "
-                "as bucketed and return wrong joins — use a fresh dir"
-            )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(buckets))
-        os.replace(tmp, marker)
-    name = _span_table_name(state_dir)
-    if not spark.catalog.tableExists(name):
-        data_dir = os.path.join(state_dir, "bucketed")
-        # MSCK (and some listing paths) fail on a LOCATION that does
-        # not exist yet — the genuine first batch creates it empty
-        os.makedirs(data_dir, exist_ok=True)
-        spark.sql(
-            f"CREATE TABLE {name} (h BIGINT, epoch INT) USING parquet "
-            f"PARTITIONED BY (epoch) CLUSTERED BY (h) INTO {buckets} BUCKETS "
-            f"LOCATION '{data_dir}'"
-        )
-        spark.sql(f"MSCK REPAIR TABLE {name}")
-    return name
+    """Create-or-re-register the EXTERNAL bucketed span-state table.
+    Round 12: thin wrapper over the shared bucketed-state machinery
+    (streaming/bucketed_state.py — one implementation of the markers,
+    re-registration, and static-partition-overwrite mechanics for the
+    span AND band states; measured behaviors documented there)."""
+    from kafka_connect_ftp_spark.streaming.bucketed_state import (
+        SPAN_SPEC,
+        ensure_table,
+    )
+
+    return ensure_table(spark, state_dir, buckets, SPAN_SPEC)
 
 
 def read_span_state(
@@ -133,10 +85,12 @@ def read_span_state(
     must match the count the state was created with on every call."""
     from pyspark.errors import AnalysisException
 
+    from kafka_connect_ftp_spark.streaming.bucketed_state import is_bucketed_dir
+
     if buckets is not None:
         seen = spark.table(_ensure_span_table(spark, state_dir, buckets))
     else:
-        if os.path.exists(os.path.join(state_dir, _BUCKETS_MARKER)):
+        if is_bucketed_dir(state_dir):
             raise ValueError(
                 f"span state at {state_dir} is BUCKETED — pass buckets=N "
                 "(reading its files as plain epoch dirs would miss the "
@@ -178,30 +132,17 @@ def write_span_state(
     ``insertInto`` in this Spark build, and the session default is
     STATIC, under which a plain overwrite insert would WIPE every other
     epoch on replay; the explicit partition spec targets exactly one
-    partition regardless of that conf. The pre-insert
-    ``repartition(buckets, h)`` aligns writer tasks with buckets (one
-    file per bucket instead of tasks x buckets).
-
-    The view + INSERT run on ``admitted``'s OWN session, not the
-    ``spark`` argument: inside a real foreachBatch the micro-batch
-    frame belongs to a cloned session, temp views are session-scoped,
-    and registering on the clone while SQL-ing on the outer session
-    raises TABLE_OR_VIEW_NOT_FOUND on every batch (round 12 — caught
-    by the start_span_dedup passthrough test; hand-driven step tests
-    share one session and never hit it). Catalog TABLES are shared
-    across the clones, so _ensure_span_table is session-agnostic."""
+    partition regardless of that conf — and the view + INSERT run on
+    ``admitted``'s OWN session (a foreachBatch clone's temp views are
+    invisible to the outer session). Both mechanics live in the shared
+    bucketed-state module (round 12)."""
     if buckets is not None:
-        sess = admitted.sparkSession
-        name = _ensure_span_table(sess, state_dir, buckets)
-        view = f"_{name}_admit"
-        admitted.select(F.col("h").cast("long").alias("h")).repartition(
-            buckets, F.col("h")
-        ).createOrReplaceTempView(view)
-        sess.sql(
-            f"INSERT OVERWRITE TABLE {name} PARTITION (epoch={int(epoch)}) "
-            f"SELECT h FROM {view}"
+        from kafka_connect_ftp_spark.streaming.bucketed_state import (
+            SPAN_SPEC,
+            write_epoch,
         )
-        sess.catalog.dropTempView(view)
+
+        write_epoch(spark, admitted, state_dir, epoch, buckets, SPAN_SPEC)
     else:
         admitted.write.mode("overwrite").parquet(
             f"{state_dir}/epoch={int(epoch)}"

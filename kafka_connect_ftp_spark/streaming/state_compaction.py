@@ -42,8 +42,10 @@ NEGATIVE epoch number. Why that is safe:
 The reserved ``epoch=-1`` flat-migration partition
 (neardup_stream._migrate_flat_state) is an ordinary fold input.
 
-Bucketed mode (``buckets=N`` — span state only) keeps the CLUSTERED BY
-(h) layout: fold rows detour through a ``compact_tmp`` parquet dir (breaking lineage from the table being rewritten — Spark refuses
+Bucketed mode (``buckets=N`` — span and band states; the STATE_SPEC
+marker tells the compactor which kind of state lives in the dir) keeps
+the CLUSTERED BY layout: fold rows detour through a ``compact_tmp``
+parquet dir (breaking lineage from the table being rewritten — Spark refuses
 an insert that reads its own target), re-enter via the same
 static-partition INSERT OVERWRITE the state writer uses, and the input
 partitions are dropped from the metastore and disk afterwards.
@@ -141,11 +143,19 @@ def compact_epoch_state(
 
 
 def _compact_bucketed(spark, state_dir: str, keep_epochs: int, buckets: int) -> dict:
-    from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
-        _ensure_span_table,
+    from kafka_connect_ftp_spark.streaming.bucketed_state import (
+        ensure_table,
+        load_spec,
     )
 
-    name = _ensure_span_table(spark, state_dir, buckets)
+    # the STATE_SPEC marker says what kind of state lives here (span
+    # hashes, band keys, ...) — the compactor never needs to be told,
+    # and legacy round-11 span dirs without the marker default to the
+    # span layout
+    spec = load_spec(state_dir)
+    if spec is None:
+        return {"folded": [], "target": None}
+    name = ensure_table(spark, state_dir, buckets, spec)
     data_dir = f"{state_dir}/bucketed"
     by_epoch = _list_epochs(spark, data_dir)
     plan = _plan(list(by_epoch), keep_epochs)
@@ -161,18 +171,19 @@ def _compact_bucketed(spark, state_dir: str, keep_epochs: int, buckets: int) -> 
     # the table's partition discovery
     tmp = f"{state_dir}/compact_tmp"
     jvm, fs, _ = hadoop_fs(spark, state_dir)
+    cols = list(spec.col_names)
     spark.table(name).where(
         F.col("epoch").isin(inputs)
-    ).select("h").distinct().write.mode("overwrite").parquet(tmp)
+    ).select(*cols).distinct().write.mode("overwrite").parquet(tmp)
     view = f"_{name}_compact"
-    spark.read.parquet(tmp).repartition(buckets, F.col("h")).createOrReplaceTempView(
-        view
-    )
-    # same static-partition INSERT OVERWRITE as write_span_state: exact
-    # one-partition targeting regardless of partitionOverwriteMode
+    spark.read.parquet(tmp).repartition(
+        buckets, *[F.col(c) for c in spec.bucket_cols]
+    ).createOrReplaceTempView(view)
+    # same static-partition INSERT OVERWRITE as the state writers:
+    # exact one-partition targeting regardless of partitionOverwriteMode
     spark.sql(
         f"INSERT OVERWRITE TABLE {name} PARTITION (epoch={target}) "
-        f"SELECT h FROM {view}"
+        f"SELECT {', '.join(cols)} FROM {view}"
     )
     spark.catalog.dropTempView(view)
     for e in inputs:

@@ -420,3 +420,26 @@ def test_blocklist_join_mode_passthrough(spark, model, tmp_path):
         )
     assert got["broadcast"] == got["shuffle"]
     assert 2 not in {d for d, _ in got["shuffle"]}
+
+
+def test_band_state_buckets_passthrough(spark, model, tmp_path):
+    """Round 12: the composed step exposes the bucketed band state —
+    same admitted/curated set as plain mode across two batches, state
+    stored as the CLUSTERED BY (band, bsig) table."""
+    got = {}
+    for buckets in (None, 4):
+        tag = "plain" if buckets is None else "buck"
+        out = str(tmp_path / f"out_{tag}")
+        state = str(tmp_path / f"st_{tag}")
+        step = make_curation_step(
+            spark, model, out, state, alpha=9.0, band_state_buckets=buckets
+        )
+        step(spark.createDataFrame(_B1, _SCHEMA), 0)
+        step(spark.createDataFrame(_B2, _SCHEMA), 1)
+        got[tag] = sorted(
+            (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+        )
+    assert got["plain"] == got["buck"]
+    assert [d for d, _ in got["buck"]] == [1, 2, 5]
+    assert os.path.exists(str(tmp_path / "st_buck" / "BUCKETS"))
+    assert os.path.exists(str(tmp_path / "st_buck" / "bucketed"))

@@ -335,3 +335,99 @@ def test_unjsonable_tiebreak_is_deterministic(spark):
     a = deterministic_id_pick(nested).collect()
     b = deterministic_id_pick(nested.orderBy(F.rand(42))).collect()
     assert len(a) == len(b) == 1 and a[0].m == b[0].m
+
+
+def test_bucketed_band_state_semantics_replay_and_plan(spark, tmp_path):
+    """Round 12: the band state gets the span state's bucketed external
+    table (shared streaming/bucketed_state.py) — value-parity with
+    plain mode, replay overwrites ONLY its own epoch partition, the
+    collision semi-join reads the state with NO state-side Exchange,
+    and a fresh catalog re-registers the table over the existing files
+    with partitions recovered."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_ftp_spark.streaming.bucketed_state import (
+        band_spec,
+        table_name,
+    )
+    from kafka_connect_ftp_spark.streaming.neardup_stream import (
+        make_near_dup_step,
+        read_band_state,
+    )
+
+    rows1 = [
+        (1, "unique prose about rivers and mountains flowing far away"),
+        (2, "a completely different document concerning city planning"),
+    ]
+    rows2 = [
+        (3, rows1[0][1] + " x"),  # near-dup of admitted doc 1
+        (4, "entirely novel fourth document text with fresh words"),
+    ]
+
+    def _run(state_root, buckets):
+        out = f"{state_root}/out"
+        state = f"{state_root}/state"
+        step = make_near_dup_step(
+            spark, out, state, idempotent=True, buckets=buckets
+        )
+        step(spark.createDataFrame(rows1, "doc_id long, text string"), 0)
+        step(spark.createDataFrame(rows2, "doc_id long, text string"), 1)
+        return out, state
+
+    out_p, _ = _run(str(tmp_path / "plain"), None)
+    out_b, state_b = _run(str(tmp_path / "buck"), 4)
+    plain_ids = sorted(r.doc_id for r in spark.read.parquet(out_p).collect())
+    buck_ids = sorted(r.doc_id for r in spark.read.parquet(out_b).collect())
+    assert plain_ids == buck_ids == [1, 2, 4]  # 3 collided cross-batch
+
+    spec = band_spec("bigint")
+    name = table_name(spec, state_b)
+    t = spark.table(name)
+    epoch0 = sorted((r.doc_id, r.band, r.bsig) for r in t.filter("epoch = 0").collect())
+    assert epoch0
+    # replay of epoch 1 must not touch epoch 0 (static-partition insert)
+    step = make_near_dup_step(
+        spark, out_b, state_b, idempotent=True, buckets=4
+    )
+    step(spark.createDataFrame(rows2, "doc_id long, text string"), 1)
+    assert epoch0 == sorted(
+        (r.doc_id, r.band, r.bsig) for r in t.filter("epoch = 0").collect()
+    )
+    assert sorted(r.doc_id for r in spark.read.parquet(out_b).collect()) == buck_ids
+
+    # state-side-Exchange-free semi-join: probe repartitioned on the
+    # bucket keys joins the state scan with exactly one Exchange
+    batch = spark.createDataFrame(rows1, "doc_id long, text string")
+    seen = read_band_state(spark, state_b, batch, buckets=4)
+    probe = spark.range(20).select(
+        (F.col("id") % 4).cast("int").alias("band"),
+        F.xxhash64("id").alias("bsig"),
+    )
+    plan = (
+        probe.repartition(4, F.col("band"), F.col("bsig"))
+        .join(seen, ["band", "bsig"], "left_semi")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    # catalog restart: drop the table entry, read again — partitions
+    # recovered via MSCK over the existing LOCATION
+    spark.sql(f"DROP TABLE {name}")
+    seen2 = read_band_state(spark, state_b, batch, buckets=4)
+    assert seen2.count() == t.count()
+
+    # a span-state dir cannot be reopened as band state (spec marker)
+    from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
+        write_span_state,
+    )
+
+    span_dir = str(tmp_path / "span")
+    admitted = spark.range(3).select(F.xxhash64("id").alias("h"))
+    write_span_state(spark, admitted, span_dir, 0, buckets=4)
+    with pytest.raises(ValueError, match="span_state"):
+        read_band_state(spark, span_dir, batch, buckets=4)
+    # and plain-mode reads of a bucketed band dir are refused
+    with pytest.raises(ValueError, match="BUCKETED"):
+        read_band_state(spark, state_b, batch)

@@ -171,8 +171,11 @@ def test_bucketed_state_semantics_replay_and_plan(spark, tmp_path):
     the existing files with its partitions recovered."""
     import re
 
+    from kafka_connect_ftp_spark.streaming.bucketed_state import (
+        SPAN_SPEC,
+        table_name,
+    )
     from kafka_connect_ftp_spark.streaming.span_dedup_stream import (
-        _span_table_name,
         write_span_state,
     )
 
@@ -191,7 +194,7 @@ def test_bucketed_state_semantics_replay_and_plan(spark, tmp_path):
     }
     assert got == want  # byte-parity with the plain mode / batch operator
 
-    name = _span_table_name(state)
+    name = table_name(SPAN_SPEC, state)
     t = spark.table(name)
     epoch0 = sorted(r.h for r in t.filter("epoch = 0").collect())
     assert len(epoch0) == 4

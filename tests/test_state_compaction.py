@@ -191,3 +191,30 @@ def test_keep_epochs_guard(spark, tmp_path):
         compact_epoch_state(spark, str(tmp_path), keep_epochs=0)
     # absent dir: nothing to do, no error
     assert compact_epoch_state(spark, str(tmp_path / "nope"))["folded"] == []
+
+
+def test_bucketed_band_state_compaction(spark, tmp_path):
+    """Round 12: the compactor handles the bucketed BAND state too —
+    the STATE_SPEC marker tells it which columns/clustering the table
+    carries, so no kind parameter exists to get wrong."""
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    step = make_near_dup_step(spark, out, state, idempotent=True, buckets=4)
+    for i, row in enumerate(_DOCS):
+        step(_df(spark, [row]), i)
+    batch = _df(spark, [])
+    before = {
+        (r.doc_id, r.band, r.bsig)
+        for r in read_band_state(spark, state, batch, buckets=4).collect()
+    }
+    assert _epochs(f"{state}/bucketed") == [0, 1, 2, 3]
+    res = compact_epoch_state(spark, state, keep_epochs=2, buckets=4)
+    assert res == {"folded": [0, 1], "target": -1}
+    assert _epochs(f"{state}/bucketed") == [-1, 2, 3]
+    after = {
+        (r.doc_id, r.band, r.bsig)
+        for r in read_band_state(spark, state, batch, buckets=4).collect()
+    }
+    assert after == before
+    # a near-dup of a doc admitted in FOLDED epoch 0 is still dropped
+    step(_df(spark, [(9, _DOCS[0][1])]), 4)
+    assert not os.path.exists(f"{out}/epoch=4")
