@@ -80,6 +80,7 @@ def make_curation_step(
     span_state_dir: str | None = None,
     span_state_buckets: int | None = None,
     band_state_buckets: int | None = None,
+    compact_every: int | None = None,
 ):
     """Build the composed foreachBatch function (exposed so tests can
     drive a replayed batch directly — a crash replay IS calling the
@@ -121,7 +122,12 @@ def make_curation_step(
     ``band_state_buckets`` (round 12): like ``span_state_buckets`` but
     for the near-dup band state — bucketed external table CLUSTERED BY
     (band, bsig), state-side-Exchange-free collision check
-    (streaming/bucketed_state.py)."""
+    (streaming/bucketed_state.py).
+
+    ``compact_every=N`` (round 12): fold old epochs of BOTH state
+    stores every N-th batch (state_compaction.maybe_compact — runs at
+    the end of the step, after every state write, so never concurrent
+    with this stream's own reads)."""
     if (span_unit is None) != (span_state_dir is None):
         raise ValueError("span_unit and span_state_dir must be set together")
     if blocklist_join_mode not in ("broadcast", "shuffle"):
@@ -216,6 +222,7 @@ def make_curation_step(
                     spark, admitted_spans, span_state_dir, batch_id,
                     buckets=span_state_buckets,
                 )
+            _compact(batch_id)
             return
         curated = gate_micro_batch(
             nd_admitted, model,
@@ -250,6 +257,22 @@ def make_curation_step(
 
             write_span_state(
                 spark, admitted_spans, span_state_dir, batch_id,
+                buckets=span_state_buckets,
+            )
+        _compact(batch_id)
+
+    def _compact(batch_id: int) -> None:
+        from kafka_connect_ftp_spark.streaming.state_compaction import (
+            maybe_compact,
+        )
+
+        maybe_compact(
+            spark, state_dir, batch_id, compact_every,
+            buckets=band_state_buckets,
+        )
+        if span_state_dir is not None:
+            maybe_compact(
+                spark, span_state_dir, batch_id, compact_every,
                 buckets=span_state_buckets,
             )
 

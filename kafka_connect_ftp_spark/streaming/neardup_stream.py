@@ -383,9 +383,13 @@ def make_near_dup_step(
     band_size: int = 4,
     idempotent: bool = False,
     buckets: int | None = None,
+    compact_every: int | None = None,
 ):
     """Build the foreachBatch function (exposed so tests can drive a
-    replayed batch directly). ``idempotent=True`` writes each batch to
+    replayed batch directly). ``compact_every=N`` folds old state
+    epochs every N-th batch (state_compaction.maybe_compact — runs
+    after the state write, never concurrent with this stream's own
+    reads). ``idempotent=True`` writes each batch to
     its own ``epoch=N`` partition with overwrite — the
     ``idempotent_parquet_sink`` pattern — which upgrades the sink to
     effectively-once: the state read EXCLUDES the batch's own epoch
@@ -438,6 +442,11 @@ def make_near_dup_step(
             spark, band_signatures(sig, band_size=band_size), state_dir,
             batch_id, buckets=buckets,
         )
+        from kafka_connect_ftp_spark.streaming.state_compaction import (
+            maybe_compact,
+        )
+
+        maybe_compact(spark, state_dir, batch_id, compact_every, buckets=buckets)
 
     return _step
 
@@ -455,6 +464,7 @@ def start_near_dup_filter(
     band_size: int = 4,
     idempotent: bool = False,
     buckets: int | None = None,
+    compact_every: int | None = None,
 ):
     """Start the incremental near-dup filter: admitted documents to
     ``out_dir`` (epoch-partitioned effectively-once when ``idempotent``,
@@ -472,6 +482,7 @@ def start_near_dup_filter(
         band_size=band_size,
         idempotent=idempotent,
         buckets=buckets,
+        compact_every=compact_every,
     )
     return (
         stream.writeStream.foreachBatch(step)

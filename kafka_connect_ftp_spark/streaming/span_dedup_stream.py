@@ -48,6 +48,7 @@ from kafka_connect_ftp_spark.operators.span_dedup import (
     span_units,
 )
 
+
 def _ensure_span_table(spark, state_dir: str, buckets: int) -> str:
     """Create-or-re-register the EXTERNAL bucketed span-state table.
     Round 12: thin wrapper over the shared bucketed-state machinery
@@ -248,6 +249,7 @@ def make_span_dedup_step(
     min_chars: int = 1,
     idempotent: bool = False,
     buckets: int | None = None,
+    compact_every: int | None = None,
 ):
     """Build the foreachBatch function (exposed so tests can drive a
     replayed batch directly — a crash replay IS calling the step again
@@ -255,9 +257,16 @@ def make_span_dedup_step(
     batch to its own ``epoch=N`` partition with overwrite (the
     idempotent_parquet_sink pattern) — combined with the state read
     excluding the own epoch, a replay after a crash at ANY point
-    rewrites both the sink epoch and the state epoch byte-identically."""
+    rewrites both the sink epoch and the state epoch byte-identically.
+    ``compact_every=N`` folds old state epochs every N-th batch
+    (state_compaction.maybe_compact — runs after the state write, so
+    never concurrent with this stream's own reads)."""
 
     def _step(batch: DataFrame, batch_id: int) -> None:
+        from kafka_connect_ftp_spark.streaming.state_compaction import (
+            maybe_compact,
+        )
+
         seen = read_span_state(
             spark, state_dir, exclude_epoch=batch_id, buckets=buckets
         )
@@ -280,6 +289,7 @@ def make_span_dedup_step(
         # OWN epoch idempotently and read_span_state's exclude_epoch
         # makes a torn first attempt invisible to it (module doc)
         write_span_state(spark, admitted, state_dir, batch_id, buckets=buckets)
+        maybe_compact(spark, state_dir, batch_id, compact_every, buckets=buckets)
 
     return _step
 
@@ -296,6 +306,7 @@ def start_span_dedup(
     min_chars: int = 1,
     idempotent: bool = False,
     buckets: int | None = None,
+    compact_every: int | None = None,
     trigger: str | None = None,
 ):
     """Wire the step into writeStream.foreachBatch. ``trigger`` is a
@@ -309,6 +320,7 @@ def start_span_dedup(
         stream.sparkSession, out_dir, state_dir,
         unit=unit, id_col=id_col, text_col=text_col,
         min_chars=min_chars, idempotent=idempotent, buckets=buckets,
+        compact_every=compact_every,
     )
     writer = stream.writeStream.foreachBatch(step).option(
         "checkpointLocation", checkpoint_dir

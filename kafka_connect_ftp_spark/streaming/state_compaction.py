@@ -52,7 +52,16 @@ partitions are dropped from the metastore and disk afterwards.
 
 Scale: one shuffle-free distinct-aggregate read of the folded epochs
 and one write, run as rarely as operations likes (daily against a
-1-minute trigger folds 1440 partitions into 1). Reference scope note:
+1-minute trigger folds 1440 partitions into 1).
+
+Concurrency with a LIVE stream: a micro-batch whose state read was
+planned before a fold deletes its input files fails that batch with a
+file-not-found — the stream's normal retry re-plans against the
+consolidated partition and computes the identical result (the key set
+never changed), so the at-least-once contract holds; still, prefer
+running compaction between batches (e.g. from the foreachBatch
+function itself on a modulo of batch_id, or in a maintenance window)
+to avoid the wasted attempt. Reference scope note:
 the reference connector keeps its offset state in Connect's compacted
 topic (SURVEY §2.8 T3) — compaction-by-the-platform; this module is
 the analog for the file-backed dedup state.
@@ -140,6 +149,30 @@ def compact_epoch_state(
     for e in inputs:
         fs.delete(by_epoch[e], True)
     return {"folded": inputs, "target": target}
+
+
+def maybe_compact(
+    spark,
+    state_dir: str,
+    batch_id: int,
+    compact_every: int | None,
+    *,
+    keep_epochs: int = 2,
+    buckets: int | None = None,
+) -> dict | None:
+    """In-step auto-compaction: the step builders call this AFTER their
+    state write, so the fold runs between batches by construction —
+    the live-stream race in the module doc cannot occur. Fires every
+    ``compact_every``-th batch (None/0 disables); a crash replay
+    re-fires it, which is safe because compaction is idempotent and
+    ``keep_epochs`` (>= 2 here by default) keeps the replaying batch's
+    own epoch and its predecessor unfolded — the own-epoch exclusion
+    the replay depends on keeps working."""
+    if not compact_every or batch_id % compact_every != compact_every - 1:
+        return None
+    return compact_epoch_state(
+        spark, state_dir, keep_epochs=keep_epochs, buckets=buckets
+    )
 
 
 def _compact_bucketed(spark, state_dir: str, keep_epochs: int, buckets: int) -> dict:

@@ -443,3 +443,41 @@ def test_band_state_buckets_passthrough(spark, model, tmp_path):
     assert [d for d, _ in got["buck"]] == [1, 2, 5]
     assert os.path.exists(str(tmp_path / "st_buck" / "BUCKETS"))
     assert os.path.exists(str(tmp_path / "st_buck" / "bucketed"))
+
+
+def test_composed_auto_compaction_fires_on_both_stores(spark, model, tmp_path):
+    """compact_every on the composed step folds BOTH state stores from
+    inside the step (including on the all-duplicate early-return path)
+    and changes no decision."""
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    span_state = str(tmp_path / "span_state")
+    step = make_curation_step(
+        spark, model, out, state, alpha=9.0,
+        span_unit="paragraph", span_state_dir=span_state,
+        compact_every=2,
+    )
+    texts = [_text(_GOOD, s) for s in (1, 2, 5, 6)]
+    for i, t in enumerate(texts):
+        step(spark.createDataFrame([(10 + i, t)], _SCHEMA), i)
+
+    def eps(d):
+        return sorted(
+            int(e.split("=")[1])
+            for e in os.listdir(d)
+            if e.startswith("epoch=")
+        )
+
+    # batch 1 fired (inputs [0] alone -> no-op), batch 3 folded [0, 1]
+    assert eps(state) == [-1, 2, 3]
+    assert eps(span_state) == [-1, 2, 3]
+    # a near-dup of a FOLDED-epoch doc is still rejected; batch 4 is an
+    # even batch so the cadence does not fire
+    step(spark.createDataFrame([(30, texts[0])], _SCHEMA), 4)
+    assert not os.path.exists(f"{out}/epoch=4")
+    assert eps(state) == [-1, 2, 3] and eps(span_state) == [-1, 2, 3, 4]
+    # batch 5: all-duplicate again AND an odd batch — the early-return
+    # path must hit the hook too. Band store: inputs [-1] alone (top-2
+    # non-negative protected) -> no-op; span store folds [-1, 2, 3]
+    step(spark.createDataFrame([(31, texts[1])], _SCHEMA), 5)
+    assert eps(state) == [-1, 2, 3]
+    assert eps(span_state) == [-2, 4, 5]

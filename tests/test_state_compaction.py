@@ -218,3 +218,46 @@ def test_bucketed_band_state_compaction(spark, tmp_path):
     # a near-dup of a doc admitted in FOLDED epoch 0 is still dropped
     step(_df(spark, [(9, _DOCS[0][1])]), 4)
     assert not os.path.exists(f"{out}/epoch=4")
+
+
+def test_in_step_auto_compaction(spark, tmp_path):
+    """compact_every=N on the step builders folds from inside the step
+    (after the state write — never concurrent with the stream's own
+    reads) and changes no decision: near-dup and span steps produce the
+    identical delivered set with and without the cadence."""
+    # near-dup step, cadence 2 over 4 batches -> two folds fired
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    step = make_near_dup_step(
+        spark, out, state, idempotent=True, compact_every=2
+    )
+    for i, row in enumerate(_DOCS):
+        step(_df(spark, [row]), i)
+    # cadence math: batch 1 fires with epochs [0,1] -> input [0] alone
+    # (no gain, no-op); batch 3 fires with [0,1,2,3] -> folds [0,1]
+    # into -1. The KEYS stay exact throughout:
+    assert _epochs(state) == [-1, 2, 3]
+    step(_df(spark, [(9, _DOCS[0][1])]), 4)  # near-dup of folded doc 1
+    assert not os.path.exists(f"{out}/epoch=4")
+    # span step with bucketed state + cadence: parity with plain/no-fold
+    out2, st2 = str(tmp_path / "o2"), str(tmp_path / "s2")
+    sstep = make_span_dedup_step(
+        spark, out2, st2, buckets=4, idempotent=True, compact_every=2
+    )
+    ref_out, ref_st = str(tmp_path / "o3"), str(tmp_path / "s3")
+    rstep = make_span_dedup_step(spark, ref_out, ref_st, idempotent=True)
+    two_para = [
+        (i, f"{t}\n\n{_DOCS[0][1]}") for i, t in _DOCS  # shared 2nd para
+    ]
+    for i, row in enumerate(two_para):
+        sstep(_df(spark, [row]), i)
+        rstep(_df(spark, [row]), i)
+    got = {
+        r.doc_id: (r.text, r.n_dropped)
+        for r in spark.read.parquet(out2).collect()
+    }
+    want = {
+        r.doc_id: (r.text, r.n_dropped)
+        for r in spark.read.parquet(ref_out).collect()
+    }
+    assert got == want
+    assert -1 in _epochs(f"{st2}/bucketed")  # a fold actually happened
