@@ -882,12 +882,49 @@ _SIMHASH_ORACLE = f"""
                       THEN 1 ELSE -1 END) AS s
       FROM tok, generate_series(1, 8) AS ks(k), generate_series(0, 3) AS bs(b)
       GROUP BY doc_id, k, b
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s >= 0
+                      THEN (1::BIGINT << CAST((8 - k) * 4 + b AS INTEGER)) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    -- winnowing section (round 12, operators/winnow.py absorbed into
+    -- this fingerprint-family entry per the REGISTRY_WINDOW policy):
+    -- exact int64 polynomial 8-gram hashes, window-of-4 minima
+    cp AS (
+      SELECT doc_id,
+             CASE WHEN length(COALESCE(text, '')) = 0
+                  THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(string_split(COALESCE(text, ''), ''),
+                                      c -> CAST(unicode(c) % 1024 AS BIGINT))
+             END AS cps
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(cps) - 7),
+                            i -> cps[i+0] * 1 + cps[i+1] * 131 + cps[i+2] * 17161 + cps[i+3] * 2248091 + cps[i+4] * 294499921 + cps[i+5] * 38579489651 + cps[i+6] * 5053913144281 + cps[i+7] * 662062621900811) AS gh
+      FROM cp
+    ),
+    wm AS (
+      SELECT doc_id, gh,
+             list_distinct(
+               list_transform(generate_series(1, len(gh) - 3),
+                              i -> least(gh[i+0], gh[i+1], gh[i+2], gh[i+3]))) AS fps
+      FROM gr
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s >= 0
-                    THEN (1::BIGINT << CAST((8 - k) * 4 + b AS INTEGER)) ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
+    SELECT wm.doc_id,
+           COALESCE(sim.simhash, 0) AS simhash,
+           CAST(len(gh) AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           CAST(CASE WHEN len(fps) = 0 THEN 0
+                     ELSE list_reduce(fps, (a, b) -> xor(a, b)) END AS BIGINT)
+             AS fp_xor,
+           CAST(COALESCE(list_min(fps), -1) AS BIGINT) AS fp_min,
+           CAST(COALESCE(list_max(fps), -1) AS BIGINT) AS fp_max
+    FROM wm LEFT JOIN sim USING (doc_id) ORDER BY wm.doc_id
     """
 
 
@@ -895,37 +932,95 @@ _SIMHASH_ORACLE = f"""
     "simhash_fingerprint",
     _SIMHASH_ORACLE,
     doc=(
-        "32-bit SimHash per document from token md5s (frequency-weighted, "
-        "tie s=0 → bit 1). Near-dup candidates = small hamming distance. "
-        "One explode per token and ONE shuffle keyed on doc_id: the md5 "
-        "prefix is decoded to a 32-bit int ONCE per token (conv base 16), "
-        "then the 32 bit counters are plain shift-and-mask SUM columns in "
-        "a single hash aggregate (map-side partials). Hex digit k's bit b "
-        "lands at int bit p=(8-k)*4+b — the simhash bit position itself — "
-        "and sum(±1) >= 0 is equivalent to 2*ones >= n_tokens, so the "
-        "per-row work is one decode + 32 shifts instead of 32 "
-        "substring/instr evaluations (round-2 profiled 2x faster) or a "
-        "32x row fan-out (round 1's shape)."
+        "Fingerprint family (merged per the REGISTRY_WINDOW policy: "
+        "absorbed winnow_fingerprint round 12). (a) 32-bit SimHash per "
+        "document from token md5s (frequency-weighted, tie s=0 → bit "
+        "1); near-dup candidates = small hamming distance. One explode "
+        "per token and ONE shuffle keyed on doc_id: the md5 prefix is "
+        "decoded to a 32-bit int ONCE per token (conv base 16), then "
+        "the 32 bit counters are shift-and-mask SUM columns in a "
+        "single hash aggregate (map-side partials); sum(±1) >= 0 ≡ "
+        "2*ones >= n_tokens (round-2 profiled 2x over substring "
+        "evaluation, 32x over row fan-out). (b) Winnowing sketch "
+        "(Schleimer/Wilkerson/Aiken SIGMOD 2003, MOSS): exact-int64 "
+        "polynomial 8-gram rolling hashes, window-of-4 minima, "
+        "distinct value set — any shared substring >= 11 chars yields "
+        "a shared fingerprint; pure array-HOF projection, zero extra "
+        "shuffles (operators/winnow.py; the balanced() doc_id "
+        "repartition makes the family join exchange-free). No engine "
+        "hash functions in the winnow definition, so the DuckDB twin "
+        "is bit-identical from the same literals."
     ),
 )
 def simhash_fingerprint(spark, sf_dir):
-    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
-    tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk")).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("tk").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
+    from kafka_connect_ftp_spark.operators.winnow import (
+        _codepoints,
+        gram_hashes_col,
+        winnow_set,
     )
-    aggs = [
-        F.sum(F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1))).alias(f"c{p}")
-        for p in range(32)
-    ] + [F.count(F.lit(1)).alias("n")]
-    bits = tok.groupBy("doc_id").agg(*aggs)
+
+    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    # ONE scan, zero joins, zero aggregate shuffles (round 12): both
+    # family members are per-row array computations. The previous shape
+    # (explode -> 32-counter groupBy -> join back to the winnow branch)
+    # scanned documents twice and shuffled once; here the token-hash
+    # array is MATERIALIZED as a staged column (_th) and the 32 bit
+    # counters are size(filter(...)) scans of it — staging is
+    # load-bearing, see operators/winnow.py _staged: Spark does no CSE
+    # inside HOF lambdas, so an inlined _th would re-hash every token
+    # 32 times.
+    th = F.transform(
+        F.expr(_TOKS),
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    staged = (
+        df.select(
+            "doc_id",
+            _codepoints(F.coalesce(F.col("text"), F.lit(""))).alias("_cps"),
+            th.alias("_th"),
+        )
+        .select("doc_id", "_th", gram_hashes_col(F.col("_cps")).alias("_gh"))
+        .select("doc_id", "_th", "_gh", winnow_set(F.col("_gh")).alias("_fps"))
+    )
+    n = F.size("_th")
     simhash = None
     for p in range(32):
-        term = F.when(F.col(f"c{p}") * 2 >= F.col("n"), F.lit(1 << p)).otherwise(F.lit(0))
+        ones = F.size(
+            F.filter(
+                "_th",
+                lambda h: F.shiftright(h, p).bitwiseAND(F.lit(1)) == F.lit(1),
+            )
+        )
+        term = F.when(ones * 2 >= n, F.lit(1 << p)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return bits.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+    fps = F.col("_fps")
+    return (
+        staged.select(
+            "doc_id",
+            # token-less docs carried no row through the old explode ->
+            # the oracle coalesces their simhash to 0; 2*0 >= 0 would
+            # otherwise set every bit
+            F.when(n == 0, F.lit(0))
+            .otherwise(simhash)
+            .cast("long")
+            .alias("simhash"),
+            F.size("_gh").cast("long").alias("n_grams"),
+            F.size(fps).cast("long").alias("n_fps"),
+            F.aggregate(
+                fps, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+            ).alias("fp_xor"),
+            F.coalesce(F.array_min(fps), F.lit(-1)).cast("long").alias("fp_min"),
+            F.coalesce(F.array_max(fps), F.lit(-1)).cast("long").alias("fp_max"),
+        )
+        # materialized boundary before the global sort: the range
+        # sampler otherwise re-executes the whole hash chain
+        # (docs/SCALING.md, the governance_profile precedent)
+        .repartition(F.col("doc_id"))
+        .orderBy("doc_id")
+    )
+
 
 
 
@@ -1263,3 +1358,4 @@ def vocab_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+

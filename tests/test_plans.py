@@ -61,10 +61,16 @@ def test_near_dup_no_broadcast_of_corpus(plans):
 
 
 def test_simhash_single_shuffle(plans):
-    # one explode per token, 32 conditional sums in ONE doc_id aggregate —
-    # no (k x b) row fan-out, and at most the repartition + agg exchanges
+    """Round 12 (fingerprint family merge): BOTH members — the 32-bit
+    SimHash and the winnowing sketch — are per-row array computations
+    over ONE scan: no explode, no aggregate, no join; the only
+    exchanges are the balanced() repartition, the pre-sort boundary,
+    and the output sort itself."""
     plan = plans("simhash_fingerprint")
-    assert shuffle_count(plan) <= 2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    for op in ("Join", "HashAggregate", "Generate", "ArrowEvalPython"):
+        assert op not in plan, op
+    assert shuffle_count(plan) <= 3
 
 
 def test_changelog_uses_window_group_limit(plans):
