@@ -129,9 +129,21 @@ def winnow_fingerprints(
     text_col: str = "text",
 ) -> DataFrame:
     """``(doc_id, fp)`` — one row per distinct fingerprint per document
-    (the exploded sketch, the shape the pair join consumes)."""
-    return _staged(docs, k, w, id_col, text_col).select(
-        "doc_id", F.explode("_fps").alias("fp")
+    (the exploded sketch, the shape the pair join consumes).
+
+    explode_OUTER + null filter, not a plain explode: the optimizer's
+    InferFiltersFromGenerate synthesizes a non-empty-array predicate
+    from an inner explode and pushes it BELOW the staged projections —
+    re-inlining the whole winnow chain into one Filter condition where
+    no CSE applies (the _staged hazard, squared: ~5e9 interpreted ops
+    per row; 500 tiny docs ran minutes). An outer explode admits no
+    such inference — empty sketches surface as one NULL row — and the
+    explicit fp-not-null filter sits ABOVE the Generate on the output
+    attribute, costing nothing."""
+    return (
+        _staged(docs, k, w, id_col, text_col)
+        .select("doc_id", F.explode_outer("_fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
 
 

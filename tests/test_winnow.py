@@ -143,3 +143,28 @@ def test_hypothesis_profile_property(spark):
             assert got[i] == (len(gh), len(fps), xor), (t, got[i])
 
     run()
+
+
+def test_exploded_sketch_has_no_inferred_filter_blowup(spark):
+    """Round-12 regression: InferFiltersFromGenerate synthesized a
+    non-empty-array predicate from the inner explode and pushed it
+    below the staged projections, re-inlining the whole winnow chain
+    into one un-CSE'd Filter (~minutes for 500 tiny docs). With
+    explode_outer the plan must carry NO Filter that evaluates a
+    transform chain — only the trivial fp-not-null above the
+    Generate."""
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with enough text to fingerprint")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        winnow_fingerprints(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "transform(" not in line, line[:200]
+    assert "Generate" in plan
