@@ -147,6 +147,23 @@ def winnow_fingerprints(
     )
 
 
+def fp_summary_cols(gh: Column, fps: Column) -> list[Column]:
+    """The sketch-summary contract, in ONE place (shared with the
+    fingerprint-family plan in plans/text.py so plan and operator can
+    never drift): ``n_grams, n_fps, fp_xor, fp_min, fp_max`` — empty
+    sketches report xor 0 and min/max -1, mirrored literally by the
+    DuckDB oracle twin."""
+    return [
+        F.size(gh).cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        ).alias("fp_xor"),
+        F.coalesce(F.array_min(fps), F.lit(-1)).cast("long").alias("fp_min"),
+        F.coalesce(F.array_max(fps), F.lit(-1)).cast("long").alias("fp_max"),
+    ]
+
+
 def winnow_profile(
     docs: DataFrame,
     *,
@@ -155,19 +172,10 @@ def winnow_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-document sketch summary — ``(doc_id, n_grams, n_fps, fp_xor,
-    fp_min, fp_max)``; empty sketches report xor 0 and min/max -1.
+    """Per-document sketch summary — ``(doc_id, *fp_summary_cols)``.
     Staged projections, no shuffle, no explode."""
-    fps = F.col("_fps")
     return _staged(docs, k, w, id_col, text_col).select(
-        "doc_id",
-        F.size("_gh").cast("long").alias("n_grams"),
-        F.size(fps).cast("long").alias("n_fps"),
-        F.aggregate(
-            fps, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
-        ).alias("fp_xor"),
-        F.coalesce(F.array_min(fps), F.lit(-1)).cast("long").alias("fp_min"),
-        F.coalesce(F.array_max(fps), F.lit(-1)).cast("long").alias("fp_max"),
+        "doc_id", *fp_summary_cols(F.col("_gh"), F.col("_fps"))
     )
 
 

@@ -955,6 +955,7 @@ _SIMHASH_ORACLE = f"""
 def simhash_fingerprint(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.winnow import (
         _codepoints,
+        fp_summary_cols,
         gram_hashes_col,
         winnow_set,
     )
@@ -995,7 +996,6 @@ def simhash_fingerprint(spark, sf_dir):
         )
         term = F.when(ones * 2 >= n, F.lit(1 << p)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    fps = F.col("_fps")
     return (
         staged.select(
             "doc_id",
@@ -1006,13 +1006,9 @@ def simhash_fingerprint(spark, sf_dir):
             .otherwise(simhash)
             .cast("long")
             .alias("simhash"),
-            F.size("_gh").cast("long").alias("n_grams"),
-            F.size(fps).cast("long").alias("n_fps"),
-            F.aggregate(
-                fps, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
-            ).alias("fp_xor"),
-            F.coalesce(F.array_min(fps), F.lit(-1)).cast("long").alias("fp_min"),
-            F.coalesce(F.array_max(fps), F.lit(-1)).cast("long").alias("fp_max"),
+            # the winnow summary contract lives in fp_summary_cols (one
+            # definition shared with winnow_profile)
+            *fp_summary_cols(F.col("_gh"), F.col("_fps")),
         )
         # materialized boundary before the global sort: the range
         # sampler otherwise re-executes the whole hash chain

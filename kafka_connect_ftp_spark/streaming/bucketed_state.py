@@ -161,16 +161,36 @@ def ensure_table(spark, state_dir: str, buckets: int, spec: StateSpec) -> str:
                 "bucketed table over them would read unbucketed files "
                 "as bucketed and return wrong joins — use a fresh dir"
             )
-        _write_marker(marker, str(buckets))
-    # the legacy "BUCKETS-only dir == round-11 span state" fallback in
-    # load_spec must only apply to dirs that were ALREADY bucketed
-    # before this call — we may have just written the BUCKETS marker
-    # ourselves for a brand-new non-span state
-    stored = load_spec(state_dir) if pre_existing else (
-        load_spec(state_dir)
-        if _read_marker(os.path.join(state_dir, _SPEC_MARKER)) is not None
-        else None
-    )
+        # root-level DATA files = a legacy FLAT-layout plain state (the
+        # pre-epoch layout _migrate_flat_state exists for). Writing
+        # markers over it would create an empty bucketed table BESIDE
+        # the flat files — every previously admitted key silently
+        # invisible, near-dups of admitted docs re-admitted (review
+        # r12). The plain path migrates such dirs; the bucketed path
+        # must refuse them.
+        flat = [
+            e
+            for e in os.listdir(state_dir)
+            if e[:1] not in ("_", ".")
+            # both markers excluded: a crash after the SPEC write but
+            # before the BUCKETS write leaves a SPEC-only dir whose
+            # reopen lands here and must not read its own marker as a
+            # flat data file
+            and e not in (_BUCKETS_MARKER, _SPEC_MARKER)
+            and os.path.isfile(os.path.join(state_dir, e))
+        ]
+        if flat:
+            raise ValueError(
+                f"state at {state_dir} holds FLAT-layout plain state "
+                f"files ({flat[:3]}...); a bucketed table beside them "
+                "would silently ignore every accumulated key — open it "
+                "in plain mode once (which migrates the layout) or use "
+                "a fresh dir"
+            )
+    spec_marker = os.path.join(state_dir, _SPEC_MARKER)
+    stored = load_spec(state_dir) if (
+        pre_existing or _read_marker(spec_marker) is not None
+    ) else None
     if stored is not None and stored != spec:
         raise ValueError(
             f"state at {state_dir} was created as {stored.prefix} "
@@ -178,7 +198,6 @@ def ensure_table(spark, state_dir: str, buckets: int, spec: StateSpec) -> str:
             f"({spec.cols_ddl}) would silently mis-join — wrong state "
             "dir or wrong id column type"
         )
-    spec_marker = os.path.join(state_dir, _SPEC_MARKER)
     if _read_marker(spec_marker) is None:
         _write_marker(
             spec_marker,
@@ -190,6 +209,13 @@ def ensure_table(spark, state_dir: str, buckets: int, spec: StateSpec) -> str:
                 }
             ),
         )
+    if not pre_existing:
+        # BUCKETS is written AFTER STATE_SPEC (review r12): a crash
+        # between the two leaves a SPEC-only dir, which re-opens
+        # correctly — the reverse order left a BUCKETS-only dir that
+        # load_spec's legacy fallback misclassified as a round-11 span
+        # state FOREVER (hand-delete to recover)
+        _write_marker(marker, str(buckets))
     name = table_name(spec, state_dir)
     if not spark.catalog.tableExists(name):
         data_dir = os.path.join(state_dir, "bucketed")

@@ -178,13 +178,12 @@ def make_curation_step(
                 F.coalesce(F.col(text_col), F.lit("")).rlike(r"\S")
             )
             # the rebuilt batch feeds the whole near-dup/gate chain (and
-            # is referenced several times inside it), and admitted_spans
-            # feeds the end-of-step state write — checkpoint BOTH so the
-            # span decision chain (including the span-state read)
-            # executes once per batch, not again when write_span_state
-            # runs (the standalone make_span_dedup_step already does)
+            # is referenced several times inside it) — checkpoint it;
+            # admitted_spans needs none: dedup_spans_micro_batch
+            # checkpoints the shared winners node, so the state write
+            # at the end of the step re-executes only a trivial
+            # projection, not the span decision chain (review r12)
             batch = batch.localCheckpoint(eager=True)
-            admitted_spans = admitted_spans.localCheckpoint(eager=True)
         # exclude_epoch: a torn own-epoch state write from a crashed
         # first attempt must be invisible to the replay, or partially-
         # covered docs would self-collide and the epoch rewrite would

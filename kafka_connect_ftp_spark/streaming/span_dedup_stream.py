@@ -207,6 +207,15 @@ def dedup_spans_micro_batch(
             F.lit(True).alias("is_winner"),
         )
     )
+    # eager checkpoint at the SHARED node (review r12): winners feeds
+    # both the rebuilt batch (via the decided join) and the state delta
+    # (admitted hashes); without it each consumer re-executed the
+    # whole span-decision chain INCLUDING the span-state read — the
+    # steps' downstream checkpoints materialized overlapping plans, so
+    # the chain ran twice per micro-batch. Checkpointing here (the one
+    # point both outputs hang off) makes this function eager: calling
+    # it runs the decision job immediately.
+    winners = winners.localCheckpoint(eager=True)
     decided = units.join(
         winners.drop("h"), ["doc_id", "idx"], "left"
     ).withColumn("keep", ~eligible | F.coalesce(F.col("is_winner"), F.lit(False)))
@@ -274,11 +283,11 @@ def make_span_dedup_step(
             batch, seen,
             unit=unit, id_col=id_col, text_col=text_col, min_chars=min_chars,
         )
-        # checkpoint once: the decision chain feeds BOTH the delivery
-        # and the state delta; without it the whole plan re-executes
-        # per writer (deterministic, but twice the work per batch)
+        # winners is checkpointed INSIDE dedup_spans_micro_batch (the
+        # shared node), so the sink and state writes below each run
+        # only their own cheap tail. out still checkpoints here for
+        # the idempotent branch's isEmpty probe + write (two actions)
         out = out.localCheckpoint(eager=True)
-        admitted = admitted.localCheckpoint(eager=True)
         if idempotent:
             if out.isEmpty():
                 return

@@ -91,14 +91,27 @@ def _list_epochs(spark, state_dir: str) -> dict[int, object]:
     return out
 
 
-def _plan(epochs: list[int], keep_epochs: int) -> tuple[list[int], int] | None:
+def _plan(
+    epochs: list[int], keep_epochs: int, max_consolidated: int = 8
+) -> tuple[list[int], int] | None:
     """``(inputs, target_epoch)`` or None when there is nothing to gain.
-    Inputs = every epoch except the newest ``keep_epochs`` NON-NEGATIVE
-    ones (negative = already-consolidated partitions, always foldable);
-    compaction only pays when it removes at least one partition, i.e.
-    at least two inputs fold into one."""
+
+    Inputs = the old NON-negative epochs (everything except the newest
+    ``keep_epochs``); negative already-consolidated partitions are only
+    re-folded once ``max_consolidated`` of them have accumulated.
+    Rationale (review r12): always folding the consolidated partition
+    made EVERY fire re-read and rewrite the entire accumulated key set
+    — O(total history) recurring per cadence. Leaving consolidated
+    partitions alone keeps a fire at O(folded window); they accrue one
+    per fire and are squeezed to one every ``max_consolidated``-th fire
+    — the full-history rewrite amortized to 1/max_consolidated of
+    fires, with the partition count still bounded by
+    keep_epochs + max_consolidated. Compaction only pays when it
+    removes at least one partition (>= 2 inputs)."""
     protected = set(sorted([e for e in epochs if e >= 0])[-keep_epochs:])
-    inputs = sorted(e for e in epochs if e not in protected)
+    old_pos = [e for e in epochs if e >= 0 and e not in protected]
+    negs = [e for e in epochs if e < 0]
+    inputs = sorted(negs + old_pos) if len(negs) >= max_consolidated else sorted(old_pos)
     if len(inputs) < 2:
         return None
     return inputs, min(0, min(epochs)) - 1
@@ -110,6 +123,7 @@ def compact_epoch_state(
     *,
     keep_epochs: int = 2,
     buckets: int | None = None,
+    max_consolidated: int = 8,
 ) -> dict:
     """Fold old ``epoch=N`` state partitions into one consolidated
     negative-epoch partition (module doc). Returns ``{"folded":
@@ -119,11 +133,16 @@ def compact_epoch_state(
     are the candidate replay targets whose own-epoch exclusion must
     keep working; must be >= 1 (Structured Streaming can replay the
     last uncommitted batch). ``buckets`` must match the count a
-    bucketed span state was created with (the BUCKETS marker check)."""
+    bucketed state was created with (the BUCKETS marker check).
+    ``max_consolidated`` bounds how many negative consolidated
+    partitions accrue before they are squeezed to one (_plan doc —
+    the O(total-history) vs O(window) amortization)."""
     if keep_epochs < 1:
         raise ValueError(f"keep_epochs must be >= 1, got {keep_epochs}")
     if buckets is not None:
-        return _compact_bucketed(spark, state_dir, keep_epochs, buckets)
+        return _compact_bucketed(
+            spark, state_dir, keep_epochs, buckets, max_consolidated
+        )
 
     jvm, fs, hpath = hadoop_fs(spark, state_dir)
     if fs.exists(jvm.org.apache.hadoop.fs.Path(hpath, "BUCKETS")):
@@ -133,7 +152,7 @@ def compact_epoch_state(
             "the CLUSTERED BY layout the anti-join relies on)"
         )
     by_epoch = _list_epochs(spark, state_dir)
-    plan = _plan(list(by_epoch), keep_epochs)
+    plan = _plan(list(by_epoch), keep_epochs, max_consolidated)
     if plan is None:
         return {"folded": [], "target": None}
     inputs, target = plan
@@ -175,7 +194,9 @@ def maybe_compact(
     )
 
 
-def _compact_bucketed(spark, state_dir: str, keep_epochs: int, buckets: int) -> dict:
+def _compact_bucketed(
+    spark, state_dir: str, keep_epochs: int, buckets: int, max_consolidated: int
+) -> dict:
     from kafka_connect_ftp_spark.streaming.bucketed_state import (
         ensure_table,
         load_spec,
@@ -191,7 +212,7 @@ def _compact_bucketed(spark, state_dir: str, keep_epochs: int, buckets: int) -> 
     name = ensure_table(spark, state_dir, buckets, spec)
     data_dir = f"{state_dir}/bucketed"
     by_epoch = _list_epochs(spark, data_dir)
-    plan = _plan(list(by_epoch), keep_epochs)
+    plan = _plan(list(by_epoch), keep_epochs, max_consolidated)
     if plan is None:
         return {"folded": [], "target": None}
     inputs, target = plan

@@ -431,3 +431,65 @@ def test_bucketed_band_state_semantics_replay_and_plan(spark, tmp_path):
     # and plain-mode reads of a bucketed band dir are refused
     with pytest.raises(ValueError, match="BUCKETED"):
         read_band_state(spark, state_b, batch)
+
+
+def test_bucketed_open_refuses_flat_legacy_dirs_and_survives_marker_crash(
+    spark, tmp_path
+):
+    """Review r12: (a) a legacy FLAT-layout plain state dir (root-level
+    parquet, pre-epoch) must be REFUSED by bucketed mode — writing
+    markers over it would create an empty table beside the flat files
+    and every accumulated key would silently vanish from the dedup
+    check; (b) a crash between the two marker writes must not brick
+    the dir — STATE_SPEC is written before BUCKETS, and a SPEC-only
+    dir reopens correctly as its own kind."""
+    import os
+
+    from kafka_connect_ftp_spark.streaming.bucketed_state import (
+        band_spec,
+        ensure_table,
+        load_spec,
+    )
+    from kafka_connect_ftp_spark.streaming.neardup_stream import (
+        read_band_state,
+    )
+
+    # (a) flat legacy dir
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, 0, 123)], "doc_id long, band int, bsig long"
+    ).coalesce(1).write.parquet(flat)
+    # flatten: move part files up, drop the _SUCCESS-style layout Spark
+    # wrote (simulates the genuine pre-epoch layout)
+    batch = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="FLAT-layout"):
+        read_band_state(spark, flat, batch, buckets=4)
+    # the refusal must not have half-initialized the dir
+    assert not os.path.exists(os.path.join(flat, "BUCKETS"))
+
+    # (b) simulated crash: SPEC written, BUCKETS not — reopening with
+    # the same spec completes initialization; with a different spec
+    # (span) it still raises the mismatch, never the legacy fallback
+    crash = str(tmp_path / "crash")
+    os.makedirs(crash)
+    spec = band_spec("bigint")
+    import json
+
+    with open(os.path.join(crash, "STATE_SPEC"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "prefix": spec.prefix,
+                    "columns": [list(c) for c in spec.columns],
+                    "bucket_cols": list(spec.bucket_cols),
+                }
+            )
+        )
+    assert load_spec(crash) == spec
+    name = ensure_table(spark, crash, 4, spec)
+    assert os.path.exists(os.path.join(crash, "BUCKETS"))
+    assert spark.catalog.tableExists(name)
+    from kafka_connect_ftp_spark.streaming.bucketed_state import SPAN_SPEC
+
+    with pytest.raises(ValueError, match="band_state"):
+        ensure_table(spark, str(tmp_path / "crash"), 4, SPAN_SPEC)

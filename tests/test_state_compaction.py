@@ -45,12 +45,18 @@ def _epochs(d):
 
 def test_plan_protects_newest_and_skips_singletons():
     assert _plan([0, 1, 2, 3], 2) == ([0, 1], -1)
-    assert _plan([-1, 0, 1, 2], 2) == ([-1, 0], -2)
     assert _plan([5, 6], 2) is None           # all protected
     assert _plan([0, 5, 6], 2) is None        # one input folds to one
-    assert _plan([-3, 5, 6], 2) is None
-    assert _plan([-3, -1, 5, 6], 2) == ([-3, -1], -4)
     assert _plan([], 2) is None
+    # review r12 amortization: consolidated (negative) partitions are
+    # NOT re-folded on every fire — each fire is O(folded window), and
+    # negatives are squeezed only once max_consolidated accumulate
+    assert _plan([-1, 0, 1, 2], 2) is None          # [0] alone: no gain
+    assert _plan([-1, 0, 1, 2, 3], 2) == ([0, 1], -2)   # negs left alone
+    assert _plan([-3, -1, 5, 6], 2) is None         # 2 negs < threshold
+    assert _plan([-3, -1, 5, 6], 2, max_consolidated=2) == ([-3, -1], -4)
+    negs = list(range(-8, 0))
+    assert _plan(negs + [0, 1, 5, 6], 2) == (sorted(negs + [0, 1]), -9)
 
 
 def test_band_state_compaction_preserves_dedup_exactly(spark, tmp_path):
@@ -101,26 +107,35 @@ def test_compaction_converges_after_crash_between_write_and_delete(
         tuple(r) for r in spark.read.parquet(state).drop("epoch").collect()
     }
     compact_epoch_state(spark, state, keep_epochs=2)
-    # simulate the crash: resurrect one deleted input (the fold had
-    # committed, the delete had not) — duplicate keys, never lost ones
-    dup_rows = [
-        r
-        for r in spark.read.parquet(f"{state}/epoch=-1").collect()
-    ][:2]
-    spark.createDataFrame(
-        dup_rows, spark.read.parquet(f"{state}/epoch=-1").schema
-    ).write.parquet(f"{state}/epoch=0")
-    assert _epochs(state) == [-1, 0, 2, 3]
+    # simulate the crash: resurrect BOTH deleted inputs (the fold had
+    # committed, the deletes had not) — duplicate keys, never lost ones
+    consolidated = spark.read.parquet(f"{state}/epoch=-1")
+    for e in (0, 1):
+        spark.read.parquet(f"{state}/epoch=-1").limit(2).write.parquet(
+            f"{state}/epoch={e}"
+        )
+    assert _epochs(state) == [-1, 0, 1, 2, 3]
     # keys unchanged as a SET even mid-crash (duplicates are harmless
     # to the semi/anti-join consumers)
     assert {
         tuple(r) for r in spark.read.parquet(state).drop("epoch").collect()
     } == before
-    # re-run folds the leftover AND the previous consolidation into the
-    # next negative slot; set still exact
+    # re-run folds the leftovers into the next negative slot; the
+    # previous consolidation is NOT re-read (review r12 amortization —
+    # duplicate keys across negative partitions are harmless and get
+    # squeezed at the max_consolidated-th fire); set still exact
     res = compact_epoch_state(spark, state, keep_epochs=2)
-    assert res == {"folded": [-1, 0], "target": -2}
-    assert _epochs(state) == [-2, 2, 3]
+    assert res == {"folded": [0, 1], "target": -2}
+    assert _epochs(state) == [-2, -1, 2, 3]
+    assert {
+        tuple(r) for r in spark.read.parquet(state).drop("epoch").collect()
+    } == before
+    # the negative squeeze itself, forced with a low threshold
+    res = compact_epoch_state(
+        spark, state, keep_epochs=2, max_consolidated=2
+    )
+    assert res == {"folded": [-2, -1], "target": -3}
+    assert _epochs(state) == [-3, 2, 3]
     assert {
         tuple(r) for r in spark.read.parquet(state).drop("epoch").collect()
     } == before
