@@ -394,7 +394,18 @@ def crawl_corpus_sections(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.wds import write_wds_shards
 
     base = _fixture_dir(spark, sf_dir)
-    rec = read_warc(spark, os.path.join(base, "warc"))
+    # The WARC parse (binaryFile scan + Arrow-batched Python parse) and
+    # the HTML->text extraction feed FOUR consumers per family
+    # invocation (rec_out; doc_out; the wds write; the wds join-back) —
+    # as plain lineage each consumer re-parses the archives, so one
+    # invocation paid the Python parse 4x and the extraction 3x
+    # (guide §3.3/§5: materialize a multiply-consumed intermediate).
+    # Lazy localCheckpoint = computed on first use WITHIN this
+    # invocation, reused by the rest of it; every new
+    # crawl_corpus_sections() call builds fresh checkpoints, so nothing
+    # persists across invocations (bench.py rebuilds the sections per
+    # timed sample for exactly this reason).
+    rec = read_warc(spark, os.path.join(base, "warc")).localCheckpoint(eager=False)
     nulls = lambda: [  # noqa: E731
         F.lit(None).cast("int").alias("status"),
         F.lit(None).cast("string").alias("ctype"),
@@ -410,7 +421,9 @@ def crawl_corpus_sections(spark, sf_dir):
         F.lit(None).cast("string").alias("text"),
         F.col("decode_error").alias("err"),
     )
-    corpus = warc_to_corpus(rec, strip_html=True, clean=True)
+    corpus = warc_to_corpus(rec, strip_html=True, clean=True).localCheckpoint(
+        eager=False
+    )
     doc_out = lambda: corpus.select(  # noqa: E731
         F.lit("doc").alias("section"),
         F.col("url").alias("k"),

@@ -191,8 +191,6 @@ _GOPHER_AUG_DUCK = (
 # min_words_per_line=1 so the unsegmented zh/ja/th probes (no spaces)
 # reach the terminal-punctuation rule at all, and min_sentences=1 so
 # c4_keep varies per row instead of pinning false.
-_RP_PLAN_CACHE: list = []  # (spark identity, sf_dir, built plan)
-
 _RT_MARK = "CASE WHEN doc_id % 3 = 0 THEN '。' WHEN doc_id % 3 = 1 THEN '.' ELSE '' END"
 _RT_LANG_CASE = (
     "CASE WHEN doc_id % 11 = 1 THEN 'ru' WHEN doc_id % 11 = 2 THEN 'el'"
@@ -437,13 +435,10 @@ def repetition_profile(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.rule_gate import rule_gate
     from kafka_connect_ftp_spark.plans.text import _SCRIPT_PROBE_CASE
 
-    # plan memo (the text_profile _TP_PLAN_CACHE pattern): the routed
-    # rule_gate chain (literal lang->param maps + regex CASE trees)
-    # makes eager re-analysis cost ~1.3s of driver time per
-    # construction — production is build-once/execute-many
-    for s_, d_, built in _RP_PLAN_CACHE:
-        if s_ is spark and d_ == sf_dir:
-            return built
+    # plan memo: handled by the shared registry memo (plans/__init__.py
+    # _PLAN_MEMO): the routed rule_gate chain (literal lang->param maps
+    # + regex CASE trees) makes eager re-analysis cost ~1.3s of driver
+    # time per construction — production is build-once/execute-many
     docs = balanced(
         load_tables(spark, sf_dir, "documents")["documents"], spark, "doc_id"
     )
@@ -475,15 +470,12 @@ def repetition_profile(spark, sf_dir):
         F.col("c4_keep").alias("rt_c4_keep"),
         F.col("gopher_keep").alias("rt_gopher_keep"),
     )
-    out = (
+    return (
         repetition_signals(docs, top_ns=(2, 3, 4), dup_ns=(5, 10), decimals=6)
         .join(gop, "doc_id")
         .join(rt, "doc_id")
         .orderBy("doc_id")
     )
-    _RP_PLAN_CACHE.append((spark, sf_dir, out))
-    del _RP_PLAN_CACHE[:-4]
-    return out
 
 
 @register(

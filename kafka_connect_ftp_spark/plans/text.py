@@ -192,13 +192,6 @@ def _ct_profiles(spark):
     return spark.createDataFrame(_CT_PROF_ROWS, "lang string, gram string, rank int")
 
 
-# (session, sf_dir, plan) triples — see text_profile's plan-memo note.
-# Bounded: at most _TP_CACHE_MAX entries, oldest evicted — a process
-# that cycles sessions (per-module test fixtures, a service) must not
-# pin every dead session + its analyzed plan tree forever (review 9b)
-_TP_PLAN_CACHE: list = []
-_TP_CACHE_MAX = 4
-
 _RT_PROF_ROWS: list | None = None
 
 
@@ -461,18 +454,14 @@ def text_profile(spark, sf_dir):
         classify_lang_routed,
     )
 
-    # plan memo (round 9b): the DataFrame is an immutable plan and this
-    # is the deepest one in the registry — two staged classifier chains
+    # plan memo: handled by the shared registry memo (plans/__init__.py
+    # _PLAN_MEMO — round 12 generalization of the round-9b cache this
+    # query pioneered). The DataFrame is an immutable plan and this is
+    # the deepest one in the registry — two staged classifier chains
     # with 15 literal gram→rank maps make EAGER re-analysis of the
     # growing tree cost ~1.9s of driver time per construction, re-paid
     # on every bench sample for an identical plan. Production is
-    # train-once/classify-many: the plan is built once per (session,
-    # sf_dir) and re-executed (the _ct_profiles/_FIXTURE_CACHE
-    # convention, one level up). Keyed by session IDENTITY (the held
-    # reference also pins the object so ids can't be recycled).
-    for s, d, built in _TP_PLAN_CACHE:
-        if s is spark and d == sf_dir:
-            return built
+    # train-once/classify-many.
     df = balanced(_docs(spark, sf_dir), spark, "doc_id")
     # ONE map-side projection CHAIN, zero joins (round-9 rework: every
     # branch — script dispatch + routed CT, trained CT, C4 flags, token
@@ -595,8 +584,6 @@ def text_profile(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
-    _TP_PLAN_CACHE.append((spark, sf_dir, out))
-    del _TP_PLAN_CACHE[:-_TP_CACHE_MAX]
     return out
 
 

@@ -124,14 +124,30 @@ _SHUFFLE_NODE_TOKENS = (
 )
 
 
+# footer-scan memo for _nano_timestamp_cols: the pyarrow dataset walk +
+# footer parse costs ~10-40ms per table per load_tables call, re-paid
+# for an identical answer on every query build (round 12). Keyed by
+# (path, mtime) so a regenerated testdata file invalidates its entry.
+_NANO_COLS_CACHE: dict[tuple[str, float], list[str]] = {}
+
+
 def _nano_timestamp_cols(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects (PARQUET_TYPE_ILLEGAL). Footer-only check via pyarrow."""
+    rejects (PARQUET_TYPE_ILLEGAL). Footer-only check via pyarrow,
+    memoized per (path, mtime)."""
+    key = (path, os.path.getmtime(path))
+    hit = _NANO_COLS_CACHE.get(key)
+    if hit is not None:
+        return hit
     import pyarrow.dataset as ds
     import pyarrow.types as pt
 
     schema = ds.dataset(path, format="parquet").schema
-    return [f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"]
+    out = [f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"]
+    _NANO_COLS_CACHE[key] = out
+    if len(_NANO_COLS_CACHE) > 256:
+        _NANO_COLS_CACHE.pop(next(iter(_NANO_COLS_CACHE)))
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

@@ -1,0 +1,97 @@
+"""The shared registry plan memo (plans/__init__.py _PLAN_MEMO):
+pure queries rebuild once per (session, sf_dir) and return the same
+plan object; impure queries (driver actions / persisted intermediates /
+side effects) must never be memoized; execution of a memoized plan
+still recomputes from the parquet inputs (no InMemoryRelation in the
+executed plan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_ftp_spark.plans import _MEMO_QUERIES, _PLAN_MEMO, registry
+
+SF = "/root/testdata/sf0.001"
+SF2 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_memoized_query_returns_same_plan_object(spark, reg):
+    fn = reg["q1_pricing_summary"].fn
+    a = fn(spark, SF)
+    b = fn(spark, SF)
+    assert a is b
+
+
+def test_memo_keyed_by_sf_dir(spark, reg):
+    fn = reg["dedup_exact"].fn
+    a = fn(spark, SF)
+    c = fn(spark, SF2)
+    assert a is not c
+    assert fn(spark, SF) is a  # the SF entry survives the SF2 build
+
+
+def test_memo_keyed_by_session_identity(spark, reg):
+    fn = reg["window_rank_family"].fn
+    a = fn(spark, SF)
+    # a different session object (newSession shares the context but is a
+    # distinct session) must get a fresh plan — plans hold session state
+    other = spark.newSession()
+    b = fn(other, SF)
+    assert a is not b
+
+
+def test_impure_queries_are_not_memoized(spark, reg):
+    # ngram_jaccard_pairs caches an intermediate; memoizing it would
+    # reuse materialized blocks across invocations (result caching).
+    # Guard the EXCLUSION, not just the inclusion.
+    for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs"):
+        assert name not in _MEMO_QUERIES
+        fn = reg[name].fn
+        assert not hasattr(fn, "__wrapped__"), name
+    # and the side-effecting / driver-action families stay out
+    for name in (
+        "crawl_corpus_family",
+        "corpus_report",
+        "dedup_cluster_decision",
+        "pq_adc_topk",
+        "ann_ivf_family",
+        "bpe_train_tokenize",
+        "vocab_coverage",
+        "ingest_snapshot_delta",
+        "streaming_rollup_family",
+        "embedding_cosine_topk",
+        "embedding_norms",
+        "scalar_funcs",
+        "decontamination_flags",
+        "lineitem_reshape_family",
+        "quality_model_flags",
+    ):
+        assert name not in _MEMO_QUERIES, name
+
+
+def test_memoized_plan_recomputes_from_inputs(spark, reg):
+    # the memoized frame must not acquire cached/materialized state: its
+    # executed plan reads the parquet scan every time (no
+    # InMemoryRelation / LogicalRDD anywhere in the optimized plan)
+    df = reg["dedup_exact"].fn(spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in optimized
+    assert "LogicalRDD" not in optimized
+
+
+def test_memo_bounded(spark, reg):
+    from kafka_connect_ftp_spark.plans import _PLAN_MEMO_MAX
+
+    assert len(_PLAN_MEMO) <= _PLAN_MEMO_MAX
+
+
+def test_memo_list_matches_registry_names(reg):
+    # every memo name must be a live registry entry — a renamed query
+    # silently losing its memo would re-pay build cost unnoticed
+    assert _MEMO_QUERIES <= set(reg.keys())
