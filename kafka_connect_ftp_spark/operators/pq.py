@@ -98,12 +98,23 @@ def codebook_from_first_ids(
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
-    if len(rows) < ksub:
-        raise ValueError(f"need >= {ksub} vectors for ksub={ksub}, got {len(rows)}")
-    dim = len(rows[0]["v"])
+    return codebook_from_vectors([r["v"] for r in rows], m=m, ksub=ksub)
+
+
+def codebook_from_vectors(
+    vecs: list, *, m: int, ksub: int
+) -> PqCodebook:
+    """The ``codebook_from_first_ids`` construction over ALREADY
+    COLLECTED vectors (ordered by id): callers that need the same rows
+    for something else (e.g. the query vector in the oracle-gated
+    ``pq_adc_topk`` plan) can pay ONE bounded collect instead of two
+    scans (round 12)."""
+    if len(vecs) < ksub:
+        raise ValueError(f"need >= {ksub} vectors for ksub={ksub}, got {len(vecs)}")
+    dim = len(vecs[0])
     dsub = _check_dims(dim, m)
     cents = [
-        [list(r["v"][j * dsub : (j + 1) * dsub]) for r in rows] for j in range(m)
+        [list(v[j * dsub : (j + 1) * dsub]) for v in vecs[:ksub]] for j in range(m)
     ]
     return PqCodebook(m=m, dsub=dsub, centroids=cents)
 

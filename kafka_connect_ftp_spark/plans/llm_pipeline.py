@@ -12,7 +12,7 @@ from kafka_connect_ftp_spark.operators.bloom import bloom_prefilter_join
 from kafka_connect_ftp_spark.operators.repetition import repetition_signals
 from kafka_connect_ftp_spark.plans import ORACLE_MAX_TOKENS as _ORACLE_MAX_TOKENS
 from kafka_connect_ftp_spark.plans import register
-from kafka_connect_ftp_spark.session import balanced, load_tables
+from kafka_connect_ftp_spark.session import load_tables
 
 _TOKS = "filter(split(text, ' '), x -> x <> '')"
 _DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -433,15 +433,13 @@ def repetition_profile(spark, sf_dir):
         gopher_quality_signals,
     )
     from kafka_connect_ftp_spark.operators.rule_gate import rule_gate
-    from kafka_connect_ftp_spark.plans.text import _SCRIPT_PROBE_CASE
+    from kafka_connect_ftp_spark.plans.text import _SCRIPT_PROBE_CASE, _docs_balanced
 
     # plan memo: handled by the shared registry memo (plans/__init__.py
     # _PLAN_MEMO): the routed rule_gate chain (literal lang->param maps
     # + regex CASE trees) makes eager re-analysis cost ~1.3s of driver
     # time per construction — production is build-once/execute-many
-    docs = balanced(
-        load_tables(spark, sf_dir, "documents")["documents"], spark, "doc_id"
-    )
+    docs = _docs_balanced(spark, sf_dir)
     gop = gopher_quality_signals(
         docs.select("doc_id", F.expr(_GOPHER_AUG_SPARK).alias("text"))
     )
@@ -567,9 +565,9 @@ def quality_model_flags(spark, sf_dir):
     ),
 )
 def quality_filter_flags(spark, sf_dir):
-    df = balanced(
-        load_tables(spark, sf_dir, "documents")["documents"], spark, "doc_id"
-    ).withColumn("tk", F.expr(_TOKS))
+    from kafka_connect_ftp_spark.plans.text import _docs_balanced
+
+    df = _docs_balanced(spark, sf_dir).withColumn("tk", F.expr(_TOKS))
     bigrams = df.select(
         "doc_id",
         F.explode(

@@ -484,17 +484,27 @@ _PQ_ADC_SUM = " + ".join(
 def pq_adc_topk(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.pq import (
         adc_dist_col,
-        codebook_from_first_ids,
+        codebook_from_vectors,
         pq_encode,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    cb = codebook_from_first_ids(emb, m=_PQ_M, ksub=_PQ_KSUB)
-    first = emb.orderBy("vec_id").first()
-    query = [float(x) for x in first.embedding]
+    # ONE bounded collect feeds both index-build inputs (round 12): the
+    # first-ids codebook needs the ksub smallest-id vectors and the ADC
+    # query is the smallest-id vector — previously two separate scans
+    # (codebook_from_first_ids + an orderBy().first()) per invocation
+    first_rows = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_KSUB)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    cb = codebook_from_vectors([r["v"] for r in first_rows], m=_PQ_M, ksub=_PQ_KSUB)
+    q_id = first_rows[0]["vec_id"]
+    query = [float(x) for x in first_rows[0]["v"]]
     enc = pq_encode(emb, cb)
     return (
-        enc.filter(F.col("vec_id") != F.lit(first.vec_id))
+        enc.filter(F.col("vec_id") != F.lit(q_id))
         .select(
             "vec_id",
             F.array_join(

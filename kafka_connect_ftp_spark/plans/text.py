@@ -32,6 +32,26 @@ def _docs(spark, sf_dir):
     return load_tables(spark, sf_dir, "documents")["documents"]
 
 
+# balanced-docs PLAN memo (round 12): balanced() probes the scan's
+# partition count through df.rdd per call (~0.15s of driver/JVM work for
+# an identical answer), and five registry queries build the exact same
+# balanced docs scan. The frame is a pure plan (scan + optional
+# repartition — nothing materialized), so sharing it across queries and
+# invocations caches no results; same keying discipline as
+# plans/__init__._PLAN_MEMO (session object held → ids can't recycle).
+_BAL_DOCS_MEMO: list = []  # (session object, sf_dir, DataFrame)
+
+
+def _docs_balanced(spark, sf_dir):
+    for s, d, built in _BAL_DOCS_MEMO:
+        if s is spark and d == sf_dir:
+            return built
+    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    _BAL_DOCS_MEMO.append((spark, sf_dir, df))
+    del _BAL_DOCS_MEMO[:-8]
+    return df
+
+
 # DSIR knobs shared by the vocab_coverage gate columns and their oracle
 # (operators/dsir.py defaults; target = the src0-4 slice, the
 # trusted-reference convention of the quality classifier)
@@ -462,7 +482,7 @@ def text_profile(spark, sf_dir):
     # growing tree cost ~1.9s of driver time per construction, re-paid
     # on every bench sample for an identical plan. Production is
     # train-once/classify-many.
-    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    df = _docs_balanced(spark, sf_dir)
     # ONE map-side projection CHAIN, zero joins (round-9 rework: every
     # branch — script dispatch + routed CT, trained CT, C4 flags, token
     # stats — is a pure projection, so they compose via keep_cols
@@ -703,7 +723,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     # shingles and megabytes of sketches.
     # spread the (cpu-bound) signature computation across all cores —
     # the source is a single small parquet file, i.e. one input split
-    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    df = _docs_balanced(spark, sf_dir)
     # explode + hash-agg rather than higher-order array lambdas: the md5 and
     # substring expressions stay inside whole-stage codegen, and the min()
     # partial-aggregates map-side, so the shuffle carries one 8-string
@@ -803,7 +823,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     # frame (3 consumers); the combined emission profiled 3x faster and
     # drops the cache.
     df = (
-        balanced(_docs(spark, sf_dir), spark, "doc_id")
+        _docs_balanced(spark, sf_dir)
         .withColumn("tk", F.expr(_TOKS))
         .filter(F.size("tk") >= 3)
     )
@@ -947,7 +967,7 @@ def simhash_fingerprint(spark, sf_dir):
         winnow_set,
     )
 
-    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    df = _docs_balanced(spark, sf_dir)
     # ONE scan, zero joins, zero aggregate shuffles (round 12): both
     # family members are per-row array computations. The previous shape
     # (explode -> 32-counter groupBy -> join back to the winnow branch)
@@ -1236,7 +1256,7 @@ def vocab_coverage(spark, sf_dir):
         vocab_top_v,
     )
 
-    df = balanced(_docs(spark, sf_dir), spark, "doc_id")
+    df = _docs_balanced(spark, sf_dir)
     tok = df.select("doc_id", F.explode(F.expr(_TOKS)).alias("tk"))
     # ONE corpus pass: every section below consumes the (doc, token, tf)
     # reduction, MATERIALIZED (lazy localCheckpoint — computed on first

@@ -169,22 +169,43 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        nano_cols = _nano_timestamp_cols(path)
-        if nano_cols:
-            # restore the caller's prior value, not a hardcoded 'false' —
-            # a caller running its own nano-parquet reads must not have
-            # the conf silently flipped under it
-            prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            try:
+        # scan-frame memo (round 12): spark.read.parquet pays a JVM
+        # schema-analysis round trip (~0.1-0.2s) per call for an
+        # identical immutable PLAN — the same argument as the registry
+        # plan memo (plans/__init__.py _PLAN_MEMO). Nothing materialized
+        # is cached; every execution still scans the parquet file. The
+        # temp view is RE-registered on every call (cheap), so callers
+        # that overwrote the view name still see load_tables restore it.
+        mkey = (spark, path, os.path.getmtime(path))
+        df = None
+        for s, p, m, built in _SCAN_MEMO:
+            if s is spark and p == path and m == mkey[2]:
+                df = built
+                break
+        if df is None:
+            nano_cols = _nano_timestamp_cols(path)
+            if nano_cols:
+                # restore the caller's prior value, not a hardcoded 'false' —
+                # a caller running its own nano-parquet reads must not have
+                # the conf silently flipped under it
+                prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                try:
+                    df = spark.read.parquet(path)
+                    for c in nano_cols:
+                        # integer div: ns epochs exceed double's 2^53 mantissa
+                        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+                finally:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            else:
                 df = spark.read.parquet(path)
-                for c in nano_cols:
-                    # integer div: ns epochs exceed double's 2^53 mantissa
-                    df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-            finally:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
-        else:
-            df = spark.read.parquet(path)
+            _SCAN_MEMO.append((spark, path, mkey[2], df))
+            del _SCAN_MEMO[:-64]
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# (session object, path, mtime, DataFrame) — bounded; holds the session
+# reference so a recycled id can never alias a stale entry
+_SCAN_MEMO: list = []
