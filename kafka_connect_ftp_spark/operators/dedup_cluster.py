@@ -15,13 +15,15 @@ one aggregation, all shuffles on doc_id; convergence is a flag column
 computed during the update and filter-counted off the checkpointed
 blocks (no old-vs-new join), so the driver only sees a scalar per round.
 
-Path selection: the deduped edge count is known up front (the count that
-materializes the edge cache). At or below ``driver_threshold`` edges
-the components are solved with a driver union-find instead — a near-dup
-candidate graph is usually TINY relative to its corpus (pairs survive
-banding + verification), and at that size the distributed loop's cost
-is pure scheduling: O(log n) whole-cluster rounds of two joins plus a
-checkpoint to relabel a few thousand rows. The default threshold (1M
+Path selection: a single bounded probe — ``limit(driver_threshold + 1)
+.toPandas()`` — both decides the path and, in the driver regime,
+already IS the edge collect (round 12: the former cache+count+collect
+shape paid two jobs and an InMemoryRelation write for the same bytes).
+At or below ``driver_threshold`` edges the components are solved with a
+driver union-find — a near-dup candidate graph is usually TINY relative
+to its corpus (pairs survive banding + verification), and at that size
+the distributed loop's cost is pure scheduling: O(log n) whole-cluster
+rounds of two joins plus a checkpoint to relabel a few thousand rows. The default threshold (1M
 directed edges ≈ 16 MB columnar) is the same bounded-collect class as
 the KMV sketch staging; union-by-min-root with path compression yields
 byte-identical (min-reachable-id) labels. Above the threshold — the
@@ -43,18 +45,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Solve components on the driver for a bounded edge set: columnar
-    collect (Arrow, not Row objects), union by MIN root with path
-    compression — the component root is provably its minimum id, so
-    labels match the distributed loop exactly. Id-TYPE-agnostic like the
-    distributed loop (its F.least/F.min work on any orderable type):
-    values are compared with Python ``<``, which for ints and strings
-    orders identically to Spark's comparators (UTF-8 strings compare by
-    code point in both)."""
+def _driver_union_find(spark, pdf, id_type) -> DataFrame:
+    """Solve components on the driver for a bounded edge set already
+    collected as a pandas frame (Arrow columnar, not Row objects): union
+    by MIN root with path compression — the component root is provably
+    its minimum id, so labels match the distributed loop exactly.
+    Id-TYPE-agnostic like the distributed loop (its F.least/F.min work
+    on any orderable type): values are compared with Python ``<``, which
+    for ints and strings orders identically to Spark's comparators
+    (UTF-8 strings compare by code point in both)."""
     from pyspark.sql.types import StructField, StructType
 
-    pdf = edges.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -75,8 +76,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     import pandas as pd
 
     out = pd.DataFrame({"doc_id": nodes, "cluster": [find(n) for n in nodes]})
-    id_type = edges.schema["src"].dataType
-    return edges.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out,
         StructType(
             [StructField("doc_id", id_type), StructField("cluster", id_type)]
@@ -95,7 +95,7 @@ def connected_components(
     # a union of two selects would evaluate the pairs lineage — often an
     # expensive minhash/LSH plan — once per branch before the cache
     # materializes
-    edges = (
+    edges_plan = (
         pairs.select(
             F.explode(
                 F.array(
@@ -106,15 +106,27 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .cache()
     )
-    # this count materializes the cache (the init aggregation would have
-    # anyway) AND decides the path — no extra scan of the pairs lineage
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        out = _driver_union_find(edges)
-        edges.unpersist()
-        return out
+    if driver_threshold > 0:
+        # ONE bounded action decides the path AND delivers the edges
+        # (round 12, guide §1.2/§5): limit(threshold+1).toPandas() runs
+        # the pairs lineage once and collects at most threshold+1 rows —
+        # when nothing is truncated (the common, by-design regime) the
+        # driver path needs no cache write, no separate count job and no
+        # second pass. The previous shape paid cache-materialize+count
+        # then a cache-read collect: two jobs and an InMemoryRelation
+        # write for the same bytes. An over-threshold graph pays the
+        # probe once more when the distributed loop re-materializes the
+        # edges below — the documented trade: that regime is the huge-
+        # graph path where one extra bounded probe is noise against the
+        # O(log n) join rounds that follow.
+        pdf = edges_plan.limit(driver_threshold + 1).toPandas()
+        if len(pdf) <= driver_threshold:
+            return _driver_union_find(
+                pairs.sparkSession, pdf, edges_plan.schema["src"].dataType
+            )
+    edges = edges_plan.cache()
+    edges.count()  # materialize the cache before the loop reads it twice per round
     # Initialization FOLDS the would-be first propagation round into one
     # aggregation: with identity labels, round 0's neighbor-min is just
     # min(neighbor doc_id) and the pointer-jump hop is the identity, so

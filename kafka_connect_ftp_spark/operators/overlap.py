@@ -115,6 +115,85 @@ def kmv_sketches(
     )
 
 
+def corpus_overlap_frame(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 256,
+    *,
+    key_col: str = "text",
+) -> DataFrame:
+    """:func:`corpus_overlap` as a pure PLAN — same columns, same values,
+    no driver collect (round 12 optimization, guide §1.2/§5: the collect
+    forced every composed report to pay an extra eager Spark job per
+    invocation and disqualified it from plan memoization).
+
+    The KMV sketch aggregation — the part that carries the 100 TB scale
+    argument — is unchanged (:func:`kmv_sketches`); only the final
+    O(groups² · k) pair arithmetic moves from driver Python into a tiny
+    self-join over the per-group sketch ARRAYS (groups × k doubles).
+    Value equivalence with the driver path:
+
+    - the sketch arrays hold the identical doubles (``array_sort`` over
+      the same k minima the collect saw), so ``merged``/``both`` compare
+      bit-equal values and the set arithmetic is exact;
+    - divisions/products mirror the Python expressions operand-for-
+      operand in IEEE double, so unrounded intermediates are bit-equal;
+    - ``F.round`` is HALF_UP while Python ``round`` is banker's — they
+      can only disagree when an estimate lands EXACTLY on a rounding
+      boundary (integer + 0.5, or a 4th-decimal 5 for the jaccard), a
+      measure-zero event for hash-derived doubles and impossible in the
+      exact full-set regime where the estimates are integer ± 1 ulp.
+      ``test_overlap.py`` pins driver/frame parity in both regimes.
+
+    A NULL group is its own group ordered FIRST (the driver path's
+    contract): the pair predicate is ``a IS NULL AND b IS NOT NULL OR
+    a < b``, which reproduces Python's None-first sorted enumeration.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sk = kmv_sketches(docs, group_col, k, key_col=key_col)
+    ag = sk.groupBy("group").agg(F.array_sort(F.collect_list("u")).alias("us"))
+    a = ag.select(F.col("group").alias("group_a"), F.col("us").alias("ua"))
+    b = ag.select(F.col("group").alias("group_b"), F.col("us").alias("ub"))
+    pair_cond = (
+        F.col("group_a").isNull() & F.col("group_b").isNotNull()
+    ) | (F.col("group_a") < F.col("group_b"))
+    merged = F.expr(f"slice(array_sort(array_union(ua, ub)), 1, {k})")
+    both = F.size(
+        F.expr("filter(_merged, x -> array_contains(ua, x) AND array_contains(ub, x))")
+    ).cast("double")
+    jac = F.when(F.size("_merged") == 0, F.lit(0.0)).otherwise(
+        F.col("_both") / F.size("_merged").cast("double")
+    )
+
+    def est_distinct(us: str) -> F.Column:
+        # full-set regime (fewer than k distinct): the sketch IS the set
+        return F.when(
+            F.size(us) < k, F.size(us).cast("double")
+        ).otherwise(F.lit(float(k - 1)) / F.element_at(us, -1))
+
+    common = F.when(
+        F.col("_j") > 0.0,
+        F.col("_j") / (F.lit(1.0) + F.col("_j")) * (F.col("_da") + F.col("_db")),
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, pair_cond)
+        .withColumn("_merged", merged)
+        .withColumn("_both", both)
+        .withColumn("_j", jac)
+        .withColumn("_da", est_distinct("ua"))
+        .withColumn("_db", est_distinct("ub"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round("_j", 4).alias("est_jaccard"),
+            F.round("_da", 0).cast("bigint").alias("est_distinct_a"),
+            F.round("_db", 0).cast("bigint").alias("est_distinct_b"),
+            F.round(common, 0).cast("bigint").alias("est_common"),
+        )
+    )
+
+
 def corpus_overlap(
     docs: DataFrame,
     group_col: str = "source",

@@ -45,9 +45,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Eligibility is strict — memo=True ONLY for pure plan constructors:
 #   * no eager driver actions on sf data (collect/first/count/toPandas):
 #     skipping those on a second call would cache data-derived results,
-#     not a plan (excluded: pq_adc_topk, ann_ivf_family, corpus_report,
+#     not a plan (excluded: pq_adc_topk, ann_ivf_family,
 #     dedup_cluster_decision, bpe_train_tokenize, embedding_cosine_topk,
-#     embedding_norms);
+#     embedding_norms; corpus_report joined the memo set in round 12
+#     after its overlap/rates sections moved in-plan —
+#     corpus_overlap_frame + the window-expression rates bridge);
 #   * no persist/cache/localCheckpoint inside the plan: a memoized
 #     frame would re-read materialized blocks instead of recomputing
 #     (excluded: minhash_lsh_pairs, ngram_jaccard_pairs, vocab_coverage,
@@ -107,6 +109,9 @@ _MEMO_QUERIES = frozenset(
         "span_dedup_decision",
         "sequence_packing",
         "multimodal_binary_meta",
+        # round 12: pure since the overlap pair arithmetic and the
+        # token-budget rates bridge moved in-plan (corpus_queries.py)
+        "corpus_report",
     }
 )
 

@@ -42,11 +42,7 @@ from kafka_connect_ftp_spark.operators.bpe import apply_bpe, train_bpe
 from kafka_connect_ftp_spark.operators.capping import cap_per_group
 from kafka_connect_ftp_spark.operators.corpus_stats import corpus_stats
 from kafka_connect_ftp_spark.operators.heavy_hitters import heavy_hitter_ngrams
-from kafka_connect_ftp_spark.operators.mixing import (
-    rates_for_token_budgets,
-    temperature_rates,
-)
-from kafka_connect_ftp_spark.operators.overlap import corpus_overlap
+from kafka_connect_ftp_spark.operators.overlap import corpus_overlap_frame
 from kafka_connect_ftp_spark.operators.span_dedup import dedup_spans_multi
 from kafka_connect_ftp_spark.plans import register
 from kafka_connect_ftp_spark.session import load_tables
@@ -334,12 +330,16 @@ def span_dedup_decision(spark, sf_dir):
         "'capped' — per-source kept-count and kept-bytes after the real "
         "cap_per_group anti-dominance cap (WindowGroupLimit pre-prune, "
         "n=10 so the cap bites at every SF); 'overlap' — per-source-pair "
-        "shared/distinct counts from the real KMV corpus_overlap run in "
-        "its provably-exact full-set regime over 3-token-prefix keys "
+        "shared/distinct counts from the real KMV sketches "
+        "(corpus_overlap_frame — the plan-only pair arithmetic over the "
+        "same kmv_sketches aggregation, round 12) in the provably-exact "
+        "full-set regime over 3-token-prefix keys "
         "(integer estimates only, so the hash gate is float-free); "
-        "'rates' — the real rates_for_token_budgets bridge turning a "
+        "'rates' — the rates_for_token_budgets bridge computed in-plan "
+        "(round 12; operand-for-operand the oracle's tsrc/tnorm/tz "
+        "CTEs) turning a "
         "fixed 20k-token budget per source into mix_corpora sampling "
-        "rates, PLUS the real temperature_rates twin (mBERT/XLM-R "
+        "rates, PLUS the temperature_rates twin (mBERT/XLM-R "
         "p^alpha rule over the same totals, alpha=0.3, global budget = "
         "per-source budget x n_sources) riding the dup_ratio slot "
         "rates (n = the budget, n_tokens = the source's total tokens, "
@@ -398,8 +398,12 @@ def corpus_report(spark, sf_dir):
     )
     # exact regime: _KMV_K far exceeds every source's distinct key count,
     # so the integer estimates equal the true set arithmetic (operator
-    # module doc) and hash-match the oracle's joins
-    ov = corpus_overlap(
+    # module doc) and hash-match the oracle's joins. The PLAN variant
+    # (round 12): same KMV sketches, same values, but the pair
+    # arithmetic runs in a tiny self-join instead of a driver collect —
+    # one fewer eager job per invocation, and the report becomes a pure
+    # plan constructor (memo-eligible, see _MEMO_QUERIES).
+    ov = corpus_overlap_frame(
         docs.withColumn("_pfx", F.expr(_PFX_SPARK)), "source", _KMV_K, key_col="_pfx"
     ).select(
         F.lit("overlap").alias("section"),
@@ -409,42 +413,50 @@ def corpus_report(spark, sf_dir):
         F.col("est_distinct_b").alias("n_tokens"),
         *nulls,
     )
-    # 'rates': the real token-budget -> sampling-rate bridge. Both the
-    # totals agg here and the bridge's own agg are map-side-combined and
-    # return one tiny row per source — deliberate bounded collects, like
-    # the KMV sketch. The rate rides UNROUNDED (module comment on
-    # _RATE_BUDGET).
-    totals = {
-        r["src"]: r["total"]
-        for r in docs.groupBy(F.col("source").alias("src"))
-        .agg(F.sum(F.size(F.expr(_TOKS)).cast("long")).alias("total"))
-        .collect()
-    }
-    rate_map = rates_for_token_budgets(
-        docs, {s: float(_RATE_BUDGET) for s in totals}, totals=totals
+    # 'rates': the real token-budget -> sampling-rate bridge, computed
+    # IN-PLAN (round 12 optimization) mirroring the oracle's tsrc/tnorm/
+    # tz CTEs operand-for-operand: the per-source totals agg is the same
+    # map-side-combined one tiny-row-per-source aggregation the driver
+    # bridge (operators/mixing.rates_for_token_budgets) runs, but the
+    # rate arithmetic rides as window expressions over that 5-row frame
+    # instead of a collect + Python loop — one fewer eager job per
+    # invocation, and the query becomes a pure plan constructor.
+    # Value equivalence with the Python bridge: rate = budget/total is
+    # ONE IEEE division of exactly-representable operands (bit-identical
+    # in CPython, the JVM and DuckDB — the module comment on
+    # _RATE_BUDGET), and the temperature twin's pow/sum intermediates
+    # differ from CPython's by <= a few ulp, absorbed by the 6-decimal
+    # round exactly as the DuckDB twin's always were (the gate has
+    # always compared cross-engine floats under that round).
+    from pyspark.sql import Window as _W
+
+    _w_all = _W.partitionBy()
+    tsrc = (
+        docs.groupBy(F.col("source").alias("key"))
+        .agg(F.sum(F.size(F.expr(_TOKS)).cast("long")).alias("_tl"))
+        .select("key", F.col("_tl").cast("double").alias("tn"))
+        .withColumn("_nt", F.sum("tn").over(_w_all))
+        .withColumn("_k", F.count(F.lit(1)).over(_w_all).cast("double"))
+        .withColumn(
+            "_z", F.sum(F.pow(F.col("tn") / F.col("_nt"), F.lit(_TEMP_ALPHA))).over(_w_all)
+        )
     )
-    # the temperature twin over the SAME totals: global budget =
-    # per-source budget x n_sources, so both rate families are directly
-    # comparable in one section (temperature upweights rare sources,
-    # the fixed-budget bridge upweights them HARDER — 1/n_s vs n_s^(a-1))
-    temp_map = temperature_rates(
-        totals, budget=float(_RATE_BUDGET * len(totals)), alpha=_TEMP_ALPHA
-    )
-    rates = spark.createDataFrame(
-        [
-            (s, totals[s], rate_map[s], temp_map[s])
-            for s in sorted(totals, key=lambda s: (s is None, s))
-        ],
-        "key string, total bigint, rate double, trate double",
-    ).select(
+    rates = tsrc.select(
         F.lit("rates").alias("section"),
         "key",
         F.lit(_RATE_BUDGET).cast("long").alias("n"),
         F.lit(None).cast("long").alias("n_bytes"),
-        F.col("total").alias("n_tokens"),
+        F.col("tn").cast("bigint").alias("n_tokens"),
         *nulls[:3],
-        F.round("trate", 6).alias("dup_ratio"),
-        F.col("rate").alias("share"),
+        F.round(
+            F.lit(float(_RATE_BUDGET))
+            * F.col("_k")
+            * F.pow(F.col("tn") / F.col("_nt"), F.lit(_TEMP_ALPHA))
+            / F.col("_z")
+            / F.col("tn"),
+            6,
+        ).alias("dup_ratio"),
+        (F.lit(float(_RATE_BUDGET)) / F.col("tn")).alias("share"),
     )
     return (
         comp.unionByName(hh)

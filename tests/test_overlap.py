@@ -5,7 +5,11 @@ plan pin, duplicate/NULL handling."""
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_connect_ftp_spark.operators.overlap import corpus_overlap, kmv_sketches
+from kafka_connect_ftp_spark.operators.overlap import (
+    corpus_overlap,
+    corpus_overlap_frame,
+    kmv_sketches,
+)
 
 
 def _corpus(spark, specs):
@@ -104,3 +108,59 @@ def test_rejects_bad_k(spark):
     docs = _corpus(spark, {"a": ["1"]})
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketches(docs, "source", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        corpus_overlap_frame(docs, "source", k=1)
+
+
+# ---- plan-only variant (round 12): value parity with the driver path ----
+
+
+def _rows(df):
+    return sorted(
+        (
+            (r.group_a, r.group_b, r.est_jaccard, r.est_distinct_a,
+             r.est_distinct_b, r.est_common)
+            for r in df.collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1] or ""),
+    )
+
+
+@pytest.mark.parametrize(
+    "specs, k",
+    [
+        # full-set (exact) regime
+        (
+            {
+                "old": [f"doc-{i}" for i in range(60)],
+                "new": [f"doc-{i}" for i in range(40, 100)],
+            },
+            512,
+        ),
+        # sketch (estimator) regime — k below the pairwise union size
+        (
+            {
+                "old": [f"doc-{i}" for i in range(1000)],
+                "new": [f"doc-{i}" for i in range(500, 1500)],
+            },
+            256,
+        ),
+        # multiway + disjoint pairs
+        ({"a": ["1", "2"], "b": ["3", "4"], "c": ["1", "3"]}, 64),
+    ],
+)
+def test_frame_matches_driver_path(spark, specs, k):
+    docs = _corpus(spark, specs)
+    assert _rows(corpus_overlap_frame(docs, "source", k=k)) == _rows(
+        corpus_overlap(docs, "source", k=k)
+    )
+
+
+def test_frame_null_group_matches_driver_path(spark):
+    docs = _corpus(spark, {"a": ["x", "y"]}).union(
+        spark.createDataFrame([(None, "x"), (None, "z")], "source string, text string")
+    )
+    frame = _rows(corpus_overlap_frame(docs, "source", k=64))
+    assert frame == _rows(corpus_overlap(docs, "source", k=64))
+    [(ga, gb, *_)] = frame
+    assert ga is None and gb == "a"  # NULL group ordered first, like the driver path

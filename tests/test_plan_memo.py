@@ -56,7 +56,6 @@ def test_impure_queries_are_not_memoized(spark, reg):
     # and the side-effecting / driver-action families stay out
     for name in (
         "crawl_corpus_family",
-        "corpus_report",
         "dedup_cluster_decision",
         "pq_adc_topk",
         "ann_ivf_family",
@@ -83,6 +82,22 @@ def test_memoized_plan_recomputes_from_inputs(spark, reg):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" not in optimized
     assert "LogicalRDD" not in optimized
+
+
+def test_corpus_report_memoized_and_pure(spark, reg):
+    # round 12: corpus_report became a pure plan constructor (overlap
+    # pair arithmetic + rates bridge moved in-plan) and joined the memo
+    # set. Pin BOTH properties: the memo hit, and that the memoized plan
+    # holds no materialized/driver-local state (a LocalRelation would
+    # mean data-derived rows were frozen at build time — result caching).
+    fn = reg["corpus_report"].fn
+    assert "corpus_report" in _MEMO_QUERIES
+    a = fn(spark, SF)
+    assert fn(spark, SF) is a
+    analyzed = a._jdf.queryExecution().analyzed().toString()
+    assert "InMemoryRelation" not in analyzed
+    assert "LogicalRDD" not in analyzed
+    assert "LocalRelation" not in analyzed
 
 
 def test_memo_bounded(spark, reg):
