@@ -14,7 +14,11 @@ Host-load adjudication (round 11): a JIT-free single-core numpy probe runs
 BEFORE, MID-RUN, and AFTER the query loop (load_pre/mid/post in the
 headline line), with `load_suspect: true` when they spread >20% —
 BENCH_r10 was uniformly ~1.5-2x inflated by load that arrived after a
-quiet startup, invisible to the old single startup probe. The JVM
+quiet startup, invisible to the old single startup probe. When the flag
+trips, the run appends a warm re-run of the frozen r1-r3 comparable
+subset plus one more probe (`r1_r3_comparable_subtotal_rerun` /
+`load_rerun`, round 12 — r11 verdict #8): the artifact then carries a
+second measurement instead of one contaminated line. The JVM
 calibration (calib_jvm_sec, r9 protocol) stays for cross-ROUND drift;
 it can't adjudicate within-run load because it JIT-tiers ~2x over the
 course of a run.
@@ -259,6 +263,33 @@ def main() -> int:
     # load changed materially DURING the run; per-query numbers from
     # different phases of the run are then not mutually comparable
     load_suspect = max(probes) / min(probes) > 1.2
+    # test hook: exercise the rerun branch deterministically (the flag
+    # itself still reports the real probe spread)
+    force_rerun = os.environ.get("SPARK_GRAFT_FORCE_RERUN") == "1"
+
+    # Round 12 (r11 verdict #8): when the flag trips, the artifact
+    # re-runs the frozen comparable subset ONCE instead of shipping a
+    # single contaminated line — plans and codegen are warm by now, so
+    # two execution-only samples per query give a usable min, and the
+    # bracketing probe pair lets a judge adjudicate whether the rerun
+    # itself landed in a quiet window. Additive fields only: `value`,
+    # `queries` and the original subtotals keep their historical
+    # semantics untouched.
+    rerun_subtotal = None
+    load_rerun = None
+    queries_rerun: dict[str, float] = {}
+    if load_suspect or force_rerun:
+        for name in R1_R3_COMPARABLE:
+            rsamples = []
+            for _ in range(2):
+                t0 = time.time()
+                df = reg[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                rsamples.append(time.time() - t0)
+            queries_rerun[name] = round(min(rsamples), 3)
+        rerun_subtotal = round(sum(queries_rerun.values()), 3)
+        load_rerun = measure_load("rerun")
+        print(f"# load_suspect rerun subtotal: {rerun_subtotal}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # the headline set grew 15 -> 21 queries in round 4; this subtotal is
@@ -280,6 +311,7 @@ def main() -> int:
         "queries_build_samples": build_samples,
         "crawl_sections": crawl_sections,
         "crawl_section_samples": crawl_section_samples,
+        "queries_rerun": queries_rerun,
     }
     print(json.dumps(detail))
     # the final line must stay comfortably under the driver's 2000-char
@@ -297,6 +329,8 @@ def main() -> int:
         "load_mid": load_mid,
         "load_post": load_post,
         "load_suspect": load_suspect,
+        "r1_r3_comparable_subtotal_rerun": rerun_subtotal,
+        "load_rerun": load_rerun,
         "runs": runs,
         "agg": "min",
         "sf": float(sf) if sf else None,
