@@ -141,3 +141,24 @@ def test_repetition_profile_routed_gate_rides_broadcast_joins(plans):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_order_rollup_distinct_split_from_percentiles(plans):
+    """Round 12: COUNT(DISTINCT) and exact percentiles must never share
+    one grouping-sets aggregation — the distinct rewrite's Expand would
+    replicate the percentile value buffers onto every (group, custkey)
+    partial key (measured 3x the query at sf0.1; memory grows with
+    distinct-key cardinality at scale). The split shape: the distinct
+    count aggregates alone (plain HashAggregate over the expand) and
+    joins back broadcast at output-group grain."""
+    plan = plans("order_rollup_family")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # two independent grouping-set expands, one per aggregation
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 2
+    # percentile state stays in ObjectHashAggregate nodes whose grouping
+    # keys never include the distinct column (custkey only ever feeds
+    # the plain hash aggregates of the distinct branch)
+    obj_blocks = re.findall(r"\(\d+\) ObjectHashAggregate[^\n]*\n(?:[^\n]*\n)*?(?=\(\d+\)|\Z)", plan)
+    for block in obj_blocks:
+        assert "o_custkey" not in block, "percentile buffers keyed by custkey"
