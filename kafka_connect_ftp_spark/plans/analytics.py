@@ -350,6 +350,14 @@ def scalar_funcs(spark, sf_dir):
             F.coalesce(F.col("_fb2"), F.lit(False)).alias("u2_fb"),
             F.coalesce(F.col("_fb3"), F.lit(False)).alias("u3_fb"),
         )
+        # round 12: materialization boundary before the global sort (the
+        # governance_profile trade) — the range sort's sampling pass
+        # re-executed the whole url_norm/suffix-chain/zorder projection
+        # (no shuffle between the part scan and the sort: the blocklist
+        # exchanges live in broadcast side branches). Measured 3.2s ->
+        # 1.7s on the sort subchain, ~5.5s -> ~3.3s for the full query
+        # at sf0.1; values unchanged (plan-only), oracle gate re-run.
+        .repartition("p_partkey")
         .orderBy("p_partkey")
     )
 

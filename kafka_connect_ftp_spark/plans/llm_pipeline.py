@@ -519,6 +519,10 @@ def quality_model_flags(spark, sf_dir):
             "doc_id", F.round("quality_score", 4).alias("quality_score")
         )
         .withColumn("keep", pareto_keep(alpha=2.0))
+        # round 12: boundary before the sort — sampling otherwise
+        # re-runs the feature-hash/score projection (0.43s -> 0.31s;
+        # the governance_profile trade, see plans/text.py text_profile)
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 

@@ -602,6 +602,17 @@ def text_profile(spark, sf_dir):
             "c4_keep",
             "c4_fp",
         )
+        # materialization boundary before the global sort (round 12,
+        # the governance_profile precedent): the range sort's SAMPLING
+        # pass re-executes its child plan, and everything above the
+        # balanced() repartition — the whole tokenize/stopword/CT/BPE/C4
+        # chain — is narrow, so sampling re-ran it end to end (measured
+        # 1.62s -> 0.93s with the boundary at sf0.1). With it, the chain
+        # runs once and sampling reads the materialized shuffle files;
+        # the same trade holds at 100 TB, where re-running the CPU-bound
+        # profile chain over every row costs far more than one exchange
+        # of the profile-grain output.
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
     return out
