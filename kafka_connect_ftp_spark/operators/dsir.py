@@ -148,15 +148,32 @@ def dsir_scores(
     """Per-document importance log-weight: ``(doc_id, dsir_logw)`` —
     the hashed-gram log likelihood ratio summed over the document's
     gram stream. Gram-less documents score 0. ``n_buckets`` must match
-    the table's (checked)."""
-    n_rows = logratio.count()
-    if n_rows != n_buckets:
-        raise ValueError(
-            f"logratio has {n_rows} rows but n_buckets={n_buckets}; "
-            "featurization and model must share the bucket space"
-        )
+    the table's — enforced IN-PLAN at execution (round 12): the former
+    eager ``logratio.count()`` executed the table's full lineage (two
+    corpus aggregations) as a driver-blocking job per plan
+    CONSTRUCTION; the guard now rides the gram stream as an
+    ``assert_true`` over a broadcast 1-row count of the table, raising
+    the same bucket-space message from the first executed gram batch.
+    (Narrowing: a gram-less corpus no longer raises on a mismatched
+    table — there are no rows to check against; it returns the same
+    empty/zero scores either way.)"""
+    n_check = logratio.agg(F.count(F.lit(1)).alias("_n_buckets"))
+    guard = F.assert_true(
+        F.col("_n_buckets") == F.lit(n_buckets),
+        F.concat(
+            F.lit("logratio has "),
+            F.col("_n_buckets").cast("string"),
+            F.lit(
+                f" rows but n_buckets={n_buckets}; "
+                "featurization and model must share the bucket space"
+            ),
+        ),
+    )
     per_doc = (
         gram_buckets(docs, id_col=id_col, text_col=text_col, n_buckets=n_buckets)
+        .crossJoin(F.broadcast(n_check))
+        .where(guard.isNull())
+        .drop("_n_buckets")
         .join(F.broadcast(logratio), "bucket")
         .groupBy("doc_id")
         .agg(F.sum("log_ratio").alias("dsir_logw"))

@@ -128,8 +128,12 @@ def test_contract_violations(spark, frames):
         dsir_logratio(target, raw, n_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         dsir_logratio(target, raw, alpha=0.0)
-    with pytest.raises(ValueError, match="bucket space"):
-        dsir_scores(raw, table, n_buckets=B * 2)
+    # round 12: the bucket-space guard moved in-plan (assert_true over a
+    # broadcast table count) so plan CONSTRUCTION no longer executes the
+    # logratio lineage; the same message now raises at execution
+    mismatch = dsir_scores(raw, table, n_buckets=B * 2)
+    with pytest.raises(Exception, match="bucket space"):
+        mismatch.collect()
     with pytest.raises(ValueError, match="n must be"):
         dsir_select(dsir_scores(raw, table, n_buckets=B), 0)
 
