@@ -373,7 +373,18 @@ ORDER BY section, k
     "unmodified.",
 )
 def crawl_corpus_family(spark, sf_dir):
-    parts = [thunk() for _, thunk in crawl_corpus_sections(spark, sf_dir)]
+    # The sections' EAGER side work is independent (wds_out's shard
+    # write, tick_out's two state ticks — fresh mkdtemp state per call;
+    # the rest are pure plan builds), so build them from a small thread
+    # pool (guide §2.6: overlap independent jobs) — the tick jobs'
+    # stragglers back-fill with the wds write instead of serializing
+    # after it. Results are unchanged: each thunk returns the same frame
+    # it returned sequentially, and pool.map preserves section order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    sections = crawl_corpus_sections(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        parts = list(pool.map(lambda sec: sec[1](), sections))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

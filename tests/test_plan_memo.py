@@ -61,7 +61,6 @@ def test_impure_queries_are_not_memoized(spark, reg):
         "ann_ivf_family",
         "bpe_train_tokenize",
         "vocab_coverage",
-        "ingest_snapshot_delta",
         "streaming_rollup_family",
         "embedding_cosine_topk",
         "embedding_norms",
@@ -98,6 +97,25 @@ def test_corpus_report_memoized_and_pure(spark, reg):
     assert "InMemoryRelation" not in analyzed
     assert "LogicalRDD" not in analyzed
     assert "LocalRelation" not in analyzed
+
+
+def test_ingest_snapshot_delta_memoized_and_pure(spark, reg):
+    # round 12: snapshot(checkpoint=False) + corpus_diff is one pure
+    # lazy plan, so the query joined the memo set. Its analyzed plan DOES
+    # carry LogicalRDD nodes — but only from createDataFrame over
+    # compile-time literal fixtures (empty ingest state, the paired-
+    # duplicate diff rows), never sf-data-derived rows; pin that the
+    # memo hit exists and nothing MATERIALIZED (InMemoryRelation) or
+    # checkpoint-scanned rides the plan.
+    fn = reg["ingest_snapshot_delta"].fn
+    assert "ingest_snapshot_delta" in _MEMO_QUERIES
+    a = fn(spark, SF)
+    assert fn(spark, SF) is a
+    analyzed = a._jdf.queryExecution().analyzed().toString()
+    assert "InMemoryRelation" not in analyzed
+    assert "Checkpoint" not in analyzed
+    # the parquet scan is live lineage (recomputed per execution)
+    assert "parquet" in analyzed.lower()
 
 
 def test_memo_bounded(spark, reg):
