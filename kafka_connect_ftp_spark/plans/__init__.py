@@ -52,18 +52,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #     corpus_overlap_frame + the window-expression rates bridge);
 #   * no persist/cache/localCheckpoint inside the plan: a memoized
 #     frame would re-read materialized blocks instead of recomputing
-#     (excluded: minhash_lsh_pairs, ngram_jaccard_pairs, vocab_coverage,
-#     scalar_funcs, decontamination_flags, lineitem_reshape_family);
+#     (excluded: minhash_lsh_pairs, ngram_jaccard_pairs, vocab_coverage);
+#   * no DATA-DERIVED driver-resident state baked into the plan:
+#     decontamination_flags stays out because bloom_prefilter_join
+#     stages the sketch (an aggregate of sf data) through the driver
+#     into a LogicalRDD — memoizing would freeze that sketch;
 #   * no filesystem/stream side effects in the fn (excluded:
 #     crawl_corpus_family, streaming_rollup_family).
 # Literal-seed training memos (lang_id profiles) are data-independent
 # constants and do not affect eligibility. The same reasoning admits
-# ingest_snapshot_delta (round 12): its LogicalRDD nodes come from
-# createDataFrame over COMPILE-TIME literal rows (the empty ingest
-# state, the paired-duplicate corpus_diff fixtures) — deterministic
-# constants, not sf-data-derived state — and snapshot() runs with
-# checkpoint=False, so the whole two-tick + diff pipeline is one pure
-# lazy plan whose execution always recomputes from the parquet scan. The list is bounded and holds
+# (round 12) the queries whose ONLY LogicalRDD nodes are createDataFrame
+# over COMPILE-TIME literal rows — deterministic constants, never
+# sf-data-derived state: ingest_snapshot_delta (empty ingest state + the
+# paired-duplicate corpus_diff fixtures; snapshot() runs checkpoint=False
+# so the two-tick + diff pipeline is one pure lazy plan),
+# scalar_funcs (the 4-entry literal blocklist; filter_by_blocklist runs
+# with max_broadcast_entries=None so no eager count), and
+# lineitem_reshape_family (the literal price-band table). The list is bounded and holds
 # the session object itself, so a recycled session id can never alias a
 # stale entry (the held reference pins the object).
 _PLAN_MEMO: list = []  # (session object, sf_dir, name, built DataFrame)
@@ -118,10 +123,11 @@ _MEMO_QUERIES = frozenset(
         # round 12: pure since the overlap pair arithmetic and the
         # token-budget rates bridge moved in-plan (corpus_queries.py)
         "corpus_report",
-        # round 12: pure lazy two-tick pipeline — snapshot(checkpoint=
-        # False) + corpus_diff have no eager actions; the only
-        # LogicalRDDs are compile-time literal fixtures (module comment)
+        # round 12: pure lazy plans whose only LogicalRDDs are
+        # compile-time literal fixtures (module comment)
         "ingest_snapshot_delta",
+        "scalar_funcs",
+        "lineitem_reshape_family",
     }
 )
 

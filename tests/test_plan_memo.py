@@ -64,9 +64,7 @@ def test_impure_queries_are_not_memoized(spark, reg):
         "streaming_rollup_family",
         "embedding_cosine_topk",
         "embedding_norms",
-        "scalar_funcs",
         "decontamination_flags",
-        "lineitem_reshape_family",
         "quality_model_flags",
     ):
         assert name not in _MEMO_QUERIES, name
@@ -99,16 +97,20 @@ def test_corpus_report_memoized_and_pure(spark, reg):
     assert "LocalRelation" not in analyzed
 
 
-def test_ingest_snapshot_delta_memoized_and_pure(spark, reg):
-    # round 12: snapshot(checkpoint=False) + corpus_diff is one pure
-    # lazy plan, so the query joined the memo set. Its analyzed plan DOES
-    # carry LogicalRDD nodes — but only from createDataFrame over
-    # compile-time literal fixtures (empty ingest state, the paired-
-    # duplicate diff rows), never sf-data-derived rows; pin that the
-    # memo hit exists and nothing MATERIALIZED (InMemoryRelation) or
-    # checkpoint-scanned rides the plan.
-    fn = reg["ingest_snapshot_delta"].fn
-    assert "ingest_snapshot_delta" in _MEMO_QUERIES
+@pytest.mark.parametrize(
+    "name",
+    ["ingest_snapshot_delta", "scalar_funcs", "lineitem_reshape_family"],
+)
+def test_literal_logicalrdd_queries_memoized_and_pure(spark, reg, name):
+    # round 12: these queries joined the memo set. Their analyzed plans
+    # DO carry LogicalRDD nodes — but only from createDataFrame over
+    # compile-time literal fixtures (empty ingest state / paired-
+    # duplicate diff rows / the 4-entry blocklist / the price-band
+    # table), never sf-data-derived rows; pin that the memo hit exists
+    # and nothing MATERIALIZED (InMemoryRelation) or checkpoint-scanned
+    # rides the plan.
+    fn = reg[name].fn
+    assert name in _MEMO_QUERIES
     a = fn(spark, SF)
     assert fn(spark, SF) is a
     analyzed = a._jdf.queryExecution().analyzed().toString()
