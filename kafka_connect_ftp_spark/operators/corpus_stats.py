@@ -56,27 +56,56 @@ def corpus_stats(
         F.expr(_TOKS.replace("text", text_col)).cast("long").alias("toks"),
         F.md5(F.col(text_col).cast("binary")).alias("fp"),
     )
-    agg = (
-        base.cube("grp")  # grouping sets {(grp), ()} — group rows + rollup
-        .agg(
-            # grouping() (not a sentinel compare) marks the rollup row, so
-            # a user group literally named "__all__" can never be mistaken
-            # for it in the share denominator below
-            F.grouping("grp").alias("_is_total"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("bytes").alias("n_bytes"),
-            F.sum("toks").alias("n_tokens"),
-            (
-                F.expr("percentile(toks, array(0.5D, 0.9D, 0.99D))")
-                if exact_quantiles
-                else F.percentile_approx("toks", [0.5, 0.9, 0.99])
-            ).alias("_q"),
-            (
-                F.approx_count_distinct("fp")
-                if approx_distinct
-                else F.count_distinct("fp")
-            ).alias("_n_distinct"),
+    # Round 12 (the order_rollup_family finding, guide §2.3/§5): an
+    # exact COUNT(DISTINCT fp) in the SAME aggregation as the percentile
+    # multiplies pathologically — RewriteDistinctAggregates expands every
+    # row once per aggregate branch on top of the cube's 2-set Expand,
+    # and the percentile buffers are then allocated per (grouping set,
+    # fp) PARTIAL key: one value-list object per distinct document
+    # fingerprint, memory growing with corpus cardinality instead of the
+    # handful of output groups. The exact distinct count therefore runs
+    # in its OWN cube aggregation (narrow (grp, fp) rows, plain
+    # two-phase HashAggregate) and joins back broadcast on the
+    # null-safe (grouping marker, grp) key — groups+1 rows. The HLL
+    # sketch (approx_distinct=True) is mergeable and triggers no
+    # rewrite, so it stays fused in the single pass.
+    main_aggs = [
+        # grouping() (not a sentinel compare) marks the rollup row, so
+        # a user group literally named "__all__" can never be mistaken
+        # for it in the share denominator below
+        F.grouping("grp").alias("_is_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bytes").alias("n_bytes"),
+        F.sum("toks").alias("n_tokens"),
+        (
+            F.expr("percentile(toks, array(0.5D, 0.9D, 0.99D))")
+            if exact_quantiles
+            else F.percentile_approx("toks", [0.5, 0.9, 0.99])
+        ).alias("_q"),
+    ]
+    if approx_distinct:
+        main = base.cube("grp").agg(
+            *main_aggs, F.approx_count_distinct("fp").alias("_n_distinct")
         )
+    else:
+        main = base.cube("grp").agg(*main_aggs)
+        dist = base.cube("grp").agg(
+            F.grouping("grp").alias("_is_total"),
+            F.count_distinct("fp").alias("_n_distinct"),
+        )
+        main = main.join(
+            F.broadcast(dist),
+            [
+                main["_is_total"].eqNullSafe(dist["_is_total"]),
+                main["grp"].eqNullSafe(dist["grp"]),
+            ],
+            "inner",
+        ).select(
+            main["grp"], main["_is_total"], "n_docs", "n_bytes",
+            "n_tokens", "_q", dist["_n_distinct"],
+        )
+    agg = (
+        main
         .select(
             "_is_total",
             F.when(F.col("_is_total") == 1, "__all__").otherwise(F.col("grp")).alias(group_col),
