@@ -1305,24 +1305,24 @@ def vocab_coverage(spark, sf_dir):
     from kafka_connect_ftp_spark.operators.bm25 import bm25_scores, rrf_fuse
 
     # both scored frames feed TWO consumers (the per-doc column join +
-    # rrf_fuse's shortlist) — materialize once, the dsir/tf convention
-    # (exchange/subplan reuse across branches is not guaranteed)
-    bm = (
-        bm25_scores(df, _BM25_TERMS, tokens_expr=_TOKS, k1=_BM25_K1, b=_BM25_B)
-        .select("doc_id", F.round("bm25", 4).alias("bm25"))
-        .localCheckpoint(eager=False)
-    )
+    # rrf_fuse's shortlist). Round 12: they are NO LONGER
+    # localCheckpoint-ed — each lazy localCheckpoint pays full physical
+    # planning of its subtree at BUILD time (df.rdd conversion, ~0.8 s
+    # each here; cProfile showed the four checkpoints were 3.2 s of the
+    # 5.9 s build), while recomputing these two cheap one-aggregation
+    # branches once more per execution costs ~0.3 s. The heavyweight
+    # tf/table intermediates (3 consumers / two corpus aggregations)
+    # keep their checkpoints — there the recompute dwarfs the planning.
+    bm = bm25_scores(
+        df, _BM25_TERMS, tokens_expr=_TOKS, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.round("bm25", 4).alias("bm25"))
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     qv = emb.orderBy("vec_id").limit(1).select(F.col("v").alias("qv"))
-    cos = (
-        emb.crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cos_expr("v", "qv"), 4).alias("cos_q"),
-        )
-        .localCheckpoint(eager=False)
+    cos = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cos_expr("v", "qv"), 4).alias("cos_q"),
     )
     fused = rrf_fuse(
         [
@@ -1370,6 +1370,12 @@ def vocab_coverage(spark, sf_dir):
             "pack_seq_first",
             "pack_seq_last",
         )
+        # materialization boundary before the global sort (the round-12
+        # scalar_funcs/text_profile/governance precedent): the range
+        # sort's sampling pass would otherwise re-execute the whole
+        # 6-join gate chain a second time; with the doc_id repartition
+        # the chain runs once and sampling reads the shuffle files.
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 
