@@ -162,3 +162,32 @@ def test_order_rollup_distinct_split_from_percentiles(plans):
     obj_blocks = re.findall(r"\(\d+\) ObjectHashAggregate[^\n]*\n(?:[^\n]*\n)*?(?=\(\d+\)|\Z)", plan)
     for block in obj_blocks:
         assert "o_custkey" not in block, "percentile buffers keyed by custkey"
+
+
+def test_corpus_report_stats_split_and_intersect_pairs(plans):
+    """Round 12 (session 2): two plan properties of corpus_report.
+
+    (a) The order_rollup finding applied to corpus_stats: the exact
+    COUNT(DISTINCT fp) must aggregate ALONE — a fused aggregation would
+    allocate the exact-percentile value buffers per (grouping set, fp)
+    partial key, one per distinct document fingerprint. Shape: no
+    percentile-carrying aggregate node may key on the fingerprint.
+
+    (b) The KMV pair arithmetic must count the merged-sketch overlap
+    with hash-set array_intersect, never the O(k^2)
+    filter(x -> array_contains(...)) HOF (measured 2x the overlap
+    section at k=8192)."""
+    plan = plans("corpus_report")
+    # (a): percentile state never keyed by the distinct fingerprint
+    pct_blocks = re.findall(
+        r"\(\d+\) (?:ObjectHashAggregate|SortAggregate)[^\n]*\n(?:[^\n]*\n)*?(?=\(\d+\)|\Z)",
+        plan,
+    )
+    for block in pct_blocks:
+        if "percentile" in block:
+            assert "fp#" not in block, "percentile buffers keyed by the distinct fp"
+    # the distinct count joins back broadcast, not sort-merge
+    assert "SortMergeJoin" not in plan
+    # (b): nested intersect present, the contains-scan HOF gone
+    assert "array_intersect(array_intersect" in plan
+    assert "array_contains" not in plan
