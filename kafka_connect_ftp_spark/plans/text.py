@@ -867,9 +867,16 @@ def ngram_jaccard_pairs(spark, sf_dir):
         )
         .groupBy("p.a", "p.b")
         .agg(F.count(F.lit(1)).alias("ct"))
-        # two consumers below (sizes twice for broadcast, pairs once); the
-        # aggregated frame is tiny — pairs + one row per doc
-        .cache()
+        # three consumers below (sizes twice for broadcast, pairs once):
+        # materialize ONCE per invocation. localCheckpoint, NOT cache()
+        # (round 12): CacheManager matches plan-identical frames ACROSS
+        # invocations (sameResult canonicalization), so a .cache() here
+        # silently served sample 1's materialized counts to every later
+        # bench sample — cross-invocation result reuse the round's
+        # no-caching rule forbids. A lazy localCheckpoint gives the same
+        # one-pass intra-invocation reuse with a FRESH RDD per
+        # invocation; every execution recomputes from the parquet scan.
+        .localCheckpoint(eager=False)
     )
     sizes = counts.filter(F.col("a") == F.col("b")).select(
         F.col("a").alias("doc_id"), F.col("ct").alias("n_sh")

@@ -46,9 +46,10 @@ def test_memo_keyed_by_session_identity(spark, reg):
 
 
 def test_impure_queries_are_not_memoized(spark, reg):
-    # ngram_jaccard_pairs caches an intermediate; memoizing it would
-    # reuse materialized blocks across invocations (result caching).
-    # Guard the EXCLUSION, not just the inclusion.
+    # ngram_jaccard_pairs / minhash_lsh_pairs lazily localCheckpoint an
+    # intermediate; memoizing them would reuse materialized blocks
+    # across invocations (result caching). Guard the EXCLUSION, not
+    # just the inclusion.
     for name in ("ngram_jaccard_pairs", "minhash_lsh_pairs"):
         assert name not in _MEMO_QUERIES
         fn = reg[name].fn
@@ -118,6 +119,30 @@ def test_literal_logicalrdd_queries_memoized_and_pure(spark, reg, name):
     assert "Checkpoint" not in analyzed
     # the parquet scan is live lineage (recomputed per execution)
     assert "parquet" in analyzed.lower()
+
+
+def test_ngram_no_cross_invocation_cache_reuse(spark, reg):
+    # round 12: ngram_jaccard_pairs' counts intermediate was .cache()d —
+    # CacheManager matches plan-identical frames across invocations
+    # (sameResult canonicalization), so invocation 2 silently read
+    # invocation 1's materialized counts (its plan carried an
+    # InMemoryTableScan): cross-invocation result reuse, the exact
+    # thing the memo exclusion exists to prevent. Now a lazy
+    # localCheckpoint: fresh RDD per invocation. Pin it: execute one
+    # invocation (materializing whatever it materializes), then a
+    # second build must be a distinct frame whose plan holds no
+    # CacheManager substitution.
+    fn = reg["ngram_jaccard_pairs"].fn
+    a = fn(spark, SF)
+    a.write.format("noop").mode("overwrite").save()
+    b = fn(spark, SF)
+    assert a is not b
+    for plan in (
+        b._jdf.queryExecution().analyzed().toString(),
+        b._jdf.queryExecution().executedPlan().toString(),
+    ):
+        assert "InMemoryRelation" not in plan
+        assert "InMemoryTableScan" not in plan
 
 
 def test_memo_bounded(spark, reg):
