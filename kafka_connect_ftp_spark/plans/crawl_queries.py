@@ -373,22 +373,39 @@ ORDER BY section, k
     "unmodified.",
 )
 def crawl_corpus_family(spark, sf_dir):
-    # The sections' EAGER side work is independent (wds_out's shard
-    # write, tick_out's two state ticks — fresh mkdtemp state per call;
-    # the rest are pure plan builds), so build them from a small thread
-    # pool (guide §2.6: overlap independent jobs) — the tick jobs'
-    # stragglers back-fill with the wds write instead of serializing
-    # after it. Results are unchanged: each thunk returns the same frame
-    # it returned sequentially, and pool.map preserves section order.
+    # The sections' EAGER side work is independent (tick_out's two state
+    # ticks — fresh mkdtemp state per call; wds_out's shard write; the
+    # http/httprange fetches), so build them from a small thread pool
+    # (guide §2.6: overlap independent jobs). Submission is LONGEST
+    # FIRST (round 13): pool.map in section order started tick — the
+    # critical path, two sequential state jobs — last, serializing it
+    # behind the cheap plan builds; starting tick and the wds write
+    # immediately puts the whole build under the tick's wall time.
+    # Results are unchanged: each thunk returns the same frame it
+    # returned sequentially, and the union is assembled in section
+    # order regardless of completion order.
     from concurrent.futures import ThreadPoolExecutor
 
     sections = crawl_corpus_sections(spark, sf_dir)
+    cost_rank = {"tick": 0, "wds": 1, "http": 2, "httprange": 3}
     with ThreadPoolExecutor(max_workers=3) as pool:
-        parts = list(pool.map(lambda sec: sec[1](), sections))
+        futs = {
+            name: pool.submit(thunk)
+            for name, thunk in sorted(
+                sections, key=lambda sec: cost_rank.get(sec[0], len(cost_rank))
+            )
+        }
+        parts = [futs[name].result() for name, _ in sections]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("section", "k")
+    # materialization boundary before the global sort (round 13, the
+    # text_profile/governance precedent): the range sort's SAMPLING pass
+    # re-executes its child, so the non-checkpointed section work (doc's
+    # md5/octet_length projections, the wds read-back join) ran TWICE
+    # per family execution. With the boundary the union runs once into
+    # shuffle files and sampling reads those.
+    return out.repartition("section", "k").orderBy("section", "k")
 
 
 def crawl_corpus_sections(spark, sf_dir):
@@ -447,10 +464,14 @@ def crawl_corpus_sections(spark, sf_dir):
     )
     def wds_out():
         # one WDS sample per doc_id (= xxhash64(source, text): exact dups
-        # collapse by design); min() representatives are deterministic
+        # collapse by design); min() representatives are deterministic.
+        # Lazy-checkpointed (round 13): the shard write below materializes
+        # uniq, and the join-back re-consumed the same groupBy lineage —
+        # re-aggregating the whole corpus during the family's exec for
+        # rows the write job already computed moments earlier.
         uniq = corpus.groupBy("doc_id").agg(
             F.min("url").alias("url"), F.min("text").alias("text")
-        )
+        ).localCheckpoint(eager=False)
         wds_dir = os.path.join(base, "wds")
         fields = {"text": "txt", "meta": "json"}
         write_wds_shards(
@@ -513,14 +534,24 @@ def crawl_corpus_sections(spark, sf_dir):
             F.col("fetch_error").alias("err"),
         )
 
-    http_out = lambda: http_section(hsrc.fetch(spark, man_all), "http")  # noqa: E731
+    # http/httprange fetch EAGERLY inside their thunks (round 13): as
+    # plain lineage their fetches executed inside the family's final
+    # union job, serialized after the build; checkpointed here they run
+    # on the section pool, overlapped with the tick and wds jobs (guide
+    # §2.6), and the union's exec just reads the blocks. Fresh per
+    # invocation — nothing survives a crawl_corpus_sections() call.
+    http_out = lambda: http_section(  # noqa: E731
+        hsrc.fetch(spark, man_all).localCheckpoint(), "http"
+    )
 
     def range_out():
         windows = doc_urls.filter(F.col("doc_id") % 7 == 0).select(
             "url", F.lit(2).alias("off"), F.lit(5).alias("ln")
         )
         return http_section(
-            hsrc.fetch(spark, windows, offset_col="off", length_col="ln"),
+            hsrc.fetch(
+                spark, windows, offset_col="off", length_col="ln"
+            ).localCheckpoint(),
             "httprange",
             key=F.concat(F.col("url"), F.lit("#2+5")),
         )

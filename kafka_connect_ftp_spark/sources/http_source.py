@@ -110,11 +110,18 @@ class HttpManifestSource:
         *,
         offset_col: str | None = None,
         length_col: str | None = None,
+        route: bool = True,
     ) -> DataFrame:
         """One row per manifest URL: ``(url, status, content, length,
         fetched_at, attempts, fetch_error)``. With ``offset_col`` /
         ``length_col`` (both or neither), each row GETs only its
-        ``Range: bytes=offset..offset+length-1`` window."""
+        ``Range: bytes=offset..offset+length-1`` window.
+
+        ``route=False`` skips the hash repartition for a caller that has
+        ALREADY spread the manifest across tasks (``incremental_fetch``
+        routes once, upstream of its dedup/state join, so the whole tick
+        pays one exchange) — results are identical either way, only the
+        row-to-task placement differs."""
         if (offset_col is None) != (length_col is None):
             raise ValueError("offset_col and length_col must be passed together")
         frame = self._manifest_frame(spark, manifest)
@@ -181,11 +188,10 @@ class HttpManifestSource:
         # hash on ALL manifest key columns: in Range-window mode many rows
         # share one url (one archive, many record windows) — partitioning
         # on url alone would collapse them onto a single sequential task
-        return (
-            frame.select(*cols)
-            .repartition(self.fetch_partitions, *cols)
-            .mapInPandas(fetch_partition, _FETCH_SCHEMA)
-        )
+        out = frame.select(*cols)
+        if route:
+            out = out.repartition(self.fetch_partitions, *cols)
+        return out.mapInPandas(fetch_partition, _FETCH_SCHEMA)
 
 
 _STATE_SCHEMA = "url string, ok boolean, attempts int, fetched_at double"
@@ -266,7 +272,18 @@ def incremental_fetch(
     if not isinstance(manifest, DataFrame) and not manifest:
         man = spark.createDataFrame([], "url string")
     else:
-        man = source._manifest_frame(spark, manifest).select("url").dropDuplicates(["url"])
+        man = source._manifest_frame(spark, manifest).select("url")
+    # route ONCE, upstream (round 13): hash-partitioning the manifest by
+    # url into the fetch partition count first lets the dedup aggregate
+    # reuse that exchange (same clustering) and lets fetch() skip its own
+    # repartition — the uncapped tick derivation pays ONE shuffle where
+    # it paid two (dedup at spark.sql.shuffle.partitions + re-route). The
+    # capped branch's TakeOrdered collapses partitioning anyway, so it
+    # keeps the in-fetch route.
+    pre_routed = max_urls_per_tick is None
+    if pre_routed:
+        man = man.repartition(source.fetch_partitions, "url")
+    man = man.dropDuplicates(["url"])
     attempted = state.select("url", "ok")
     cand = man.join(attempted, "url", "left")
     keep_cond = F.col("ok").isNull() if not refetch_failed else (
@@ -281,7 +298,7 @@ def incremental_fetch(
         # TakeOrdered, never a full manifest sort
         todo = todo.orderBy(F.col("ok").isNotNull(), "url").limit(max_urls_per_tick)
     todo = todo.select("url")
-    fetched = source.fetch(spark, todo).localCheckpoint()
+    fetched = source.fetch(spark, todo, route=not pre_routed).localCheckpoint()
     if fetched.isEmpty():
         # idle tick (review 9b): nothing new fetched — the state is
         # unchanged, so skip the wholesale rewrite + version flip an
@@ -296,7 +313,14 @@ def incremental_fetch(
     tick = fetched.select(
         "url", F.col("fetch_error").isNull().alias("ok"), "attempts", "fetched_at"
     )
-    new_state = state.join(tick, "url", "left_anti").unionByName(tick)
+    # broadcast the TICK side of the anti-join (round 13): the
+    # checkpointed tick frame carries no stats, so the planner assumed
+    # it huge and sort-merge-joined — shuffling the WHOLE accumulated
+    # state (the unbounded side: every URL ever tracked) to anti-join a
+    # bounded delta. The tick is the small side by construction: it
+    # holds only this poll's newly-fetched URLs (production ticks are
+    # capped via max_urls_per_tick); state now streams exchange-free.
+    new_state = state.join(F.broadcast(tick), "url", "left_anti").unionByName(tick)
     new_state.write.mode("overwrite").parquet(f"{state_dir}/v{next_v:06d}")
     prune_versions(spark, state_dir, current=next_v, keep=keep_versions)
     return fetched
