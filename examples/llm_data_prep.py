@@ -231,10 +231,17 @@ def main() -> int:
         model_path,
     )
     clf = load_quality_model(spark, model_path)
+    # materialize (the substr-mask precedent above): the scored filter
+    # is consumed by the LM stage twice (scores + the semi-join) and by
+    # every later stage count — unmaterialized, each of those re-runs
+    # the hashingTF/LR scoring pass end to end (round 13: this and the
+    # two boundaries below cut the example's wall time ~2x; same rows,
+    # teaching the pattern the operator docs prescribe)
     docs = (
         score_quality(docs, clf)
         .filter(pareto_keep(alpha=2.0))
         .drop("quality_score")
+        .localCheckpoint(eager=True)
     )
     n1c = docs.count()
 
@@ -244,7 +251,7 @@ def main() -> int:
     cut = scores.approxQuantile("perplexity", [0.95], 0.001)[0]
     docs = docs.join(
         scores.filter(F.col("perplexity") <= cut).select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     n1b = docs.count()
 
     # 2. exact dedup: keep the min doc_id per identical body
@@ -262,7 +269,9 @@ def main() -> int:
         F.col("est_jaccard") >= 0.5
     )
     decision = dedup_decision(pairs, docs.select("doc_id"))
-    docs = docs.join(decision.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    docs = docs.join(
+        decision.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
     n3 = docs.count()
 
     # 4. decontamination: drop docs sharing 5-grams with the benchmark set

@@ -8,12 +8,13 @@ billions, almost all of it singletons that can never be heavy. The
 two-phase design here prunes before the global shuffle:
 
 - **phase 1 (local candidates)**: each partition runs a bounded
-  Misra-Gries/SpaceSaving-style counter (`mapInPandas`, one dict capped
+  Misra-Gries/SpaceSaving-style counter (`mapInArrow`, one dict capped
   at ``candidates_per_partition``) and emits only its local survivors.
-  Each Arrow batch is pre-aggregated with the vectorized
-  ``value_counts()`` (C speed), so the Python merge loop touches only
-  the batch's DISTINCT n-grams, and eviction prunes the dict back to
-  the cap in one ``nsmallest`` pass per overflowing batch instead of an
+  Each Arrow batch is pre-aggregated with Arrow's vectorized
+  ``value_counts()`` on the columnar buffers (no per-occurrence Python
+  string ever exists), so the Python merge loop touches only the
+  batch's DISTINCT n-grams, and eviction prunes the dict back to the
+  cap in one ``nsmallest`` pass per overflowing batch instead of an
   O(cap) scan per miss. Newcomers enter at ``floor + count`` where
   ``floor`` is the largest count ever evicted — counts never
   under-estimate, so a true global heavy hitter (frequency above
@@ -103,18 +104,26 @@ def heavy_hitter_ngrams(
     def local_candidates(batches):
         import heapq
 
-        import pandas as pd
+        import pyarrow as pa
 
         # batched Misra-Gries: every count is an over-estimate (newcomers
         # are credited the eviction floor), so survivors are a superset of
         # everything frequent in this partition's stream — the same
-        # guarantee as per-row SpaceSaving, at vectorized speed
+        # guarantee as per-row SpaceSaving, at vectorized speed.
+        # mapInArrow, not mapInPandas (round 13, guide §4.2): the pandas
+        # hop materialized EVERY n-gram occurrence as a Python string
+        # object just to feed value_counts; Arrow's value_counts runs on
+        # the columnar buffers directly and only the batch's DISTINCT
+        # survivors are ever converted to Python (same batches, same
+        # per-batch counts, same merge arithmetic -> identical survivor
+        # sets, pinned by the phase-1 parity test).
         counts: dict[str, int] = {}
         floor = 0  # largest count ever evicted; monotone
-        for pdf in batches:
+        for batch in batches:
             # vectorized pre-aggregation: the merge loop below runs once
             # per DISTINCT n-gram in the batch, not once per occurrence
-            for g, c in pdf["ngram"].value_counts().items():
+            vc = batch.column(0).value_counts()
+            for g, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                 if g in counts:
                     counts[g] += c
                 else:
@@ -127,10 +136,12 @@ def heavy_hitter_ngrams(
                 floor = max(floor, victims[-1][1])
                 for g, _ in victims:
                     del counts[g]
-        yield pd.DataFrame({"ngram": list(counts.keys())})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(counts.keys()), type=pa.string())], names=["ngram"]
+        )
 
     candidates = (
-        grams.mapInPandas(local_candidates, "ngram string").distinct()
+        grams.mapInArrow(local_candidates, "ngram string").distinct()
     )
     return (
         grams.join(F.broadcast(candidates), "ngram", "left_semi")

@@ -67,9 +67,16 @@ _SPLITTERS = {
 def _encode_sentinel(txt: Column) -> Column:
     """Escape pre-existing U+001E/U+001F so the injected sentinel is
     unambiguous (module doc). Escape-lead first: the '0'-suffixed pairs
-    this pass writes are never re-touched by the sentinel pass."""
-    return F.regexp_replace(
-        F.regexp_replace(txt, _ESC, _ESC + "0"), _SENTINEL, _ESC + "1"
+    this pass writes are never re-touched by the sentinel pass.
+    ``replace`` (literal substring scan), not ``regexp_replace`` (round
+    13): the patterns are single fixed chars, and the two regex-engine
+    passes per direction were the bulk of the escape fix's +30% on the
+    span_dedup_decision bench — same output, pinned by the existing
+    control-byte round-trip tests."""
+    return F.replace(
+        F.replace(txt, F.lit(_ESC), F.lit(_ESC + "0")),
+        F.lit(_SENTINEL),
+        F.lit(_ESC + "1"),
     )
 
 
@@ -79,8 +86,10 @@ def _decode_sentinel(txt: Column) -> Column:
     so 'U+001E 1' exactly identifies original sentinels (an original
     literal 'U+001E 1' encodes to 'U+001E 0 1', which this pass cannot
     match)."""
-    return F.regexp_replace(
-        F.regexp_replace(txt, _ESC + "1", _SENTINEL), _ESC + "0", _ESC
+    return F.replace(
+        F.replace(txt, F.lit(_ESC + "1"), F.lit(_SENTINEL)),
+        F.lit(_ESC + "0"),
+        F.lit(_ESC),
     )
 
 

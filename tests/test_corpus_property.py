@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+from tests.conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -39,7 +40,7 @@ def _py_span_dedup(texts):
     return out
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts=corpus)
 def test_span_dedup_matches_python_oracle(spark, texts):
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
@@ -50,7 +51,7 @@ def test_span_dedup_matches_python_oracle(spark, texts):
     assert got == _py_span_dedup(texts)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts=corpus)
 def test_span_dedup_idempotent_and_lossless_on_uniques(spark, texts):
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
@@ -63,7 +64,7 @@ hh_doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
 hh_corpus = st.lists(hh_doc, min_size=1, max_size=8)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts=hh_corpus, n=st.integers(1, 3))
 def test_heavy_hitters_no_eviction_regime_is_exact(spark, texts, n):
     """cap >= distinct n-grams -> no eviction -> exact top-k with the
@@ -84,7 +85,7 @@ def test_heavy_hitters_no_eviction_regime_is_exact(spark, texts, n):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts=hh_corpus)
 def test_heavy_hitters_counts_are_true_counts_even_under_eviction(spark, texts):
     """Whatever survives a tiny cap, its reported count is the TRUE corpus
@@ -106,7 +107,7 @@ def test_heavy_hitters_counts_are_true_counts_even_under_eviction(spark, texts):
 key = st.text(alphabet="abcdefgh0123456789-", min_size=0, max_size=12)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     big_keys=st.lists(key, min_size=1, max_size=40),
     ref_keys=st.lists(key, min_size=0, max_size=25),
@@ -137,7 +138,7 @@ doc_text = st.text(
 )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts=st.lists(doc_text, min_size=1, max_size=8))
 def test_jsonl_roundtrip_property(spark, tmp_path_factory, texts):
     import json as _json
@@ -162,7 +163,7 @@ def test_jsonl_roundtrip_property(spark, tmp_path_factory, texts):
         max_size=12,
     )
 )
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=prop_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 def test_repetition_signals_match_pure_python(spark, token_lists):
     """repetition_signals equals an independent pure-Python computation
     on arbitrary small corpora (hypothesis-shrunk counterexamples)."""

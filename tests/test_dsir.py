@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -156,7 +157,11 @@ def scored_300(spark, frames):
 def test_threshold_equals_topk_across_layouts(spark, scored_300):
     # VERDICT r7 #1: the fraction regime must select EXACTLY the set the
     # top-k path selects — pinned across n values spanning all three
-    # correction branches (d==0, d>0, d<0) and three partition layouts
+    # correction branches (d==0, d>0, d<0) and three partition layouts.
+    # Fast default (the conftest prop_examples rationale): every n — the
+    # branch coverage — always runs, against the two layout extremes;
+    # SPARK_GRAFT_SLOW=1 adds the mid layout back.
+    layouts = (1, 7, 32) if os.environ.get("SPARK_GRAFT_SLOW") == "1" else (1, 32)
     for n in (1, 7, 150, 240, 299):
         ref = {
             r.doc_id
@@ -164,7 +169,7 @@ def test_threshold_equals_topk_across_layouts(spark, scored_300):
             if r.dsir_keep
         }
         assert len(ref) == n
-        for parts in (1, 7, 32):
+        for parts in layouts:
             got = {
                 r.doc_id
                 for r in dsir_select(

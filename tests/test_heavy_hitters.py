@@ -52,3 +52,35 @@ def test_validation(docs):
         heavy_hitter_ngrams(docs, top_k=50, candidates_per_partition=10)
     with pytest.raises(ValueError, match="n must"):
         ngram_stream(docs, 0)
+
+
+def test_arrow_phase1_parity_with_pandas_reference():
+    # round 13: phase 1 moved mapInPandas -> mapInArrow. The vectorized
+    # pre-aggregation must produce the SAME (gram, count) sets per batch
+    # as the pandas coding it replaced — pinned Spark-free over a
+    # synthetic batch sequence (the batch boundary is the only thing
+    # Spark adds). Survivor sets after eviction may legally differ on
+    # count TIES (nsmallest breaks ties by the value_counts iteration
+    # order, which neither library specifies), which is why the parity
+    # pin is the pre-aggregation, and end-to-end top-k equality against
+    # the naive exact plan stays pinned through Spark by
+    # test_matches_exact_naive_topk above (phase 2 rescores candidates
+    # exactly, so tie-differing survivor sets yield identical output in
+    # the no-eviction regime).
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = random.Random(13)
+    vocab = [f"g{i}" for i in range(500)]
+    batches = [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 400))] for _ in range(30)
+    ]
+    for b in batches:
+        pandas_items = set(pd.Series(b).value_counts().items())
+        vc = pa.array(b, type=pa.string()).value_counts()
+        arrow_items = set(
+            zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+        )
+        assert pandas_items == arrow_items

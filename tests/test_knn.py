@@ -201,6 +201,7 @@ def _np_knn(ids, vecs, q_ids, q_vecs, k):
 
 
 def test_knn_join_property_random_corpora(spark):
+    from tests.conftest import prop_examples
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -208,7 +209,7 @@ def test_knn_join_property_random_corpora(spark):
         st.floats(-4, 4, allow_nan=False, width=32).map(float), min_size=3, max_size=3
     )
 
-    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @settings(max_examples=prop_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
     @given(
         vecs=st.lists(vec, min_size=1, max_size=24),
         nq=st.integers(1, 4),

@@ -333,6 +333,7 @@ def test_classify_script_property_matches_python(spark):
     # property check: random mixed-script strings through the Spark
     # operator equal a pure-Python twin (same ranges, same argmax
     # tie-break) — generalizes the fixture cases to arbitrary mixes
+    from tests.conftest import prop_examples
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -370,7 +371,7 @@ def test_classify_script_property_matches_python(spark):
         return min(s for s, c in counts.items() if c == mx)
 
     @settings(
-        max_examples=12,
+        max_examples=prop_examples(12),
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
@@ -394,6 +395,8 @@ def test_routed_property_matches_python(spark, routed_profiles):
     # and gramless fallbacks
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
+
+    from tests.conftest import prop_examples
 
     from kafka_connect_ftp_spark.operators.lang_id import (
         NORM_KEEP_ROUTED,
@@ -464,7 +467,7 @@ def test_routed_property_matches_python(spark, routed_profiles):
     )
 
     @settings(
-        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+        max_examples=prop_examples(8), deadline=None, suppress_health_check=[HealthCheck.too_slow]
     )
     @given(st.lists(st.text(alphabet=pool, max_size=60), min_size=1, max_size=6))
     def check(texts):

@@ -137,8 +137,13 @@ def test_ngram_no_cross_invocation_cache_reuse(spark, reg):
     a.write.format("noop").mode("overwrite").save()
     b = fn(spark, SF)
     assert a is not b
+    # optimizedPlan, not analyzed (ADVICE r12): CacheManager substitution
+    # happens in QueryExecution.withCachedData, AFTER analysis — an
+    # analyzed() assertion can never see InMemoryRelation and guards
+    # nothing. optimizedPlan() and executedPlan() are both post-
+    # substitution, so either would carry the cache hit.
     for plan in (
-        b._jdf.queryExecution().analyzed().toString(),
+        b._jdf.queryExecution().optimizedPlan().toString(),
         b._jdf.queryExecution().executedPlan().toString(),
     ):
         assert "InMemoryRelation" not in plan

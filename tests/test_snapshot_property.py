@@ -5,6 +5,7 @@ generalizing the scripted EndToEnd scenarios to arbitrary op sequences
 
 from __future__ import annotations
 
+from tests.conftest import prop_examples
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -22,7 +23,7 @@ tick = st.lists(op, min_size=1, max_size=4)
 script = st.lists(tick, min_size=1, max_size=4)
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=prop_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(script=script)
 def test_random_change_sets_match_oracle(spark, script):
     for i, (got, exp) in enumerate(run_change_sets(spark, script)):

@@ -191,6 +191,7 @@ def test_sentence_roundtrip_and_dedup_property(spark):
     agrees exactly with an independent pure-Python first-occurrence
     model (which applies the same escape) on both the rebuilt text and
     the counters."""
+    from tests.conftest import prop_examples
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -236,7 +237,7 @@ def test_sentence_roundtrip_and_dedup_property(spark):
         return out
 
     @settings(
-        max_examples=15, deadline=None,
+        max_examples=prop_examples(15), deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
     @given(texts=corpus)

@@ -125,6 +125,7 @@ def test_null_id_fails_loudly(spark):
 def test_property_matches_reference_on_random_corpora(spark):
     # hypothesis cross-check against the independent pure-Python twin:
     # a tiny vocabulary makes duplicated grams actually occur
+    from tests.conftest import prop_examples
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -132,7 +133,7 @@ def test_property_matches_reference_on_random_corpora(spark):
     doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
     corpus = st.lists(doc, min_size=1, max_size=6)
 
-    @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @settings(max_examples=prop_examples(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
     @given(corpus=corpus, l=st.integers(min_value=1, max_value=4))
     def check(corpus, l):
         texts = dict(enumerate(corpus))

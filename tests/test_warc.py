@@ -207,6 +207,7 @@ def test_warc_roundtrip_property():
     """Random records (payloads may contain CRLFs, WARC magic, gzip
     magic — every framing hazard) serialize with _record and parse back
     exactly, in both the plain and the record-per-gzip-member layout."""
+    from tests.conftest import prop_examples
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -219,7 +220,7 @@ def test_warc_roundtrip_property():
     wtypes = st.sampled_from(["response", "request", "metadata", "warcinfo"])
     records = st.lists(st.tuples(wtypes, payloads), min_size=1, max_size=6)
 
-    @settings(max_examples=100, deadline=None)
+    @settings(max_examples=prop_examples(100), deadline=None)
     @given(records)
     def check(recs):
         raw = b"".join(

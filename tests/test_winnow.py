@@ -113,6 +113,7 @@ def test_shared_substring_guarantee_and_pairs(spark):
 
 
 def test_hypothesis_profile_property(spark):
+    from tests.conftest import prop_examples
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
@@ -123,7 +124,7 @@ def test_hypothesis_profile_property(spark):
     )
 
     @settings(
-        max_examples=10, deadline=None,
+        max_examples=prop_examples(10), deadline=None,
         suppress_health_check=[HealthCheck.too_slow],
     )
     @given(texts=corpus)
