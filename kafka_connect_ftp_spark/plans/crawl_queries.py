@@ -199,6 +199,30 @@ def adversarial_warc_bytes() -> bytes:
 # ---- fixture construction ----------------------------------------------
 
 _FIXTURE_CACHE: dict[str, str] = {}
+_FANOUT_CACHE: dict[str, int] = {}
+
+
+def _fanout(spark, sf_dir: str) -> int:
+    """Scale-adaptive shard/fetch-partition count for the crawl fixture,
+    derived from INPUT SIZE (guide §2: never a constant tuned for one
+    core count, never the core count itself). Round 13: the fixture's
+    hard-coded 4s capped the whole family's parallelism — binaryFile
+    gives one parse task per archive and the HTTP source one task per
+    fetch partition, so at a 10x corpus the family ran 4-wide on 32
+    cores and measured SLOWER at 32 than at 8 (scheduler overhead with
+    no compute to spread). One shard per ~2500 docs, floor 4 (the
+    historical value at every driver SF: sf0.001/0.01/0.1 all stay at
+    4, so the driver's bench and oracle fixtures are byte-identical to
+    round 12's), cap 64. Results are shard-count-independent: the rec/
+    doc/wds/tick sections project record CONTENT, never shard layout,
+    and the oracle re-derives them from the documents table alone."""
+    hit = _FANOUT_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    n_docs = load_tables(spark, sf_dir, "documents")["documents"].count()
+    out = max(4, min(64, n_docs // 2500))
+    _FANOUT_CACHE[sf_dir] = out
+    return out
 
 
 def _fixture_dir(spark, sf_dir: str) -> str:
@@ -222,7 +246,7 @@ def _fixture_dir(spark, sf_dir: str) -> str:
         F.concat(F.lit(_URL_PRE), F.col("doc_id")).alias("url"),
         F.concat(F.lit(_HTML_PRE), esc, F.lit(_HTML_POST)).alias("body"),
     )
-    write_warc(pages, warc_dir, n_shards=4, content_type=_CTYPE)
+    write_warc(pages, warc_dir, n_shards=_fanout(spark, sf_dir), content_type=_CTYPE)
     with open(os.path.join(warc_dir, "adversarial.warc.gz"), "wb") as f:
         f.write(adversarial_warc_bytes())
     _FIXTURE_CACHE[sf_dir] = base
@@ -478,7 +502,7 @@ def crawl_corpus_sections(spark, sf_dir):
             uniq.select("doc_id", "text", F.to_json(F.struct("url")).alias("meta")),
             wds_dir,
             fields=fields,
-            n_shards=4,
+            n_shards=_fanout(spark, sf_dir),
         )
         rb = read_corpus(spark, wds_dir, fmt="wds", wds_fields=fields).select(
             F.get_json_object("meta", "$.url").alias("url"),
@@ -508,7 +532,8 @@ def crawl_corpus_sections(spark, sf_dir):
     )
 
     hsrc = HttpManifestSource(
-        opener=fake_http_opener, retries=1, fetch_partitions=4,
+        opener=fake_http_opener, retries=1,
+        fetch_partitions=_fanout(spark, sf_dir),
         sleep=lambda s: None,
     )
     docs = load_tables(spark, sf_dir, "documents")["documents"]
